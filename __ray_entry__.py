@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in the library code) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The synthetic ``pages`` tables (input_hint shape: url, warc_ts, html,
+text, lang) are materialised deterministically under /tmp at import time
+for the sf dirs the driver exercises, so ``oracle_sql`` strings can
+reference them via ``read_parquet``.
 """
 
 from __future__ import annotations
@@ -18,27 +14,54 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from topicrawler_ray.sources.pages import pages_path
+
+# materialise deterministic pages tables for the driver's scales
+_PAGES_SF0001 = pages_path("/root/testdata/sf0.001")
+_PAGES_SF001 = pages_path("/root/testdata/sf0.01")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: pages -> extract ->
+    LM-score (actor pool). Returns a lazy ray.data.Dataset."""
+    from topicrawler_ray.pipelines.flagship import scored_pages
+
+    return scored_pages("/root/testdata/sf0.001", concurrency=2)
+
+
+def _q_extract_text(sf_dir: str):
+    """Byte-identical extraction (M1-M6): url -> cleaned plaintext."""
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.extract import extract_batch
+
+    ds = read_pages(sf_dir)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow")
+    return ds.select_columns(["url", "clean_text"])
+
+
+def _q_scored_pages(sf_dir: str):
+    """Extraction + LM perplexity scoring (T1, A7, F10)."""
+    from topicrawler_ray.pipelines.flagship import scored_pages
+
+    return scored_pages(sf_dir, concurrency=2).select_columns(
+        ["url", "perp", "perp_str"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_text": _q_extract_text,
+        "scored_pages": _q_scored_pages,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        # the stored `text` column is the analytically-derived extraction
+        # oracle; the Ray query recomputes it from the html bytes
+        "extract_text": (
+            "SELECT url, text AS clean_text "
+            "FROM read_parquet('%s')" % _PAGES_SF001
+        ),
+        # scored_pages: perplexity is not SQL-expressible -> rows-only check
+    }

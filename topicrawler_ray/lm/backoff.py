@@ -1,0 +1,112 @@
+"""Stupid-backoff language model over all-order n-gram counts.
+
+Port of ``lt.lm/.../lucenebased/StupidBackoffLM.java:31-137`` (which reads
+counts from a Lucene index; here counts live in an in-memory
+:class:`NgramCounts`, built either driver-side for fixtures or by the
+distributed Ray count job in ``lm/build.py``).
+
+Faithful quirks preserved:
+
+* the unigram "probability" is ``c(w) / num_distinct_unigrams``
+  (``_num_ngrams[1][0]`` is the *distinct* unigram count,
+  ``CountingStringLM.java:140-147``),
+* the OOV floor is ``ud = D / (num_distinct_unigrams + 1)``,
+* on a missing sub-order the model returns the lower-order score times a
+  single discount factor (not cumulative).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+
+class NgramCounts:
+    """Counts of every k-gram, k = 1..order, over a token-sequence corpus."""
+
+    def __init__(self, order: int):
+        self.order = order
+        self.counts: list[Counter[tuple[str, ...]]] = [Counter() for _ in range(order + 1)]
+
+    def add_sequence(self, tokens: list[str]) -> None:
+        for k in range(1, self.order + 1):
+            c = self.counts[k]
+            for i in range(len(tokens) - k + 1):
+                c[tuple(tokens[i : i + k])] += 1
+
+    def count(self, ngram: tuple[str, ...]) -> int:
+        k = len(ngram)
+        if k < 1 or k > self.order:
+            return 0
+        return self.counts[k].get(ngram, 0)
+
+    def num_distinct(self, k: int) -> int:
+        return len(self.counts[k])
+
+    def total(self, k: int) -> int:
+        return sum(self.counts[k].values())
+
+
+class StupidBackoffLM:
+    """Scorer protocol: ``order``, ``ngram_log10_prob``, ``ngram_ends_with_oov``."""
+
+    def __init__(self, counts: NgramCounts, discount: float = 0.4):
+        self._c = counts
+        self.order = counts.order
+        self._D = discount
+        self._up = 1.0 / (counts.num_distinct(1) + 1)
+        self._ud = self._up * discount
+
+    def ngram_ends_with_oov(self, ngram: list[str]) -> bool:
+        return self._c.count((ngram[-1],)) == 0
+
+    def ngram_contains_oov(self, ngram: list[str]) -> bool:
+        return any(self._c.count((w,)) == 0 for w in ngram)
+
+    def score(self, ngram: list[str]) -> float:
+        """``StupidBackoffLM.score`` control flow, ported verbatim."""
+        n = len(ngram)
+        if n < 1:
+            return self._ud
+        if self.ngram_ends_with_oov(ngram):
+            return self._ud
+        c = self._c
+        # unigram of the last word
+        nom = c.count(tuple(ngram[n - 1 : n]))
+        denom = c.num_distinct(1)
+        if nom == 0 or denom == 0:
+            return self._ud
+        s = nom / denom
+        if n == 1:
+            return s
+        # intermediate sub-orders 2..min(n, order)-1
+        i = 2
+        while i < n and i < self.order:
+            ls = s
+            sub = tuple(ngram[n - i : n])
+            hist = tuple(ngram[n - i : n - 1])
+            nom = c.count(sub)
+            denom = c.count(hist)
+            if nom == 0 or denom == 0:
+                lw = self._D
+                if len(sub) < self.order:
+                    s = ls * lw
+                return s
+            s = nom / denom
+            i += 1
+        if n < self.order:
+            return s
+        ls = s
+        sub = tuple(ngram[n - self.order : n])
+        hist = tuple(ngram[n - self.order : n - 1])
+        nom = c.count(sub)
+        denom = c.count(hist)
+        if nom == 0 or denom == 0:
+            lw = self._D
+            if len(sub) < self.order:
+                s = ls * lw
+            return s
+        return nom / denom
+
+    def ngram_log10_prob(self, ngram: list[str]) -> float:
+        return math.log10(self.score(ngram))

@@ -1,0 +1,136 @@
+"""Deterministic topic-LM construction for the crawl pipelines.
+
+The reference serves a pre-trained 5-gram BerkeleyLM over RMI
+(``lt.lm/.../app/StartLM.java:432-480``); our engine loads a model
+artifact once per scorer actor from the Ray object store (``ray.put`` on
+the driver, ``ray.get`` in each actor ``__init__`` - broadcast once, not
+re-shipped per batch).
+
+Training corpus (deterministic spec of the fixture universe):
+
+* the extracted oracle text of every page whose ``doc_id % 3 == 0``
+  (the "focused topic" sample), run through the same
+  sentence-split/tokenize path the scorer uses, and
+* 800 vocabulary-inflation sentences of synthetic words ``w0000..w7999``
+  - these push the Laplace vocabulary V to ~8k so all-OOV documents land
+  in the NORMAL priority bucket (perp ~ V > 5e3) and partially-noisy
+  documents land in MEDIUM, giving the prioritizer real work.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import pyarrow.parquet as pq
+
+from ..functions import ngrams as ngram_mod
+from ..functions.sentences import split_sentences
+from ..functions.tokenizer import filtered_and_normalized_tokens
+from .backoff import NgramCounts, StupidBackoffLM
+from .counting import CountingLM, LaplaceSmoothedLM
+
+DEFAULT_ORDER = 3
+TRAIN_DOC_MOD = 3  # doc_id % 3 == 0 -> training document
+VOCAB_INFLATION = 8000
+VOCAB_SENT_LEN = 10
+
+
+def training_sentences_from_text(text: str) -> list[str]:
+    return split_sentences(text)
+
+
+def _letter_word(prefix: str, i: int) -> str:
+    """Letters-only synthetic word (digits would be WORD_WITH_NUMBER and
+    get dropped by the scorer's level-5 token filter)."""
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    out = []
+    n = i
+    while True:
+        out.append(letters[n % 26])
+        n //= 26
+        if n == 0:
+            break
+    return prefix + "".join(reversed(out))
+
+
+def vocab_inflation_sentences(n_words: int = VOCAB_INFLATION) -> list[str]:
+    out = []
+    for start in range(0, n_words, VOCAB_SENT_LEN):
+        out.append(
+            " ".join(_letter_word("w", i) for i in range(start, start + VOCAB_SENT_LEN))
+        )
+    return out
+
+
+def _doc_id_from_url(url: str) -> int | None:
+    # http://host{h}.example/p{doc_id}
+    tail = url.rsplit("/p", 1)
+    if len(tail) != 2 or not tail[1].isdigit():
+        return None
+    return int(tail[1])
+
+
+def iter_training_sentences(sf_dir: str):
+    """Deterministic training-sentence stream: topic pages + vocab filler."""
+    from ..sources.pages import pages_path
+
+    pages = pq.read_table(pages_path(sf_dir), columns=["url", "text"])
+    urls = pages.column("url").to_pylist()
+    texts = pages.column("text").to_pylist()
+    for url, text in zip(urls, texts):
+        doc_id = _doc_id_from_url(url)
+        if doc_id is None or doc_id % TRAIN_DOC_MOD != 0:
+            continue
+        yield from training_sentences_from_text(text)
+    yield from vocab_inflation_sentences()
+
+
+def _tokenize_for_lm(sentence: str) -> list[str]:
+    tokens = filtered_and_normalized_tokens(sentence)
+    if not tokens:
+        return []
+    return ngram_mod.insert_sentence_tags(tokens, mode=3)
+
+
+@lru_cache(maxsize=4)
+def build_topic_lm(sf_dir: str, order: int = DEFAULT_ORDER) -> StupidBackoffLM:
+    """Train the deterministic topic LM (stupid-backoff) for a scale dir.
+
+    Backoff scoring is what gives the prioritizer a usable spread: seen
+    topic n-grams -> low perplexity (HIGH bucket), partially-noisy pages
+    -> MEDIUM, all-OOV pages -> the ``ud`` floor -> NORMAL.
+    """
+    counts = NgramCounts(order)
+    for sentence in iter_training_sentences(sf_dir):
+        tokens = _tokenize_for_lm(sentence)
+        if tokens:
+            counts.add_sequence(tokens)
+    return StupidBackoffLM(counts)
+
+
+@lru_cache(maxsize=4)
+def build_topic_lm_laplace(sf_dir: str, order: int = DEFAULT_ORDER) -> LaplaceSmoothedLM:
+    """Laplace variant of the topic LM (alternate scorer, F14)."""
+    base = CountingLM(order)
+    for sentence in iter_training_sentences(sf_dir):
+        tokens = _tokenize_for_lm(sentence)
+        for ng in ngram_mod.ngram_sequence(tokens, order, boundary_mode=0):
+            base.add_ngram(ng)
+    return LaplaceSmoothedLM(base)
+
+
+_lm_refs: dict[tuple[str, int], object] = {}
+
+
+def topic_lm_ref(sf_dir: str, order: int = DEFAULT_ORDER):
+    """``ray.put`` the trained LM once per (sf_dir, order); return the ref.
+
+    Scorer actors ``ray.get`` this in ``__init__`` - zero-copy broadcast
+    through the object store instead of per-batch shipping.
+    """
+    import ray
+
+    key = (sf_dir, order)
+    if key not in _lm_refs:
+        _lm_refs[key] = ray.put(build_topic_lm(sf_dir, order))
+    return _lm_refs[key]

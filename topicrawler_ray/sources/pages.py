@@ -1,0 +1,268 @@
+"""Deterministic synthetic Common-Crawl-style ``pages`` table.
+
+Input shape per BASELINE.json ``input_hint``:
+``url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string``.
+
+Pages are derived deterministically from ``{sf_dir}/documents.parquet``
+(seeded driver data, read-only) - one page per document plus one
+``/robots.txt`` page per host - so the DuckDB oracle can reconstruct the
+same rows from the pre-registered ``documents`` view.
+
+The ``text`` column is the *extraction oracle*: the byte-exact expected
+output of the reference composite ``clean_min -> jsoup text -> clean_min``
+then ``String.trim()``
+(``TextExtractor.getCleanedUtf8PlainText``, ``lt.ltbot/.../text/TextExtractor.java:80-85``;
+``JSoupTextExtractor.java:34-54``).  It is derived *analytically* from the
+page template (hand-derived whitespace algebra, see ``_expected_text``),
+NOT by running our extractor - the pytest byte-identity check compares the
+two independent derivations.
+
+Host skew: host 0 is a deliberate mega-host holding ~40% of all pages
+(tests politeness batching + salting).  Link graph, noise injection,
+empty pages, dead links and robots-blocked links are all deterministic
+functions of ``doc_id``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+EPOCH_US = 1388534400_000_000  # 2014-01-01T00:00:00Z in microseconds
+
+# deterministic knobs (documented spec of the fixture universe)
+MEGA_HOST_FRACTION_MOD = 10  # doc_id % 10 < 4  -> host 0  (~40%)
+MEGA_HOST_FRACTION_LT = 4
+NOISE_MOD = 5  # doc_id % 5 == 1 -> 30% noise words; == 2 -> all-noise para
+EMPTY_MOD = 11  # doc_id % 11 == 7 -> empty page (empty extraction)
+DEAD_LINK_MOD = 17  # doc_id % 17 == 3 -> extra dead link /missing/m{i}
+BLOCKED_LINK_MOD = 13  # doc_id % 13 == 2 -> extra link /blocked/b{i}
+ROBOTS_DISALLOW_HOST_MOD = 5  # host % 5 == 3 -> robots disallows /blocked/
+
+_KNUTH = 2654435761
+
+
+def n_hosts_for(n_docs: int) -> int:
+    return max(3, n_docs // 50)
+
+
+def host_of(doc_id: int, n_hosts: int) -> int:
+    if doc_id % MEGA_HOST_FRACTION_MOD < MEGA_HOST_FRACTION_LT:
+        return 0
+    return 1 + (doc_id * _KNUTH) % (n_hosts - 1)
+
+
+def url_of(doc_id: int, n_hosts: int) -> str:
+    return "http://host%d.example/p%d" % (host_of(doc_id, n_hosts), doc_id)
+
+
+def robots_url(host: int) -> str:
+    return "http://host%d.example/robots.txt" % host
+
+
+def link_targets(doc_id: int, n_docs: int) -> list[int]:
+    """Three deterministic outlink targets per page."""
+    return [
+        (doc_id * 7 + 1) % n_docs,
+        (doc_id * 13 + 5) % n_docs,
+        (doc_id * 31 + 17) % n_docs,
+    ]
+
+
+def noise_words(doc_id: int, k: int) -> list[str]:
+    """OOV-guaranteed letters-only tokens, deterministic per doc (digits
+    would be filtered from the scorer's token stream at level 5)."""
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    out = []
+    for j in range(k):
+        n = (doc_id * _KNUTH + j * 40503) & 0xFFFFFFF
+        w = []
+        while True:
+            w.append(letters[n % 26])
+            n //= 26
+            if n == 0:
+                break
+        out.append("zq" + "".join(w))
+    return out
+
+
+DIRTY_MOD = 23  # doc_id % 23 == 5 -> BOM+U+FFFD injected into paragraph 1
+
+
+def _paragraphs(doc_id: int, words: list[str]) -> tuple[str, str, str]:
+    """Split doc words into two sentence-terminated paragraphs, with
+    deterministic noise injection for perplexity-bucket diversity.
+
+    Returns ``(p1_html, p1_expected, p2)``: pages hit by ``DIRTY_MOD``
+    carry U+FEFF / U+FFFD in the html; the expected extraction carries the
+    cleaner's replacement char U+00BF instead (``UTF8CleanerMin``).
+    """
+    half = max(1, len(words) // 2)
+    p1w = words[:half]
+    p2w = list(words[half:]) or ["end"]
+    m = doc_id % NOISE_MOD
+    if m == 1:  # second paragraph all noise (~50% of doc) -> MEDIUM bucket
+        p2w = noise_words(doc_id, max(4, len(p2w)))
+    elif m == 2:  # both paragraphs noise -> NORMAL bucket (perp > 5e3)
+        p1w = noise_words(doc_id + 1_000_000, max(4, len(p1w)))
+        p2w = noise_words(doc_id, max(4, len(p2w)))
+    p1 = " ".join(p1w) + "."
+    p1_html, p1_expected = p1, p1
+    if doc_id % DIRTY_MOD == 5 and p1w:
+        p1_html = "\ufeff" + p1 + "\ufffd"
+        p1_expected = "\u00bf" + p1 + "\u00bf"
+    return p1_html, p1_expected, " ".join(p2w) + "."
+
+
+def _anchor_cell(doc_id: int, n_docs: int, n_hosts: int) -> tuple[str, str, list[str]]:
+    """(anchor_html, anchor_text_in_extraction, out_urls).
+
+    Anchor labels are WORD_WITH_NUMBER tokens (``l0``...) so the scorer's
+    level-5 token filter drops them from the LM stream - but they are part
+    of the byte-exact extracted text.
+    """
+    my_host = host_of(doc_id, n_hosts)
+    parts = []
+    texts = []
+    urls = []
+    for i, tgt in enumerate(link_targets(doc_id, n_docs)):
+        tgt_host = host_of(tgt, n_hosts)
+        if tgt_host == my_host:
+            href = "/p%d" % tgt
+        else:
+            href = "http://host%d.example/p%d" % (tgt_host, tgt)
+        parts.append('<a href="%s">l%d</a>' % (href, i))
+        texts.append("l%d" % i)
+        urls.append("http://host%d.example/p%d" % (tgt_host, tgt))
+    if doc_id % DEAD_LINK_MOD == 3:
+        parts.append('<a href="/missing/m%d">l3</a>' % doc_id)
+        texts.append("l3")
+        urls.append("http://host%d.example/missing/m%d" % (my_host, doc_id))
+    if doc_id % BLOCKED_LINK_MOD == 2:
+        parts.append('<a href="/blocked/b%d">l4</a>' % doc_id)
+        texts.append("l4")
+        urls.append("http://host%d.example/blocked/b%d" % (my_host, doc_id))
+    return " ".join(parts), " ".join(texts), urls
+
+
+def _page_html(doc_id: int, words: list[str], n_docs: int, n_hosts: int) -> str:
+    if doc_id % EMPTY_MOD == 7:
+        return "<html><head><title></title></head>\n<body></body></html>"
+    host = host_of(doc_id, n_hosts)
+    title = "Doc %d host%d" % (doc_id, host)
+    p1, _, p2 = _paragraphs(doc_id, words)
+    anchors, _, _ = _anchor_cell(doc_id, n_docs, n_hosts)
+    home = "http://host0.example/p0"
+    return (
+        "<html><head><title>%s</title></head>\n"
+        "<body>\n"
+        '<div class="nav">Home | <a href="%s">start</a></div>\n'
+        "<p>%s</p>\n"
+        "<p>%s</p>\n"
+        '<div class="links">%s</div>\n'
+        '<div class="footer">&copy; 2014 host%d.example</div>\n'
+        "</body></html>" % (title, home, p1, p2, anchors, host)
+    )
+
+
+def _expected_text(doc_id: int, words: list[str], n_docs: int, n_hosts: int) -> str:
+    """Analytic derivation of the extraction composite for the template.
+
+    Whitespace algebra (hand-derived, verified char-for-char in tests):
+    each ``\\n`` and each ``</p>`` contributes a ``br2nl`` marker; Jsoup
+    block-entry adds one space when the accumulator doesn't end in one;
+    the final ``(?m)\\s+$`` pass eats blank-line newlines and the space
+    line between title and nav.
+    """
+    if doc_id % EMPTY_MOD == 7:
+        return ""
+    host = host_of(doc_id, n_hosts)
+    title = "Doc %d host%d" % (doc_id, host)
+    _, p1, p2 = _paragraphs(doc_id, words)
+    _, anchor_text, _ = _anchor_cell(doc_id, n_docs, n_hosts)
+    return (
+        "%s\n Home | start\n %s\n %s\n %s\n © 2014 host%d.example"
+        % (title, p1, p2, anchor_text, host)
+    )
+
+
+def robots_body(host: int) -> str:
+    if host % ROBOTS_DISALLOW_HOST_MOD == 3:
+        return "User-agent: *\nDisallow: /blocked/\n"
+    return "User-agent: *\nDisallow:\n"
+
+
+def build_pages_table(sf_dir: str) -> pa.Table:
+    """Build the deterministic pages table for a testdata scale dir."""
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    doc_ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    langs = docs.column("lang").to_pylist()
+    n_docs = len(doc_ids)
+    n_hosts = n_hosts_for(n_docs)
+
+    urls: list[str] = []
+    ts: list[int] = []
+    htmls: list[bytes] = []
+    out_texts: list[str] = []
+    out_langs: list[str] = []
+
+    # robots pages first (earliest timestamps)
+    for h in range(n_hosts):
+        urls.append(robots_url(h))
+        ts.append(EPOCH_US - 1_000_000_000 + h * 1_000_000)
+        body = robots_body(h)
+        htmls.append(body.encode("utf-8"))
+        out_texts.append("")
+        out_langs.append("xx")
+
+    for doc_id, text, lang in zip(doc_ids, texts, langs):
+        words = text.split(" ")
+        urls.append(url_of(doc_id, n_hosts))
+        ts.append(EPOCH_US + doc_id * 1_000_000)
+        htmls.append(_page_html(doc_id, words, n_docs, n_hosts).encode("utf-8"))
+        out_texts.append(_expected_text(doc_id, words, n_docs, n_hosts))
+        out_langs.append(lang)
+
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(out_texts, pa.string()),
+            "lang": pa.array(out_langs, pa.string()),
+        }
+    )
+
+
+def pages_path(sf_dir: str) -> str:
+    """Materialise the pages table under /tmp once; return the parquet path.
+
+    Written atomically (temp file + rename) so concurrent callers race
+    safely; content is a pure function of ``sf_dir``.
+    """
+    name = Path(sf_dir).name or "sf"
+    out_dir = Path(tempfile.gettempdir()) / "topicrawler_ray_pages" / name
+    out = out_dir / "pages.parquet"
+    if not out.exists():
+        out_dir.mkdir(parents=True, exist_ok=True)
+        table = build_pages_table(sf_dir)
+        fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".tmp")
+        os.close(fd)
+        pq.write_table(table, tmp, row_group_size=4096)
+        os.replace(tmp, out)
+    return str(out)
+
+
+def read_pages(sf_dir: str):
+    """Ray Dataset over the synthetic pages parquet (lazy, streaming)."""
+    import ray.data
+
+    return ray.data.read_parquet(pages_path(sf_dir))

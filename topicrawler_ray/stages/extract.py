@@ -1,0 +1,70 @@
+"""Text-extraction batch stage (Ray Data ``map_batches``, Arrow in/out).
+
+Implements the reference disposition-chain extraction per page:
+
+* decode recorded bytes as UTF-8 (``TextExtractor.getUtf8HtmlText``,
+  ``lt.ltbot/.../text/TextExtractor.java:40-66`` - fixture pages are
+  all UTF-8; a charset column could extend this),
+* ``clean -> jsoup text -> clean`` composite then ``String.trim()``
+  (``TextExtractor.java:80-85``;
+  ``DecesiveValueProducerPerplexity.getPerplexity`` trim at :303),
+* two cleaner variants: Min for the writer/conformance path (cxml:389)
+  and Ext for the scorer path (cxml:216),
+* the 50-char abbreviated, space-collapsed logging text
+  (``DecesiveValueProducerPerplexity.java:54,303``).
+
+Stateless pure function -> runs as elastic Ray tasks, not actors.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.cleaners import clean_ext, clean_min
+from ..functions.htmltext import get_plaintext
+from ..functions.strings import abbreviate, collapse_spaces_ascii, java_trim
+
+
+def is_robots_url(url: str) -> bool:
+    """Path == /robots.txt (``DecesiveValuePrioritizer.java:362-370``)."""
+    rest = url.split("://", 1)[-1]
+    slash = rest.find("/")
+    path = rest[slash:] if slash >= 0 else ""
+    return path == "/robots.txt"
+
+
+def extract_one(html_utf8: str) -> tuple[str, str, str]:
+    """(clean_text_min, score_text_ext, abbr) for one page."""
+    plain_min = java_trim(clean_min(get_plaintext(clean_min(html_utf8))))
+    plain_ext = java_trim(clean_ext(get_plaintext(clean_ext(html_utf8))))
+    abbr = collapse_spaces_ascii(abbreviate(plain_ext, 50))
+    return plain_min, plain_ext, abbr
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """Append ``clean_text`` (Min), ``score_text`` (Ext), ``text_abbr``.
+
+    Robots pages (path /robots.txt) pass through with empty text - the
+    content-type decide rules exclude them from scoring (cxml:225-246).
+    """
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    clean_texts: list[str] = []
+    score_texts: list[str] = []
+    abbrs: list[str] = []
+    for url, html in zip(urls, htmls):
+        if is_robots_url(url):
+            clean_texts.append("")
+            score_texts.append("")
+            abbrs.append("")
+            continue
+        html_utf8 = html.decode("utf-8", "replace")
+        c, s, a = extract_one(html_utf8)
+        clean_texts.append(c)
+        score_texts.append(s)
+        abbrs.append(a)
+    return (
+        batch.append_column("clean_text", pa.array(clean_texts, pa.large_string()))
+        .append_column("score_text", pa.array(score_texts, pa.large_string()))
+        .append_column("text_abbr", pa.array(abbrs, pa.string()))
+    )
