@@ -48,10 +48,40 @@ def _q_scored_pages(sf_dir: str):
     )
 
 
+_crawl_cache: dict[str, Any] = {}
+
+
+def _crawl_result(sf_dir: str):
+    """Run the full wave crawl once per sf_dir (cached across queries)."""
+    if sf_dir not in _crawl_cache:
+        from topicrawler_ray.config import CrawlConfig
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+
+        _crawl_cache[sf_dir] = RayCrawlEngine(sf_dir, CrawlConfig()).run()
+    return _crawl_cache[sf_dir]
+
+
+def _q_crawl_log(sf_dir: str):
+    """Deterministic crawl ordering artifact (frontier + politeness +
+    robots + seen + prioritizer; S8 decision log). Conformance vs the
+    pure-python oracle is asserted in tests/test_crawl.py."""
+    return _crawl_result(sf_dir).log
+
+
+def _q_crawl_seen(sf_dir: str):
+    """Final URL-seen key set (murmur3-64 of canonical URLs, D1)."""
+    import pyarrow as pa
+
+    keys = sorted(k - (1 << 63) for k in _crawl_result(sf_dir).seen_keys)
+    return pa.table({"seen_key": pa.array(keys, pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
         "scored_pages": _q_scored_pages,
+        "crawl_log": _q_crawl_log,
+        "crawl_seen": _q_crawl_seen,
     }
 
 

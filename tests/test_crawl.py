@@ -1,0 +1,111 @@
+"""Crawl-engine conformance tests: the distributed Ray engine must match
+the independent pure-python oracle simulator exactly (ordering + seen
+set), and resume from checkpoint must be lossless."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from topicrawler_ray.config import CrawlConfig
+
+_LOG_FIELDS = (
+    "fetch_seq",
+    "wave",
+    "url",
+    "host",
+    "directive",
+    "cost",
+    "seq",
+    "status",
+    "is_robots",
+    "perp_str",
+    "n_outlinks",
+    "via",
+    "perp_via_str",
+)
+
+_SMALL = dict(
+    num_frontier_shards=2,
+    num_seen_shards=2,
+    num_page_stores=2,
+    num_workers=3,
+    worker_num_cpus=0.5,
+)
+
+
+@pytest.fixture(scope="module")
+def sim_result(sf_dir):
+    from topicrawler_ray.pipelines.simulate import simulate_crawl
+
+    return simulate_crawl(sf_dir)
+
+
+def _assert_log_matches(log_table, sim_rows):
+    log = log_table.to_pylist()
+    assert len(log) == len(sim_rows)
+    for a, b in zip(log, sim_rows):
+        for k in _LOG_FIELDS:
+            assert a[k] == b[k], (a["fetch_seq"], k, a[k], b[k])
+
+
+class TestOracle:
+    def test_oracle_covers_graph(self, sim_result):
+        rows = sim_result.rows
+        assert len(rows) > 500
+        assert sum(1 for r in rows if r["is_robots"]) >= 10
+        assert sum(1 for r in rows if r["status"] == 404) > 0
+        assert sim_result.n_rejected > 0
+        assert sim_result.n_dup > 0
+        assert sim_result.n_robots_rejected > 0
+
+    def test_priority_orders_within_wave(self, sim_result):
+        prev = None
+        for r in sim_result.rows:
+            key = (r["wave"], r["directive"], r["cost"], r["seq"])
+            if prev is not None and prev[0] == key[0]:
+                assert prev[1:] <= key[1:]
+            prev = key
+
+    def test_one_fetch_per_host_per_wave(self, sim_result):
+        seen = set()
+        for r in sim_result.rows:
+            k = (r["wave"], r["host"])
+            assert k not in seen
+            seen.add(k)
+
+
+class TestEngineConformance:
+    def test_matches_oracle_exactly(self, ray_session, sf_dir, sim_result):
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+
+        eng = RayCrawlEngine(sf_dir, CrawlConfig(**_SMALL))
+        res = eng.run()
+        _assert_log_matches(res.log, sim_result.rows)
+        assert res.seen_keys == sim_result.seen_keys
+        assert res.stats["rejected"] == sim_result.n_rejected
+        assert res.stats["duplicates"] == sim_result.n_dup
+
+    def test_checkpoint_resume_lossless(self, ray_session, sf_dir, sim_result):
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+
+        ckpt = tempfile.mkdtemp(prefix="topicrawler_ckpt_")
+        try:
+            cfg = CrawlConfig(
+                checkpoint_dir=ckpt, checkpoint_every_waves=20, **_SMALL
+            )
+            eng = RayCrawlEngine(sf_dir, cfg)
+            eng.bootstrap()
+            # run past at least two checkpoints, then abandon mid-crawl
+            while eng.wave < 45:
+                if eng.run_wave() == 0:
+                    break
+            del eng
+
+            eng2 = RayCrawlEngine(sf_dir, cfg)
+            res = eng2.resume_run()
+            assert res.stats["waves"] > 45
+            _assert_log_matches(res.log, sim_result.rows)
+            assert res.seen_keys == sim_result.seen_keys
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)

@@ -1,0 +1,43 @@
+"""Engine configuration dataclasses (defaults mirror the reference).
+
+Politeness budget per cxml:28-32, frontier limits per cxml:66-70; LM
+defaults per ``lt.lm/.../util/Properties.java`` (order via README/eval
+scripts; our fixtures default to order 3 for speed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PolitenessConfig:
+    delay_factor: float = 0.0  # cxml:29
+    min_delay_ms: int = 100  # cxml:30
+    max_delay_ms: int = 3000  # cxml:32
+    respect_crawl_delay_up_to_seconds: int = 180  # cxml:31
+
+    def delay_ms(self, fetch_duration_ms: float = 0.0) -> float:
+        """Heritrix DispositionProcessor: delayFactor * duration clamped to
+        [minDelay, maxDelay]; with delayFactor=0 this is min_delay_ms."""
+        d = self.delay_factor * fetch_duration_ms
+        return min(self.max_delay_ms, max(self.min_delay_ms, d))
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    order: int = 3
+    max_hops: int = 20  # cxml:26
+    max_retries: int = 3  # cxml:66 (fetch-sim has no transient failures)
+    num_frontier_shards: int = 4
+    num_seen_shards: int = 4
+    num_page_stores: int = 4
+    num_workers: int = 4
+    worker_num_cpus: float = 0.5
+    seen_capacity_per_shard: int = 1 << 16
+    seen_keep_exact: bool = True  # disable at 10^10 scale
+    max_waves: int = 100000
+    max_domains: int | None = None  # TooManyDomainsDecideRule (off by default)
+    politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
+    checkpoint_dir: str | None = None
+    checkpoint_every_waves: int = 50

@@ -1,0 +1,414 @@
+"""The crawl loop: wave-based frontier scheduling over Ray actors.
+
+Flagship iterative pipeline (SURVEY.md par.3.1 Ray shape).  Per wave:
+
+1. every frontier shard yields one eligible entry per host it owns
+   (politeness slot; robots prerequisites first; robots-disallowed
+   entries discarded) - ``FrontierShardState.pop_wave``;
+2. the union is sorted by ``(directive, cost, seq, url)`` and assigned
+   global ``fetch_seq``s - the crawl-ordering conformance artifact;
+3. fetch-simulation: URLs are looked up in the url-hash-sharded
+   PageStore actors (J3; absent -> 404, no outlinks, no score);
+4. CrawlWorker actors (LM loaded once each) extract + score + parse
+   outlinks (J1 carry-forward of the parent's ``%012g`` perp string);
+5. candidates are prioritized (``DecesiveValuePrioritizer`` semantics -
+   the perplexity is parsed FROM THE STRING, :175), rejected ones are
+   counted but stay out of the URL-seen set (they may be re-proposed),
+   survivors pass the sharded seen filter in seq order and enter the
+   frontier for the NEXT wave;
+6. one decision-log row per fetch (S8) accumulates into the crawl log;
+   checkpoints snapshot every actor shard + driver counters.
+
+The driver only moves wave-sized metadata (urls + scalars); page bytes
+travel actor-to-actor through the object store.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from ..config import CrawlConfig
+from ..functions.urls import host_of_url, seed_line_url
+from ..sources.pages import n_hosts_for, url_of
+from ..stages import prioritize as prio
+from ..state.frontier import FrontierEntry, shard_of_host
+from ..state.seen import shard_of_key, url_to_key
+
+LOG_SCHEMA = pa.schema(
+    [
+        ("fetch_seq", pa.int64()),
+        ("wave", pa.int32()),
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("directive", pa.int8()),
+        ("cost", pa.int8()),
+        ("seq", pa.int64()),
+        ("status", pa.int16()),
+        ("is_robots", pa.bool_()),
+        ("perp", pa.float64()),
+        ("perp_str", pa.string()),
+        ("n_outlinks", pa.int32()),
+        ("via", pa.string()),
+        ("perp_via_str", pa.string()),
+    ]
+)
+
+
+def default_seeds(sf_dir: str) -> list[str]:
+    """Deterministic seed list: five early documents across hosts
+    (doc 0 lands on the mega-host)."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_hosts = n_hosts_for(n_docs)
+    return [url_of(d, n_hosts) for d in (0, 1, 2, 3, 6)]
+
+
+@dataclass
+class CrawlResult:
+    log: pa.Table
+    seen_keys: set[int]  # murmur3-64 keys of canonical seen URLs
+    stats: dict = field(default_factory=dict)
+
+
+def _seed_entries(seeds: list[str]) -> list[FrontierEntry]:
+    entries = []
+    for i, line in enumerate(seeds):
+        url = seed_line_url(line)
+        entries.append(
+            FrontierEntry(
+                directive=prio.SEED_DIRECTIVE,
+                cost=prio.SEED_COST,
+                seq=i,
+                url=url,
+                via="",
+                perp_via_str=prio.SEED_PERP_STR,
+                is_seed=True,
+            )
+        )
+    return entries
+
+
+class RayCrawlEngine:
+    """Distributed wave crawler over sharded actors."""
+
+    def __init__(self, sf_dir: str, config: CrawlConfig | None = None, seeds: list[str] | None = None):
+        import ray
+
+        from ..lm.train import topic_lm_ref
+        from ..sources.pages import pages_path
+        from ..stages.crawlworker import make_crawl_workers
+        from ..state.frontier import make_frontier_actors
+        from ..state.pagestore import make_page_store_actors
+        from ..state.seen import make_seen_actors
+
+        self.ray = ray
+        self.cfg = config or CrawlConfig()
+        self.sf_dir = sf_dir
+        self.seeds = seeds if seeds is not None else default_seeds(sf_dir)
+        lm_ref = topic_lm_ref(sf_dir, self.cfg.order)
+        self.frontier = make_frontier_actors(self.cfg.num_frontier_shards)
+        self.seen = make_seen_actors(
+            self.cfg.num_seen_shards,
+            self.cfg.seen_capacity_per_shard,
+            self.cfg.seen_keep_exact,
+        )
+        self.stores = make_page_store_actors(pages_path(sf_dir), self.cfg.num_page_stores)
+        self.workers = make_crawl_workers(
+            lm_ref, self.cfg.num_workers, self.cfg.worker_num_cpus, self.stores
+        )
+        self._pending: list = []  # fire-and-forget push/robots refs
+        self.wave = 0
+        self.next_seq = 0
+        self.n_rejected = 0
+        self.n_dup = 0
+        self.log_batches: list[pa.RecordBatch] = []
+
+    # -- helpers -----------------------------------------------------------
+    def _push(self, entries: list[FrontierEntry]) -> None:
+        byshard: dict[int, list[FrontierEntry]] = {}
+        for e in entries:
+            byshard.setdefault(
+                shard_of_host(host_of_url(e.url), len(self.frontier)), []
+            ).append(e)
+        self.ray.get(
+            [self.frontier[s].push.remote(es) for s, es in byshard.items()]
+        )
+
+    def _seen_test_and_add(self, urls: list[str]) -> list[bool]:
+        """Batched seen test in given order; returns is-new mask."""
+        keys = [url_to_key(u) for u in urls]
+        byshard: dict[int, list[int]] = {}
+        positions: dict[int, list[int]] = {}
+        for i, k in enumerate(keys):
+            s = shard_of_key(k, len(self.seen))
+            byshard.setdefault(s, []).append(k)
+            positions.setdefault(s, []).append(i)
+        masks = self.ray.get(
+            [self.seen[s].test_and_add.remote(ks) for s, ks in byshard.items()]
+        )
+        out = [False] * len(urls)
+        for (s, _), mask in zip(byshard.items(), masks):
+            for pos, new in zip(positions[s], mask):
+                out[pos] = new
+        return out
+
+    # -- the loop ----------------------------------------------------------
+    def warmup(self) -> None:
+        """Start every actor in parallel (page-store partition loads, LM
+        deserialization, char-table builds) before the first wave."""
+        self.ray.get(
+            [s.warm.remote() for s in self.stores]
+            + [w.ping.remote() for w in self.workers]
+            + [f.has_work.remote() for f in self.frontier]
+            + [s.stats.remote() for s in self.seen]
+        )
+
+    def bootstrap(self) -> None:
+        self.warmup()
+        entries = _seed_entries(self.seeds)
+        self._seen_test_and_add([e.url for e in entries])
+        self._push(entries)
+        self.next_seq = len(entries)
+
+    def run_wave(self) -> int:
+        """Execute one wave; returns the number of fetches performed.
+
+        Critical path = 3 driver round trips: pop -> fetch+process ->
+        seen.  Frontier pushes and robots updates are fired without a
+        blocking get - Ray orders calls per actor, so the next wave's
+        ``pop_wave`` on the same shard observes them (errors surface on
+        the deferred refs at the next wave / at result time).
+        """
+        ray = self.ray
+        pops = ray.get([s.pop_wave.remote() for s in self.frontier])
+        if self._pending:
+            ray.get(self._pending)  # surface any async push/robots errors
+            self._pending = []
+        picked: list[FrontierEntry] = []
+        for entries, _rej in pops:
+            picked.extend(entries)
+        if not picked:
+            return 0
+        picked.sort(key=lambda e: (e.directive, e.cost, e.seq, e.url))
+
+        # fetch + process: workers pull their pages from the store shards
+        items = [(i, e.url, e.is_robots) for i, e in enumerate(picked)]
+        nw = len(self.workers)
+        chunks = [items[i::nw] for i in range(nw)]
+        futures = [
+            w.process_batch.remote(chunk)
+            for w, chunk in zip(self.workers, chunks)
+            if chunk
+        ]
+        results = [r for batch in ray.get(futures) for r in batch]
+        results.sort(key=lambda r: r.pos)
+
+        # robots rule updates (404 robots -> allow-all); fire-and-forget
+        robots_updates: dict[int, list[tuple[str, list[str]]]] = {}
+        for r in results:
+            if r.is_robots:
+                host = host_of_url(r.url)
+                rules = r.robots_rules if r.robots_rules is not None else []
+                robots_updates.setdefault(
+                    shard_of_host(host, len(self.frontier)), []
+                ).append((host, rules))
+        for s, items_ in robots_updates.items():
+            self._pending.append(self.frontier[s].set_robots_many.remote(items_))
+
+        # candidates in (parent fetch pos, link ord) order
+        cand_urls: list[str] = []
+        cand_meta: list[tuple[str, str]] = []  # (via, perp_via_str)
+        for r in results:
+            if r.is_robots or r.status != 200:
+                continue
+            for link in r.outlinks:
+                cand_urls.append(link)
+                cand_meta.append((r.url, r.perp_str))
+
+        # prioritize from the STRING perp (DecesiveValuePrioritizer.java:175)
+        to_schedule: list[FrontierEntry] = []
+        sched_urls: list[str] = []
+        for url, (via, pvs) in zip(cand_urls, cand_meta):
+            a = prio.schedule(float(pvs))
+            if a.directive < 0:
+                self.n_rejected += 1
+                continue
+            sched_urls.append(url)
+            to_schedule.append(
+                FrontierEntry(a.directive, a.cost, 0, url, via, pvs)
+            )
+        if sched_urls:
+            mask = self._seen_test_and_add(sched_urls)
+            fresh = []
+            for new, e in zip(mask, to_schedule):
+                if not new:
+                    self.n_dup += 1
+                    continue
+                e.seq = self.next_seq
+                self.next_seq += 1
+                fresh.append(e)
+            if fresh:
+                byshard: dict[int, list[FrontierEntry]] = {}
+                for e in fresh:
+                    byshard.setdefault(
+                        shard_of_host(host_of_url(e.url), len(self.frontier)), []
+                    ).append(e)
+                for s, es in byshard.items():
+                    self._pending.append(self.frontier[s].push.remote(es))
+
+        self._append_log(picked, results)
+        self.wave += 1
+        if (
+            self.cfg.checkpoint_dir
+            and self.wave % self.cfg.checkpoint_every_waves == 0
+        ):
+            self.checkpoint()
+        return len(results)
+
+    def _append_log(self, picked, results) -> None:
+        base = sum(b.num_rows for b in self.log_batches)
+        self.log_batches.append(
+            pa.record_batch(
+                {
+                    "fetch_seq": pa.array(
+                        [base + i for i in range(len(results))], pa.int64()
+                    ),
+                    "wave": pa.array([self.wave] * len(results), pa.int32()),
+                    "url": pa.array([r.url for r in results], pa.string()),
+                    "host": pa.array([host_of_url(r.url) for r in results], pa.string()),
+                    "directive": pa.array(
+                        [picked[r.pos].directive for r in results], pa.int8()
+                    ),
+                    "cost": pa.array([picked[r.pos].cost for r in results], pa.int8()),
+                    "seq": pa.array([picked[r.pos].seq for r in results], pa.int64()),
+                    "status": pa.array([r.status for r in results], pa.int16()),
+                    "is_robots": pa.array([r.is_robots for r in results], pa.bool_()),
+                    "perp": pa.array([r.perp for r in results], pa.float64()),
+                    "perp_str": pa.array([r.perp_str for r in results], pa.string()),
+                    "n_outlinks": pa.array(
+                        [len(r.outlinks) for r in results], pa.int32()
+                    ),
+                    "via": pa.array([picked[r.pos].via for r in results], pa.string()),
+                    "perp_via_str": pa.array(
+                        [picked[r.pos].perp_via_str for r in results], pa.string()
+                    ),
+                },
+                schema=LOG_SCHEMA,
+            )
+        )
+
+    def run(self) -> CrawlResult:
+        self.bootstrap()
+        while self.wave < self.cfg.max_waves:
+            if self.run_wave() == 0:
+                break
+        return self.result()
+
+    # -- results / checkpoint ---------------------------------------------
+    def result(self) -> CrawlResult:
+        ray = self.ray
+        if self._pending:
+            ray.get(self._pending)
+            self._pending = []
+        log = (
+            pa.Table.from_batches(self.log_batches, schema=LOG_SCHEMA)
+            if self.log_batches
+            else LOG_SCHEMA.empty_table()
+        )
+        seen_keys: set[int] = set()
+        if self.cfg.seen_keep_exact:
+            # the conformance artifact is the exact KEY set across shards
+            keys = ray.get([s.exact_keys.remote() for s in self.seen])
+            seen_keys = {k for shard in keys for k in shard}
+        fstats = ray.get([s.stats.remote() for s in self.frontier])
+        sstats = ray.get([s.stats.remote() for s in self.seen])
+        stats = {
+            "waves": self.wave,
+            "fetches": log.num_rows,
+            "rejected": self.n_rejected,
+            "duplicates": self.n_dup,
+            "frontier": fstats,
+            "seen": sstats,
+        }
+        return CrawlResult(log=log, seen_keys=seen_keys, stats=stats)
+
+    def checkpoint(self) -> None:
+        ray = self.ray
+        if self._pending:
+            ray.get(self._pending)
+            self._pending = []
+        d = os.path.join(self.cfg.checkpoint_dir, "wave=%06d" % self.wave)
+        os.makedirs(d, exist_ok=True)
+        fsnaps = ray.get([s.snapshot.remote() for s in self.frontier])
+        ssnaps = ray.get([s.snapshot.remote() for s in self.seen])
+        for i, blob in enumerate(fsnaps):
+            with open(os.path.join(d, "frontier_%02d.pkl" % i), "wb") as f:
+                f.write(blob)
+        for i, blob in enumerate(ssnaps):
+            with open(os.path.join(d, "seen_%02d.pkl" % i), "wb") as f:
+                f.write(blob)
+        meta = {
+            "wave": self.wave,
+            "next_seq": self.next_seq,
+            "n_rejected": self.n_rejected,
+            "n_dup": self.n_dup,
+        }
+        with open(os.path.join(d, "meta.pkl"), "wb") as f:
+            pickle.dump(meta, f)
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_batches(self.log_batches, schema=LOG_SCHEMA),
+            os.path.join(d, "log.parquet"),
+        )
+        # mark complete (atomic rename of a DONE marker)
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+
+    def restore_latest(self) -> bool:
+        """Resume from the newest complete checkpoint; True if restored."""
+        root = self.cfg.checkpoint_dir
+        if not root or not os.path.isdir(root):
+            return False
+        waves = sorted(
+            d
+            for d in os.listdir(root)
+            if d.startswith("wave=") and os.path.exists(os.path.join(root, d, "_DONE"))
+        )
+        if not waves:
+            return False
+        d = os.path.join(root, waves[-1])
+        ray = self.ray
+        futs = []
+        for i, s in enumerate(self.frontier):
+            with open(os.path.join(d, "frontier_%02d.pkl" % i), "rb") as f:
+                futs.append(s.restore.remote(f.read()))
+        for i, s in enumerate(self.seen):
+            with open(os.path.join(d, "seen_%02d.pkl" % i), "rb") as f:
+                futs.append(s.restore.remote(f.read()))
+        ray.get(futs)
+        with open(os.path.join(d, "meta.pkl"), "rb") as f:
+            meta = pickle.load(f)
+        self.wave = meta["wave"]
+        self.next_seq = meta["next_seq"]
+        self.n_rejected = meta["n_rejected"]
+        self.n_dup = meta["n_dup"]
+        import pyarrow.parquet as pq
+
+        self.log_batches = pq.read_table(os.path.join(d, "log.parquet")).to_batches()
+        return True
+
+    def resume_run(self) -> CrawlResult:
+        """Restore from checkpoint (or bootstrap fresh) and run to completion."""
+        self.warmup()
+        if not self.restore_latest():
+            self.bootstrap()
+        while self.wave < self.cfg.max_waves:
+            if self.run_wave() == 0:
+                break
+        return self.result()

@@ -1,0 +1,169 @@
+"""Pure-python reference simulator of the deterministic crawl spec.
+
+Independent, sequential implementation of the scheduling semantics
+documented in ``state/frontier.py`` / ``pipelines/crawl.py`` - used as
+the conformance oracle: the distributed Ray engine must emit the exact
+same fetch ordering, per-fetch assignments and URL-seen key set.
+
+It deliberately does NOT reuse the engine's frontier / seen / wave
+machinery (plain dict-of-sorted-lists + one python set here); only the
+scalar reference-semantics functions are shared (prioritizer math,
+extraction, scoring, robots parsing) since those are unit-tested against
+the reference's golden cases on their own.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+
+from ..config import CrawlConfig
+from ..functions.hashing import url_hash64
+from ..functions.strings import format_g12, java_trim
+from ..functions.urls import extract_outlinks, host_of_url, path_of_url, seed_line_url
+from ..stages import prioritize as prio
+from ..stages.extract import extract_one
+from ..stages.score import score_text
+from ..state.frontier import parse_robots
+
+
+@dataclass
+class SimResult:
+    rows: list[dict] = field(default_factory=list)  # fetch log
+    seen_keys: set[int] = field(default_factory=set)
+    n_rejected: int = 0
+    n_dup: int = 0
+    n_robots_rejected: int = 0
+
+
+def simulate_crawl(
+    sf_dir: str,
+    seeds: list[str] | None = None,
+    config: CrawlConfig | None = None,
+) -> SimResult:
+    from ..lm.train import build_topic_lm
+    from ..pipelines.crawl import default_seeds
+    from ..sources.pages import pages_path
+
+    cfg = config or CrawlConfig()
+    lm = build_topic_lm(sf_dir, cfg.order)
+    pages_t = pq.read_table(pages_path(sf_dir), columns=["url", "html"])
+    page_html = {
+        u: h for u, h in zip(pages_t["url"].to_pylist(), pages_t["html"].to_pylist())
+    }
+
+    seeds = seeds if seeds is not None else default_seeds(sf_dir)
+    res = SimResult()
+
+    # frontier: host -> list of entry tuples (directive, cost, seq, url,
+    # via, perp_via_str); kept unsorted, min() picks the head
+    frontier: dict[str, list[tuple]] = {}
+    robots_rules: dict[str, list[str]] = {}  # host -> prefixes (known)
+    robots_requested: set[str] = set()
+    next_seq = 0
+
+    def seen_add(url: str) -> bool:
+        k = url_hash64(url)
+        if k in res.seen_keys:
+            return False
+        res.seen_keys.add(k)
+        return True
+
+    for line in seeds:
+        u = seed_line_url(line)
+        seen_add(u)
+        frontier.setdefault(host_of_url(u), []).append(
+            (prio.SEED_DIRECTIVE, prio.SEED_COST, next_seq, u, "", prio.SEED_PERP_STR)
+        )
+        next_seq += 1
+
+    fetch_seq = 0
+    wave = 0
+    while wave < cfg.max_waves:
+        # one politeness slot per host
+        picks: list[tuple] = []  # (directive, cost, seq, url, via, pvs, is_robots)
+        for host in list(frontier.keys()):
+            entries = frontier[host]
+            if not entries:
+                del frontier[host]
+                continue
+            if host not in robots_rules:
+                if host not in robots_requested:
+                    robots_requested.add(host)
+                    head = min(entries)
+                    picks.append(
+                        (0, 1, head[2], "http://%s/robots.txt" % host, head[3], "", True)
+                    )
+                continue
+            rules = robots_rules[host]
+            while entries:
+                e = min(entries)
+                entries.remove(e)
+                if rules and any(
+                    path_of_url(e[3]).startswith(p) for p in rules
+                ):
+                    res.n_robots_rejected += 1
+                    continue
+                picks.append((*e, False))
+                break
+            if not entries:
+                del frontier[host]
+        if not picks:
+            break
+        picks.sort(key=lambda p: (p[0], p[1], p[2], p[3]))
+
+        candidates: list[tuple[str, str, str]] = []  # (url, via, perp_via_str)
+        for directive, cost, seq, url, via, pvs, is_robots in picks:
+            html = page_html.get(url)
+            status = 200 if html is not None else 404
+            perp = float("nan")
+            perp_str = ""
+            n_out = 0
+            if is_robots:
+                rules = parse_robots(html.decode("utf-8", "replace")) if html else []
+                robots_rules[host_of_url(url)] = rules
+            elif status == 200:
+                html_s = html.decode("utf-8", "replace")
+                _, scoring_text, _ = extract_one(html_s)
+                perp = score_text(lm, java_trim(scoring_text))
+                perp_str = format_g12(perp)
+                outlinks = extract_outlinks(html_s, url)
+                n_out = len(outlinks)
+                for link in outlinks:
+                    candidates.append((link, url, perp_str))
+            res.rows.append(
+                {
+                    "fetch_seq": fetch_seq,
+                    "wave": wave,
+                    "url": url,
+                    "host": host_of_url(url),
+                    "directive": directive,
+                    "cost": cost,
+                    "seq": seq,
+                    "status": status,
+                    "is_robots": is_robots,
+                    "perp": perp,
+                    "perp_str": perp_str,
+                    "n_outlinks": n_out,
+                    "via": via,
+                    "perp_via_str": pvs,
+                }
+            )
+            fetch_seq += 1
+
+        for url, via, pvs in candidates:
+            a = prio.schedule(float(pvs))
+            if a.directive < 0:
+                res.n_rejected += 1
+                continue
+            if not seen_add(url):
+                res.n_dup += 1
+                continue
+            frontier.setdefault(host_of_url(url), []).append(
+                (a.directive, a.cost, next_seq, url, via, pvs)
+            )
+            next_seq += 1
+        wave += 1
+
+    return res

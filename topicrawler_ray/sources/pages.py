@@ -152,7 +152,16 @@ def _anchor_cell(doc_id: int, n_docs: int, n_hosts: int) -> tuple[str, str, list
 
 def _page_html(doc_id: int, words: list[str], n_docs: int, n_hosts: int) -> str:
     if doc_id % EMPTY_MOD == 7:
-        return "<html><head><title></title></head>\n<body></body></html>"
+        # empty extraction (perp -> -1) but real outlinks: children get a
+        # via perp of -1 and exercise the prioritizer's REJECT path; the
+        # empty anchors contribute no text
+        t1, t2 = link_targets(doc_id, n_docs)[:2]
+        return (
+            "<html><head><title></title></head>\n"
+            '<body><a href="http://host%d.example/p%d"></a>'
+            '<a href="http://host%d.example/p%d"></a></body></html>'
+            % (host_of(t1, n_hosts), t1, host_of(t2, n_hosts), t2)
+        )
     host = host_of(doc_id, n_hosts)
     title = "Doc %d host%d" % (doc_id, host)
     p1, _, p2 = _paragraphs(doc_id, words)

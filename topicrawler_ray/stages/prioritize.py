@@ -1,0 +1,107 @@
+"""Frontier prioritization - exact port of ``DecesiveValuePrioritizer``
+(``lt.ltbot/src/main/java/de/tudarmstadt/lt/ltbot/prefetch/DecesiveValuePrioritizer.java``).
+
+Semantics (defaults from the ctor, :45-55, and cxml:39-41):
+
+* assignment boundaries ``5e2, 5e3, Infinity`` for HIGH/MEDIUM/NORMAL
+  (HIGHEST is reserved for prerequisites), maxValue ``5e4``,
+  maxPrecedence ``127``;
+* ``getPriorityAsSchedulingDirective`` (:348-360): perp <= 1 -> reject
+  (-1); non-finite -> NORMAL if the NORMAL boundary is infinite else
+  reject; else first boundary bucket that contains the value;
+* ``getPrecedenceCost`` (:291-317): HIGHEST->1, HIGH->4, MEDIUM->8,
+  NORMAL->log1p-squash of [boundary_MEDIUM, maxValue] onto [64, 127],
+  ceil, clamped to 127 at >= maxValue;
+* the final cost is reduced by the via-chain recursion count and floored
+  at 0 (:225): ``cost = max(cost - recursion_count, 0)``.
+
+Scheduling-constant values mirror ``org.archive.modules.SchedulingConstants``:
+HIGHEST=0, HIGH=1, MEDIUM=2, NORMAL=3.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+HIGHEST = 0
+HIGH = 1
+MEDIUM = 2
+NORMAL = 3
+REJECT = -1
+
+ASSIGNMENT_BOUNDARIES = (math.nan, 5e2, 5e3, math.inf)  # index 0 unused
+MAX_VALUE = 5e4
+MAX_PRECEDENCE = 127
+
+SEED_DIRECTIVE = HIGH  # TextPrioSeedModule.java:30-32
+SEED_COST = 4
+SEED_PERP_STR = "2"
+
+
+def priority_directive(perplexity: float) -> int:
+    """``getPriorityAsSchedulingDirective``."""
+    if perplexity <= 1.0:
+        return REJECT
+    if not math.isfinite(perplexity):
+        if not math.isfinite(ASSIGNMENT_BOUNDARIES[NORMAL]):
+            return NORMAL
+        return REJECT
+    if perplexity <= ASSIGNMENT_BOUNDARIES[HIGH]:
+        return HIGH
+    if perplexity <= ASSIGNMENT_BOUNDARIES[MEDIUM]:
+        return MEDIUM
+    if perplexity <= ASSIGNMENT_BOUNDARIES[NORMAL]:
+        return NORMAL
+    return REJECT
+
+
+def precedence_cost(val: float, directive: int) -> int:
+    """``getPrecedenceCost``."""
+    if directive == HIGHEST:
+        return 1
+    if directive == HIGH:
+        return 4
+    if directive == MEDIUM:
+        return 8
+    cost = 64  # NORMAL
+    b = min(2**31 - 1, MAX_VALUE)
+    if val >= b:
+        return MAX_PRECEDENCE
+    b = math.log1p(b)
+    a_bound = math.log1p(ASSIGNMENT_BOUNDARIES[MEDIUM])
+    val = math.log1p(val)
+    a = float(cost)
+    return int(math.ceil((val - a_bound) * (MAX_PRECEDENCE - a) / (b - a_bound) + a))
+
+
+@dataclass(frozen=True)
+class Assignment:
+    directive: int  # REJECT(-1) means: do not schedule
+    cost: int
+    perp_via_str: str  # %012g of the deciding perplexity
+
+
+def schedule(perplexity: float, recursion_count: int = 0, is_prerequisite: bool = False) -> Assignment:
+    """``DecesiveValuePrioritizer.schedule`` decision for one candidate."""
+    from ..functions.strings import format_g12
+
+    directive = priority_directive(perplexity)
+    if directive < 0:
+        return Assignment(REJECT, MAX_PRECEDENCE, format_g12(perplexity))
+    cost = precedence_cost(perplexity, directive)
+    cost = max(cost - recursion_count, 0)
+    if is_prerequisite:
+        directive = max(HIGHEST, directive - 1)
+    return Assignment(directive, cost, format_g12(perplexity))
+
+
+def robots_via_perplexity() -> float:
+    """Candidate whose via is a robots.txt URI without a perp value
+    (:161-169): ``min(maxvalue, boundaries[NORMAL]) - 1``."""
+    return min(MAX_VALUE, ASSIGNMENT_BOUNDARIES[NORMAL]) - 1.0
+
+
+def seed_via_perplexity(recursion_count: int) -> float:
+    """Candidate whose via is a seed without a perp value (:158-159)."""
+    return 2.0 + recursion_count + 1

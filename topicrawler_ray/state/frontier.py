@@ -1,0 +1,242 @@
+"""Sharded URL frontier with per-host priority queues, politeness waves
+and a robots-rules cache.
+
+Ray-native equivalent of Heritrix ``BdbFrontier`` + per-host queues with
+``HighestUriQueuePrecedencePolicy`` (cxml:458-462) and
+``PreconditionEnforcer`` robots handling (cxml:267).  The DETERMINISTIC
+SCHEDULING SPEC this engine (and its pure-python conformance oracle)
+implements:
+
+* entries are per-host heaps ordered by ``(directive, cost, seq)`` -
+  ``seq`` is the global candidate-insertion sequence (deterministic
+  tiebreak; reference order emerges from 25 racing toe threads, our spec
+  is the race-free reading of the same priorities);
+* one *wave* == one politeness slot (delayFactor=0 -> min_delay_ms=100ms
+  uniform for every host, cxml:28-32): in each wave every host with a
+  non-empty queue yields exactly ONE fetch;
+* before a host's first page fetch, the host's ``/robots.txt`` is fetched
+  as a prerequisite occupying that host's wave slot (directive HIGHEST=0,
+  cost 1 - ``getPrecedenceCost`` for HIGHEST);
+* entries whose path is disallowed by the host's robots rules are
+  discarded at pop time WITHOUT consuming the politeness slot (Heritrix
+  never issues a network fetch for them);
+* the global fetch order within a wave sorts the per-host picks by
+  ``(directive, cost, seq)``.
+
+Sharding: ``host_hash % num_shards``; a shard owns all state for its
+hosts (queues + politeness + robots rules), so pops and robots checks
+are shard-local.  Mega-host note: per-host politeness caps each host at
+one fetch per wave regardless of queue size, so a skewed host bounds
+crawl *length*, not shard *throughput*; host-salting would only spread
+storage, and heaps are already O(log n) - documented tradeoff.
+"""
+
+from __future__ import annotations
+
+import heapq
+import pickle
+from dataclasses import dataclass, field
+
+from ..functions.hashing import url_hash64
+from ..functions.urls import host_of_url, path_of_url
+
+
+@dataclass(order=True)
+class FrontierEntry:
+    directive: int
+    cost: int
+    seq: int
+    url: str = field(compare=False)
+    via: str = field(compare=False, default="")
+    perp_via_str: str = field(compare=False, default="")
+    is_robots: bool = field(compare=False, default=False)
+    is_seed: bool = field(compare=False, default=False)
+
+
+def parse_robots(body: str) -> list[str]:
+    """Minimal robots.txt: collect ``Disallow:`` path prefixes under
+    ``User-agent: *`` (empty Disallow == allow all)."""
+    rules: list[str] = []
+    active = False
+    for line in body.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            active = val == "*"
+        elif key == "disallow" and active and val:
+            rules.append(val)
+    return rules
+
+
+class RobotsCache:
+    """Per-host parsed robots rules (None = not fetched yet)."""
+
+    def __init__(self):
+        self._rules: dict[str, list[str] | None] = {}
+        self._requested: set[str] = set()
+
+    def known(self, host: str) -> bool:
+        return self._rules.get(host) is not None
+
+    def request_once(self, host: str) -> bool:
+        """True exactly once per host: caller should schedule the fetch."""
+        if host in self._requested:
+            return False
+        self._requested.add(host)
+        return True
+
+    def set_rules(self, host: str, rules: list[str]) -> None:
+        self._rules[host] = rules
+
+    def allowed(self, host: str, path: str) -> bool:
+        rules = self._rules.get(host)
+        if not rules:
+            return True
+        return not any(path.startswith(prefix) for prefix in rules)
+
+
+class FrontierShardState:
+    """One shard: heaps + robots for its hosts. Actor- or in-process-use."""
+
+    def __init__(self):
+        self.queues: dict[str, list[tuple]] = {}
+        self.robots = RobotsCache()
+        self.n_pushed = 0
+        self.n_popped = 0
+        self.n_robots_rejected = 0
+
+    # -- mutation ----------------------------------------------------------
+    def push(self, entries: list[FrontierEntry]) -> None:
+        for e in entries:
+            heapq.heappush(
+                self.queues.setdefault(host_of_url(e.url), []),
+                (e.directive, e.cost, e.seq, e.url, e.via, e.perp_via_str, e.is_seed),
+            )
+            self.n_pushed += 1
+
+    def set_robots(self, host: str, rules: list[str]) -> None:
+        self.robots.set_rules(host, rules)
+
+    # -- wave pop ----------------------------------------------------------
+    def pop_wave(self) -> tuple[list[FrontierEntry], int]:
+        """One politeness slot for every host this shard owns.
+
+        Returns (picked entries [incl. robots prerequisites], number of
+        robots-rejected entries discarded this wave).
+        """
+        picked: list[FrontierEntry] = []
+        rejected = 0
+        for host in list(self.queues.keys()):
+            q = self.queues[host]
+            if not q:
+                del self.queues[host]
+                continue
+            if not self.robots.known(host):
+                if self.robots.request_once(host):
+                    head = q[0]
+                    picked.append(
+                        FrontierEntry(
+                            directive=0,
+                            cost=1,
+                            seq=head[2],
+                            url="http://%s/robots.txt" % host,
+                            via=head[3],
+                            perp_via_str="",
+                            is_robots=True,
+                        )
+                    )
+                # robots fetch in flight: host waits this wave
+                continue
+            while q:
+                directive, cost, seq, url, via, pvs, is_seed = heapq.heappop(q)
+                if not self.robots.allowed(host, path_of_url(url)):
+                    rejected += 1
+                    self.n_robots_rejected += 1
+                    continue
+                picked.append(
+                    FrontierEntry(directive, cost, seq, url, via, pvs, False, is_seed)
+                )
+                self.n_popped += 1
+                break
+            if not q:
+                del self.queues[host]
+        return picked, rejected
+
+    def pending(self) -> int:
+        return sum(len(q) for q in self.queues.values())
+
+    def has_work(self) -> bool:
+        return bool(self.queues)
+
+    # -- checkpoint --------------------------------------------------------
+    def snapshot(self) -> bytes:
+        return pickle.dumps(
+            {
+                "queues": self.queues,
+                "rules": self.robots._rules,
+                "requested": self.robots._requested,
+                "counters": (self.n_pushed, self.n_popped, self.n_robots_rejected),
+            }
+        )
+
+    @classmethod
+    def restore(cls, blob: bytes) -> "FrontierShardState":
+        d = pickle.loads(blob)
+        st = cls()
+        st.queues = d["queues"]
+        st.robots._rules = d["rules"]
+        st.robots._requested = d["requested"]
+        st.n_pushed, st.n_popped, st.n_robots_rejected = d["counters"]
+        return st
+
+
+def shard_of_host(host: str, num_shards: int) -> int:
+    return url_hash64("host:" + host) % num_shards
+
+
+def make_frontier_actors(num_shards: int):
+    import ray
+
+    @ray.remote(num_cpus=0.25)
+    class FrontierShard:
+        def __init__(self):
+            self.state = FrontierShardState()
+
+        def push(self, entries):
+            self.state.push(entries)
+
+        def set_robots(self, host, rules):
+            self.state.set_robots(host, rules)
+
+        def set_robots_many(self, items):
+            for host, rules in items:
+                self.state.set_robots(host, rules)
+
+        def pop_wave(self):
+            return self.state.pop_wave()
+
+        def has_work(self):
+            return self.state.has_work()
+
+        def pending(self):
+            return self.state.pending()
+
+        def stats(self):
+            return {
+                "pushed": self.state.n_pushed,
+                "popped": self.state.n_popped,
+                "robots_rejected": self.state.n_robots_rejected,
+                "pending": self.state.pending(),
+            }
+
+        def snapshot(self):
+            return self.state.snapshot()
+
+        def restore(self, blob):
+            self.state = FrontierShardState.restore(blob)
+
+    return [FrontierShard.remote() for _ in range(num_shards)]

@@ -1,0 +1,70 @@
+"""Fetch-simulation page store: url-hash-sharded point lookups (J3).
+
+The reference fetches over HTTP; this engine simulates fetches by
+looking frontier URLs up in the Common-Crawl-style pages parquet.  Each
+shard actor owns the url-hash partition ``url_hash64(url) % P == rank``
+and lazily loads ONLY its partition into an in-memory url -> row dict
+(one filtered parquet scan per shard, columns pruned to what fetch
+needs).
+
+Scale path (documented): at 10^10 URLs the pages table is written
+hash-partitioned by ``url_bucket = url_hash64(url) % B`` (B >> P); a
+shard then memory-maps only its buckets and keeps an LRU of decoded row
+groups instead of a full dict.  The actor interface is identical.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from ..functions.hashing import url_hash64
+
+
+class PageStoreState:
+    def __init__(self, pages_parquet: str, rank: int, world: int):
+        self._path = pages_parquet
+        self._rank = rank
+        self._world = world
+        self._index: dict[str, tuple[bytes, int, str]] | None = None
+
+    def _load(self) -> None:
+        if self._index is not None:
+            return
+        t = pq.read_table(self._path, columns=["url", "warc_ts", "html", "lang"])
+        idx: dict[str, tuple[bytes, int, str]] = {}
+        urls = t.column("url").to_pylist()
+        ts = t.column("warc_ts").cast("int64").to_pylist()
+        htmls = t.column("html").to_pylist()
+        langs = t.column("lang").to_pylist()
+        for u, s, h, l in zip(urls, ts, htmls, langs):
+            if url_hash64(u) % self._world == self._rank:
+                idx[u] = (h, s, l)
+        self._index = idx
+
+    def fetch(self, urls: list[str]) -> dict[str, tuple[bytes, int, str]]:
+        """url -> (html, warc_ts_us, lang) for urls present (404s absent)."""
+        self._load()
+        idx = self._index
+        return {u: idx[u] for u in urls if u in idx}
+
+
+def shard_of_url(url: str, world: int) -> int:
+    return url_hash64(url) % world
+
+
+def make_page_store_actors(pages_parquet: str, world: int):
+    import ray
+
+    @ray.remote(num_cpus=0.25)
+    class PageStore:
+        def __init__(self, path: str, rank: int, world: int):
+            self.state = PageStoreState(path, rank, world)
+
+        def fetch(self, urls):
+            return self.state.fetch(urls)
+
+        def warm(self):
+            self.state._load()
+            return len(self.state._index)
+
+    return [PageStore.remote(pages_parquet, r, world) for r in range(world)]

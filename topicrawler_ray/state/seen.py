@@ -1,0 +1,184 @@
+"""URL-seen filter: cuckoo filter + sharded Ray actors.
+
+Equivalent of Heritrix ``BdbUriUniqFilter`` (cxml:467): a persistent
+test-and-add membership set over canonicalized URL hashes.  Per the north
+rule the memory-bounded structure is a cuckoo filter (partial-key cuckoo
+hashing, 4-slot buckets, 16-bit fingerprints -> ~3% fp at 95% load); at
+test scale shards additionally keep the exact 64-bit key set so the
+conformance harness can compare the final seen set exactly and measure
+the filter's false-positive rate.
+
+Sharding: ``url_hash64(canonical_url) % num_shards`` - one actor per
+shard, batched ``test_and_add`` (one RPC per shard per wave).
+Checkpoint: each shard serialises its table + exact set to one file
+(resume = reload per shard).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+
+from ..functions.hashing import url_hash64
+
+
+class CuckooFilter:
+    """Partial-key cuckoo filter over 64-bit keys (power-of-two buckets)."""
+
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int = 1 << 16, seed: int = 0x5EED):
+        nbuckets = 1
+        while nbuckets * 4 < capacity:
+            nbuckets <<= 1
+        self._nb = nbuckets
+        self._table = np.zeros((nbuckets, 4), dtype=np.uint16)
+        self._rng = np.random.default_rng(seed)  # deterministic kick choices
+        self.count = 0
+
+    def _fingerprint(self, key: int) -> int:
+        fp = (key >> 48) & 0xFFFF
+        return fp if fp != 0 else 1  # 0 marks an empty slot
+
+    def _index1(self, key: int) -> int:
+        return key & (self._nb - 1)
+
+    def _index2(self, i1: int, fp: int) -> int:
+        # partial-key: i2 = i1 xor hash(fp)
+        h = (fp * 0x5BD1E995) & 0xFFFFFFFF
+        return (i1 ^ h) & (self._nb - 1)
+
+    def contains(self, key: int) -> bool:
+        fp = self._fingerprint(key)
+        i1 = self._index1(key)
+        row = self._table[i1]
+        if fp in row:
+            return True
+        i2 = self._index2(i1, fp)
+        return fp in self._table[i2]
+
+    def add(self, key: int) -> bool:
+        """Insert; returns False when the filter is over-full."""
+        fp = self._fingerprint(key)
+        i1 = self._index1(key)
+        i2 = self._index2(i1, fp)
+        for i in (i1, i2):
+            row = self._table[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = fp
+                self.count += 1
+                return True
+        # kick loop
+        i = i1 if (self.count & 1) == 0 else i2
+        for _ in range(self.MAX_KICKS):
+            slot = int(self._rng.integers(0, 4))
+            row = self._table[i]
+            fp, row[slot] = int(row[slot]), fp
+            i = self._index2(i, fp)
+            row = self._table[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = fp
+                self.count += 1
+                return True
+        return False
+
+
+class SeenShardState:
+    """Plain-python shard state (usable in-process or inside an actor)."""
+
+    def __init__(self, capacity: int = 1 << 16, keep_exact: bool = True):
+        self.filter = CuckooFilter(capacity)
+        self.keep_exact = keep_exact
+        self.exact: set[int] = set()
+        self.n_added = 0
+        self.n_fp = 0  # filter said present but exact set disagreed
+
+    def test_and_add(self, keys: list[int]) -> list[bool]:
+        """For each key: True if it was NEW (and is now added)."""
+        out = []
+        for k in keys:
+            in_filter = self.filter.contains(k)
+            if self.keep_exact:
+                new = k not in self.exact
+                if in_filter and new:
+                    self.n_fp += 1
+                if new:
+                    self.exact.add(k)
+                    self.filter.add(k)
+                    self.n_added += 1
+                out.append(new)
+            else:
+                new = not in_filter
+                if new:
+                    self.filter.add(k)
+                    self.n_added += 1
+                out.append(new)
+        return out
+
+    def snapshot(self) -> bytes:
+        return pickle.dumps(
+            {
+                "table": self.filter._table,
+                "count": self.filter.count,
+                "exact": self.exact,
+                "keep_exact": self.keep_exact,
+                "n_added": self.n_added,
+                "n_fp": self.n_fp,
+            }
+        )
+
+    @classmethod
+    def restore(cls, blob: bytes) -> "SeenShardState":
+        d = pickle.loads(blob)
+        st = cls(keep_exact=d["keep_exact"])
+        st.filter._table = d["table"]
+        st.filter._nb = d["table"].shape[0]
+        st.filter.count = d["count"]
+        st.exact = d["exact"]
+        st.n_added = d["n_added"]
+        st.n_fp = d["n_fp"]
+        return st
+
+
+def make_seen_actors(num_shards: int, capacity_per_shard: int = 1 << 16, keep_exact: bool = True):
+    """Spawn the sharded seen-filter actor pool."""
+    import ray
+
+    @ray.remote(num_cpus=0.25)
+    class SeenShard:
+        def __init__(self, capacity: int, keep_exact: bool):
+            self.state = SeenShardState(capacity, keep_exact)
+
+        def test_and_add(self, keys: list[int]) -> list[bool]:
+            return self.state.test_and_add(keys)
+
+        def exact_keys(self) -> list[int]:
+            return sorted(self.state.exact)
+
+        def stats(self) -> dict:
+            return {
+                "added": self.state.n_added,
+                "filter_count": self.state.filter.count,
+                "false_positives": self.state.n_fp,
+            }
+
+        def snapshot(self) -> bytes:
+            return self.state.snapshot()
+
+        def restore(self, blob: bytes) -> None:
+            self.state = SeenShardState.restore(blob)
+
+    return [
+        SeenShard.remote(capacity_per_shard, keep_exact) for _ in range(num_shards)
+    ]
+
+
+def shard_of_key(key: int, num_shards: int) -> int:
+    return key % num_shards
+
+
+def url_to_key(canonical_url: str) -> int:
+    return url_hash64(canonical_url)
