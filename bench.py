@@ -1,0 +1,246 @@
+"""Benchmark harness - prints ONE JSON line with headline timings.
+
+Pipelines timed over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+with ``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)``:
+
+* ``scored_pages`` - the data plane: pages -> extract -> LM-score
+  (zero-copy Arrow batches through an actor pool), consumed streaming.
+* ``crawl`` - the crawl scheduler: wave loop over sharded frontier /
+  seen / robots / page-store actors, seeded on every host, capped wave
+  count (the uncapped tail is a single mega-host fetching one page per
+  politeness slot - latency-bound by design, see BASELINE.md).
+* ``frontier_ops`` - microbench of the frontier+seen actor plane:
+  batched push / pop_wave / test_and_add operations per second.
+
+``--scaling`` runs the headline in two fresh processes (8 vs 32 CPUs by
+default) on the same input and reports the throughput scaling
+efficiency ``(T_lo / T_hi) / (cpus_hi / cpus_lo)``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CRAWL_MAX_WAVES = int(os.environ.get("GRAFT_CRAWL_MAX_WAVES", "80"))
+
+
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "8"))
+
+
+def _scored_pipeline(sf_dir: str, num_cpus: int, replicate: int):
+    """pages (replicated xR for a compute-dominated timed region) ->
+    extract -> LM-score actor pool."""
+    import ray.data
+
+    from topicrawler_ray.lm.train import topic_lm_ref
+    from topicrawler_ray.sources.pages import pages_path
+    from topicrawler_ray.stages.extract import extract_batch
+    from topicrawler_ray.stages.score import PerplexityScorer
+
+    concurrency = max(2, int(num_cpus * 0.75))
+    lm_ref = topic_lm_ref(sf_dir)
+    path = pages_path(sf_dir)
+    ds = ray.data.read_parquet(
+        [path] * replicate, override_num_blocks=max(16, concurrency * 4)
+    )
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow")
+    ds = ds.map_batches(
+        PerplexityScorer,
+        fn_constructor_kwargs={"lm_ref": lm_ref},
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=concurrency,
+    )
+    return ds.select_columns(["url", "perp", "perp_str"])
+
+
+def bench_scored_pages(sf_dir: str, num_cpus: int) -> dict:
+    # untimed warm-up: worker processes, page cache, LM broadcast
+    for _ in _scored_pipeline(sf_dir, num_cpus, 1).iter_batches(batch_size=8192):
+        pass
+    t0 = time.time()
+    n = 0
+    for batch in _scored_pipeline(sf_dir, num_cpus, REPLICATE).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        n += batch.num_rows
+    dt = time.time() - t0
+    return {"sec": dt, "rows": n, "pages_per_s": n / dt}
+
+
+def bench_crawl(sf_dir: str, num_cpus: int) -> dict:
+    import pyarrow.parquet as pq
+
+    from topicrawler_ray.config import CrawlConfig
+    from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+    from topicrawler_ray.sources.pages import n_hosts_for, robots_url, url_of
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_hosts = n_hosts_for(n_docs)
+    # seed every host once -> wide waves (politeness slots stay busy)
+    seeds = []
+    seen_hosts = set()
+    for d in range(n_docs):
+        u = url_of(d, n_hosts)
+        h = u.split("/")[2]
+        if h not in seen_hosts:
+            seen_hosts.add(h)
+            seeds.append(u)
+    cfg = CrawlConfig.sized(num_cpus, max_waves=CRAWL_MAX_WAVES)
+    eng = RayCrawlEngine(sf_dir, cfg, seeds=seeds)
+    eng.warmup()
+    t0 = time.time()
+    eng.bootstrap()
+    while eng.wave < cfg.max_waves:
+        if eng.run_wave() == 0:
+            break
+    res = eng.result()
+    dt = time.time() - t0
+    fetches = res.log.num_rows
+    return {
+        "sec": dt,
+        "fetches": fetches,
+        "waves": res.stats["waves"],
+        "pages_per_s": fetches / dt,
+    }
+
+
+def bench_frontier_ops(num_cpus: int, n_ops: int = 200_000) -> dict:
+    """Push/pop/seen throughput on the sharded actor state plane."""
+    import ray
+
+    from topicrawler_ray.state.frontier import FrontierEntry, make_frontier_actors, shard_of_host
+    from topicrawler_ray.state.seen import make_seen_actors
+
+    shards = max(2, min(16, num_cpus // 4))
+    frontier = make_frontier_actors(shards)
+    seen = make_seen_actors(shards, capacity_per_shard=1 << 20, keep_exact=False)
+    import ray as _r
+    _r.get([f.has_work.remote() for f in frontier] + [s.stats.remote() for s in seen])
+    n_hosts = 4096
+    entries_by_shard: dict[int, list] = {}
+    for i in range(n_ops // 2):
+        host = "h%d.example" % (i % n_hosts)
+        e = FrontierEntry(i % 4, i % 128, i, "http://%s/p%d" % (host, i))
+        entries_by_shard.setdefault(shard_of_host(host, shards), []).append(e)
+    keys = [[(i * 2654435761 + s) & ((1 << 63) - 1) for i in range(n_ops // 2 // shards)] for s in range(shards)]
+
+    t0 = time.time()
+    ray.get([frontier[s].push.remote(es) for s, es in entries_by_shard.items()])
+    ray.get([frontier[s].set_robots_many.remote([("h%d.example" % h, []) for h in range(n_hosts)]) for s in range(shards)])
+    pushed = sum(len(es) for es in entries_by_shard.values())
+    popped = 0
+    while True:
+        waves = ray.get([s.pop_wave.remote() for s in frontier])
+        got = sum(len(p) for p, _ in waves)
+        if got == 0:
+            break
+        popped += got
+    ray.get([seen[s].test_and_add.remote(ks) for s, ks in enumerate(keys)])
+    dt = time.time() - t0
+    total = pushed + popped + sum(len(k) for k in keys)
+    return {"sec": dt, "ops": total, "ops_per_s": total / dt}
+
+
+def run_all(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    try:
+        from topicrawler_ray.sources.pages import pages_path
+
+        pages_path(sf_dir)  # warm page-cache / materialise input once
+        r_scored = bench_scored_pages(sf_dir, num_cpus)
+        r_crawl = bench_crawl(sf_dir, num_cpus)
+        r_ops = bench_frontier_ops(num_cpus)
+    finally:
+        ray.shutdown()
+    total = r_scored["sec"] + r_crawl["sec"] + r_ops["sec"]
+    return {
+        "metric": "headline pipelines wall time (scored_pages + crawl + frontier_ops)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {
+            "scored_pages": round(r_scored["sec"], 3),
+            "crawl": round(r_crawl["sec"], 3),
+            "frontier_ops": round(r_ops["sec"], 3),
+        },
+        "rates": {
+            "scored_pages_per_s": round(r_scored["pages_per_s"], 1),
+            "crawl_pages_per_s": round(r_crawl["pages_per_s"], 1),
+            "crawl_fetches": r_crawl["fetches"],
+            "crawl_waves": r_crawl["waves"],
+            "frontier_ops_per_s": round(r_ops["ops_per_s"], 1),
+        },
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "num_cpus": num_cpus,
+    }
+
+
+def _run_subprocess(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        # N -> 4N parallelism in fresh processes on the same input.
+        # 4->16 keeps both levels under this box's ~16-core memory
+        # bandwidth knee (beyond it the python string stack itself stops
+        # scaling; measured in BASELINE.md).
+        lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+        hi = lo * 4
+        r_lo = _run_subprocess(lo)
+        r_hi = _run_subprocess(hi)
+        per_q = {
+            q: round((r_lo["queries"][q] / r_hi["queries"][q]) / (hi / lo), 3)
+            for q in r_lo["queries"]
+        }
+        # headline = the data-plane pipeline (throughput-shaped); the
+        # crawl wave loop is politeness-slot/latency-bound by design and
+        # reported separately
+        eff = per_q["scored_pages"]
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling efficiency %d->%d cpus (scored_pages data plane)" % (lo, hi),
+                    "value": round(eff, 3),
+                    "unit": "efficiency",
+                    "sec_%d" % lo: r_lo["value"],
+                    "sec_%d" % hi: r_hi["value"],
+                    "per_query_efficiency": per_q,
+                    "rates_%d" % lo: r_lo["rates"],
+                    "rates_%d" % hi: r_hi["rates"],
+                    "sf": r_lo["sf"],
+                }
+            )
+        )
+        return
+    print(json.dumps(run_all(SF_DIR, NUM_CPUS)))
+
+
+if __name__ == "__main__":
+    main()

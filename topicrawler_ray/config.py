@@ -41,3 +41,19 @@ class CrawlConfig:
     politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
     checkpoint_dir: str | None = None
     checkpoint_every_waves: int = 50
+
+    @classmethod
+    def sized(cls, num_cpus: int, **overrides) -> "CrawlConfig":
+        """Scale shard/worker counts to the CPU budget (workers get ~60%
+        of CPUs; state shards are cheap fractional actors)."""
+        shards = max(2, min(16, num_cpus // 4))
+        workers = max(3, int(num_cpus * 0.6))
+        base = dict(
+            num_frontier_shards=shards,
+            num_seen_shards=shards,
+            num_page_stores=shards,
+            num_workers=workers,
+            worker_num_cpus=0.5,
+        )
+        base.update(overrides)
+        return cls(**base)

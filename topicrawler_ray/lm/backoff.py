@@ -110,3 +110,65 @@ class StupidBackoffLM:
 
     def ngram_log10_prob(self, ngram: list[str]) -> float:
         return math.log10(self.score(ngram))
+
+
+class FrozenCounts:
+    """Immutable n-gram counts with integer-packed keys.
+
+    Words are interned to ids (insertion order of first occurrence -
+    deterministic); a k-gram becomes a single integer key in base
+    ``B = len(vocab) + 1`` and counts live in one flat ``dict[int, int]``
+    per order.  Compared to tuple-of-str keys this deserializes several
+    times faster per actor (no per-string object churn) and looks up
+    faster (int hashing).  The count values are IDENTICAL to the mutable
+    :class:`NgramCounts` - freezing never changes scores.
+    """
+
+    def __init__(self, counts: "NgramCounts"):
+        self.order = counts.order
+        vocab: dict[str, int] = {}
+        for (w,) in counts.counts[1].keys():
+            vocab.setdefault(w, len(vocab))
+        self.vocab = vocab
+        self.base = len(vocab) + 1
+        self._num_distinct = [0] * (counts.order + 1)
+        self.tables: list[dict[int, int]] = [{} for _ in range(counts.order + 1)]
+        b = self.base
+        for k in range(1, counts.order + 1):
+            c = counts.counts[k]
+            self._num_distinct[k] = len(c)
+            tab = self.tables[k]
+            for ngram, n in c.items():
+                key = 0
+                for w in ngram:
+                    key = key * b + (vocab[w] + 1)
+                tab[key] = n
+
+    def pack(self, ngram) -> int | None:
+        key = 0
+        b = self.base
+        vocab = self.vocab
+        for w in ngram:
+            i = vocab.get(w)
+            if i is None:
+                return None
+            key = key * b + (i + 1)
+        return key
+
+    def count(self, ngram) -> int:
+        k = len(ngram)
+        if k < 1 or k > self.order:
+            return 0
+        key = self.pack(ngram)
+        if key is None:
+            return 0
+        return self.tables[k].get(key, 0)
+
+    def num_distinct(self, k: int) -> int:
+        return self._num_distinct[k]
+
+
+def freeze_lm(lm: StupidBackoffLM) -> StupidBackoffLM:
+    """Return an equivalent StupidBackoffLM over FrozenCounts."""
+    frozen = FrozenCounts(lm._c)
+    return StupidBackoffLM(frozen, discount=lm._D)

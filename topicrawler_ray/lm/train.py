@@ -26,7 +26,7 @@ import pyarrow.parquet as pq
 from ..functions import ngrams as ngram_mod
 from ..functions.sentences import split_sentences
 from ..functions.tokenizer import filtered_and_normalized_tokens
-from .backoff import NgramCounts, StupidBackoffLM
+from .backoff import NgramCounts, StupidBackoffLM, freeze_lm
 from .counting import CountingLM, LaplaceSmoothedLM
 
 DEFAULT_ORDER = 3
@@ -99,13 +99,34 @@ def build_topic_lm(sf_dir: str, order: int = DEFAULT_ORDER) -> StupidBackoffLM:
     Backoff scoring is what gives the prioritizer a usable spread: seen
     topic n-grams -> low perplexity (HIGH bucket), partially-noisy pages
     -> MEDIUM, all-OOV pages -> the ``ud`` floor -> NORMAL.
+
+    The trained model artifact is cached on disk next to the synthetic
+    pages table (reference parity: ARPA / index artifact reuse,
+    ``LanguageModelHelper.java:208-214``) - content is a pure function
+    of (sf_dir, order), written atomically.
     """
+    import os
+    import pickle
+    import tempfile
+    from pathlib import Path
+
+    from ..sources.pages import pages_path
+
+    artifact = Path(pages_path(sf_dir)).parent / ("lm_order%d.pkl" % order)
+    if artifact.exists():
+        with open(artifact, "rb") as f:
+            return pickle.load(f)
     counts = NgramCounts(order)
     for sentence in iter_training_sentences(sf_dir):
         tokens = _tokenize_for_lm(sentence)
         if tokens:
             counts.add_sequence(tokens)
-    return StupidBackoffLM(counts)
+    lm = freeze_lm(StupidBackoffLM(counts))  # numpy-packed, zero-copy broadcast
+    fd, tmp = tempfile.mkstemp(dir=artifact.parent, suffix=".tmp")
+    with os.fdopen(fd, "wb") as f:
+        pickle.dump(lm, f)
+    os.replace(tmp, artifact)
+    return lm
 
 
 @lru_cache(maxsize=4)

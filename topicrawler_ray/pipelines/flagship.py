@@ -25,7 +25,8 @@ def scored_pages(
     """Lazy Dataset of scored pages: url, warc_ts, lang, clean_text,
     text_abbr, perp, perp_str (html/score_text dropped after use)."""
     lm_ref = topic_lm_ref(sf_dir, order)
-    ds = read_pages(sf_dir)
+    n_actors = concurrency if isinstance(concurrency, int) else concurrency[1]
+    ds = read_pages(sf_dir, num_blocks=max(8, n_actors * 4))
     ds = ds.map_batches(extract_batch, batch_format="pyarrow")
     ds = ds.map_batches(
         PerplexityScorer,

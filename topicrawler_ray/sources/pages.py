@@ -270,8 +270,15 @@ def pages_path(sf_dir: str) -> str:
     return str(out)
 
 
-def read_pages(sf_dir: str):
-    """Ray Dataset over the synthetic pages parquet (lazy, streaming)."""
+def read_pages(sf_dir: str, num_blocks: int | None = None):
+    """Ray Dataset over the synthetic pages parquet (lazy, streaming).
+
+    ``num_blocks`` splits the single fixture file so downstream actor
+    pools get enough tasks to parallelise (a real 100TB input is already
+    thousands of files and needs no override).
+    """
     import ray.data
 
+    if num_blocks:
+        return ray.data.read_parquet(pages_path(sf_dir), override_num_blocks=num_blocks)
     return ray.data.read_parquet(pages_path(sf_dir))
