@@ -76,12 +76,295 @@ def _q_crawl_seen(sf_dir: str):
     return pa.table({"seen_key": pa.array(keys, pa.int64())})
 
 
+# ---------------------------------------------------------------------------
+# corpus sinks (S6/S7)
+
+
+def _q_sentences_corpus(sf_dir: str):
+    """SentenceWriter rows (S7) over scored pages."""
+    from topicrawler_ray.pipelines.flagship import scored_pages
+    from topicrawler_ray.stages.sinks import sentences_batch
+
+    ds = scored_pages(sf_dir, concurrency=2)
+    return ds.map_batches(sentences_batch, batch_format="pyarrow")
+
+
+def _q_plaintext_corpus(sf_dir: str):
+    """PlainTextDocumentWriter escaping (S6): url -> escaped text."""
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.extract import extract_batch
+    from topicrawler_ray.stages.sinks import escape_plaintext
+
+    import pyarrow as pa
+
+    def escape(batch):
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("clean_text").to_pylist()
+        keep_u, keep_t = [], []
+        for u, t in zip(urls, texts):
+            if not t:
+                continue
+            keep_u.append(u)
+            keep_t.append(escape_plaintext(t))
+        return pa.table(
+            {
+                "url": pa.array(keep_u, pa.string()),
+                "text_escaped": pa.array(keep_t, pa.large_string()),
+            }
+        )
+
+    ds = read_pages(sf_dir).map_batches(extract_batch, batch_format="pyarrow")
+    return ds.map_batches(escape, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# dedup / text analysis / similarity over the standard tables
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(sf_dir + "/documents.parquet")
+
+
+def _embs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(sf_dir + "/embeddings.parquet")
+
+
+def _q_dedup_exact(sf_dir: str):
+    from topicrawler_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
+def _q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup pairs over documents + deterministic
+    perturbed copies (doc_id+1000000, ~10% words replaced) so real
+    near-duplicates exist."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from topicrawler_ray.stages.dedup import minhash_near_dup_pairs
+
+    t = pq.read_table(sf_dir + "/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    add_ids, add_texts = [], []
+    for i, x in zip(ids, texts):
+        if i % 10 == 0:
+            words = x.split(" ")
+            for j in range(0, len(words), 10):
+                words[j] = "perturbed%d" % j
+            add_ids.append(i + 1_000_000)
+            add_texts.append(" ".join(words))
+    all_ids = ids + add_ids
+    all_texts = texts + add_texts
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(all_ids, pa.int64()), "text": all_texts})
+    )
+    pairs = minhash_near_dup_pairs(
+        ds, dict(zip(all_ids, all_texts)), threshold=0.5
+    )
+    import pandas as pd
+
+    df = pairs.to_pandas()
+    df["jaccard"] = df["jaccard"].round(4)
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs over documents + perturbed copies."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from topicrawler_ray.stages.dedup import simhash_near_dup_pairs
+
+    t = pq.read_table(sf_dir + "/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    add_ids, add_texts = [], []
+    for i, x in zip(ids, texts):
+        if i % 10 == 0:
+            words = x.split(" ")
+            if words:
+                words[0] = "zzchanged"
+            add_ids.append(i + 1_000_000)
+            add_texts.append(" ".join(words))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids + add_ids, pa.int64()),
+                "text": texts + add_texts,
+            }
+        )
+    )
+    return simhash_near_dup_pairs(ds, max_hamming=3)
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    from topicrawler_ray.stages.dedup import embedding_near_dup_pairs
+
+    t = embedding_near_dup_pairs(_embs(sf_dir), threshold=0.4)
+    import numpy as np
+
+    df = t.to_pandas()
+    df["cosine_e4"] = np.floor(df["cosine"] * 10000).astype("int64")
+    df = df.drop(columns=["cosine"])
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _q_knn_bruteforce(sf_dir: str):
+    """Exact cosine top-10 of all vectors against queries vec_id<5."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from topicrawler_ray.stages.similarity import brute_force_topk
+
+    qt = pq.read_table(sf_dir + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrows = sorted(
+        (
+            (i, e)
+            for i, e in zip(qt["vec_id"].to_pylist(), qt["embedding"].to_pylist())
+            if i < 5
+        )
+    )
+    queries = np.array([e for _, e in qrows], dtype=np.float64)
+    t = brute_force_topk(_embs(sf_dir), queries, k=10)
+    import numpy as np
+
+    df = t.to_pandas()
+    df["cosine_e4"] = np.floor(df["cosine"] * 10000).astype("int64")
+    df = df.drop(columns=["cosine"])
+    df["query_id"] = df["query_id"].astype("int64")
+    df["rank"] = df["rank"].astype("int64")
+    return df
+
+
+def _q_knn_ivf(sf_dir: str):
+    """IVF-bucketed ANN (scale path; approximate - rows-only check)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from topicrawler_ray.stages.similarity import ivf_topk
+
+    qt = pq.read_table(sf_dir + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrows = sorted(
+        (
+            (i, e)
+            for i, e in zip(qt["vec_id"].to_pylist(), qt["embedding"].to_pylist())
+            if i < 5
+        )
+    )
+    queries = np.array([e for _, e in qrows], dtype=np.float64)
+    return ivf_topk(_embs(sf_dir), queries, k=10, n_lists=8, nprobe=3)
+
+
+def _q_token_counts(sf_dir: str):
+    from topicrawler_ray.stages.textstats import token_count_batch
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_ws_tokens"])
+
+
+def _q_quality(sf_dir: str):
+    from topicrawler_ray.stages.textstats import quality_batch
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = ds.map_batches(quality_batch, batch_format="pyarrow")
+    return ds.select_columns(
+        ["doc_id", "n_chars_q", "punct_ratio", "stopword_ratio", "quality_score"]
+    )
+
+
+def _q_langid(sf_dir: str):
+    from topicrawler_ray.stages.textstats import LangId
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    return ds.select_columns(["doc_id", "lang_pred"])
+
+
+def _q_fingerprints(sf_dir: str):
+    from topicrawler_ray.stages.textstats import fingerprint_batch
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "content_md5"])
+
+
+def _q_ngram_counts_ws(sf_dir: str):
+    """Whitespace-bigram counts with mincount 2 (A1, SQL-oracled)."""
+    from topicrawler_ray.lm.build import count_word_ngrams_ws
+
+    ds = _docs(sf_dir).select_columns(["text"])
+    counts = count_word_ngrams_ws(ds, order=2, mincount=2)
+
+    def only_bigrams(batch):
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch.column("n"), 2)).select(["ngram", "num"])
+
+    return counts.map_batches(only_bigrams, batch_format="pyarrow")
+
+
+def _q_ngram_stats_seg(sf_dir: str):
+    """Full seg-tokenized count pipeline (A1/A3): trigram counts joined
+    with nfollow stats on the history (rows-only; pytest has the
+    pure-python oracle)."""
+    from topicrawler_ray.lm.build import count_ngrams, nfollow
+
+    ds = _docs(sf_dir).select_columns(["text"])
+    counts = count_ngrams(ds, order=3)
+    nf = nfollow(counts)
+    return nf
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing: synthetic media table -> stubbed decode +
+    feature stages (actor pools, small batches for binary payloads)."""
+    from topicrawler_ray.stages.multimodal import (
+        AudioFeatureStage,
+        ImageDecodeStage,
+        synthesize_media_batch,
+    )
+
+    ds = _docs(sf_dir).select_columns(["doc_id"])
+    ds = ds.map_batches(synthesize_media_batch, batch_format="pyarrow")
+    ds = ds.map_batches(
+        ImageDecodeStage, batch_format="pyarrow", batch_size=32, concurrency=2
+    )
+    ds = ds.map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=32, concurrency=2
+    )
+    return ds.select_columns(["media_id", "media_type", "pixel_mean"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
         "scored_pages": _q_scored_pages,
         "crawl_log": _q_crawl_log,
         "crawl_seen": _q_crawl_seen,
+        "sentences_corpus": _q_sentences_corpus,
+        "plaintext_corpus": _q_plaintext_corpus,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "knn_ivf": _q_knn_ivf,
+        "token_counts": _q_token_counts,
+        "text_quality": _q_quality,
+        "langid": _q_langid,
+        "fingerprints": _q_fingerprints,
+        "ngram_counts_ws": _q_ngram_counts_ws,
+        "ngram_stats_seg": _q_ngram_stats_seg,
+        "media_features": _q_media_features,
     }
 
 
@@ -93,5 +376,52 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, text AS clean_text "
             "FROM read_parquet('%s')" % _PAGES_SF001
         ),
-        # scored_pages: perplexity is not SQL-expressible -> rows-only check
+        # plaintext writer escaping vs the stored oracle text ('\t' in SQL
+        # string literals is a literal backslash-t, matching the writer)
+        "plaintext_corpus": (
+            "SELECT url, replace(replace(replace(text, chr(9), '\\t'), "
+            "chr(13), ''), chr(10), '\\n') AS text_escaped "
+            "FROM read_parquet('%s') WHERE text <> ''" % _PAGES_SF001
+        ),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
+        ),
+        "embedding_near_dup": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT) AS cosine_e4 "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4 "
+            "ORDER BY id_a, id_b"
+        ),
+        "knn_bruteforce": (
+            "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe "
+            "FROM embeddings WHERE vec_id < 5), "
+            "s AS (SELECT q.qid, e.vec_id, "
+            "list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS c "
+            "FROM q CROSS JOIN embeddings e) "
+            "SELECT CAST(qid AS BIGINT) AS query_id, "
+            "CAST(row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) - 1 "
+            "AS BIGINT) AS rank, vec_id, "
+            "CAST(floor(c * 10000) AS BIGINT) AS cosine_e4 FROM s "
+            "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) <= 10"
+        ),
+        "token_counts": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+            "AS n_ws_tokens FROM documents"
+        ),
+        "fingerprints": ("SELECT doc_id, md5(text) AS content_md5 FROM documents"),
+        "ngram_counts_ws": (
+            "WITH words AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS w, "
+            "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents) "
+            "SELECT a.w || ' ' || b.w AS ngram, count(*) AS num "
+            "FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            "GROUP BY 1 HAVING count(*) >= 2"
+        ),
+        # scored_pages / crawl_* / sentences_corpus / dedup_minhash /
+        # dedup_simhash / knn_ivf / text_quality / langid /
+        # ngram_stats_seg / media_features: not SQL-expressible ->
+        # rows-only checks; pytest carries their oracles.
     }

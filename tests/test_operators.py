@@ -1,0 +1,302 @@
+"""Operator-suite tests: sinks, dedup, similarity, textstats, ngram
+counts, multimodal plumbing - each against a small pure-python oracle."""
+
+import math
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(sf_dir):
+    import ray.data
+
+    return ray.data.read_parquet(sf_dir + "/documents.parquet").select_columns(
+        ["doc_id", "text"]
+    )
+
+
+class TestSinks:
+    def test_iso8601(self):
+        from topicrawler_ray.stages.sinks import iso8601_utc
+
+        assert iso8601_utc(1388534400_000_000) == "2014-01-01T00:00:00.000Z"
+        assert iso8601_utc(1388534400_123_456) == "2014-01-01T00:00:00.123Z"
+
+    def test_escape(self):
+        from topicrawler_ray.stages.sinks import escape_plaintext
+
+        assert escape_plaintext("a\tb\r\nc") == "a\\tb\\nc"
+
+    def test_decision_log_line(self):
+        from topicrawler_ray.stages.sinks import decision_log_line
+
+        line = decision_log_line(
+            1388534400_000_000, "000002.00000", 1, 1, 4, 4, "http://x/", "abbr"
+        )
+        parts = line.split("\t")
+        assert parts[0] == "2014-01-01T00:00:00.000Z"
+        assert parts[2] == "1(1)" and parts[3] == "4(4)"
+        assert parts[5] == "[%-50s]" % "abbr"
+
+    def test_sentences_batch(self):
+        from topicrawler_ray.stages.sinks import sentences_batch
+
+        batch = pa.table(
+            {
+                "url": ["http://a/", "http://b/"],
+                "clean_text": ["One two three. Four five six.", ""],
+                "perp_str": ["000002.00000", "-00001.00000"],
+                "warc_ts": pa.array([1388534400_000_000] * 2, pa.timestamp("us")),
+            }
+        )
+        out = sentences_batch(batch)
+        sents = out.column("sentence").to_pylist()
+        assert sents == ["One two three.", "Four five six."]
+        assert out.column("sent_idx").to_pylist() == [0, 1]
+
+
+class TestTextStats:
+    def test_token_counts_ws(self):
+        from topicrawler_ray.stages.textstats import token_count_batch
+
+        b = pa.table({"text": ["a b c", "", "one"]})
+        out = token_count_batch(b)
+        assert out.column("n_ws_tokens").to_pylist() == [3, 0, 1]
+
+    def test_quality_monotone(self):
+        from topicrawler_ray.stages.textstats import quality_batch
+
+        good = "The quick brown fox jumps over the lazy dog and runs far. " * 5
+        bad = "!!! ??? ### $$$ %%%"
+        b = pa.table({"text": [good, bad]})
+        out = quality_batch(b)
+        scores = out.column("quality_score").to_pylist()
+        assert scores[0] > scores[1]
+
+    def test_langid_real_samples(self):
+        from topicrawler_ray.stages.textstats import LangId
+
+        li = LangId()
+        assert li.classify("the cat is in the house and it was good") == "en"
+        assert li.classify("der hund und die katze sind nicht hier") == "de"
+        assert li.classify("le chat est dans la maison avec les autres") == "fr"
+        assert li.classify("") == "und"
+
+    def test_fingerprint_deterministic(self):
+        from topicrawler_ray.stages.textstats import (
+            content_hash64,
+            content_md5,
+            rolling_fingerprints,
+        )
+
+        assert content_hash64("abc") == content_hash64("abc")
+        assert content_md5("abc") == "900150983cd24fb0d6963f7d28e17f72"
+        fps = rolling_fingerprints("x" * 100)
+        assert fps == rolling_fingerprints("x" * 100)
+
+
+class TestDedup:
+    def test_word_shingles_and_jaccard(self):
+        from topicrawler_ray.stages.dedup import jaccard, word_shingles
+
+        a = word_shingles("a b c d e")
+        b = word_shingles("a b c d f")
+        assert 0 < jaccard(a, b) < 1
+        assert jaccard(a, a) == 1.0
+
+    def test_minhash_similarity_estimate(self):
+        from topicrawler_ray.stages.dedup import (
+            jaccard,
+            minhash_signature,
+            word_shingles,
+        )
+
+        t1 = "the quick brown fox jumps over the lazy dog " * 8
+        t2 = t1.replace("lazy", "sleepy")
+        s1, s2 = word_shingles(t1), word_shingles(t2)
+        true_j = jaccard(s1, s2)
+        m1, m2 = minhash_signature(s1), minhash_signature(s2)
+        est = float(np.mean(m1 == m2))
+        assert abs(est - true_j) < 0.2
+
+    def test_simhash_near_for_similar(self):
+        from topicrawler_ray.stages.dedup import hamming64, simhash64
+
+        t1 = "word%d " * 50 % tuple(range(50))
+        t2 = t1.replace("word10", "other")
+        d_sim = hamming64(simhash64(t1), simhash64(t2))
+        d_diff = hamming64(simhash64(t1), simhash64("zz%d " * 50 % tuple(range(50))))
+        assert d_sim < d_diff
+
+    def test_exact_dedup_ray(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.dedup import exact_dedup
+
+        ds = ray.data.from_items(
+            [
+                {"doc_id": 3, "text": "xx"},
+                {"doc_id": 1, "text": "xx"},
+                {"doc_id": 2, "text": "yy"},
+            ]
+        )
+        out = exact_dedup(ds).to_pandas().sort_values("doc_id")
+        assert out.doc_id.tolist() == [1, 2]
+
+    def test_minhash_pairs_find_perturbed_copy(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.dedup import minhash_near_dup_pairs
+
+        base = "tok%d " * 120 % tuple(range(120))
+        near = base.replace("tok5", "x5").replace("tok50", "x50")
+        far = "zz%d " * 120 % tuple(range(120))
+        texts = {1: base, 2: near, 3: far}
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in texts.items()]
+        )
+        pairs = minhash_near_dup_pairs(ds, texts, threshold=0.7).to_pandas()
+        assert set(zip(pairs.id_a, pairs.id_b)) == {(1, 2)}
+
+    def test_embedding_near_dup_bruteforce_vs_numpy(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.dedup import embedding_near_dup_pairs
+
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((40, 16)).astype(np.float32)
+        vecs[7] = vecs[3] + 0.01 * rng.standard_normal(16).astype(np.float32)
+        ds = ray.data.from_items(
+            [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(40)]
+        )
+        out = embedding_near_dup_pairs(ds, threshold=0.95).to_pandas()
+        assert (3, 7) in set(zip(out.id_a, out.id_b))
+
+
+class TestSimilarity:
+    def test_bruteforce_matches_numpy(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.similarity import brute_force_topk
+
+        rng = np.random.default_rng(5)
+        vecs = rng.standard_normal((100, 8)).astype(np.float64)
+        ds = ray.data.from_items(
+            [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(100)]
+        )
+        q = vecs[:2]
+        out = brute_force_topk(ds, q, k=5).to_pandas()
+        # numpy oracle
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        sims = qn @ vn.T
+        for qi in range(2):
+            expect = np.argsort(-sims[qi], kind="stable")[:5].tolist()
+            got = out[out.query_id == qi].sort_values("rank").vec_id.tolist()
+            assert got == expect
+
+    def test_ivf_recall(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.similarity import brute_force_topk, ivf_topk
+
+        rng = np.random.default_rng(9)
+        vecs = rng.standard_normal((200, 16)).astype(np.float64)
+        ds = ray.data.from_items(
+            [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(200)]
+        )
+        q = vecs[:3]
+        exact = brute_force_topk(ds, q, k=5).to_pandas()
+        approx = ivf_topk(ds, q, k=5, n_lists=8, nprobe=4).to_pandas()
+        # recall over the 3 queries should be decent with nprobe=4/8
+        hits = 0
+        for qi in range(3):
+            e = set(exact[exact.query_id == qi].vec_id)
+            a = set(approx[approx.query_id == qi].vec_id)
+            hits += len(e & a)
+        assert hits >= 8  # >= ~53% recall on random data
+
+
+class TestNgramCounts:
+    def test_ws_counts_vs_python(self, ray_session, sf_dir):
+        import pyarrow.parquet as pq
+
+        from topicrawler_ray.lm.build import count_word_ngrams_ws
+
+        ds = _docs_ds(sf_dir)
+        out = count_word_ngrams_ws(ds, order=2, mincount=2).to_pandas()
+        got = dict(zip(out.ngram, out.num))
+        # python oracle
+        c = Counter()
+        t = pq.read_table(sf_dir + "/documents.parquet", columns=["text"])
+        for text in t["text"].to_pylist():
+            words = text.split(" ")
+            for w in words:
+                c[w] += 1
+            for i in range(len(words) - 1):
+                c[words[i] + " " + words[i + 1]] += 1
+        expect = {g: n for g, n in c.items() if n >= 2}
+        assert got == expect
+
+    def test_nfollow_stats(self, ray_session, sf_dir):
+        from topicrawler_ray.lm.build import count_word_ngrams_ws, nfollow
+
+        ds = _docs_ds(sf_dir)
+        counts = count_word_ngrams_ws(ds, order=2)
+        nf = nfollow(counts).to_pandas()
+        cdf = counts.to_pandas()
+        bigrams = cdf[cdf.n == 2]
+        # oracle for one frequent history
+        hist = bigrams.ngram.str.split(" ").str[0].value_counts().index[0]
+        members = bigrams[bigrams.ngram.str.startswith(hist + " ")]
+        row = nf[nf.key == hist].iloc[0]
+        assert row.n_sum == members.num.sum()
+        assert row.n1 == (members.num == 1).sum()
+        assert row.n2 == (members.num == 2).sum()
+        assert row.n3 == (members.num >= 3).sum()
+
+    def test_count_of_counts(self, ray_session, sf_dir):
+        from topicrawler_ray.lm.build import count_of_counts, count_word_ngrams_ws
+
+        ds = _docs_ds(sf_dir)
+        counts = count_word_ngrams_ws(ds, order=2)
+        stats = count_of_counts(counts, order=2)
+        cdf = counts.to_pandas()
+        uni = cdf[cdf.n == 1]
+        assert stats["N"][1][0] == len(uni)
+        assert stats["N"][1][1] == (uni.num == 1).sum()
+        assert stats["S"][1] == uni.num.sum()
+
+
+class TestMultimodal:
+    def test_stub_pipeline(self, ray_session, sf_dir):
+        import ray.data
+
+        from topicrawler_ray.stages.multimodal import (
+            ImageDecodeStage,
+            synthesize_media_batch,
+        )
+
+        ds = ray.data.read_parquet(sf_dir + "/documents.parquet").select_columns(
+            ["doc_id"]
+        )
+        ds = ds.map_batches(synthesize_media_batch, batch_format="pyarrow")
+        ds = ds.map_batches(
+            ImageDecodeStage, batch_format="pyarrow", batch_size=32, concurrency=2
+        )
+        # ragged list columns trip Ray's tensor-extension casting in
+        # to_pandas; project them away like the media_features query does
+        df = ds.select_columns(["media_id", "media_type", "pixel_mean"]).to_pandas()
+        imgs = df[df.media_type == "image/png"]
+        assert len(imgs) > 0
+        assert imgs.pixel_mean.notna().all()
+        assert df[df.media_type != "image/png"].pixel_mean.isna().all()
+
+    def test_real_codec_raises(self):
+        from topicrawler_ray.stages.multimodal import ImageDecodeStage
+
+        stage = ImageDecodeStage(fake=False)
+        with pytest.raises(NotImplementedError):
+            stage._decode(b"xx", 8, 8)

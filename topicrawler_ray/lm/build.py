@@ -1,0 +1,205 @@
+"""Distributed n-gram counting (A1-A6) as a Ray Data job.
+
+Re-expresses the reference's shell/Hadoop count pipeline
+(``lt.lm/.../app/GenerateNgramIndex.java:226-311`` driving
+``mr_ngram_count.py`` / ``mr_ngram_vocab.py`` / ``mr_ngram_nfollow.py`` /
+``mr_ngram_nprecede.py`` / ``mr_ngram_nfollowerprecede.py``) Ray-Data-first:
+
+* A1  counts: ``flat_map`` n-grams with PER-BATCH partial aggregation
+  (combiner) -> ``groupby('ngram').sum`` -> mincount filter,
+* A2  vocabulary: distinct words of the counted n-grams,
+* A3-A5 continuation stats keyed on history / suffix / middle, derived
+  from the PRUNED counts exactly like the shell pipeline (prune first,
+  then derive - SURVEY.md "hard parts"),
+* A6  count-of-counts N[n][1..5+] and sums S[n] (the ``__sum_ngrams__``
+  stats file) - a tiny global aggregate.
+
+The one shuffle key is the n-gram string; the combiner keeps it small.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import ngrams as ngram_mod
+from ..functions.sentences import split_sentences
+from ..functions.tokenizer import filtered_and_normalized_tokens
+
+
+def sentence_tokens(text: str, tag_mode: int = 3) -> list[list[str]]:
+    """Text -> per-sentence token sequences (scorer tokenization path)."""
+    out = []
+    for s in split_sentences(text):
+        toks = filtered_and_normalized_tokens(s)
+        if toks:
+            out.append(ngram_mod.insert_sentence_tags(toks, tag_mode))
+    return out
+
+
+def _emit_ngrams(tokens: list[str], order: int, counter: Counter) -> None:
+    """All 1..order-grams of a token sequence (``Ngrams.java:197-240``)."""
+    n = len(tokens)
+    for k in range(1, order + 1):
+        for i in range(n - k + 1):
+            counter[" ".join(tokens[i : i + k])] += 1
+
+
+def ngram_count_batch(order: int, column: str = "text", tokenizer=None):
+    """Batch fn: text column -> partial (ngram, n, num) counts."""
+    tok = tokenizer or sentence_tokens
+
+    def fn(batch: pa.Table) -> pa.Table:
+        c: Counter[str] = Counter()
+        for text in batch.column(column).to_pylist():
+            if not text:
+                continue
+            for tokens in tok(text):
+                _emit_ngrams(tokens, order, c)
+        ngrams = list(c.keys())
+        return pa.table(
+            {
+                "ngram": pa.array(ngrams, pa.string()),
+                "n": pa.array([g.count(" ") + 1 for g in ngrams], pa.int8()),
+                "num": pa.array([c[g] for g in ngrams], pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def count_ngrams(ds, order: int, column: str = "text", mincount: int = 1, tokenizer=None):
+    """A1: Dataset of (ngram, n, num) with num >= mincount."""
+    from ray.data.aggregate import Max, Sum
+
+    partial = ds.map_batches(
+        ngram_count_batch(order, column, tokenizer), batch_format="pyarrow"
+    )
+    counts = partial.groupby("ngram").aggregate(
+        Sum("num", alias_name="num"), Max("n", alias_name="n")
+    )
+    if mincount > 1:
+        counts = counts.filter(expr="num >= %d" % mincount)
+    return counts
+
+
+def vocabulary(counts_ds):
+    """A2: distinct words over the counted n-grams."""
+
+    def words(batch: pa.Table) -> pa.Table:
+        out = set()
+        for g in batch.column("ngram").to_pylist():
+            out.update(g.split(" "))
+        return pa.table({"word": pa.array(sorted(out), pa.string())})
+
+    return counts_ds.map_batches(words, batch_format="pyarrow").groupby(
+        "word"
+    ).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+
+def _cont_stats(counts_ds, key_fn_name: str):
+    """Shared A3-A5 shape: group counted n-grams (n>=2) by a derived key;
+    emit n=sum(num), N1/N2/N3+ = #members with num==1/==2/>=3."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ngrams = batch.column("ngram").to_pylist()
+        nums = batch.column("num").to_pylist()
+        keys, oknum = [], []
+        for g, c in zip(ngrams, nums):
+            parts = g.split(" ")
+            if len(parts) < 2:
+                continue
+            if key_fn_name == "history":
+                key = " ".join(parts[:-1])
+            elif key_fn_name == "suffix":
+                key = " ".join(parts[1:])
+            else:  # middle
+                if len(parts) < 3:
+                    continue
+                key = " ".join(parts[1:-1])
+            keys.append(key)
+            oknum.append(c)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "num": pa.array(oknum, pa.int64()),
+            }
+        )
+
+    def agg(group: pd.DataFrame) -> pd.DataFrame:
+        num = group["num"]
+        return pd.DataFrame(
+            {
+                "key": [group["key"].iloc[0]],
+                "n_sum": [int(num.sum())],
+                "n1": [int((num == 1).sum())],
+                "n2": [int((num == 2).sum())],
+                "n3": [int((num >= 3).sum())],
+            }
+        )
+
+    derived = counts_ds.map_batches(derive, batch_format="pyarrow")
+    return derived.groupby("key").map_groups(agg, batch_format="pandas")
+
+
+def nfollow(counts_ds):
+    """A3 (``mr_ngram_nfollow.py:33-58``): keyed on the history."""
+    return _cont_stats(counts_ds, "history")
+
+
+def nprecede(counts_ds):
+    """A4 (``mr_ngram_nprecede.py:32-57``): keyed on the suffix."""
+    return _cont_stats(counts_ds, "suffix")
+
+
+def nfollowerprecede(counts_ds):
+    """A5 (``mr_ngram_nfollowerprecede.py:101-126``): keyed on the middle."""
+    return _cont_stats(counts_ds, "middle")
+
+
+def count_of_counts(counts_ds, order: int, max_c: int = 6) -> dict:
+    """A6 (``GenerateNgramIndex.java:470-498``): N[n][i] = #n-grams of
+    order n occurring i times (bucket max_c-1 = '>=max_c-1'); S[n] =
+    total occurrences. Tiny result -> driver dict."""
+    from ray.data.aggregate import Count, Sum
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch.column("n")
+        num = batch.column("num")
+        b = pc.min_element_wise(num, max_c - 1)
+        return pa.table({"n": n, "bucket": b, "num": num})
+
+    rows = (
+        counts_ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["n", "bucket"])
+        .aggregate(Count(alias_name="cnt"), Sum("num", alias_name="sum_num"))
+        .take_all()
+    )
+    N = [[0] * max_c for _ in range(order + 1)]
+    S = [0] * (order + 1)
+    for r in rows:
+        n = int(r["n"])
+        N[n][int(r["bucket"])] = int(r["cnt"])
+        N[n][0] += int(r["cnt"])  # bucket 0 = occurring at least once
+        S[n] += int(r["sum_num"])
+    return {"N": N, "S": S, "max_n": order, "max_c": max_c}
+
+
+# --------------------------------------------------------------------------
+# whitespace-token variant (SQL-oracle-able over the documents table)
+
+
+def ws_tokens(text: str) -> list[list[str]]:
+    """Plain whitespace tokenization, no tags (documents.text is already
+    single-space separated)."""
+    toks = text.split(" ")
+    return [toks] if toks else []
+
+
+def count_word_ngrams_ws(ds, order: int, column: str = "text", mincount: int = 1):
+    """A1 over whitespace tokens - DuckDB can reproduce this exactly."""
+    return count_ngrams(ds, order, column, mincount, tokenizer=ws_tokens)

@@ -87,16 +87,16 @@ def text_ngrams(text: str, order: int) -> list[list[str]]:
 
 
 def document_perplexity(lm, text: str) -> float:
-    """``DecesiveValueProducerPerplexity.computePerplexity``: per-sentence
-    n-grams, skipping sentences with no n-grams or whose last n-gram is
-    shorter than the LM order."""
+    """``DecesiveValueProducerPerplexity.computePerplexity``
+    (``DecesiveValueProducerPerplexity.java:140-152`` with the cxml:205-218
+    wiring): SentenceMaker sentences (minLength=2 words, readable-rendered)
+    -> ``LtSegProvider.getNgrams`` per sentence; sentences with no n-grams
+    or whose last n-gram is shorter than the LM order are skipped."""
+    from ..functions.sentencemaker import get_sentences
+
     perp = ModelPerplexity(lm)
-    for sentence in split_sentences(text):
-        tokens = filtered_and_normalized_tokens(sentence)
-        if not tokens:
-            continue
-        tokens = ngram_mod.insert_sentence_tags(tokens, mode=3)
-        ngrams = ngram_mod.ngram_sequence(tokens, lm.order, boundary_mode=0)
+    for sentence in get_sentences(text, min_length=2):
+        ngrams = text_ngrams(sentence, lm.order)
         if len(ngrams) < 1:
             continue
         if len(ngrams[-1]) < lm.order:

@@ -1,0 +1,188 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* ``brute_force_topk``: exact cosine top-k of every row against a small
+  broadcast query matrix - ``ray.put`` the queries once, numpy matmul
+  per batch, per-batch partial top-k, final exact merge on the driver
+  (the classic scatter-gather ANN baseline).
+* ``ivf_topk``: IVF-style scale path - k-means-lite centroids (sampled,
+  deterministic), every row assigned to its nearest centroid in
+  ``map_batches``, queries probe only ``nprobe`` nearest lists via a
+  ``groupby(list_id)`` search (documented recall < 1).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+):
+    """Exact top-k by cosine: returns a pyarrow Table
+    (query_id, rank, vec_id, cosine), ties broken by smaller vec_id."""
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(q)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = np.asarray(batch.column(id_column).to_pylist(), dtype=np.int64)
+        mat = _normalize(np.array(batch.column(vec_column).to_pylist(), dtype=np.float32))
+        sims = qm @ mat.T  # (Q, B)
+        o_q, o_id, o_c = [], [], []
+        kk = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            # partial top-k inside the batch (combiner before the merge)
+            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            for j in idx:
+                o_q.append(qi)
+                o_id.append(int(ids[j]))
+                o_c.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(o_q, pa.int32()),
+                "vec_id": pa.array(o_id, pa.int64()),
+                "cosine": pa.array(o_c, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    heaps: dict[int, list] = {}
+    for r in partials:
+        # heap key: (cosine, -vec_id) so ties prefer the SMALLER vec_id
+        heapq.heappush(
+            heaps.setdefault(r["query_id"], []), (r["cosine"], -r["vec_id"])
+        )
+        if len(heaps[r["query_id"]]) > k:
+            heapq.heappop(heaps[r["query_id"]])
+    o_q, o_rank, o_id, o_c = [], [], [], []
+    for qi in sorted(heaps):
+        best = sorted(heaps[qi], key=lambda t: (-t[0], -t[1]))
+        for rank, (c, nid) in enumerate(best):
+            o_q.append(qi)
+            o_rank.append(rank)
+            o_id.append(-nid)
+            o_c.append(c)
+    return pa.table(
+        {
+            "query_id": pa.array(o_q, pa.int32()),
+            "rank": pa.array(o_rank, pa.int32()),
+            "vec_id": pa.array(o_id, pa.int64()),
+            "cosine": pa.array(o_c, pa.float64()),
+        }
+    )
+
+
+def train_centroids(ds, n_lists: int = 16, vec_column: str = "embedding",
+                    iters: int = 5, seed: int = 23) -> np.ndarray:
+    """Deterministic mini k-means on a sample (driver-side; the sample is
+    small by construction)."""
+    sample = ds.random_sample(min(1.0, 4096 / max(1, ds.count())), seed=seed)
+    vecs = np.array(
+        [r[vec_column] for r in sample.take(4096)], dtype=np.float32
+    )
+    vecs = _normalize(vecs)
+    rng = np.random.default_rng(seed)
+    cent = vecs[rng.choice(len(vecs), size=min(n_lists, len(vecs)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(vecs @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            members = vecs[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+):
+    """IVF-bucketed approximate top-k (scale path)."""
+    import ray
+
+    cent = train_centroids(ds, n_lists, vec_column)
+    cent_ref = ray.put(cent)
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    probe_sets = [set(map(int, row)) for row in probes]
+    q_ref = ray.put(q)
+    probe_ref = ray.put(probe_sets)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _normalize(np.array(batch.column(vec_column).to_pylist(), dtype=np.float32))
+        lists = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+        return batch.append_column("list_id", pa.array(lists, pa.int32()))
+
+    def search(group: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(q_ref)
+        psets = ray.get(probe_ref)
+        lid = int(group["list_id"].iloc[0])
+        qids = [qi for qi, s in enumerate(psets) if lid in s]
+        if not qids:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
+        mat = _normalize(np.array(group[vec_column].tolist(), dtype=np.float32))
+        ids = group[id_column].to_numpy()
+        sims = qm[qids] @ mat.T
+        o_q, o_id, o_c = [], [], []
+        kk = min(k, sims.shape[1])
+        for row, qi in enumerate(qids):
+            idx = np.argpartition(-sims[row], kk - 1)[:kk]
+            for j in idx:
+                o_q.append(qi)
+                o_id.append(int(ids[j]))
+                o_c.append(float(sims[row, j]))
+        return pd.DataFrame({"query_id": o_q, "vec_id": o_id, "cosine": o_c})
+
+    partials = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("list_id")
+        .map_groups(search, batch_format="pandas")
+        .take_all()
+    )
+    heaps: dict[int, list] = {}
+    for r in partials:
+        heapq.heappush(
+            heaps.setdefault(int(r["query_id"]), []), (r["cosine"], -int(r["vec_id"]))
+        )
+        if len(heaps[int(r["query_id"])]) > k:
+            heapq.heappop(heaps[int(r["query_id"])])
+    o_q, o_rank, o_id, o_c = [], [], [], []
+    for qi in sorted(heaps):
+        best = sorted(heaps[qi], key=lambda t: (-t[0], -t[1]))
+        for rank, (c, nid) in enumerate(best):
+            o_q.append(qi)
+            o_rank.append(rank)
+            o_id.append(-nid)
+            o_c.append(c)
+    return pa.table(
+        {
+            "query_id": pa.array(o_q, pa.int32()),
+            "rank": pa.array(o_rank, pa.int32()),
+            "vec_id": pa.array(o_id, pa.int64()),
+            "cosine": pa.array(o_c, pa.float64()),
+        }
+    )

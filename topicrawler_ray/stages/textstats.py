@@ -1,0 +1,181 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+Vectorised ``map_batches`` transforms over a text column:
+
+* token counting - whitespace tokens and a BPE-ish subword regex count,
+* quality scoring - length / punctuation / stopword / repetition ratios,
+* language ID - character-n-gram profile heuristic (stateful actor:
+  profiles compiled once),
+* document fingerprinting - 64-bit content hash (murmur3) and a
+  Rabin-style rolling-window fingerprint set for containment checks.
+
+All pure functions of the text column; the batch wrappers stay in Arrow.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import murmur3_x64_128
+
+# BPE-ish token regex: runs of letters, digits, single punctuation -
+# approximates a GPT-2-style pre-tokenizer without a vocab file.
+_BPE_RE = re.compile(r"[A-Za-zÀ-ÿ]+|[0-9]{1,3}|[^\sA-Za-zÀ-ÿ0-9]")
+
+_STOPWORDS = frozenset(
+    """a an and are as at be by for from has he in is it its of on that the
+    to was were will with this these those i you they we she her his""".split()
+)
+
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+_WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+def token_count_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Append ``n_ws_tokens`` (whitespace split) and ``n_bpe_tokens``."""
+    texts = batch.column(column).to_pylist()
+    ws = [len(t.split()) if t else 0 for t in texts]
+    bpe = [len(_BPE_RE.findall(t)) if t else 0 for t in texts]
+    return batch.append_column(
+        "n_ws_tokens", pa.array(ws, pa.int64())
+    ).append_column("n_bpe_tokens", pa.array(bpe, pa.int64()))
+
+
+def quality_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Append quality signals: n_chars, punct_ratio, stopword_ratio,
+    mean_word_len, repetition_ratio (distinct/total words), and a
+    composite ``quality_score`` in [0, 1]."""
+    texts = batch.column(column).to_pylist()
+    n_chars, punct_r, stop_r, mwl, rep_r, score = [], [], [], [], [], []
+    for t in texts:
+        t = t or ""
+        n = len(t)
+        words = _WORD_RE.findall(t.lower())
+        n_punct = len(_PUNCT_RE.findall(t))
+        n_chars.append(n)
+        pr = n_punct / n if n else 0.0
+        sr = (sum(1 for w in words if w in _STOPWORDS) / len(words)) if words else 0.0
+        ml = (sum(map(len, words)) / len(words)) if words else 0.0
+        rr = (len(set(words)) / len(words)) if words else 0.0
+        punct_r.append(pr)
+        stop_r.append(sr)
+        mwl.append(ml)
+        rep_r.append(rr)
+        # heuristic composite: long-enough, low punctuation, some
+        # stopwords, plausible word length, not too repetitive
+        s = 1.0
+        s *= min(1.0, n / 200.0)
+        s *= 1.0 - min(1.0, max(0.0, pr - 0.2) * 2)
+        s *= 0.5 + min(0.5, sr * 2)
+        s *= 1.0 if 2.5 <= ml <= 12 else 0.5
+        s *= 0.25 + 0.75 * rr
+        score.append(s)
+    return (
+        batch.append_column("n_chars_q", pa.array(n_chars, pa.int64()))
+        .append_column("punct_ratio", pa.array(punct_r, pa.float64()))
+        .append_column("stopword_ratio", pa.array(stop_r, pa.float64()))
+        .append_column("mean_word_len", pa.array(mwl, pa.float64()))
+        .append_column("distinct_word_ratio", pa.array(rep_r, pa.float64()))
+        .append_column("quality_score", pa.array(score, pa.float64()))
+    )
+
+
+# --------------------------------------------------------------------------
+# language ID: char-trigram profiles
+
+
+_LANG_PROFILES_RAW = {
+    "en": "the and ing ion to of at is in it you for was with he this have not",
+    "de": "der die und den ich sch ein cht das ist nicht mit von sie werden",
+    "fr": "les de la et des que une dans pour est vous ce il au plus par",
+    "es": "de la que el en los del las por con una para es al lo como mas",
+    "zh": "的 是 不 了 在 人 有 我 他 这 个 们 中 来 上 大 为 和 国",
+}
+
+
+class LangId:
+    """Char-n-gram-profile language classifier (stateful stage: profiles
+    compiled once per actor).  Returns the best-matching profile or
+    ``und`` when no profile scores above zero."""
+
+    def __init__(self, column: str = "text"):
+        self._column = column
+        self._profiles: dict[str, frozenset[str]] = {}
+        for lang, seed_text in _LANG_PROFILES_RAW.items():
+            grams = set()
+            for w in seed_text.split():
+                w = " %s " % w
+                for i in range(len(w) - 2):
+                    grams.add(w[i : i + 3])
+            self._profiles[lang] = frozenset(grams)
+
+    def classify(self, text: str) -> str:
+        if not text:
+            return "und"
+        t = " %s " % text.lower()
+        grams = {t[i : i + 3] for i in range(len(t) - 2)}
+        best, best_score = "und", 0
+        for lang, prof in self._profiles.items():
+            s = len(grams & prof)
+            if s > best_score:
+                best, best_score = lang, s
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self._column).to_pylist()
+        preds = [self.classify(t) for t in texts]
+        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+# --------------------------------------------------------------------------
+# fingerprinting
+
+
+_RABIN_BASE = 1000003
+_RABIN_MASK = (1 << 61) - 1
+
+
+def content_hash64(text: str) -> int:
+    """Deterministic 64-bit content hash (murmur3 x64 low half, signed)."""
+    return murmur3_x64_128(text.encode("utf-8"))[0] - (1 << 63)
+
+
+def rolling_fingerprints(text: str, window: int = 32, keep_mod: int = 16) -> list[int]:
+    """Rabin-style rolling hash over byte windows; keep hashes that are
+    0 mod ``keep_mod`` (winnowing-lite) -> small signature set usable for
+    containment / near-dup checks."""
+    data = text.encode("utf-8")
+    if len(data) < window:
+        return [content_hash64(text)] if data else []
+    h = 0
+    power = pow(_RABIN_BASE, window - 1, _RABIN_MASK)
+    out = []
+    for i, b in enumerate(data):
+        h = (h * _RABIN_BASE + b) % _RABIN_MASK
+        if i >= window:
+            h = (h - data[i - window] * power) % _RABIN_MASK
+        if i >= window - 1 and h % keep_mod == 0:
+            out.append(h)
+    return out
+
+
+def content_md5(text: str) -> str:
+    import hashlib
+
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    texts = batch.column(column).to_pylist()
+    hashes = [content_hash64(t or "") for t in texts]
+    md5s = [content_md5(t or "") for t in texts]
+    rolls = [rolling_fingerprints(t or "") for t in texts]
+    return (
+        batch.append_column("content_hash", pa.array(hashes, pa.int64()))
+        .append_column("content_md5", pa.array(md5s, pa.string()))
+        .append_column("rolling_fps", pa.array(rolls, pa.list_(pa.int64())))
+    )
