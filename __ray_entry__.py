@@ -344,6 +344,67 @@ def _q_media_features(sf_dir: str):
     return ds.select_columns(["media_id", "media_type", "pixel_mean"])
 
 
+def _q_line_perp(sf_dir: str):
+    """LineProbPerp (par.3.3): per-sentence ngram/oov/perplexity metrics."""
+    from topicrawler_ray.lm.train import topic_lm_ref
+    from topicrawler_ray.pipelines.perpeval import LineProbPerp
+
+    ds = _q_sentences_corpus(sf_dir)
+    ds = ds.map_batches(
+        LineProbPerp,
+        fn_constructor_kwargs={"lm_ref": topic_lm_ref(sf_dir)},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return ds.select_columns(["url", "sent_idx", "n_ngrams", "n_oov", "perp"])
+
+
+def _q_doc_perp(sf_dir: str):
+    """PerpDoc (A9/J5): per-document skip-OOV perplexity over the
+    sentence corpus."""
+    from topicrawler_ray.lm.train import topic_lm_ref
+    from topicrawler_ray.pipelines.perpeval import doc_perplexity
+
+    ds = _q_sentences_corpus(sf_dir)
+    return doc_perplexity(ds, topic_lm_ref(sf_dir))
+
+
+def _q_filtered_sentences(sf_dir: str):
+    """FilterLines: sentences with perplexity <= 1000."""
+    from topicrawler_ray.pipelines.perpeval import filter_lines
+
+    return filter_lines(_q_line_perp(sf_dir), max_perp=1000.0)
+
+
+def _q_corpus_truncate(sf_dir: str):
+    """O3: token-budget head truncation in doc_id order (SQL-oracled)."""
+    from topicrawler_ray.pipelines.perpeval import truncate_by_token_budget
+    from topicrawler_ray.stages.textstats import token_count_batch
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"]).sort("doc_id")
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    out = truncate_by_token_budget(
+        ds, budget=10000, order_column="doc_id", token_column="n_ws_tokens"
+    )
+    return out.select_columns(["doc_id", "n_ws_tokens"])
+
+
+def _q_distinct_sentences(sf_dir: str):
+    """O4: exact sentence dedup over the sentence corpus."""
+    from topicrawler_ray.pipelines.perpeval import distinct_sentences
+
+    ds = _q_sentences_corpus(sf_dir).select_columns(["sentence"])
+    return distinct_sentences(ds)
+
+
+def _q_perp_stats(sf_dir: str):
+    """A8: crawl-wide perplexity min/max/mean/count."""
+    from topicrawler_ray.pipelines.flagship import scored_pages
+    from topicrawler_ray.pipelines.perpeval import perp_stats
+
+    return perp_stats(scored_pages(sf_dir, concurrency=2))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -365,6 +426,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_counts_ws": _q_ngram_counts_ws,
         "ngram_stats_seg": _q_ngram_stats_seg,
         "media_features": _q_media_features,
+        "line_perp": _q_line_perp,
+        "doc_perp": _q_doc_perp,
+        "filtered_sentences": _q_filtered_sentences,
+        "corpus_truncate": _q_corpus_truncate,
+        "distinct_sentences": _q_distinct_sentences,
+        "perp_stats": _q_perp_stats,
     }
 
 
@@ -412,6 +479,12 @@ def oracle_sql() -> dict[str, str]:
             "AS n_ws_tokens FROM documents"
         ),
         "fingerprints": ("SELECT doc_id, md5(text) AS content_md5 FROM documents"),
+        "corpus_truncate": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens "
+            "FROM (SELECT doc_id, text, sum(len(string_split(text, ' '))) "
+            "OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS run FROM documents) "
+            "WHERE run <= 10000"
+        ),
         "ngram_counts_ws": (
             "WITH words AS (SELECT doc_id, "
             "unnest(string_split(text, ' ')) AS w, "

@@ -1,0 +1,195 @@
+"""Kneser-Ney LM + batch perplexity-eval pipelines + domain gate."""
+
+import math
+
+import numpy as np
+import pytest
+
+from topicrawler_ray.lm.backoff import NgramCounts
+from topicrawler_ray.lm.kneserney import build_kneser_ney
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the dog sat on the rug",
+    "a cat and a dog met",
+    "the cat saw the dog",
+]
+
+
+def _counts(order):
+    c = NgramCounts(order)
+    for s in CORPUS:
+        c.add_sequence(s.split())
+    return c
+
+
+class TestKneserNey:
+    def test_bigram_distribution_sums_to_one(self):
+        lm = build_kneser_ney(_counts(2))
+        vocab = sorted({w for s in CORPUS for w in s.split()})
+        total = sum(lm.ngram_prob(["the", w]) for w in vocab)
+        assert total == pytest.approx(1.0, abs=1e-9)
+
+    def test_seen_beats_unseen_continuation(self):
+        lm = build_kneser_ney(_counts(2))
+        assert lm.ngram_prob(["the", "cat"]) > lm.ngram_prob(["the", "rug"])
+
+    def test_oov_gets_punk_floor(self):
+        lm = build_kneser_ney(_counts(2))
+        p = lm.ngram_prob(["the", "xyzzy"])
+        assert p == lm.punk(["the", "xyzzy"])
+        assert 0 < p < 0.1
+
+    def test_textbook_formula_order2(self):
+        # p_KN(w|v) = max(c(vw)-D,0)/c(v) + D*nf(v)/c(v) * np(w)/num_bigrams
+        c = _counts(2)
+        lm = build_kneser_ney(c)
+        D = lm._D[2]
+        cv = c.count(("the",))
+        cvw = c.count(("the", "cat"))
+        nf_v = len({g for g in c.counts[2] if g[0] == "the"})
+        np_w = len({g for g in c.counts[2] if g[1] == "cat"})
+        num_bi = len(c.counts[2])
+        expect = max(cvw - D, 0) / cv + D * nf_v / cv * (np_w / num_bi)
+        assert lm.ngram_prob(["the", "cat"]) == pytest.approx(expect, rel=1e-9)
+
+    def test_trigram_finite_and_ordered(self):
+        lm = build_kneser_ney(_counts(3))
+        seen = lm.ngram_prob(["the", "cat", "sat"])
+        unseen = lm.ngram_prob(["the", "cat", "rug"])
+        assert 0 < unseen < seen <= 1.0
+        assert math.isfinite(lm.ngram_log10_prob(["dog", "met", "mat"]))
+
+    def test_fixed_discount(self):
+        lm = build_kneser_ney(_counts(2), discount=0.5)
+        assert lm._D[2] == 0.5
+
+
+class TestPerpEval:
+    @pytest.fixture(scope="class")
+    def sentence_ds(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": ["u1", "u1", "u2"],
+                    "sent_idx": [0, 1, 0],
+                    "sentence": [
+                        "the cat sat on the mat .",
+                        "the dog sat on the rug .",
+                        "xyzzy plugh quux .",
+                    ],
+                    "perp": ["000002.00000"] * 3,
+                }
+            )
+        )
+
+    @pytest.fixture(scope="class")
+    def lm(self):
+        from topicrawler_ray.lm.backoff import StupidBackoffLM
+
+        return StupidBackoffLM(_counts(2))
+
+    def test_line_prob_perp(self, ray_session, sentence_ds, lm):
+        from topicrawler_ray.pipelines.perpeval import LineProbPerp
+
+        out = sentence_ds.map_batches(
+            LineProbPerp,
+            fn_constructor_kwargs={"lm_ref": lm},
+            batch_format="pyarrow",
+            concurrency=1,
+        ).to_pandas()
+        assert len(out) == 3
+        assert (out.n_ngrams > 0).all()
+        # the all-OOV sentence has every ngram ending in OOV except tags
+        oov_row = out[out.url == "u2"].iloc[0]
+        assert oov_row.n_oov > 0
+        on_topic = out[(out.url == "u1") & (out.sent_idx == 0)].iloc[0]
+        assert on_topic.perp < oov_row.perp
+
+    def test_doc_perplexity_groups(self, ray_session, sentence_ds, lm):
+        from topicrawler_ray.pipelines.perpeval import doc_perplexity
+
+        out = doc_perplexity(sentence_ds, lm).to_pandas().set_index("url")
+        assert len(out) == 2
+        assert out.loc["u1", "n_ngrams"] > out.loc["u2", "n_ngrams"]
+        assert out.loc["u1", "perp"] < out.loc["u2", "perp"]
+
+    def test_filter_lines(self, ray_session, sentence_ds, lm):
+        from topicrawler_ray.pipelines.perpeval import LineProbPerp, filter_lines
+
+        scored = sentence_ds.map_batches(
+            LineProbPerp,
+            fn_constructor_kwargs={"lm_ref": lm},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        kept = filter_lines(scored, max_perp=20.0).to_pandas()
+        assert (kept.perp <= 20.0).all()
+        assert len(kept) < 3  # the all-OOV sentence sits at the ud floor
+
+    def test_truncate_by_token_budget(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from topicrawler_ray.pipelines.perpeval import truncate_by_token_budget
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": list(range(20)),
+                    "n_tokens": [10] * 20,
+                }
+            )
+        )
+        out = truncate_by_token_budget(ds, 55, "doc_id", "n_tokens").to_pandas()
+        # 5 docs of 10 tokens fit in 55
+        assert sorted(out.doc_id) == [0, 1, 2, 3, 4]
+
+    def test_distinct_sentences(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.pipelines.perpeval import distinct_sentences
+
+        ds = ray.data.from_items(
+            [{"sentence": s} for s in ["a", "b", "a", "c", "b"]]
+        )
+        out = distinct_sentences(ds).to_pandas()
+        assert sorted(out.sentence) == ["a", "b", "c"]
+
+
+class TestDomainGate:
+    def test_engine_matches_oracle_with_gate(self, ray_session, sf_dir):
+        from topicrawler_ray.config import CrawlConfig
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+        from topicrawler_ray.pipelines.simulate import simulate_crawl
+
+        cfg = CrawlConfig(
+            max_domains=0,
+            num_frontier_shards=2,
+            num_seen_shards=2,
+            num_page_stores=2,
+            num_workers=3,
+            worker_num_cpus=0.5,
+            max_waves=40,
+        )
+        res = RayCrawlEngine(sf_dir, cfg).run()
+        sim = simulate_crawl(sf_dir, config=cfg)
+        # with max_domains=0 every candidate after the first is rejected
+        # (all fixture hosts share the ".example" pseudo-domain quirk)
+        assert res.stats["domain_rejected"] == sim.n_domain_rejected
+        assert res.stats["domain_rejected"] > 0
+        log = res.log.to_pylist()
+        assert len(log) == len(sim.rows)
+        for a, b in zip(log, sim.rows):
+            assert a["url"] == b["url"] and a["fetch_seq"] == b["fetch_seq"]
+
+    def test_domain_of_quirk(self):
+        from topicrawler_ray.pipelines.crawl import _domain_of
+
+        # the reference's backward search finds the same dot -> ".tld"
+        assert _domain_of("host0.example") == ".example"
+        assert _domain_of("a.b.c.example") == ".example"
+        assert _domain_of("localhost") == "localhost"

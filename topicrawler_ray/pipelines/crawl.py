@@ -75,6 +75,16 @@ class CrawlResult:
     stats: dict = field(default_factory=dict)
 
 
+def _domain_of(host: str) -> str:
+    """``TooManyDomainsDecideRule.getDomain`` quirk: the backward search
+    from the last dot finds the same dot -> domain == '.' + TLD."""
+    last = host.rfind(".")
+    if last < 0:
+        return host
+    second = host.rfind(".", 0, last + 1)  # includes `last` itself
+    return host[second:]
+
+
 def _seed_entries(seeds: list[str]) -> list[FrontierEntry]:
     entries = []
     for i, line in enumerate(seeds):
@@ -122,6 +132,8 @@ class RayCrawlEngine:
             lm_ref, self.cfg.num_workers, self.cfg.worker_num_cpus, self.stores
         )
         self._pending: list = []  # fire-and-forget push/robots refs
+        self._domains: set[str] = set()  # TooManyDomainsDecideRule state
+        self.n_domain_rejected = 0
         self.wave = 0
         self.next_seq = 0
         self.n_rejected = 0
@@ -233,7 +245,19 @@ class RayCrawlEngine:
         # prioritize from the STRING perp (DecesiveValuePrioritizer.java:175)
         to_schedule: list[FrontierEntry] = []
         sched_urls: list[str] = []
+        max_domains = self.cfg.max_domains
         for url, (via, pvs) in zip(cand_urls, cand_meta):
+            if max_domains is not None:
+                # TooManyDomainsDecideRule (T6): reject when the observed
+                # count already EXCEEDS the max, then record the domain
+                # either way (TooManyDomainsDecideRule.java:32-46; the
+                # reference's getDomain quirk returns ".tld")
+                domain = _domain_of(host_of_url(url))
+                rejected = len(self._domains) > max_domains
+                self._domains.add(domain)
+                if rejected:
+                    self.n_domain_rejected += 1
+                    continue
             a = prio.schedule(float(pvs))
             if a.directive < 0:
                 self.n_rejected += 1
@@ -332,6 +356,7 @@ class RayCrawlEngine:
             "fetches": log.num_rows,
             "rejected": self.n_rejected,
             "duplicates": self.n_dup,
+            "domain_rejected": self.n_domain_rejected,
             "frontier": fstats,
             "seen": sstats,
         }
@@ -357,6 +382,8 @@ class RayCrawlEngine:
             "next_seq": self.next_seq,
             "n_rejected": self.n_rejected,
             "n_dup": self.n_dup,
+            "domains": self._domains,
+            "n_domain_rejected": self.n_domain_rejected,
         }
         with open(os.path.join(d, "meta.pkl"), "wb") as f:
             pickle.dump(meta, f)
@@ -398,6 +425,8 @@ class RayCrawlEngine:
         self.next_seq = meta["next_seq"]
         self.n_rejected = meta["n_rejected"]
         self.n_dup = meta["n_dup"]
+        self._domains = meta.get("domains", set())
+        self.n_domain_rejected = meta.get("n_domain_rejected", 0)
         import pyarrow.parquet as pq
 
         self.log_batches = pq.read_table(os.path.join(d, "log.parquet")).to_batches()

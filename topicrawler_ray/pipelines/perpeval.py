@@ -1,0 +1,211 @@
+"""Batch perplexity evaluation pipelines (SURVEY.md par.3.3).
+
+* ``line_prob_perp`` - port of ``lt.lm/.../app/LineProbPerp.java:51``:
+  per sentence row emit ``#ngrams, #oov, logprob, perp, logprob_noov,
+  perp_noov`` (the *_noov variants skip n-grams ending in OOV).
+* ``doc_perplexity`` - port of ``lt.lm/.../app/PerpDoc.java:49-54,195-280``:
+  group sentence rows by url (the reference groups CONSECUTIVE lines;
+  grouped-by-url is order-insensitive once grouped - SURVEY A9), one row
+  per document with OOV accounting against an optional reference LM
+  (``--oovreflm``, J5).
+* ``filter_lines`` - ``lt.lm/.../app/FilterLines.java:45,65-75``: keep
+  rows whose perplexity column <= max (default 1000).
+* ``truncate_by_token_budget`` - eval-corpus head_tokens truncation
+  (``lt.ltbot/src/test/scripts/prepare_eval.sh:6-8``, O3): keep rows in
+  key order until the running token sum exceeds the budget.  Implemented
+  scale-aware: per-block partial sums -> driver prefix sum -> single
+  boundary block refined; only 2 small columns ever reach the driver.
+* ``perp_stats`` - crawl-wide perplexity aggregate (A8).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pyarrow as pa
+
+from ..lm.perplexity import calculate_perplexity, text_ngrams
+
+
+def _line_metrics(lm, text: str, oov_lm=None) -> tuple[int, int, float, float, float, float]:
+    ref = oov_lm if oov_lm is not None else lm
+    ngrams = text_ngrams(text, lm.order)
+    n = len(ngrams)
+    n_oov = sum(1 for g in ngrams if ref.ngram_ends_with_oov(g))
+    logp = sum(lm.ngram_log10_prob(g) for g in ngrams)
+    perp = math.pow(10, -(logp / n)) if n and math.isfinite(logp) else float(2**31 - 1)
+    logp_noov = 0.0
+    n_eff = 0
+    for g in ngrams:
+        if ref.ngram_ends_with_oov(g):
+            continue
+        logp_noov += lm.ngram_log10_prob(g)
+        n_eff += 1
+    perp_noov = (
+        math.pow(10, -(logp_noov / n_eff))
+        if n_eff and math.isfinite(logp_noov)
+        else float(2**31 - 1)
+    )
+    return n, n_oov, logp, perp, logp_noov, perp_noov
+
+
+class LineProbPerp:
+    """Actor-pool batch fn over a sentence column."""
+
+    def __init__(self, lm_ref, column: str = "sentence", oov_lm_ref=None):
+        import ray
+
+        self._lm = ray.get(lm_ref) if isinstance(lm_ref, ray.ObjectRef) else lm_ref
+        self._oov = (
+            ray.get(oov_lm_ref) if isinstance(oov_lm_ref, ray.ObjectRef) else oov_lm_ref
+        )
+        self._column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # the sentence corpus carries the page-level "perp" string column
+        # (SentenceWriter layout); drop it so our metric column can own
+        # the name the FilterLines app expects
+        if "perp" in batch.schema.names:
+            batch = batch.drop_columns(["perp"])
+        rows = [
+            _line_metrics(self._lm, t or "", self._oov)
+            for t in batch.column(self._column).to_pylist()
+        ]
+        cols = list(zip(*rows)) if rows else [[]] * 6
+        return (
+            batch.append_column("n_ngrams", pa.array(cols[0], pa.int64()))
+            .append_column("n_oov", pa.array(cols[1], pa.int64()))
+            .append_column("logprob", pa.array(cols[2], pa.float64()))
+            .append_column("perp", pa.array(cols[3], pa.float64()))
+            .append_column("logprob_noov", pa.array(cols[4], pa.float64()))
+            .append_column("perp_noov", pa.array(cols[5], pa.float64()))
+        )
+
+
+def doc_perplexity(sentences_ds, lm_ref, url_column: str = "url",
+                   sentence_column: str = "sentence", oov_lm_ref=None):
+    """PerpDoc: one row per url with skip-OOV perplexity accounting."""
+    import ray
+
+    lm_handle = lm_ref if isinstance(lm_ref, ray.ObjectRef) else ray.put(lm_ref)
+    oov_handle = (
+        oov_lm_ref
+        if (oov_lm_ref is None or isinstance(oov_lm_ref, ray.ObjectRef))
+        else ray.put(oov_lm_ref)
+    )
+
+    def score_doc(group: pd.DataFrame) -> pd.DataFrame:
+        lm = ray.get(lm_handle)
+        ref = ray.get(oov_handle) if oov_handle is not None else lm
+        if "sent_idx" in group.columns:
+            group = group.sort_values("sent_idx")
+        ngrams = []
+        for s in group[sentence_column]:
+            ngrams.extend(text_ngrams(s or "", lm.order))
+        n_oov = sum(1 for g in ngrams if ref.ngram_ends_with_oov(g))
+        perp = calculate_perplexity(lm, ngrams, skip_oov=False)
+        perp_noov = calculate_perplexity(
+            lm, [g for g in ngrams if not ref.ngram_ends_with_oov(g)], skip_oov=False
+        )
+        return pd.DataFrame(
+            {
+                url_column: [group[url_column].iloc[0]],
+                "n_ngrams": [len(ngrams)],
+                "n_oov": [n_oov],
+                "perp": [perp],
+                "perp_noov": [perp_noov],
+            }
+        )
+
+    return sentences_ds.groupby(url_column).map_groups(score_doc, batch_format="pandas")
+
+
+def filter_lines(ds, max_perp: float = 1000.0, column: str = "perp"):
+    """``FilterLines``: keep rows with perp <= max."""
+    import pyarrow.compute as pc
+
+    return ds.map_batches(
+        lambda t: t.filter(pc.less_equal(t.column(column), pa.scalar(float(max_perp)))),
+        batch_format="pyarrow",
+    )
+
+
+def truncate_by_token_budget(ds, budget: int, order_column: str, token_column: str):
+    """Keep rows (in ``order_column`` order) while the running token sum
+    stays <= budget.  Two-phase: per-block (min,max,sum) partials ->
+    driver prefix sum -> exact cutoff computed from the single boundary
+    range only."""
+    import pyarrow.compute as pc
+
+    meta = ds.select_columns([order_column, token_column]).materialize()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        o = batch.column(order_column)
+        t = batch.column(token_column)
+        return pa.table(
+            {
+                "min_o": pa.array([pc.min(o).as_py()], pa.int64()),
+                "max_o": pa.array([pc.max(o).as_py()], pa.int64()),
+                "sum_t": pa.array([pc.sum(t).as_py() or 0], pa.int64()),
+            }
+        )
+
+    parts = sorted(
+        meta.map_batches(partial, batch_format="pyarrow").take_all(),
+        key=lambda r: r["min_o"],
+    )
+    running = 0
+    cutoff = None  # exclusive upper bound on order value
+    boundary: tuple[int, int] | None = None
+    for p in parts:
+        if running + p["sum_t"] > budget:
+            boundary = (p["min_o"], p["max_o"])
+            break
+        running += p["sum_t"]
+    if boundary is None:
+        return ds  # budget never exceeded
+    lo, hi = boundary
+    rows = sorted(
+        (r for r in meta.take_all() if lo <= r[order_column] <= hi),
+        key=lambda r: r[order_column],
+    )
+    cutoff = lo
+    for r in rows:
+        if running + r[token_column] > budget:
+            cutoff = r[order_column]
+            break
+        running += r[token_column]
+    return ds.map_batches(
+        lambda t: t.filter(pc.less(t.column(order_column), pa.scalar(cutoff))),
+        batch_format="pyarrow",
+    )
+
+
+def perp_stats(scored_ds, column: str = "perp"):
+    """A8: crawl-wide min/max/mean/count over finite perplexities."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    finite = scored_ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.is_finite(t.column(column)), pc.greater(t.column(column), 1.0)
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    agg = finite.aggregate(
+        Min(column, alias_name="perp_min"),
+        Max(column, alias_name="perp_max"),
+        Mean(column, alias_name="perp_mean"),
+        Count(alias_name="n_docs"),
+    )
+    return pa.table({k: [v] for k, v in agg.items()})
+
+
+def distinct_sentences(sentences_ds, column: str = "sentence"):
+    """O4: ``sort | uniq`` sentence dedup (exact distinct)."""
+    return sentences_ds.groupby(column).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

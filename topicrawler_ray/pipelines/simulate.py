@@ -35,6 +35,7 @@ class SimResult:
     n_rejected: int = 0
     n_dup: int = 0
     n_robots_rejected: int = 0
+    n_domain_rejected: int = 0
 
 
 def simulate_crawl(
@@ -78,6 +79,7 @@ def simulate_crawl(
         )
         next_seq += 1
 
+    observed_domains: set[str] = set()
     fetch_seq = 0
     wave = 0
     while wave < cfg.max_waves:
@@ -153,6 +155,15 @@ def simulate_crawl(
             fetch_seq += 1
 
         for url, via, pvs in candidates:
+            if cfg.max_domains is not None:
+                from .crawl import _domain_of
+
+                domain = _domain_of(host_of_url(url))
+                rejected = len(observed_domains) > cfg.max_domains
+                observed_domains.add(domain)
+                if rejected:
+                    res.n_domain_rejected += 1
+                    continue
             a = prio.schedule(float(pvs))
             if a.directive < 0:
                 res.n_rejected += 1

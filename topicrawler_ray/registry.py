@@ -1,0 +1,93 @@
+"""User-extension registries (SURVEY.md par.2.10).
+
+Mirrors the reference's pluggable surfaces as named registries:
+
+* ``HtmlTextExtractor`` (JSoup vs Boilerpipe,
+  ``lt.ltbot/.../text/HtmlTextExtractor.java:23-27``),
+* ``UTF8Cleaner`` (Min/Ext, ``UTF8Cleaner.java:22-28``),
+* ``LanguageModel`` scorer variants (``LanguageModel.java:25-68``),
+* sentence splitter / tokenizer strategies
+  (``lt.seg/.../app/Segmenter.java:341-366`` reflective instantiation).
+
+Entries are callables / factories; ``register`` lets user code plug new
+implementations that the pipeline stages then resolve by name (the Ray
+equivalent of the reference's Spring-XML bean wiring).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+_REGISTRIES: dict[str, dict[str, Any]] = {
+    "html_text_extractor": {},
+    "utf8_cleaner": {},
+    "scorer_lm": {},
+    "sentence_splitter": {},
+    "tokenizer": {},
+}
+
+
+def register(kind: str, name: str, impl: Any) -> None:
+    if kind not in _REGISTRIES:
+        raise KeyError("unknown registry %r (have %s)" % (kind, sorted(_REGISTRIES)))
+    _REGISTRIES[kind][name] = impl
+
+
+def resolve(kind: str, name: str) -> Any:
+    try:
+        return _REGISTRIES[kind][name]
+    except KeyError:
+        raise KeyError(
+            "no %r registered as %r (have %s)" % (kind, name, sorted(_REGISTRIES.get(kind, {})))
+        ) from None
+
+
+def available(kind: str) -> list[str]:
+    return sorted(_REGISTRIES[kind])
+
+
+def _boilerpipe_like_text(html: str) -> str:
+    """Simplified density-based article extractor - the registry slot the
+    reference fills with Boilerpipe's ArticleExtractor
+    (``BoilerpipeTextExtractor.java:34-45``, commented out in the default
+    profile cxml:220).  Heuristic: keep only block-level text runs whose
+    word count exceeds a small threshold (nav/footer boilerplate is
+    short)."""
+    import re
+
+    from .functions.htmltext import jsoup_text
+
+    # crude block segmentation on block-level tags, then density filter
+    blocks = re.split(r"(?i)</?(?:p|div|h[1-6]|li|section|article|td)[^>]*>", html)
+    kept: list[str] = []
+    for b in blocks:
+        text = jsoup_text(b)
+        if len(text.split()) >= 6:
+            kept.append(text)
+    return "\n".join(kept)
+
+
+def _register_defaults() -> None:
+    from .functions.cleaners import clean_ext, clean_min
+    from .functions.htmltext import get_plaintext
+    from .functions.sentences import split_sentences
+    from .functions.sentencemaker import get_sentences
+    from .functions.tokenizer import filtered_and_normalized_tokens
+
+    register("html_text_extractor", "jsoup", get_plaintext)
+    register("html_text_extractor", "boilerpipe_like", _boilerpipe_like_text)
+    register("utf8_cleaner", "min", clean_min)
+    register("utf8_cleaner", "ext", clean_ext)
+    register("sentence_splitter", "rule", split_sentences)
+    register("sentence_splitter", "sentence_maker", get_sentences)
+    register("tokenizer", "diff", filtered_and_normalized_tokens)
+
+    from .lm.backoff import StupidBackoffLM
+    from .lm.kneserney import build_kneser_ney
+
+    register("scorer_lm", "stupid_backoff", StupidBackoffLM)
+    register("scorer_lm", "kneser_ney", build_kneser_ney)
+
+
+_register_defaults()
