@@ -140,6 +140,23 @@ def build_topic_lm_laplace(sf_dir: str, order: int = DEFAULT_ORDER) -> LaplaceSm
     return LaplaceSmoothedLM(base)
 
 
+def build_lm_from_text_dir(text_dir: str, order: int = DEFAULT_ORDER) -> StupidBackoffLM:
+    """S9 LM-corpus reader: train from a directory of ``.txt`` files, one
+    sentence per line (``LanguageModelHelper.createBerkelyLmFromTxtFilesInDirectory``,
+    ``lt.lm/.../LanguageModelHelper.java:207-254``) - expressed as
+    ``ray.data.read_text`` -> distributed token streams folded into counts."""
+    import ray.data
+
+    ds = ray.data.read_text(text_dir)
+    counts = NgramCounts(order)
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for line in batch.column("text").to_pylist():
+            tokens = _tokenize_for_lm(line)
+            if tokens:
+                counts.add_sequence(tokens)
+    return freeze_lm(StupidBackoffLM(counts))
+
+
 _lm_refs: dict[tuple[str, int], object] = {}
 
 
