@@ -277,7 +277,7 @@ def _q_quality(sf_dir: str):
     ds = _docs(sf_dir).select_columns(["doc_id", "text"])
     ds = ds.map_batches(quality_batch, batch_format="pyarrow")
     return ds.select_columns(
-        ["doc_id", "n_chars_q", "punct_ratio", "stopword_ratio", "quality_score"]
+        ["doc_id", "n_chars_q", "n_punct", "n_stopwords", "n_words", "n_distinct_words"]
     )
 
 
@@ -295,6 +295,14 @@ def _q_fingerprints(sf_dir: str):
     ds = _docs(sf_dir).select_columns(["doc_id", "text"])
     ds = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "content_md5"])
+
+
+def _q_vocabulary(sf_dir: str):
+    """A2: distinct vocabulary over documents (whitespace tokens)."""
+    from topicrawler_ray.lm.build import count_word_ngrams_ws, vocabulary
+
+    counts = count_word_ngrams_ws(_docs(sf_dir).select_columns(["text"]), order=1)
+    return vocabulary(counts)
 
 
 def _q_ngram_counts_ws(sf_dir: str):
@@ -423,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q_quality,
         "langid": _q_langid,
         "fingerprints": _q_fingerprints,
+        "vocabulary": _q_vocabulary,
         "ngram_counts_ws": _q_ngram_counts_ws,
         "ngram_stats_seg": _q_ngram_stats_seg,
         "media_features": _q_media_features,
@@ -479,6 +488,21 @@ def oracle_sql() -> dict[str, str]:
             "AS n_ws_tokens FROM documents"
         ),
         "fingerprints": ("SELECT doc_id, md5(text) AS content_md5 FROM documents"),
+        "text_quality": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_q, "
+            "CAST(length(regexp_replace(text, '[a-zA-Z0-9_ ]', '', 'g')) AS BIGINT) AS n_punct, "
+            "CAST(len(list_filter(string_split(text, ' '), x -> x IN "
+            "('a','an','and','are','as','at','be','by','for','from','has','he',"
+            "'in','is','it','its','of','on','that','the','to','was','were',"
+            "'will','with','this','these','those','i','you','they','we','she',"
+            "'her','his'))) AS BIGINT) AS n_stopwords, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "
+            "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words "
+            "FROM documents"
+        ),
+        "vocabulary": (
+            "SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents"
+        ),
         "corpus_truncate": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens "
             "FROM (SELECT doc_id, text, sum(len(string_split(text, ' '))) "

@@ -46,19 +46,25 @@ def token_count_batch(batch: pa.Table, column: str = "text") -> pa.Table:
 
 
 def quality_batch(batch: pa.Table, column: str = "text") -> pa.Table:
-    """Append quality signals: n_chars, punct_ratio, stopword_ratio,
-    mean_word_len, repetition_ratio (distinct/total words), and a
-    composite ``quality_score`` in [0, 1]."""
+    """Append quality signals: integer counts (n_chars_q, n_punct,
+    n_stopwords, n_words, n_distinct_words - SQL-exact) plus derived
+    ratios and a composite ``quality_score`` in [0, 1]."""
     texts = batch.column(column).to_pylist()
-    n_chars, punct_r, stop_r, mwl, rep_r, score = [], [], [], [], [], []
+    n_chars, n_punct_l, n_stop_l, n_words_l, n_dist_l = [], [], [], [], []
+    punct_r, stop_r, mwl, rep_r, score = [], [], [], [], []
     for t in texts:
         t = t or ""
         n = len(t)
         words = _WORD_RE.findall(t.lower())
         n_punct = len(_PUNCT_RE.findall(t))
+        n_stop = sum(1 for w in words if w in _STOPWORDS)
         n_chars.append(n)
+        n_punct_l.append(n_punct)
+        n_stop_l.append(n_stop)
+        n_words_l.append(len(words))
+        n_dist_l.append(len(set(words)))
         pr = n_punct / n if n else 0.0
-        sr = (sum(1 for w in words if w in _STOPWORDS) / len(words)) if words else 0.0
+        sr = (n_stop / len(words)) if words else 0.0
         ml = (sum(map(len, words)) / len(words)) if words else 0.0
         rr = (len(set(words)) / len(words)) if words else 0.0
         punct_r.append(pr)
@@ -76,6 +82,10 @@ def quality_batch(batch: pa.Table, column: str = "text") -> pa.Table:
         score.append(s)
     return (
         batch.append_column("n_chars_q", pa.array(n_chars, pa.int64()))
+        .append_column("n_punct", pa.array(n_punct_l, pa.int64()))
+        .append_column("n_stopwords", pa.array(n_stop_l, pa.int64()))
+        .append_column("n_words", pa.array(n_words_l, pa.int64()))
+        .append_column("n_distinct_words", pa.array(n_dist_l, pa.int64()))
         .append_column("punct_ratio", pa.array(punct_r, pa.float64()))
         .append_column("stopword_ratio", pa.array(stop_r, pa.float64()))
         .append_column("mean_word_len", pa.array(mwl, pa.float64()))
