@@ -193,3 +193,30 @@ class TestDomainGate:
         assert _domain_of("host0.example") == ".example"
         assert _domain_of("a.b.c.example") == ".example"
         assert _domain_of("localhost") == "localhost"
+
+
+class TestScorerVariants:
+    def test_kneser_ney_crawl_conformance(self, ray_session, sf_dir):
+        """The engine matches the oracle under an alternate scorer LM -
+        the extension surface (scorer registry) is conformance-safe."""
+        from topicrawler_ray.config import CrawlConfig
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+        from topicrawler_ray.pipelines.simulate import simulate_crawl
+
+        cfg = CrawlConfig(
+            scorer="kneser_ney",
+            num_frontier_shards=2,
+            num_seen_shards=2,
+            num_page_stores=2,
+            num_workers=3,
+            worker_num_cpus=0.5,
+            max_waves=30,
+        )
+        res = RayCrawlEngine(sf_dir, cfg).run()
+        sim = simulate_crawl(sf_dir, config=cfg)
+        log = res.log.to_pylist()
+        assert len(log) == len(sim.rows)
+        for a, b in zip(log, sim.rows):
+            assert a["url"] == b["url"]
+            assert a["perp_str"] == b["perp_str"]
+        assert res.seen_keys == sim.seen_keys

@@ -27,6 +27,7 @@ class PolitenessConfig:
 @dataclass(frozen=True)
 class CrawlConfig:
     order: int = 3
+    scorer: str = "stupid_backoff"  # registry key: stupid_backoff | kneser_ney | laplace
     max_hops: int = 20  # cxml:26
     max_retries: int = 3  # cxml:66 (fetch-sim has no transient failures)
     num_frontier_shards: int = 4

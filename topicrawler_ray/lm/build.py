@@ -94,9 +94,14 @@ def vocabulary(counts_ds):
             out.update(g.split(" "))
         return pa.table({"word": pa.array(sorted(out), pa.string())})
 
-    return counts_ds.map_batches(words, batch_format="pyarrow").groupby(
-        "word"
-    ).map_groups(lambda g: g.head(1), batch_format="pandas")
+    from ray.data.aggregate import Count
+
+    distinct = (
+        counts_ds.map_batches(words, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Count(alias_name="cnt"))
+    )
+    return distinct.select_columns(["word"])
 
 
 def _cont_stats(counts_ds, key_fn_name: str):
@@ -128,20 +133,27 @@ def _cont_stats(counts_ds, key_fn_name: str):
             }
         )
 
-    def agg(group: pd.DataFrame) -> pd.DataFrame:
-        num = group["num"]
-        return pd.DataFrame(
-            {
-                "key": [group["key"].iloc[0]],
-                "n_sum": [int(num.sum())],
-                "n1": [int((num == 1).sum())],
-                "n2": [int((num == 2).sum())],
-                "n3": [int((num >= 3).sum())],
-            }
+    def indicators(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        num = batch.column("num")
+        return batch.append_column(
+            "i1", pc.cast(pc.equal(num, 1), pa.int64())
+        ).append_column("i2", pc.cast(pc.equal(num, 2), pa.int64())).append_column(
+            "i3", pc.cast(pc.greater_equal(num, 3), pa.int64())
         )
 
-    derived = counts_ds.map_batches(derive, batch_format="pyarrow")
-    return derived.groupby("key").map_groups(agg, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    derived = counts_ds.map_batches(derive, batch_format="pyarrow").map_batches(
+        indicators, batch_format="pyarrow"
+    )
+    return derived.groupby("key").aggregate(
+        Sum("num", alias_name="n_sum"),
+        Sum("i1", alias_name="n1"),
+        Sum("i2", alias_name="n2"),
+        Sum("i3", alias_name="n3"),
+    )
 
 
 def nfollow(counts_ds):

@@ -93,6 +93,17 @@ def _tokenize_for_lm(sentence: str) -> list[str]:
 
 
 @lru_cache(maxsize=4)
+def build_topic_counts(sf_dir: str, order: int = DEFAULT_ORDER) -> NgramCounts:
+    """Shared deterministic training counts for every scorer variant."""
+    counts = NgramCounts(order)
+    for sentence in iter_training_sentences(sf_dir):
+        tokens = _tokenize_for_lm(sentence)
+        if tokens:
+            counts.add_sequence(tokens)
+    return counts
+
+
+@lru_cache(maxsize=4)
 def build_topic_lm(sf_dir: str, order: int = DEFAULT_ORDER) -> StupidBackoffLM:
     """Train the deterministic topic LM (stupid-backoff) for a scale dir.
 
@@ -116,12 +127,8 @@ def build_topic_lm(sf_dir: str, order: int = DEFAULT_ORDER) -> StupidBackoffLM:
     if artifact.exists():
         with open(artifact, "rb") as f:
             return pickle.load(f)
-    counts = NgramCounts(order)
-    for sentence in iter_training_sentences(sf_dir):
-        tokens = _tokenize_for_lm(sentence)
-        if tokens:
-            counts.add_sequence(tokens)
-    lm = freeze_lm(StupidBackoffLM(counts))  # numpy-packed, zero-copy broadcast
+    counts = build_topic_counts(sf_dir, order)
+    lm = freeze_lm(StupidBackoffLM(counts))  # packed-int keys, cheap unpickle
     fd, tmp = tempfile.mkstemp(dir=artifact.parent, suffix=".tmp")
     with os.fdopen(fd, "wb") as f:
         pickle.dump(lm, f)
@@ -138,6 +145,25 @@ def build_topic_lm_laplace(sf_dir: str, order: int = DEFAULT_ORDER) -> LaplaceSm
         for ng in ngram_mod.ngram_sequence(tokens, order, boundary_mode=0):
             base.add_ngram(ng)
     return LaplaceSmoothedLM(base)
+
+
+@lru_cache(maxsize=4)
+def build_topic_lm_kn(sf_dir: str, order: int = DEFAULT_ORDER):
+    """Kneser-Ney variant of the topic LM (F16)."""
+    from .kneserney import build_kneser_ney
+
+    return build_kneser_ney(build_topic_counts(sf_dir, order))
+
+
+def build_scorer_lm(sf_dir: str, order: int = DEFAULT_ORDER, scorer: str = "stupid_backoff"):
+    """Resolve a crawl scorer LM by registry name."""
+    if scorer == "stupid_backoff":
+        return build_topic_lm(sf_dir, order)
+    if scorer == "kneser_ney":
+        return build_topic_lm_kn(sf_dir, order)
+    if scorer == "laplace":
+        return build_topic_lm_laplace(sf_dir, order)
+    raise KeyError("unknown scorer %r" % scorer)
 
 
 def build_lm_from_text_dir(text_dir: str, order: int = DEFAULT_ORDER) -> StupidBackoffLM:
@@ -160,15 +186,13 @@ def build_lm_from_text_dir(text_dir: str, order: int = DEFAULT_ORDER) -> StupidB
 _lm_refs: dict[tuple[str, int], object] = {}
 
 
-def topic_lm_ref(sf_dir: str, order: int = DEFAULT_ORDER):
-    """``ray.put`` the trained LM once per (sf_dir, order); return the ref.
-
-    Scorer actors ``ray.get`` this in ``__init__`` - zero-copy broadcast
-    through the object store instead of per-batch shipping.
-    """
+def topic_lm_ref(sf_dir: str, order: int = DEFAULT_ORDER, scorer: str = "stupid_backoff"):
+    """``ray.put`` the trained LM once per (sf_dir, order, scorer);
+    return the ref.  Scorer actors ``ray.get`` this in ``__init__`` -
+    broadcast once through the object store, never per batch."""
     import ray
 
-    key = (sf_dir, order)
+    key = (sf_dir, order, scorer)
     if key not in _lm_refs:
-        _lm_refs[key] = ray.put(build_topic_lm(sf_dir, order))
+        _lm_refs[key] = ray.put(build_scorer_lm(sf_dir, order, scorer))
     return _lm_refs[key]

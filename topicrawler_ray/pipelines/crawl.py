@@ -120,7 +120,7 @@ class RayCrawlEngine:
         self.cfg = config or CrawlConfig()
         self.sf_dir = sf_dir
         self.seeds = seeds if seeds is not None else default_seeds(sf_dir)
-        lm_ref = topic_lm_ref(sf_dir, self.cfg.order)
+        lm_ref = topic_lm_ref(sf_dir, self.cfg.order, self.cfg.scorer)
         self.frontier = make_frontier_actors(self.cfg.num_frontier_shards)
         self.seen = make_seen_actors(
             self.cfg.num_seen_shards,

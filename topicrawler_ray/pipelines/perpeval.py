@@ -205,7 +205,13 @@ def perp_stats(scored_ds, column: str = "perp"):
 
 
 def distinct_sentences(sentences_ds, column: str = "sentence"):
-    """O4: ``sort | uniq`` sentence dedup (exact distinct)."""
-    return sentences_ds.groupby(column).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    """O4: ``sort | uniq`` sentence dedup (exact distinct) - an
+    aggregate-based distinct (no per-group python calls)."""
+    from ray.data.aggregate import Count
+
+    return (
+        sentences_ds.select_columns([column])
+        .groupby(column)
+        .aggregate(Count(alias_name="cnt"))
+        .select_columns([column])
     )

@@ -43,12 +43,12 @@ def simulate_crawl(
     seeds: list[str] | None = None,
     config: CrawlConfig | None = None,
 ) -> SimResult:
-    from ..lm.train import build_topic_lm
+    from ..lm.train import build_scorer_lm
     from ..pipelines.crawl import default_seeds
     from ..sources.pages import pages_path
 
     cfg = config or CrawlConfig()
-    lm = build_topic_lm(sf_dir, cfg.order)
+    lm = build_scorer_lm(sf_dir, cfg.order, cfg.scorer)
     pages_t = pq.read_table(pages_path(sf_dir), columns=["url", "html"])
     page_html = {
         u: h for u, h in zip(pages_t["url"].to_pylist(), pages_t["html"].to_pylist())

@@ -150,9 +150,13 @@ def lsh_candidate_pairs(ds, column: str = "text", id_column: str = "doc_id",
     pairs_ds = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
         pairs, batch_format="pandas"
     )
-    # dedup pairs proposed by multiple bands
-    return pairs_ds.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # dedup pairs proposed by multiple bands (aggregate-based distinct)
+    from ray.data.aggregate import Count
+
+    return (
+        pairs_ds.groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="cnt"))
+        .select_columns(["id_a", "id_b"])
     )
 
 
@@ -276,8 +280,11 @@ def simhash_near_dup_pairs(ds, column: str = "text", id_column: str = "doc_id",
     pair_ds = exploded.groupby(["band_id", "band_key"]).map_groups(
         pairs, batch_format="pandas"
     )
-    return pair_ds.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    from ray.data.aggregate import Min
+
+    return (
+        pair_ds.groupby(["id_a", "id_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
     )
 
 
