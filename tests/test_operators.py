@@ -300,3 +300,25 @@ class TestMultimodal:
         stage = ImageDecodeStage(fake=False)
         with pytest.raises(NotImplementedError):
             stage._decode(b"xx", 8, 8)
+
+
+class TestRobotsActors:
+    def test_standalone_robots_filtering(self, ray_session):
+        from topicrawler_ray.state.robots import filter_allowed, make_robots_actors
+
+        actors = make_robots_actors(2)
+        import ray
+
+        from topicrawler_ray.state.frontier import shard_of_host
+
+        s = shard_of_host("a.example", 2)
+        ray.get(actors[s].set_from_body.remote(
+            "a.example", "User-agent: *\nDisallow: /private/\n"
+        ))
+        urls = [
+            "http://a.example/ok",
+            "http://a.example/private/x",
+            "http://b.example/anything",  # unknown host -> allowed
+        ]
+        kept = filter_allowed(urls, actors)
+        assert kept == ["http://a.example/ok", "http://b.example/anything"]

@@ -1,0 +1,136 @@
+"""Command-line entry points - suitable for ``ray job submit``.
+
+On a real cluster::
+
+    ray job submit --working-dir . -- python -m topicrawler_ray.cli crawl \
+        --sf-dir /data/sfX --out /data/crawl_out --checkpoint /data/ckpt
+
+In this sandbox Ray runs local-mode; the CLI owns its Ray session
+(``ray.init``/``ray.shutdown``) - library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    kwargs = dict(
+        include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR"
+    )
+    if not ray.is_initialized():
+        # on a cluster (ray job submit) RAY_ADDRESS is auto; locally force
+        # a local head with the requested CPU budget
+        if os.environ.get("RAY_ADDRESS", "local") == "local":
+            kwargs["address"] = "local"
+            if num_cpus:
+                kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_crawl(args) -> int:
+    from .config import CrawlConfig
+    from .pipelines.crawl import RayCrawlEngine
+
+    _init_ray(args.num_cpus)
+    import pyarrow.parquet as pq
+    import ray
+
+    cfg = CrawlConfig.sized(
+        args.num_cpus or 8,
+        checkpoint_dir=args.checkpoint,
+        max_waves=args.max_waves,
+        scorer=args.scorer,
+    )
+    engine = RayCrawlEngine(args.sf_dir, cfg)
+    result = engine.resume_run() if args.resume else engine.run()
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        pq.write_table(result.log, os.path.join(args.out, "crawl_log.parquet"))
+    print(json.dumps(result.stats, default=str))
+    ray.shutdown()
+    return 0
+
+
+def cmd_score(args) -> int:
+    from .pipelines.flagship import scored_pages
+
+    _init_ray(args.num_cpus)
+    import ray
+
+    ds = scored_pages(args.sf_dir, concurrency=max(2, (args.num_cpus or 8) // 2))
+    if args.out:
+        ds.write_parquet(args.out)
+        print(json.dumps({"out": args.out}))
+    else:
+        print(json.dumps({"rows": ds.count()}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_export_corpus(args) -> int:
+    """Extract + score + write sentence/plaintext corpora (S6/S7 sinks)."""
+    from .pipelines.export import write_partitioned
+    from .pipelines.flagship import scored_pages
+    from .stages.sinks import plaintext_batch, sentences_batch
+
+    _init_ray(args.num_cpus)
+    import ray
+
+    ds = scored_pages(args.sf_dir, concurrency=max(2, (args.num_cpus or 8) // 2))
+    sent = ds.map_batches(sentences_batch, batch_format="pyarrow")
+    plain = ds.map_batches(plaintext_batch, batch_format="pyarrow")
+    m1 = write_partitioned(sent, os.path.join(args.out, "sentences"), key_column="url")
+    m2 = write_partitioned(plain, os.path.join(args.out, "plaintext"), key_column="url")
+    print(
+        json.dumps(
+            {
+                "sentences_rows": sum(m["rows"] for m in m1.values()),
+                "plaintext_rows": sum(m["rows"] for m in m2.values()),
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="topicrawler_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run the wave crawl")
+    c.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    c.add_argument("--out", default=None)
+    c.add_argument("--checkpoint", default=None)
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--max-waves", type=int, default=100000)
+    c.add_argument("--scorer", default="stupid_backoff")
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_crawl)
+
+    s = sub.add_parser("score", help="pages -> extract -> LM-score")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    s.add_argument("--out", default=None)
+    s.add_argument("--num-cpus", type=int, default=None)
+    s.set_defaults(fn=cmd_score)
+
+    e = sub.add_parser("export-corpus", help="write sentence/plaintext corpora")
+    e.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    e.add_argument("--out", required=True)
+    e.add_argument("--num-cpus", type=int, default=None)
+    e.set_defaults(fn=cmd_export_corpus)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
