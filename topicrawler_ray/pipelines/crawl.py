@@ -36,7 +36,6 @@ from ..functions.urls import host_of_url, seed_line_url
 from ..sources.pages import n_hosts_for, url_of
 from ..stages import prioritize as prio
 from ..state.frontier import FrontierEntry, shard_of_host
-from ..state.seen import shard_of_key, url_to_key
 
 LOG_SCHEMA = pa.schema(
     [
@@ -114,16 +113,14 @@ class RayCrawlEngine:
         from ..stages.crawlworker import make_crawl_workers
         from ..state.frontier import make_frontier_actors
         from ..state.pagestore import make_page_store_actors
-        from ..state.seen import make_seen_actors
 
         self.ray = ray
         self.cfg = config or CrawlConfig()
         self.sf_dir = sf_dir
         self.seeds = seeds if seeds is not None else default_seeds(sf_dir)
         lm_ref = topic_lm_ref(sf_dir, self.cfg.order, self.cfg.scorer)
-        self.frontier = make_frontier_actors(self.cfg.num_frontier_shards)
-        self.seen = make_seen_actors(
-            self.cfg.num_seen_shards,
+        self.frontier = make_frontier_actors(
+            self.cfg.num_frontier_shards,
             self.cfg.seen_capacity_per_shard,
             self.cfg.seen_keep_exact,
         )
@@ -137,7 +134,6 @@ class RayCrawlEngine:
         self.wave = 0
         self.next_seq = 0
         self.n_rejected = 0
-        self.n_dup = 0
         self.log_batches: list[pa.RecordBatch] = []
 
     # -- helpers -----------------------------------------------------------
@@ -151,24 +147,6 @@ class RayCrawlEngine:
             [self.frontier[s].push.remote(es) for s, es in byshard.items()]
         )
 
-    def _seen_test_and_add(self, urls: list[str]) -> list[bool]:
-        """Batched seen test in given order; returns is-new mask."""
-        keys = [url_to_key(u) for u in urls]
-        byshard: dict[int, list[int]] = {}
-        positions: dict[int, list[int]] = {}
-        for i, k in enumerate(keys):
-            s = shard_of_key(k, len(self.seen))
-            byshard.setdefault(s, []).append(k)
-            positions.setdefault(s, []).append(i)
-        masks = self.ray.get(
-            [self.seen[s].test_and_add.remote(ks) for s, ks in byshard.items()]
-        )
-        out = [False] * len(urls)
-        for (s, _), mask in zip(byshard.items(), masks):
-            for pos, new in zip(positions[s], mask):
-                out[pos] = new
-        return out
-
     # -- the loop ----------------------------------------------------------
     def warmup(self) -> None:
         """Start every actor in parallel (page-store partition loads, LM
@@ -177,14 +155,19 @@ class RayCrawlEngine:
             [s.warm.remote() for s in self.stores]
             + [w.ping.remote() for w in self.workers]
             + [f.has_work.remote() for f in self.frontier]
-            + [s.stats.remote() for s in self.seen]
         )
 
     def bootstrap(self) -> None:
         self.warmup()
         entries = _seed_entries(self.seeds)
-        self._seen_test_and_add([e.url for e in entries])
-        self._push(entries)
+        byshard: dict[int, list[FrontierEntry]] = {}
+        for e in entries:
+            byshard.setdefault(
+                shard_of_host(host_of_url(e.url), len(self.frontier)), []
+            ).append(e)
+        self.ray.get(
+            [self.frontier[s].push_if_new.remote(es) for s, es in byshard.items()]
+        )
         self.next_seq = len(entries)
 
     def run_wave(self) -> int:
@@ -244,7 +227,6 @@ class RayCrawlEngine:
 
         # prioritize from the STRING perp (DecesiveValuePrioritizer.java:175)
         to_schedule: list[FrontierEntry] = []
-        sched_urls: list[str] = []
         max_domains = self.cfg.max_domains
         for url, (via, pvs) in zip(cand_urls, cand_meta):
             if max_domains is not None:
@@ -262,28 +244,22 @@ class RayCrawlEngine:
             if a.directive < 0:
                 self.n_rejected += 1
                 continue
-            sched_urls.append(url)
+            # SPEC: seq is assigned in candidate-proposal order BEFORE the
+            # seen filter (duplicates consume seq numbers) so scheduling
+            # is one fire-and-forget call per shard - the shard drops
+            # already-seen urls itself (FrontierShardState.push_if_new)
             to_schedule.append(
-                FrontierEntry(a.directive, a.cost, 0, url, via, pvs)
+                FrontierEntry(a.directive, a.cost, self.next_seq, url, via, pvs)
             )
-        if sched_urls:
-            mask = self._seen_test_and_add(sched_urls)
-            fresh = []
-            for new, e in zip(mask, to_schedule):
-                if not new:
-                    self.n_dup += 1
-                    continue
-                e.seq = self.next_seq
-                self.next_seq += 1
-                fresh.append(e)
-            if fresh:
-                byshard: dict[int, list[FrontierEntry]] = {}
-                for e in fresh:
-                    byshard.setdefault(
-                        shard_of_host(host_of_url(e.url), len(self.frontier)), []
-                    ).append(e)
-                for s, es in byshard.items():
-                    self._pending.append(self.frontier[s].push.remote(es))
+            self.next_seq += 1
+        if to_schedule:
+            byshard: dict[int, list[FrontierEntry]] = {}
+            for e in to_schedule:
+                byshard.setdefault(
+                    shard_of_host(host_of_url(e.url), len(self.frontier)), []
+                ).append(e)
+            for s, es in byshard.items():
+                self._pending.append(self.frontier[s].push_if_new.remote(es))
 
         self._append_log(picked, results)
         self.wave += 1
@@ -347,18 +323,16 @@ class RayCrawlEngine:
         seen_keys: set[int] = set()
         if self.cfg.seen_keep_exact:
             # the conformance artifact is the exact KEY set across shards
-            keys = ray.get([s.exact_keys.remote() for s in self.seen])
+            keys = ray.get([s.exact_seen_keys.remote() for s in self.frontier])
             seen_keys = {k for shard in keys for k in shard}
         fstats = ray.get([s.stats.remote() for s in self.frontier])
-        sstats = ray.get([s.stats.remote() for s in self.seen])
         stats = {
             "waves": self.wave,
             "fetches": log.num_rows,
             "rejected": self.n_rejected,
-            "duplicates": self.n_dup,
+            "duplicates": sum(f["duplicates"] for f in fstats),
             "domain_rejected": self.n_domain_rejected,
             "frontier": fstats,
-            "seen": sstats,
         }
         return CrawlResult(log=log, seen_keys=seen_keys, stats=stats)
 
@@ -370,18 +344,13 @@ class RayCrawlEngine:
         d = os.path.join(self.cfg.checkpoint_dir, "wave=%06d" % self.wave)
         os.makedirs(d, exist_ok=True)
         fsnaps = ray.get([s.snapshot.remote() for s in self.frontier])
-        ssnaps = ray.get([s.snapshot.remote() for s in self.seen])
         for i, blob in enumerate(fsnaps):
             with open(os.path.join(d, "frontier_%02d.pkl" % i), "wb") as f:
-                f.write(blob)
-        for i, blob in enumerate(ssnaps):
-            with open(os.path.join(d, "seen_%02d.pkl" % i), "wb") as f:
                 f.write(blob)
         meta = {
             "wave": self.wave,
             "next_seq": self.next_seq,
             "n_rejected": self.n_rejected,
-            "n_dup": self.n_dup,
             "domains": self._domains,
             "n_domain_rejected": self.n_domain_rejected,
         }
@@ -415,16 +384,12 @@ class RayCrawlEngine:
         for i, s in enumerate(self.frontier):
             with open(os.path.join(d, "frontier_%02d.pkl" % i), "rb") as f:
                 futs.append(s.restore.remote(f.read()))
-        for i, s in enumerate(self.seen):
-            with open(os.path.join(d, "seen_%02d.pkl" % i), "rb") as f:
-                futs.append(s.restore.remote(f.read()))
         ray.get(futs)
         with open(os.path.join(d, "meta.pkl"), "rb") as f:
             meta = pickle.load(f)
         self.wave = meta["wave"]
         self.next_seq = meta["next_seq"]
         self.n_rejected = meta["n_rejected"]
-        self.n_dup = meta["n_dup"]
         self._domains = meta.get("domains", set())
         self.n_domain_rejected = meta.get("n_domain_rejected", 0)
         import pyarrow.parquet as pq

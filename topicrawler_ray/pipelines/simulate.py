@@ -168,13 +168,15 @@ def simulate_crawl(
             if a.directive < 0:
                 res.n_rejected += 1
                 continue
+            # SPEC: seq assigned in proposal order BEFORE the seen filter
+            seq = next_seq
+            next_seq += 1
             if not seen_add(url):
                 res.n_dup += 1
                 continue
             frontier.setdefault(host_of_url(url), []).append(
-                (a.directive, a.cost, next_seq, url, via, pvs)
+                (a.directive, a.cost, seq, url, via, pvs)
             )
-            next_seq += 1
         wave += 1
 
     return res

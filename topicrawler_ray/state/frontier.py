@@ -39,6 +39,7 @@ from dataclasses import dataclass, field
 
 from ..functions.hashing import url_hash64
 from ..functions.urls import host_of_url, path_of_url
+from .seen import SeenShardState
 
 
 @dataclass(order=True)
@@ -100,14 +101,22 @@ class RobotsCache:
 
 
 class FrontierShardState:
-    """One shard: heaps + robots for its hosts. Actor- or in-process-use."""
+    """One shard: heaps + robots + URL-seen for its hosts.
 
-    def __init__(self):
+    The seen set lives IN the frontier shard (keyed by the same host
+    hash) so scheduling a wave's candidates is a single fire-and-forget
+    actor call per shard: the driver never blocks on dedup (the per-actor
+    call ordering guarantees the next ``pop_wave`` observes the pushes).
+    """
+
+    def __init__(self, seen_capacity: int = 1 << 16, seen_keep_exact: bool = True):
         self.queues: dict[str, list[tuple]] = {}
         self.robots = RobotsCache()
+        self.seen = SeenShardState(seen_capacity, seen_keep_exact)
         self.n_pushed = 0
         self.n_popped = 0
         self.n_robots_rejected = 0
+        self.n_dup = 0
 
     # -- mutation ----------------------------------------------------------
     def push(self, entries: list[FrontierEntry]) -> None:
@@ -120,6 +129,21 @@ class FrontierShardState:
 
     def set_robots(self, host: str, rules: list[str]) -> None:
         self.robots.set_rules(host, rules)
+
+    def push_if_new(self, entries: list[FrontierEntry]) -> int:
+        """URL-seen test-and-add then push, in the given (seq) order.
+        Returns the number actually scheduled (duplicates dropped)."""
+        fresh = 0
+        for e in entries:
+            if not self.seen.test_and_add([url_hash64(e.url)])[0]:
+                self.n_dup += 1
+                continue
+            self.push([e])
+            fresh += 1
+        return fresh
+
+    def exact_seen_keys(self) -> list[int]:
+        return sorted(self.seen.exact)
 
     # -- wave pop ----------------------------------------------------------
     def pop_wave(self) -> tuple[list[FrontierEntry], int]:
@@ -179,7 +203,13 @@ class FrontierShardState:
                 "queues": self.queues,
                 "rules": self.robots._rules,
                 "requested": self.robots._requested,
-                "counters": (self.n_pushed, self.n_popped, self.n_robots_rejected),
+                "seen": self.seen.snapshot(),
+                "counters": (
+                    self.n_pushed,
+                    self.n_popped,
+                    self.n_robots_rejected,
+                    self.n_dup,
+                ),
             }
         )
 
@@ -190,7 +220,8 @@ class FrontierShardState:
         st.queues = d["queues"]
         st.robots._rules = d["rules"]
         st.robots._requested = d["requested"]
-        st.n_pushed, st.n_popped, st.n_robots_rejected = d["counters"]
+        st.seen = SeenShardState.restore(d["seen"])
+        st.n_pushed, st.n_popped, st.n_robots_rejected, st.n_dup = d["counters"]
         return st
 
 
@@ -198,16 +229,23 @@ def shard_of_host(host: str, num_shards: int) -> int:
     return url_hash64("host:" + host) % num_shards
 
 
-def make_frontier_actors(num_shards: int):
+def make_frontier_actors(num_shards: int, seen_capacity: int = 1 << 16,
+                         seen_keep_exact: bool = True):
     import ray
 
     @ray.remote(num_cpus=0.25)
     class FrontierShard:
         def __init__(self):
-            self.state = FrontierShardState()
+            self.state = FrontierShardState(seen_capacity, seen_keep_exact)
 
         def push(self, entries):
             self.state.push(entries)
+
+        def push_if_new(self, entries):
+            return self.state.push_if_new(entries)
+
+        def exact_seen_keys(self):
+            return self.state.exact_seen_keys()
 
         def set_robots(self, host, rules):
             self.state.set_robots(host, rules)
@@ -230,6 +268,9 @@ def make_frontier_actors(num_shards: int):
                 "pushed": self.state.n_pushed,
                 "popped": self.state.n_popped,
                 "robots_rejected": self.state.n_robots_rejected,
+                "duplicates": self.state.n_dup,
+                "seen_added": self.state.seen.n_added,
+                "seen_false_positives": self.state.seen.n_fp,
                 "pending": self.state.pending(),
             }
 
