@@ -92,6 +92,7 @@ def noise_words(doc_id: int, k: int) -> list[str]:
 
 
 DIRTY_MOD = 23  # doc_id % 23 == 5 -> BOM+U+FFFD injected into paragraph 1
+EXT_DIRTY_MOD = 29  # doc_id % 29 == 11 -> Ext-only dirty char U+20A8 in p2
 
 
 def _paragraphs(doc_id: int, words: list[str]) -> tuple[str, str, str]:
@@ -116,7 +117,14 @@ def _paragraphs(doc_id: int, words: list[str]) -> tuple[str, str, str]:
     if doc_id % DIRTY_MOD == 5 and p1w:
         p1_html = "\ufeff" + p1 + "\ufffd"
         p1_expected = "\u00bf" + p1 + "\u00bf"
-    return p1_html, p1_expected, " ".join(p2w) + "."
+    p2 = " ".join(p2w) + "."
+    if doc_id % EXT_DIRTY_MOD == 11 and p2w:
+        # Ext-only dirty char (U+20A8 rupee sign): the writer/conformance
+        # path (UTF8CleanerMin) KEEPS it, the scorer path (UTF8CleanerExt,
+        # cxml:216) replaces it with U+00BF - the fixture that separates
+        # the two cleaner pipelines
+        p2 = p2 + " \u20a8"
+    return p1_html, p1_expected, p2
 
 
 def _anchor_cell(doc_id: int, n_docs: int, n_hosts: int) -> tuple[str, str, list[str]]:
