@@ -220,3 +220,29 @@ class TestScorerVariants:
             assert a["url"] == b["url"]
             assert a["perp_str"] == b["perp_str"]
         assert res.seen_keys == sim.seen_keys
+
+
+class TestOrder5:
+    def test_order5_crawl_conformance(self, ray_session, sf_dir):
+        """Reference default LM order is 5 (README heap advice); the
+        engine and oracle agree at order 5 too."""
+        from topicrawler_ray.config import CrawlConfig
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+        from topicrawler_ray.pipelines.simulate import simulate_crawl
+
+        cfg = CrawlConfig(
+            order=5,
+            num_frontier_shards=2,
+            num_seen_shards=2,
+            num_page_stores=2,
+            num_workers=3,
+            worker_num_cpus=0.5,
+            max_waves=25,
+        )
+        res = RayCrawlEngine(sf_dir, cfg).run()
+        sim = simulate_crawl(sf_dir, config=cfg)
+        log = res.log.to_pylist()
+        assert len(log) == len(sim.rows)
+        for a, b in zip(log, sim.rows):
+            assert a["url"] == b["url"] and a["perp_str"] == b["perp_str"]
+        assert res.seen_keys == sim.seen_keys

@@ -20,9 +20,23 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..functions.cleaners import clean_ext, clean_min
+import re as _re
+
+from ..functions.cleaners import (
+    EXT_DIRTY_CODEPOINTS,
+    MIN_DIRTY_CODEPOINTS,
+    clean_ext,
+    clean_min,
+)
 from ..functions.htmltext import get_plaintext
 from ..functions.strings import abbreviate, collapse_spaces_ascii, java_trim
+
+# chars dirty for Ext but NOT Min: when none are present the Min and Ext
+# composites produce identical text, so the second full parse is skipped
+_EXT_ONLY = sorted(set(EXT_DIRTY_CODEPOINTS) - set(MIN_DIRTY_CODEPOINTS))
+_EXT_ONLY_RE = _re.compile(
+    "[%s]" % "".join("\\u%04x" % cp for cp in _EXT_ONLY)
+)
 
 
 def is_robots_url(url: str) -> bool:
@@ -34,9 +48,17 @@ def is_robots_url(url: str) -> bool:
 
 
 def extract_one(html_utf8: str) -> tuple[str, str, str]:
-    """(clean_text_min, score_text_ext, abbr) for one page."""
+    """(clean_text_min, score_text_ext, abbr) for one page.
+
+    The two composites differ only on UTF8CleanerExt's extra dirty list;
+    pages without any Ext-only char (the overwhelming majority) run the
+    parse once and share the result.
+    """
     plain_min = java_trim(clean_min(get_plaintext(clean_min(html_utf8))))
-    plain_ext = java_trim(clean_ext(get_plaintext(clean_ext(html_utf8))))
+    if _EXT_ONLY_RE.search(html_utf8) is None:
+        plain_ext = plain_min
+    else:
+        plain_ext = java_trim(clean_ext(get_plaintext(clean_ext(html_utf8))))
     abbr = collapse_spaces_ascii(abbreviate(plain_ext, 50))
     return plain_min, plain_ext, abbr
 
