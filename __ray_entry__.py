@@ -413,12 +413,35 @@ def _q_perp_stats(sf_dir: str):
     return perp_stats(scored_pages(sf_dir, concurrency=2))
 
 
+def _q_crawl_metrics(sf_dir: str):
+    """Per-wave (per-politeness-slot partition) fetch/score metrics from
+    the crawl log - lineage columns (wave, seq) per north rule."""
+    import pandas as pd
+
+    log = _crawl_result(sf_dir).log.to_pandas()
+    g = log.groupby("wave")
+    out = pd.DataFrame(
+        {
+            "wave": g.size().index.astype("int64"),
+            "fetches": g.size().values.astype("int64"),
+            "ok": (g["status"].apply(lambda s: int((s == 200).sum()))).values,
+            "missing": (g["status"].apply(lambda s: int((s == 404).sum()))).values,
+            "robots": (g["is_robots"].sum()).values.astype("int64"),
+            "scored": (
+                g["perp_str"].apply(lambda s: int((s != "").sum()))
+            ).values.astype("int64"),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
         "scored_pages": _q_scored_pages,
         "crawl_log": _q_crawl_log,
         "crawl_seen": _q_crawl_seen,
+        "crawl_metrics": _q_crawl_metrics,
         "sentences_corpus": _q_sentences_corpus,
         "plaintext_corpus": _q_plaintext_corpus,
         "dedup_exact": _q_dedup_exact,

@@ -109,3 +109,17 @@ class TestEngineConformance:
             assert res.seen_keys == sim_result.seen_keys
         finally:
             shutil.rmtree(ckpt, ignore_errors=True)
+
+
+class TestHopLimit:
+    def test_hop_limit_conformance(self, ray_session, sf_dir):
+        from topicrawler_ray.config import CrawlConfig
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+        from topicrawler_ray.pipelines.simulate import simulate_crawl
+
+        cfg = CrawlConfig(max_hops=2, **_SMALL)
+        res = RayCrawlEngine(sf_dir, cfg).run()
+        sim = simulate_crawl(sf_dir, config=cfg)
+        assert res.stats["hops_rejected"] == sim.n_hops_rejected > 0
+        _assert_log_matches(res.log, sim.rows)
+        assert res.seen_keys == sim.seen_keys

@@ -131,6 +131,7 @@ class RayCrawlEngine:
         self._pending: list = []  # fire-and-forget push/robots refs
         self._domains: set[str] = set()  # TooManyDomainsDecideRule state
         self.n_domain_rejected = 0
+        self.n_hops_rejected = 0
         self.wave = 0
         self.next_seq = 0
         self.n_rejected = 0
@@ -217,18 +218,22 @@ class RayCrawlEngine:
 
         # candidates in (parent fetch pos, link ord) order
         cand_urls: list[str] = []
-        cand_meta: list[tuple[str, str]] = []  # (via, perp_via_str)
+        cand_meta: list[tuple[str, str, int]] = []  # (via, perp_via_str, hops)
         for r in results:
             if r.is_robots or r.status != 200:
                 continue
+            parent_hops = picked[r.pos].hops
             for link in r.outlinks:
                 cand_urls.append(link)
-                cand_meta.append((r.url, r.perp_str))
+                cand_meta.append((r.url, r.perp_str, parent_hops + 1))
 
         # prioritize from the STRING perp (DecesiveValuePrioritizer.java:175)
         to_schedule: list[FrontierEntry] = []
         max_domains = self.cfg.max_domains
-        for url, (via, pvs) in zip(cand_urls, cand_meta):
+        for url, (via, pvs, hops) in zip(cand_urls, cand_meta):
+            if hops > self.cfg.max_hops:  # TooManyHopsDecideRule (cxml:26)
+                self.n_hops_rejected += 1
+                continue
             if max_domains is not None:
                 # TooManyDomainsDecideRule (T6): reject when the observed
                 # count already EXCEEDS the max, then record the domain
@@ -249,7 +254,9 @@ class RayCrawlEngine:
             # is one fire-and-forget call per shard - the shard drops
             # already-seen urls itself (FrontierShardState.push_if_new)
             to_schedule.append(
-                FrontierEntry(a.directive, a.cost, self.next_seq, url, via, pvs)
+                FrontierEntry(
+                    a.directive, a.cost, self.next_seq, url, via, pvs, hops=hops
+                )
             )
             self.next_seq += 1
         if to_schedule:
@@ -332,6 +339,7 @@ class RayCrawlEngine:
             "rejected": self.n_rejected,
             "duplicates": sum(f["duplicates"] for f in fstats),
             "domain_rejected": self.n_domain_rejected,
+            "hops_rejected": self.n_hops_rejected,
             "frontier": fstats,
         }
         return CrawlResult(log=log, seen_keys=seen_keys, stats=stats)
@@ -351,6 +359,7 @@ class RayCrawlEngine:
             "wave": self.wave,
             "next_seq": self.next_seq,
             "n_rejected": self.n_rejected,
+            "n_hops_rejected": self.n_hops_rejected,
             "domains": self._domains,
             "n_domain_rejected": self.n_domain_rejected,
         }
@@ -390,6 +399,7 @@ class RayCrawlEngine:
         self.wave = meta["wave"]
         self.next_seq = meta["next_seq"]
         self.n_rejected = meta["n_rejected"]
+        self.n_hops_rejected = meta.get("n_hops_rejected", 0)
         self._domains = meta.get("domains", set())
         self.n_domain_rejected = meta.get("n_domain_rejected", 0)
         import pyarrow.parquet as pq

@@ -36,6 +36,7 @@ class SimResult:
     n_dup: int = 0
     n_robots_rejected: int = 0
     n_domain_rejected: int = 0
+    n_hops_rejected: int = 0
 
 
 def simulate_crawl(
@@ -75,7 +76,7 @@ def simulate_crawl(
         u = seed_line_url(line)
         seen_add(u)
         frontier.setdefault(host_of_url(u), []).append(
-            (prio.SEED_DIRECTIVE, prio.SEED_COST, next_seq, u, "", prio.SEED_PERP_STR)
+            (prio.SEED_DIRECTIVE, prio.SEED_COST, next_seq, u, "", prio.SEED_PERP_STR, 0)
         )
         next_seq += 1
 
@@ -95,7 +96,7 @@ def simulate_crawl(
                     robots_requested.add(host)
                     head = min(entries)
                     picks.append(
-                        (0, 1, head[2], "http://%s/robots.txt" % host, head[3], "", True)
+                        (0, 1, head[2], "http://%s/robots.txt" % host, head[3], "", 0, True)
                     )
                 continue
             rules = robots_rules[host]
@@ -115,8 +116,8 @@ def simulate_crawl(
             break
         picks.sort(key=lambda p: (p[0], p[1], p[2], p[3]))
 
-        candidates: list[tuple[str, str, str]] = []  # (url, via, perp_via_str)
-        for directive, cost, seq, url, via, pvs, is_robots in picks:
+        candidates: list[tuple[str, str, str, int]] = []  # (url, via, pvs, hops)
+        for directive, cost, seq, url, via, pvs, hops, is_robots in picks:
             html = page_html.get(url)
             status = 200 if html is not None else 404
             perp = float("nan")
@@ -133,7 +134,7 @@ def simulate_crawl(
                 outlinks = extract_outlinks(html_s, url)
                 n_out = len(outlinks)
                 for link in outlinks:
-                    candidates.append((link, url, perp_str))
+                    candidates.append((link, url, perp_str, hops + 1))
             res.rows.append(
                 {
                     "fetch_seq": fetch_seq,
@@ -154,7 +155,10 @@ def simulate_crawl(
             )
             fetch_seq += 1
 
-        for url, via, pvs in candidates:
+        for url, via, pvs, hops in candidates:
+            if hops > cfg.max_hops:
+                res.n_hops_rejected += 1
+                continue
             if cfg.max_domains is not None:
                 from .crawl import _domain_of
 
@@ -175,7 +179,7 @@ def simulate_crawl(
                 res.n_dup += 1
                 continue
             frontier.setdefault(host_of_url(url), []).append(
-                (a.directive, a.cost, seq, url, via, pvs)
+                (a.directive, a.cost, seq, url, via, pvs, hops)
             )
         wave += 1
 

@@ -54,6 +54,24 @@ class CrawlProcessor:
         is_robots: bool,
         page: tuple[bytes, int, str] | None,
     ) -> FetchResult:
+        """Process one fetch; unexpected per-row failures are quarantined
+        as status -1 rows (no score, no outlinks) instead of killing the
+        wave (poison-row policy, SURVEY par.4 retries design)."""
+        try:
+            return self._process(pos, url, is_robots, page)
+        except Exception:
+            return FetchResult(
+                pos, url, -1, is_robots, float("nan"), "", "", "", "", 0,
+                [], [] if is_robots else None,
+            )
+
+    def _process(
+        self,
+        pos: int,
+        url: str,
+        is_robots: bool,
+        page: tuple[bytes, int, str] | None,
+    ) -> FetchResult:
         if page is None:
             return FetchResult(
                 pos, url, 404, is_robots, float("nan"), "", "", "", "", 0,

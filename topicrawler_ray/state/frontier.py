@@ -52,6 +52,7 @@ class FrontierEntry:
     perp_via_str: str = field(compare=False, default="")
     is_robots: bool = field(compare=False, default=False)
     is_seed: bool = field(compare=False, default=False)
+    hops: int = field(compare=False, default=0)  # link hops from seed (cxml:26)
 
 
 def parse_robots(body: str) -> list[str]:
@@ -123,7 +124,7 @@ class FrontierShardState:
         for e in entries:
             heapq.heappush(
                 self.queues.setdefault(host_of_url(e.url), []),
-                (e.directive, e.cost, e.seq, e.url, e.via, e.perp_via_str, e.is_seed),
+                (e.directive, e.cost, e.seq, e.url, e.via, e.perp_via_str, e.is_seed, e.hops),
             )
             self.n_pushed += 1
 
@@ -176,13 +177,13 @@ class FrontierShardState:
                 # robots fetch in flight: host waits this wave
                 continue
             while q:
-                directive, cost, seq, url, via, pvs, is_seed = heapq.heappop(q)
+                directive, cost, seq, url, via, pvs, is_seed, hops = heapq.heappop(q)
                 if not self.robots.allowed(host, path_of_url(url)):
                     rejected += 1
                     self.n_robots_rejected += 1
                     continue
                 picked.append(
-                    FrontierEntry(directive, cost, seq, url, via, pvs, False, is_seed)
+                    FrontierEntry(directive, cost, seq, url, via, pvs, False, is_seed, hops)
                 )
                 self.n_popped += 1
                 break
