@@ -109,7 +109,7 @@ class RayCrawlEngine:
         import ray
 
         from ..lm.train import topic_lm_ref
-        from ..sources.pages import pages_path
+        from ..sources.pages import pages_bucketed_dir
         from ..stages.crawlworker import make_crawl_workers
         from ..state.frontier import make_frontier_actors
         from ..state.pagestore import make_page_store_actors
@@ -124,7 +124,9 @@ class RayCrawlEngine:
             self.cfg.seen_capacity_per_shard,
             self.cfg.seen_keep_exact,
         )
-        self.stores = make_page_store_actors(pages_path(sf_dir), self.cfg.num_page_stores)
+        self.stores = make_page_store_actors(
+            pages_bucketed_dir(sf_dir), self.cfg.num_page_stores
+        )
         self.workers = make_crawl_workers(
             lm_ref, self.cfg.num_workers, self.cfg.worker_num_cpus, self.stores
         )

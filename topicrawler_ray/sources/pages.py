@@ -278,6 +278,39 @@ def pages_path(sf_dir: str) -> str:
     return str(out)
 
 
+NUM_URL_BUCKETS = 64  # url-hash buckets of the bucketed pages layout
+
+
+def pages_bucketed_dir(sf_dir: str, num_buckets: int = NUM_URL_BUCKETS) -> str:
+    """Materialise the pages table hash-partitioned by
+    ``murmur3(url) % num_buckets`` (one parquet per bucket) - the layout
+    the sharded PageStore actors prune against (SCALE.md fetch-sim
+    path).  Atomic directory rename; derived from the single-file table."""
+    from ..functions.hashing import url_hash64
+
+    src = Path(pages_path(sf_dir))
+    out_dir = src.parent / "pages_bucketed"
+    if out_dir.exists():
+        return str(out_dir)
+    table = pq.read_table(src)
+    buckets = np.array(
+        [url_hash64(u) % num_buckets for u in table.column("url").to_pylist()],
+        dtype=np.int64,
+    )
+    tmp = Path(tempfile.mkdtemp(dir=src.parent, prefix=".tmp_buckets_"))
+    try:
+        for b in range(num_buckets):
+            idx = np.nonzero(buckets == b)[0]
+            pq.write_table(table.take(idx), tmp / ("bucket=%02d.parquet" % b))
+        os.replace(tmp, out_dir)
+    except Exception:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return str(out_dir)
+
+
 def read_pages(sf_dir: str, num_blocks: int | None = None):
     """Ray Dataset over the synthetic pages parquet (lazy, streaming).
 

@@ -15,29 +15,55 @@ groups instead of a full dict.  The actor interface is identical.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow.parquet as pq
 
 from ..functions.hashing import url_hash64
+from ..sources.pages import NUM_URL_BUCKETS
+
+
+def shard_of_url(url: str, world: int) -> int:
+    """Bucket-first shard mapping: a url's store shard is its parquet
+    bucket modulo the pool size, so shards open only their own files."""
+    return (url_hash64(url) % NUM_URL_BUCKETS) % world
 
 
 class PageStoreState:
-    def __init__(self, pages_parquet: str, rank: int, world: int):
-        self._path = pages_parquet
+    def __init__(self, pages_path: str, rank: int, world: int):
+        self._path = pages_path
         self._rank = rank
         self._world = world
         self._index: dict[str, tuple[bytes, int, str]] | None = None
 
+    def _own_files(self) -> list[str]:
+        if os.path.isdir(self._path):
+            # bucketed layout: open ONLY this shard's bucket files
+            # (partition pruning - nothing else is read from storage)
+            return [
+                os.path.join(self._path, "bucket=%02d.parquet" % b)
+                for b in range(NUM_URL_BUCKETS)
+                if b % self._world == self._rank
+                and os.path.exists(
+                    os.path.join(self._path, "bucket=%02d.parquet" % b)
+                )
+            ]
+        return [self._path]  # single-file fallback: filter rows below
+
     def _load(self) -> None:
         if self._index is not None:
             return
-        t = pq.read_table(self._path, columns=["url", "warc_ts", "html", "lang"])
         idx: dict[str, tuple[bytes, int, str]] = {}
-        urls = t.column("url").to_pylist()
-        ts = t.column("warc_ts").cast("int64").to_pylist()
-        htmls = t.column("html").to_pylist()
-        langs = t.column("lang").to_pylist()
-        for u, s, h, l in zip(urls, ts, htmls, langs):
-            if url_hash64(u) % self._world == self._rank:
+        single_file = not os.path.isdir(self._path)
+        for f in self._own_files():
+            t = pq.read_table(f, columns=["url", "warc_ts", "html", "lang"])
+            urls = t.column("url").to_pylist()
+            ts = t.column("warc_ts").cast("int64").to_pylist()
+            htmls = t.column("html").to_pylist()
+            langs = t.column("lang").to_pylist()
+            for u, s, h, l in zip(urls, ts, htmls, langs):
+                if single_file and shard_of_url(u, self._world) != self._rank:
+                    continue
                 idx[u] = (h, s, l)
         self._index = idx
 
@@ -46,10 +72,6 @@ class PageStoreState:
         self._load()
         idx = self._index
         return {u: idx[u] for u in urls if u in idx}
-
-
-def shard_of_url(url: str, world: int) -> int:
-    return url_hash64(url) % world
 
 
 def make_page_store_actors(pages_parquet: str, world: int):
