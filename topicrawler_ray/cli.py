@@ -102,6 +102,49 @@ def cmd_export_corpus(args) -> int:
     return 0
 
 
+def cmd_segment(args) -> int:
+    """lt.seg ``Segmenter`` app equivalent: sentence-split + tokenize a
+    text file/dir distributed via read_text -> map_batches."""
+    _init_ray(args.num_cpus)
+    import pyarrow as pa
+    import ray
+
+    from .functions.sentences import split_sentences
+    from .functions.tokenizer import filtered_and_normalized_tokens
+
+    level_f, level_n = args.filter_level, args.normalize_level
+
+    def segment_batch(batch: pa.Table) -> pa.Table:
+        o_line, o_sidx, o_sent, o_tokens = [], [], [], []
+        for line in batch.column("text").to_pylist():
+            for i, sent in enumerate(split_sentences(line or "")):
+                o_line.append(line)
+                o_sidx.append(i)
+                o_sent.append(sent)
+                o_tokens.append(
+                    filtered_and_normalized_tokens(sent, level_f, level_n)
+                )
+        return pa.table(
+            {
+                "line": pa.array(o_line, pa.large_string()),
+                "sent_idx": pa.array(o_sidx, pa.int32()),
+                "sentence": pa.array(o_sent, pa.large_string()),
+                "tokens": pa.array(o_tokens, pa.list_(pa.string())),
+            }
+        )
+
+    ds = ray.data.read_text(args.input).map_batches(
+        segment_batch, batch_format="pyarrow"
+    )
+    if args.out:
+        ds.write_parquet(args.out)
+        print(json.dumps({"out": args.out}))
+    else:
+        print(json.dumps({"sentences": ds.count()}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="topicrawler_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -127,6 +170,14 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--out", required=True)
     e.add_argument("--num-cpus", type=int, default=None)
     e.set_defaults(fn=cmd_export_corpus)
+
+    g = sub.add_parser("segment", help="sentence-split + tokenize text files")
+    g.add_argument("--input", required=True)
+    g.add_argument("--out", default=None)
+    g.add_argument("--filter-level", type=int, default=5)
+    g.add_argument("--normalize-level", type=int, default=2)
+    g.add_argument("--num-cpus", type=int, default=None)
+    g.set_defaults(fn=cmd_segment)
 
     args = p.parse_args(argv)
     return args.fn(args)
