@@ -93,15 +93,18 @@ def noise_words(doc_id: int, k: int) -> list[str]:
 
 DIRTY_MOD = 23  # doc_id % 23 == 5 -> BOM+U+FFFD injected into paragraph 1
 EXT_DIRTY_MOD = 29  # doc_id % 29 == 11 -> Ext-only dirty char U+20A8 in p2
+ENTITY_MOD = 31  # doc_id % 31 == 13 -> HTML entities in p2
+MESSY_LINK_MOD = 37  # doc_id % 37 == 17 -> non-canonical duplicate link
 
 
-def _paragraphs(doc_id: int, words: list[str]) -> tuple[str, str, str]:
+def _paragraphs(doc_id: int, words: list[str]) -> tuple[str, str, str, str]:
     """Split doc words into two sentence-terminated paragraphs, with
     deterministic noise injection for perplexity-bucket diversity.
 
-    Returns ``(p1_html, p1_expected, p2)``: pages hit by ``DIRTY_MOD``
-    carry U+FEFF / U+FFFD in the html; the expected extraction carries the
-    cleaner's replacement char U+00BF instead (``UTF8CleanerMin``).
+    Returns ``(p1_html, p1_expected, p2_html, p2_expected)``: pages hit
+    by ``DIRTY_MOD`` carry U+FEFF / U+FFFD in the html (expected carries
+    the Min cleaner's U+00BF); ``ENTITY_MOD`` pages carry HTML entities
+    (expected carries the decoded chars).
     """
     half = max(1, len(words) // 2)
     p1w = words[:half]
@@ -124,7 +127,12 @@ def _paragraphs(doc_id: int, words: list[str]) -> tuple[str, str, str]:
         # cxml:216) replaces it with U+00BF - the fixture that separates
         # the two cleaner pipelines
         p2 = p2 + " \u20a8"
-    return p1_html, p1_expected, p2
+    p2_html, p2_expected = p2, p2
+    if doc_id % ENTITY_MOD == 13:
+        # named + numeric entities decode during parsing (Jsoup semantics)
+        p2_html = p2 + " K&uuml;che &amp; Co &#8211; gut."
+        p2_expected = p2 + " K\u00fcche & Co \u2013 gut."
+    return p1_html, p1_expected, p2_html, p2_expected
 
 
 def _anchor_cell(doc_id: int, n_docs: int, n_hosts: int) -> tuple[str, str, list[str]]:
@@ -155,6 +163,17 @@ def _anchor_cell(doc_id: int, n_docs: int, n_hosts: int) -> tuple[str, str, list
         parts.append('<a href="/blocked/b%d">l4</a>' % doc_id)
         texts.append("l4")
         urls.append("http://host%d.example/blocked/b%d" % (my_host, doc_id))
+    if doc_id % MESSY_LINK_MOD == 17:
+        # non-canonical duplicate of the first target: uppercase scheme +
+        # host, default port, fragment - canonicalization (M14) folds it
+        # onto the first link, the seen filter dedups it
+        t0 = link_targets(doc_id, n_docs)[0]
+        t0_host = host_of(t0, n_hosts)
+        parts.append(
+            '<a href="HTTP://HOST%d.EXAMPLE:80/p%d#frag">l5</a>' % (t0_host, t0)
+        )
+        texts.append("l5")
+        urls.append("http://host%d.example/p%d" % (t0_host, t0))
     return " ".join(parts), " ".join(texts), urls
 
 
@@ -172,7 +191,7 @@ def _page_html(doc_id: int, words: list[str], n_docs: int, n_hosts: int) -> str:
         )
     host = host_of(doc_id, n_hosts)
     title = "Doc %d host%d" % (doc_id, host)
-    p1, _, p2 = _paragraphs(doc_id, words)
+    p1, _, p2, _ = _paragraphs(doc_id, words)
     anchors, _, _ = _anchor_cell(doc_id, n_docs, n_hosts)
     home = "http://host0.example/p0"
     return (
@@ -200,7 +219,7 @@ def _expected_text(doc_id: int, words: list[str], n_docs: int, n_hosts: int) -> 
         return ""
     host = host_of(doc_id, n_hosts)
     title = "Doc %d host%d" % (doc_id, host)
-    _, p1, p2 = _paragraphs(doc_id, words)
+    _, p1, _, p2 = _paragraphs(doc_id, words)
     _, anchor_text, _ = _anchor_cell(doc_id, n_docs, n_hosts)
     return (
         "%s\n Home | start\n %s\n %s\n %s\n © 2014 host%d.example"
