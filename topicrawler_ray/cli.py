@@ -145,6 +145,25 @@ def cmd_segment(args) -> int:
     return 0
 
 
+def cmd_lm(args) -> int:
+    """StartLM REPL parity (non-interactive): per-ngram log10 probs and
+    document perplexity for a text (``lt.lm/.../app/StartLM.java:206-249``
+    :pn/:ps commands)."""
+    from .lm.perplexity import document_perplexity, text_ngrams
+    from .lm.train import build_scorer_lm
+
+    lm = build_scorer_lm(args.sf_dir, args.order, args.scorer)
+    out = {"order": args.order, "scorer": args.scorer}
+    ngrams = text_ngrams(args.text, args.order)
+    out["ngrams"] = [
+        {"ngram": " ".join(g), "log10p": round(lm.ngram_log10_prob(g), 6)}
+        for g in ngrams
+    ]
+    out["perplexity"] = document_perplexity(lm, args.text)
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="topicrawler_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -178,6 +197,13 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--normalize-level", type=int, default=2)
     g.add_argument("--num-cpus", type=int, default=None)
     g.set_defaults(fn=cmd_segment)
+
+    m = sub.add_parser("lm", help="ngram probs + perplexity of a text")
+    m.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    m.add_argument("--text", required=True)
+    m.add_argument("--order", type=int, default=3)
+    m.add_argument("--scorer", default="stupid_backoff")
+    m.set_defaults(fn=cmd_lm)
 
     args = p.parse_args(argv)
     return args.fn(args)
