@@ -28,20 +28,15 @@ def _is_line_sep(cp: int) -> bool:
     return cp in _LINE_SEP or jchar.java_char_type(cp) == jchar.LINE_SEPARATOR
 
 
+import re as _re
+
+# charIsLineSeparator: \n \r \f or Unicode Zl (U+2028 is the only Zl char)
+_NON_LINESEP_RUN = _re.compile(r"[^\n\r\x0c\u2028]+")
+
+
 def split_lines(text: str) -> list[str]:
     """LineSplitter SENTENCE segments (maximal non-line-separator runs)."""
-    out: list[str] = []
-    cur: list[str] = []
-    for ch in text:
-        if _is_line_sep(ord(ch)):
-            if cur:
-                out.append("".join(cur))
-                cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        out.append("".join(cur))
-    return out
+    return _NON_LINESEP_RUN.findall(text)
 
 
 _WORD_TYPES = (SegmentType.WORD, SegmentType.WORD_UPPERCASE, SegmentType.WORD_LOWERCASE)

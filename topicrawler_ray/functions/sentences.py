@@ -200,26 +200,32 @@ def split_segments(text: str) -> list[tuple[str, bool]]:
         first_is_newline = _char_is_line_separator(cp0)
         is_empty = first_is_newline
         seg_end = n
+        by_last = rules.by_last
         while i < n:
-            cp = ord(units[i])
+            ch = units[i]
+            cp = ord(ch)
             if cp == 0:
                 seg_end = i
                 break
             i += 1
             if is_empty and not _char_is_empty_space(cp):
                 is_empty = False
-            sent = units[start:i]
-            if rules.suffix_as_boundary(sent) is not None:
+            # fast path: only materialise the sentence text when the
+            # current char can end one of the boundary suffixes (the
+            # per-char full slice would make splitting quadratic)
+            if ch in by_last:
+                sent = units[start:i]
                 boundary = rules.suffix_as_boundary(sent)
-                body = sent[: len(sent) - len(boundary)]
-                if rules.pre_list_complete(sent) and rules.pre_rules_complete(body):
-                    nxt = _next_es_token(units, i)
-                    if (
-                        nxt is None
-                        or (rules.post_list_complete(nxt) and rules.post_rules_complete(nxt))
-                    ):
-                        seg_end = i
-                        break
+                if boundary is not None:
+                    body = sent[: len(sent) - len(boundary)]
+                    if rules.pre_list_complete(sent) and rules.pre_rules_complete(body):
+                        nxt = _next_es_token(units, i)
+                        if (
+                            nxt is None
+                            or (rules.post_list_complete(nxt) and rules.post_rules_complete(nxt))
+                        ):
+                            seg_end = i
+                            break
             if is_empty and i < n and not _char_is_line_separator(ord(units[i])):
                 seg_end = i
                 break

@@ -204,8 +204,14 @@ def tokenize(sentence: str) -> list[tuple[str, SegmentType]]:
     )
     ends = np.concatenate((starts[1:], [units.size]))
     out = []
-    for s, e, m in zip(starts.tolist(), ends.tolist(), masks.tolist()):
-        out.append((jchar.units_to_str(units[s:e]), _infer_type_from_mask(m)))
+    if units.size == len(sentence):
+        # BMP-only (no surrogate pairs): unit indices == str indices, so
+        # token text is a plain slice - avoids a numpy round trip per token
+        for s, e, m in zip(starts.tolist(), ends.tolist(), masks.tolist()):
+            out.append((sentence[s:e], _infer_type_from_mask(m)))
+    else:
+        for s, e, m in zip(starts.tolist(), ends.tolist(), masks.tolist()):
+            out.append((jchar.units_to_str(units[s:e]), _infer_type_from_mask(m)))
     return out
 
 
