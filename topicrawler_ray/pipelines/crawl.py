@@ -137,6 +137,7 @@ class RayCrawlEngine:
         self.wave = 0
         self.next_seq = 0
         self.n_rejected = 0
+        self._last_ckpt_wave = 0
         self.log_batches: list[pa.RecordBatch] = []
 
     # -- helpers -----------------------------------------------------------
@@ -188,10 +189,22 @@ class RayCrawlEngine:
             ray.get(self._pending)  # surface any async push/robots errors
             self._pending = []
         picked: list[FrontierEntry] = []
-        for entries, _rej in pops:
+        active_shards = []
+        for si, (entries, _rej) in enumerate(pops):
+            if entries:
+                active_shards.append(si)
             picked.extend(entries)
         if not picked:
             return 0
+        # single-active-shard fast path: delegate the wave loop to the
+        # shard itself until another shard gains work (the politeness
+        # tail would otherwise pay 3 driver round trips per 1-fetch wave)
+        if (
+            len(active_shards) == 1
+            and self.cfg.max_domains is None
+            and len(self.frontier) > 1
+        ):
+            return self._drain_single_shard(active_shards[0], picked)
         picked.sort(key=lambda e: (e.directive, e.cost, e.seq, e.url))
 
         # fetch + process: workers pull their pages from the store shards
@@ -274,10 +287,48 @@ class RayCrawlEngine:
         self.wave += 1
         if (
             self.cfg.checkpoint_dir
-            and self.wave % self.cfg.checkpoint_every_waves == 0
+            and self.wave - self._last_ckpt_wave >= self.cfg.checkpoint_every_waves
         ):
             self.checkpoint()
         return len(results)
+
+    def _drain_single_shard(self, shard_index: int, picked: list[FrontierEntry]) -> int:
+        ray = self.ray
+        base = sum(b.num_rows for b in self.log_batches)
+        res = ray.get(
+            self.frontier[shard_index].drain.remote(
+                picked,
+                self.workers[0],
+                self.frontier,
+                shard_index,
+                self.next_seq,
+                self.wave,
+                base,
+                self.cfg.max_hops,
+            )
+        )
+        rows = res["log_rows"]
+        if rows:
+            cols = list(zip(*rows))
+            self.log_batches.append(
+                pa.record_batch(
+                    [
+                        pa.array(cols[i], LOG_SCHEMA.field(i).type)
+                        for i in range(len(LOG_SCHEMA))
+                    ],
+                    schema=LOG_SCHEMA,
+                )
+            )
+        self.next_seq = res["next_seq"]
+        self.wave = res["wave_no"]
+        self.n_rejected += res["n_rejected"]
+        self.n_hops_rejected += res["n_hops_rejected"]
+        if (
+            self.cfg.checkpoint_dir
+            and self.wave - self._last_ckpt_wave >= self.cfg.checkpoint_every_waves
+        ):
+            self.checkpoint()
+        return len(rows)
 
     def _append_log(self, picked, results) -> None:
         base = sum(b.num_rows for b in self.log_batches)
@@ -348,6 +399,7 @@ class RayCrawlEngine:
 
     def checkpoint(self) -> None:
         ray = self.ray
+        self._last_ckpt_wave = self.wave
         if self._pending:
             ray.get(self._pending)
             self._pending = []
@@ -399,6 +451,7 @@ class RayCrawlEngine:
         with open(os.path.join(d, "meta.pkl"), "rb") as f:
             meta = pickle.load(f)
         self.wave = meta["wave"]
+        self._last_ckpt_wave = meta["wave"]
         self.next_seq = meta["next_seq"]
         self.n_rejected = meta["n_rejected"]
         self.n_hops_rejected = meta.get("n_hops_rejected", 0)

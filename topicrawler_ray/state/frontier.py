@@ -146,6 +146,125 @@ class FrontierShardState:
     def exact_seen_keys(self) -> list[int]:
         return sorted(self.seen.exact)
 
+    # -- shard-local drain (single-active-shard fast path) -----------------
+    def drain(
+        self,
+        picked: list[FrontierEntry],
+        worker,
+        siblings: list,
+        my_index: int,
+        next_seq: int,
+        wave_no: int,
+        fetch_seq: int,
+        max_hops: int,
+        budget: int = 2000,
+    ) -> dict:
+        """Run the wave loop locally while this shard is the ONLY active
+        one (the politeness tail: one mega-host fetching one page per
+        slot would otherwise cost 3 driver round trips per wave).
+
+        Semantics are IDENTICAL to the driver loop: same wave sort, seq
+        assignment in candidate-proposal order, push_if_new routing (the
+        sibling call is an ordered actor RPC).  The drain stops the
+        moment any sibling accepts a NEW entry (that shard's hosts must
+        join the next wave), when the budget is exhausted, or when the
+        frontier empties.
+
+        Returns {log_rows, next_seq, wave_no, fetch_seq, n_rejected,
+        n_hops_rejected, finished}.
+        """
+        import ray
+
+        from ..stages import prioritize as prio
+
+        log_rows: list[tuple] = []
+        n_rejected = 0
+        n_hops_rejected = 0
+        finished = False
+        while True:
+            picked.sort(key=lambda e: (e.directive, e.cost, e.seq, e.url))
+            items = [(i, e.url, e.is_robots) for i, e in enumerate(picked)]
+            results = ray.get(worker.process_batch.remote(items))
+            results.sort(key=lambda r: r.pos)
+            for r in results:
+                if r.is_robots:
+                    rules = r.robots_rules if r.robots_rules is not None else []
+                    self.set_robots(host_of_url(r.url), rules)
+            # candidates in proposal order
+            to_mine: list[FrontierEntry] = []
+            by_sibling: dict[int, list[FrontierEntry]] = {}
+            sibling_order: list[int] = []
+            for r in results:
+                if r.is_robots or r.status != 200:
+                    continue
+                parent_hops = picked[r.pos].hops
+                for link in r.outlinks:
+                    if parent_hops + 1 > max_hops:
+                        n_hops_rejected += 1
+                        continue
+                    a = prio.schedule(float(r.perp_str))
+                    if a.directive < 0:
+                        n_rejected += 1
+                        continue
+                    e = FrontierEntry(
+                        a.directive, a.cost, next_seq, link, r.url, r.perp_str,
+                        hops=parent_hops + 1,
+                    )
+                    next_seq += 1
+                    s = shard_of_host(host_of_url(link), len(siblings))
+                    if s == my_index:
+                        to_mine.append(e)
+                    else:
+                        if s not in by_sibling:
+                            by_sibling[s] = []
+                            sibling_order.append(s)
+                        by_sibling[s].append(e)
+            self.push_if_new(to_mine)
+            sibling_active = False
+            if by_sibling:
+                fresh_counts = ray.get(
+                    [siblings[s].push_if_new.remote(by_sibling[s]) for s in sibling_order]
+                )
+                sibling_active = any(c > 0 for c in fresh_counts)
+            for r in results:
+                e = picked[r.pos]
+                log_rows.append(
+                    (
+                        fetch_seq + r.pos,
+                        wave_no,
+                        r.url,
+                        host_of_url(r.url),
+                        e.directive,
+                        e.cost,
+                        e.seq,
+                        r.status,
+                        r.is_robots,
+                        r.perp,
+                        r.perp_str,
+                        len(r.outlinks),
+                        e.via,
+                        e.perp_via_str,
+                    )
+                )
+            fetch_seq += len(results)
+            wave_no += 1
+            budget -= 1
+            if sibling_active or budget <= 0:
+                break
+            picked, _rej = self.pop_wave()
+            if not picked:
+                finished = True
+                break
+        return {
+            "log_rows": log_rows,
+            "next_seq": next_seq,
+            "wave_no": wave_no,
+            "fetch_seq": fetch_seq,
+            "n_rejected": n_rejected,
+            "n_hops_rejected": n_hops_rejected,
+            "finished": finished,
+        }
+
     # -- wave pop ----------------------------------------------------------
     def pop_wave(self) -> tuple[list[FrontierEntry], int]:
         """One politeness slot for every host this shard owns.
@@ -244,6 +363,13 @@ def make_frontier_actors(num_shards: int, seen_capacity: int = 1 << 16,
 
         def push_if_new(self, entries):
             return self.state.push_if_new(entries)
+
+        def drain(self, picked, worker, siblings, my_index, next_seq, wave_no,
+                  fetch_seq, max_hops, budget=2000):
+            return self.state.drain(
+                picked, worker, siblings, my_index, next_seq, wave_no,
+                fetch_seq, max_hops, budget,
+            )
 
         def exact_seen_keys(self):
             return self.state.exact_seen_keys()
