@@ -123,3 +123,26 @@ class TestHopLimit:
         assert res.stats["hops_rejected"] == sim.n_hops_rejected > 0
         _assert_log_matches(res.log, sim.rows)
         assert res.seen_keys == sim.seen_keys
+
+
+class TestHeadBudgetSpill:
+    def test_spill_preserves_exact_order(self, ray_session, sf_dir, sim_result):
+        """queueTotalBudget analog: per-host heaps capped at 4 entries,
+        overflow spilled to disk - pop order (and therefore the whole
+        crawl log) must be bit-identical to the unbounded oracle."""
+        import tempfile
+
+        from topicrawler_ray.config import CrawlConfig
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+
+        spill = tempfile.mkdtemp(prefix="topicrawler_spill_")
+        try:
+            cfg = CrawlConfig(
+                frontier_head_budget=4, frontier_spill_dir=spill, **_SMALL
+            )
+            res = RayCrawlEngine(sf_dir, cfg).run()
+            _assert_log_matches(res.log, sim_result.rows)
+            assert res.seen_keys == sim_result.seen_keys
+            assert sum(f["spilled"] for f in res.stats["frontier"]) > 0
+        finally:
+            shutil.rmtree(spill, ignore_errors=True)

@@ -37,6 +37,8 @@ class CrawlConfig:
     worker_num_cpus: float = 0.5
     seen_capacity_per_shard: int = 1 << 16
     seen_keep_exact: bool = True  # disable at 10^10 scale
+    frontier_head_budget: int | None = None  # queueTotalBudget analog (cxml:70)
+    frontier_spill_dir: str | None = None  # overflow spills to disk when set
     max_waves: int = 100000
     max_domains: int | None = None  # TooManyDomainsDecideRule (off by default)
     politeness: PolitenessConfig = field(default_factory=PolitenessConfig)

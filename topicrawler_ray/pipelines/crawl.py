@@ -123,6 +123,8 @@ class RayCrawlEngine:
             self.cfg.num_frontier_shards,
             self.cfg.seen_capacity_per_shard,
             self.cfg.seen_keep_exact,
+            self.cfg.frontier_head_budget,
+            self.cfg.frontier_spill_dir,
         )
         self.stores = make_page_store_actors(
             pages_bucketed_dir(sf_dir), self.cfg.num_page_stores

@@ -110,7 +110,13 @@ class FrontierShardState:
     call ordering guarantees the next ``pop_wave`` observes the pushes).
     """
 
-    def __init__(self, seen_capacity: int = 1 << 16, seen_keep_exact: bool = True):
+    def __init__(
+        self,
+        seen_capacity: int = 1 << 16,
+        seen_keep_exact: bool = True,
+        head_budget: int | None = None,
+        spill_dir: str | None = None,
+    ):
         self.queues: dict[str, list[tuple]] = {}
         self.robots = RobotsCache()
         self.seen = SeenShardState(seen_capacity, seen_keep_exact)
@@ -118,14 +124,110 @@ class FrontierShardState:
         self.n_popped = 0
         self.n_robots_rejected = 0
         self.n_dup = 0
+        # Heritrix queueTotalBudget analog (cxml:70): keep only the best
+        # `head_budget` entries per host in the heap; the overflow spills
+        # (to disk when `spill_dir` is set, else an in-memory run).  Pop
+        # order is EXACTLY preserved: the heap only holds entries strictly
+        # below the host's spill floor; arrivals at/above the floor go to
+        # the overflow, which is re-sorted and reloaded when the heap
+        # drains.
+        self.head_budget = head_budget
+        self.spill_dir = spill_dir
+        self._spill_floor: dict[str, tuple] = {}  # host -> min spilled key
+        self._overflow_mem: dict[str, list[tuple]] = {}
+        self._overflow_count: dict[str, int] = {}
+        self.n_spilled = 0
+        self.n_reloaded = 0
+
+    # -- spill helpers -----------------------------------------------------
+    def _spill_path(self, host: str) -> str:
+        import os
+
+        os.makedirs(self.spill_dir, exist_ok=True)
+        return "%s/%s.spill.pkl" % (self.spill_dir, url_hash64("spill:" + host))
+
+    def _overflow_append(self, host: str, rows: list[tuple]) -> None:
+        if not rows:
+            return
+        if self.spill_dir:
+            import os
+
+            path = self._spill_path(host)
+            existing: list[tuple] = []
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    existing = pickle.load(f)
+            existing.extend(rows)
+            with open(path, "wb") as f:
+                pickle.dump(existing, f)
+        else:
+            self._overflow_mem.setdefault(host, []).extend(rows)
+        self._overflow_count[host] = self._overflow_count.get(host, 0) + len(rows)
+        self.n_spilled += len(rows)
+
+    def _overflow_take_all(self, host: str) -> list[tuple]:
+        if self.spill_dir:
+            import os
+
+            path = self._spill_path(host)
+            if not os.path.exists(path):
+                return []
+            with open(path, "rb") as f:
+                rows = pickle.load(f)
+            os.remove(path)
+        else:
+            rows = self._overflow_mem.pop(host, [])
+        self._overflow_count.pop(host, None)
+        return rows
+
+    def _maybe_spill(self, host: str) -> None:
+        """Enforce the head budget after a push."""
+        q = self.queues[host]
+        b = self.head_budget
+        if b is None or len(q) <= b:
+            return
+        q.sort()
+        keep, spill = q[:b], q[b:]
+        self.queues[host] = keep
+        self._spill_floor[host] = spill[0][:3]
+        self._overflow_append(host, spill)
+
+    def _maybe_reload(self, host: str) -> None:
+        """Refill an empty heap from the overflow run."""
+        if self.queues.get(host) or not self._overflow_count.get(host):
+            return
+        rows = self._overflow_take_all(host)
+        if not rows:
+            return
+        rows.sort()
+        b = self.head_budget
+        self._spill_floor.pop(host, None)
+        self.n_reloaded += len(rows)
+        if b is not None and len(rows) > b:
+            keep, spill = rows[:b], rows[b:]
+            self.queues[host] = keep
+            self._spill_floor[host] = spill[0][:3]
+            self._overflow_append(host, spill)
+            self.n_reloaded -= len(spill)  # those went straight back
+            self.n_spilled -= len(spill)
+        else:
+            self.queues[host] = rows
+        heapq.heapify(self.queues[host])
 
     # -- mutation ----------------------------------------------------------
     def push(self, entries: list[FrontierEntry]) -> None:
         for e in entries:
-            heapq.heappush(
-                self.queues.setdefault(host_of_url(e.url), []),
-                (e.directive, e.cost, e.seq, e.url, e.via, e.perp_via_str, e.is_seed, e.hops),
-            )
+            host = host_of_url(e.url)
+            row = (e.directive, e.cost, e.seq, e.url, e.via, e.perp_via_str, e.is_seed, e.hops)
+            floor = self._spill_floor.get(host)
+            if floor is not None and row[:3] >= floor:
+                # at/above the spill floor: must join the overflow so the
+                # heap invariant (heap < floor <= overflow) holds
+                self._overflow_append(host, [row])
+            else:
+                heapq.heappush(self.queues.setdefault(host, []), row)
+                if self.head_budget is not None:
+                    self._maybe_spill(host)
             self.n_pushed += 1
 
     def set_robots(self, host: str, rules: list[str]) -> None:
@@ -274,6 +376,9 @@ class FrontierShardState:
         """
         picked: list[FrontierEntry] = []
         rejected = 0
+        if self._overflow_count:
+            for host in list(self._overflow_count.keys()):
+                self._maybe_reload(host)
         for host in list(self.queues.keys()):
             q = self.queues[host]
             if not q:
@@ -295,7 +400,12 @@ class FrontierShardState:
                     )
                 # robots fetch in flight: host waits this wave
                 continue
-            while q:
+            while True:
+                if not q:
+                    self._maybe_reload(host)
+                    q = self.queues.get(host, [])
+                    if not q:
+                        break
                 directive, cost, seq, url, via, pvs, is_seed, hops = heapq.heappop(q)
                 if not self.robots.allowed(host, path_of_url(url)):
                     rejected += 1
@@ -306,15 +416,17 @@ class FrontierShardState:
                 )
                 self.n_popped += 1
                 break
-            if not q:
-                del self.queues[host]
+            if not q and not self._overflow_count.get(host):
+                self.queues.pop(host, None)
         return picked, rejected
 
     def pending(self) -> int:
-        return sum(len(q) for q in self.queues.values())
+        return sum(len(q) for q in self.queues.values()) + sum(
+            self._overflow_count.values()
+        )
 
     def has_work(self) -> bool:
-        return bool(self.queues)
+        return bool(self.queues) or bool(self._overflow_count)
 
     # -- checkpoint --------------------------------------------------------
     def snapshot(self) -> bytes:
@@ -324,6 +436,10 @@ class FrontierShardState:
                 "rules": self.robots._rules,
                 "requested": self.robots._requested,
                 "seen": self.seen.snapshot(),
+                "head_budget": self.head_budget,
+                "spill_floor": self._spill_floor,
+                "overflow_mem": self._overflow_mem,
+                "overflow_count": self._overflow_count,
                 "counters": (
                     self.n_pushed,
                     self.n_popped,
@@ -341,6 +457,10 @@ class FrontierShardState:
         st.robots._rules = d["rules"]
         st.robots._requested = d["requested"]
         st.seen = SeenShardState.restore(d["seen"])
+        st.head_budget = d.get("head_budget")
+        st._spill_floor = d.get("spill_floor", {})
+        st._overflow_mem = d.get("overflow_mem", {})
+        st._overflow_count = d.get("overflow_count", {})
         st.n_pushed, st.n_popped, st.n_robots_rejected, st.n_dup = d["counters"]
         return st
 
@@ -350,13 +470,20 @@ def shard_of_host(host: str, num_shards: int) -> int:
 
 
 def make_frontier_actors(num_shards: int, seen_capacity: int = 1 << 16,
-                         seen_keep_exact: bool = True):
+                         seen_keep_exact: bool = True,
+                         head_budget: int | None = None,
+                         spill_dir: str | None = None):
     import ray
 
     @ray.remote(num_cpus=0.25)
     class FrontierShard:
-        def __init__(self):
-            self.state = FrontierShardState(seen_capacity, seen_keep_exact)
+        def __init__(self, rank: int):
+            self.state = FrontierShardState(
+                seen_capacity,
+                seen_keep_exact,
+                head_budget,
+                ("%s/shard_%02d" % (spill_dir, rank)) if spill_dir else None,
+            )
 
         def push(self, entries):
             self.state.push(entries)
@@ -396,6 +523,8 @@ def make_frontier_actors(num_shards: int, seen_capacity: int = 1 << 16,
                 "popped": self.state.n_popped,
                 "robots_rejected": self.state.n_robots_rejected,
                 "duplicates": self.state.n_dup,
+                "spilled": self.state.n_spilled,
+                "reloaded": self.state.n_reloaded,
                 "seen_added": self.state.seen.n_added,
                 "seen_false_positives": self.state.seen.n_fp,
                 "pending": self.state.pending(),
@@ -407,4 +536,4 @@ def make_frontier_actors(num_shards: int, seen_capacity: int = 1 << 16,
         def restore(self, blob):
             self.state = FrontierShardState.restore(blob)
 
-    return [FrontierShard.remote() for _ in range(num_shards)]
+    return [FrontierShard.remote(r) for r in range(num_shards)]
