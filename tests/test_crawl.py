@@ -146,3 +146,19 @@ class TestHeadBudgetSpill:
             assert sum(f["spilled"] for f in res.stats["frontier"]) > 0
         finally:
             shutil.rmtree(spill, ignore_errors=True)
+
+
+class TestCuckooOnlyMode:
+    def test_scale_mode_without_exact_set(self, ray_session, sf_dir, sim_result):
+        """seen_keep_exact=False (the 10^10 memory-bounded mode): dedup
+        runs on the cuckoo filter alone. False positives may drop a few
+        duplicate-looking candidates, so we assert near-equality of
+        coverage rather than bit-equality (which keep_exact provides)."""
+        from topicrawler_ray.config import CrawlConfig
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+
+        cfg = CrawlConfig(seen_keep_exact=False, **_SMALL)
+        res = RayCrawlEngine(sf_dir, cfg).run()
+        assert res.log.num_rows >= 0.95 * len(sim_result.rows)
+        # no exact set -> no conformance artifact in this mode
+        assert res.seen_keys == set()
