@@ -246,3 +246,34 @@ class TestOrder5:
         for a, b in zip(log, sim.rows):
             assert a["url"] == b["url"] and a["perp_str"] == b["perp_str"]
         assert res.seen_keys == sim.seen_keys
+
+
+class TestCrossScorer:
+    def test_scorers_agree_on_topic_ordering(self):
+        """Compare_BerkeleyLM_LuceneLM analog: every scorer variant ranks
+        an on-topic doc below an off-topic one."""
+        from topicrawler_ray.lm.train import build_scorer_lm
+        from topicrawler_ray.stages.score import score_text
+
+        on = "Home start the fast key order sort table scan merge."
+        off = "zq xx qj zv wq jx vz qx jw zj vv ww."
+        for scorer in ("stupid_backoff", "kneser_ney", "laplace"):
+            lm = build_scorer_lm("/root/testdata/sf0.001", 3, scorer)
+            assert score_text(lm, on) < score_text(lm, off), scorer
+
+    def test_broadcast_roundtrip_equality(self, ray_session):
+        """RMI-server equality analog (LanguageModelServerTest): the LM
+        scored through a ray.put/ray.get round trip gives the exact same
+        values as the local object."""
+        import ray
+
+        from topicrawler_ray.lm.perplexity import text_ngrams
+        from topicrawler_ray.lm.train import build_topic_lm
+
+        lm = build_topic_lm("/root/testdata/sf0.001")
+        remote_lm = ray.get(ray.put(lm))
+        text = "Home start the fast key order sort table scan merge."
+        for g in text_ngrams(text, 3):
+            a = lm.ngram_log10_prob(g)
+            b = remote_lm.ngram_log10_prob(g)
+            assert a == b and a <= 0

@@ -31,7 +31,7 @@ class CrawlConfig:
     max_hops: int = 20  # cxml:26
     max_retries: int = 3  # cxml:66 (fetch-sim has no transient failures)
     num_frontier_shards: int = 4
-    num_seen_shards: int = 4
+    num_seen_shards: int = 4  # standalone SeenShard pools (engine embeds seen in frontier)
     num_page_stores: int = 4
     num_workers: int = 4
     worker_num_cpus: float = 0.5

@@ -142,17 +142,6 @@ class RayCrawlEngine:
         self._last_ckpt_wave = 0
         self.log_batches: list[pa.RecordBatch] = []
 
-    # -- helpers -----------------------------------------------------------
-    def _push(self, entries: list[FrontierEntry]) -> None:
-        byshard: dict[int, list[FrontierEntry]] = {}
-        for e in entries:
-            byshard.setdefault(
-                shard_of_host(host_of_url(e.url), len(self.frontier)), []
-            ).append(e)
-        self.ray.get(
-            [self.frontier[s].push.remote(es) for s, es in byshard.items()]
-        )
-
     # -- the loop ----------------------------------------------------------
     def warmup(self) -> None:
         """Start every actor in parallel (page-store partition loads, LM
