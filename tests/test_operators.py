@@ -322,3 +322,41 @@ class TestRobotsActors:
         ]
         kept = filter_allowed(urls, actors)
         assert kept == ["http://a.example/ok", "http://b.example/anything"]
+
+
+class TestDistributedLMBuild:
+    def test_distributed_counts_equal_local(self, ray_session, sf_dir):
+        """The Ray count job -> LM bridge produces the same counts (and
+        therefore identical scores) as local training on the same text."""
+        import ray.data
+
+        from topicrawler_ray.lm.backoff import NgramCounts, StupidBackoffLM
+        from topicrawler_ray.lm.build import build_lm_distributed, ws_tokens
+
+        texts = [
+            "the cat sat on the mat",
+            "the dog sat on the rug",
+            "a cat and a dog met",
+        ]
+        ds = ray.data.from_items([{"text": t} for t in texts])
+        dist_lm = build_lm_distributed(ds, order=2, tokenizer=ws_tokens)
+        local = NgramCounts(2)
+        for t in texts:
+            local.add_sequence(t.split(" "))
+        local_lm = StupidBackoffLM(local)
+        for g in (["the", "cat"], ["a", "dog"], ["mat"], ["the", "zzz"]):
+            assert dist_lm.ngram_log10_prob(g) == local_lm.ngram_log10_prob(g)
+
+    def test_distributed_kn_build(self, ray_session):
+        import math
+
+        import ray.data
+
+        from topicrawler_ray.lm.build import build_lm_distributed, ws_tokens
+
+        ds = ray.data.from_items(
+            [{"text": "the cat sat on the mat"}, {"text": "the dog ran far"}]
+        )
+        lm = build_lm_distributed(ds, order=2, scorer="kneser_ney", tokenizer=ws_tokens)
+        assert math.isfinite(lm.ngram_log10_prob(["the", "cat"]))
+        assert lm.ngram_prob(["the", "cat"]) > lm.ngram_prob(["the", "zzz"])

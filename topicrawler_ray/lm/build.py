@@ -215,3 +215,41 @@ def ws_tokens(text: str) -> list[list[str]]:
 def count_word_ngrams_ws(ds, order: int, column: str = "text", mincount: int = 1):
     """A1 over whitespace tokens - DuckDB can reproduce this exactly."""
     return count_ngrams(ds, order, column, mincount, tokenizer=ws_tokens)
+
+
+def counts_from_dataset(counts_ds, order: int):
+    """Collect a (ngram, n, num) counts Dataset into an in-memory
+    :class:`~..lm.backoff.NgramCounts` - the bridge from the distributed
+    count job to the scorer LMs (StartLM parity, SURVEY par.3.2: the
+    reference shells out to sort/python reducers then loads a Lucene
+    index; here the Ray groupby feeds the in-memory tables).
+
+    The collected table is the PRUNED model-sized artifact (combiner +
+    groupby upstream), not raw corpus n-grams."""
+    from .backoff import NgramCounts
+
+    counts = NgramCounts(order)
+    for batch in counts_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ngrams = batch.column("ngram").to_pylist()
+        ns = batch.column("n").to_pylist()
+        nums = batch.column("num").to_pylist()
+        for g, n, c in zip(ngrams, ns, nums):
+            counts.counts[int(n)][tuple(g.split(" "))] = int(c)
+    return counts
+
+
+def build_lm_distributed(ds, order: int, column: str = "text", scorer: str = "stupid_backoff",
+                         tokenizer=None):
+    """End-to-end distributed LM build: text Dataset -> Ray count job ->
+    scorer LM (stupid_backoff or kneser_ney)."""
+    from .backoff import StupidBackoffLM, freeze_lm
+    from .kneserney import KNStats, KneserNeyLM
+
+    counts = counts_from_dataset(
+        count_ngrams(ds, order, column, tokenizer=tokenizer), order
+    )
+    if scorer == "stupid_backoff":
+        return freeze_lm(StupidBackoffLM(counts))
+    if scorer == "kneser_ney":
+        return KneserNeyLM(KNStats(counts))
+    raise KeyError("unknown scorer %r" % scorer)
