@@ -17,7 +17,6 @@ CPython's; ``_OVERRIDES`` pins any codepoint we need to be bit-faithful on.
 
 from __future__ import annotations
 
-import sys
 import unicodedata
 
 import numpy as np

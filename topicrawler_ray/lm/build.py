@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from collections import Counter
 
-import pandas as pd
 import pyarrow as pa
 
 from ..functions import ngrams as ngram_mod

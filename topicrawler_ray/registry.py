@@ -16,7 +16,6 @@ equivalent of the reference's Spring-XML bean wiring).
 
 from __future__ import annotations
 
-from collections.abc import Callable
 from typing import Any
 
 _REGISTRIES: dict[str, dict[str, Any]] = {

@@ -16,9 +16,7 @@ from __future__ import annotations
 
 import re
 
-import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..functions.hashing import murmur3_x64_128
 
