@@ -129,30 +129,37 @@ def minhash_bands_batch(
 
 
 def lsh_candidate_pairs(ds, column: str = "text", id_column: str = "doc_id",
-                        num_perm: int = 128, bands: int = 16):
-    """Dataset of distinct candidate (id_a < id_b) pairs from LSH buckets."""
+                        num_perm: int = 128, bands: int = 16,
+                        num_partitions: int = 8):
+    """Dataset of distinct candidate (id_a < id_b) pairs from LSH buckets.
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group[id_column].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+    Implemented as a hash SELF-JOIN on the (band_id, band_hash) key
+    (``Dataset.join``) - the C-path equivalent of per-bucket pair
+    generation; a bucket of k members blows up to k^2 join rows exactly
+    like explicit pair-gen would, and the distinct aggregate folds pairs
+    proposed by multiple bands."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
 
     bands_ds = ds.map_batches(
         lambda t: minhash_bands_batch(t, column, id_column, num_perm, bands),
         batch_format="pyarrow",
     )
-    pairs_ds = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
+    joined = bands_ds.join(
+        bands_ds,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("band_id", "band_hash"),
+        left_suffix="_a",
+        right_suffix="_b",
     )
-    # dedup pairs proposed by multiple bands (aggregate-based distinct)
-    from ray.data.aggregate import Count
+    ca, cb = id_column + "_a", id_column + "_b"
 
+    def upper_triangle(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.less(batch.column(ca), batch.column(cb)))
+        return pa.table({"id_a": f.column(ca), "id_b": f.column(cb)})
+
+    pairs_ds = joined.map_batches(upper_triangle, batch_format="pyarrow")
     return (
         pairs_ds.groupby(["id_a", "id_b"])
         .aggregate(Count(alias_name="cnt"))
