@@ -268,25 +268,43 @@ def simhash_near_dup_pairs(ds, column: str = "text", id_column: str = "doc_id",
             }
         )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=[id_column]).sort_values(id_column)
-        ids = g[id_column].tolist()
-        hs = g["simhash"].tolist()
-        a, b, d = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                dist = hamming64(hs[i] + (1 << 63), hs[j] + (1 << 63))
-                if dist <= max_hamming:
-                    a.append(ids[i])
-                    b.append(ids[j])
-                    d.append(dist)
-        return pd.DataFrame({"id_a": a, "id_b": b, "hamming": d})
-
     sh_ds = ds.map_batches(lambda t: simhash_batch(t, column), batch_format="pyarrow")
     exploded = sh_ds.map_batches(explode, batch_format="pyarrow")
-    pair_ds = exploded.groupby(["band_id", "band_key"]).map_groups(
-        pairs, batch_format="pandas"
+    # hash self-join on the 16-bit band key (same idiom as the MinHash
+    # LSH path), then vectorised Hamming verify on the joined rows
+    joined = exploded.join(
+        exploded,
+        join_type="inner",
+        num_partitions=8,
+        on=("band_id", "band_key"),
+        left_suffix="_a",
+        right_suffix="_b",
     )
+    ca, cb = id_column + "_a", id_column + "_b"
+
+    def verify(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        f = batch.filter(pc.less(batch.column(ca), batch.column(cb)))
+        ha = np.asarray(f.column("simhash_a"), dtype=np.int64).astype(np.uint64)
+        hb = np.asarray(f.column("simhash_b"), dtype=np.int64).astype(np.uint64)
+        x = ha ^ hb
+        dist = np.zeros(len(x), dtype=np.int64)
+        while x.any():
+            dist += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = dist <= max_hamming
+        idx = np.nonzero(keep)[0]
+        return pa.table(
+            {
+                "id_a": f.column(ca).take(idx),
+                "id_b": f.column(cb).take(idx),
+                "hamming": pa.array(dist[keep], pa.int64()),
+            }
+        )
+
+    pair_ds = joined.map_batches(verify, batch_format="pyarrow")
     from ray.data.aggregate import Min
 
     return (
