@@ -435,6 +435,27 @@ def _q_crawl_metrics(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_fetch_join(sf_dir: str):
+    """Batch fetch-sim join (J3): frontier urls x pages hash join."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from topicrawler_ray.sources.pages import pages_path
+    from topicrawler_ray.state.pagestore import fetch_join
+
+    t = pq.read_table(pages_path(sf_dir), columns=["url"])
+    urls = [u for u in t.column("url").to_pylist() if not u.endswith("robots.txt")]
+    # a deterministic frontier sample + some guaranteed 404s
+    frontier = urls[::3] + ["http://host0.example/missing/x%d" % i for i in range(7)]
+    ds = ray.data.from_items([{"url": u} for u in frontier])
+    out = fetch_join(ds, sf_dir)
+    import pandas as pd
+
+    df = out.to_pandas()
+    df["warc_ts"] = df["warc_ts"].astype("int64")
+    return df.sort_values("url").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -442,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_log": _q_crawl_log,
         "crawl_seen": _q_crawl_seen,
         "crawl_metrics": _q_crawl_metrics,
+        "fetch_join": _q_fetch_join,
         "sentences_corpus": _q_sentences_corpus,
         "plaintext_corpus": _q_plaintext_corpus,
         "dedup_exact": _q_dedup_exact,
@@ -481,6 +503,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, replace(replace(replace(text, chr(9), '\\t'), "
             "chr(13), ''), chr(10), '\\n') AS text_escaped "
             "FROM read_parquet('%s') WHERE text <> ''" % _PAGES_SF001
+        ),
+        "fetch_join": (
+            "WITH frontier AS (SELECT url FROM ("
+            "SELECT url, row_number() OVER (ORDER BY warc_ts) - 1 AS rn "
+            "FROM read_parquet('%s') WHERE url NOT LIKE '%%robots.txt') "
+            "WHERE rn %% 3 = 0) "
+            "SELECT p.url, CAST(epoch_us(p.warc_ts) AS BIGINT) AS warc_ts, p.lang, "
+            "CAST(octet_length(p.html) AS BIGINT) AS html_size "
+            "FROM frontier f JOIN read_parquet('%s') p ON f.url = p.url "
+            "ORDER BY p.url" % (_PAGES_SF001, _PAGES_SF001)
         ),
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"

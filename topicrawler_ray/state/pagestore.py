@@ -74,6 +74,42 @@ class PageStoreState:
         return {u: idx[u] for u in urls if u in idx}
 
 
+def fetch_join(frontier_ds, sf_dir: str, num_partitions: int = 8):
+    """Batch-mode fetch simulation (J3 dataset-join expression): inner
+    hash join of a frontier URL Dataset against the pages table - the
+    partition-pruned two-sided join the actor-based point lookups
+    replace in the iterative loop.  Returns (url, warc_ts, lang,
+    html_size); missing urls (404s) simply don't join."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..sources.pages import pages_path
+
+    pages = ray.data.read_parquet(
+        pages_path(sf_dir), columns=["url", "warc_ts", "html", "lang"]
+    )
+
+    def size_cols(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "warc_ts": batch.column("warc_ts"),
+                "lang": batch.column("lang"),
+                "html_size": pc.binary_length(batch.column("html")),
+            }
+        )
+
+    pages = pages.map_batches(size_cols, batch_format="pyarrow")
+    return frontier_ds.join(
+        pages,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("url",),
+    )
+
+
 def make_page_store_actors(pages_parquet: str, world: int):
     import ray
 
