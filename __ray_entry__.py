@@ -456,6 +456,54 @@ def _q_fetch_join(sf_dir: str):
     return df.sort_values("url").reset_index(drop=True)
 
 
+def _q_ngram_count_of_counts(sf_dir: str):
+    """A6 count-of-counts over ws 1-2-grams (SQL-oracled)."""
+    import pyarrow as pa
+
+    from topicrawler_ray.lm.build import count_of_counts, count_word_ngrams_ws
+
+    counts = count_word_ngrams_ws(_docs(sf_dir).select_columns(["text"]), order=2)
+    stats = count_of_counts(counts, order=2, max_c=6)
+    rows_n, rows_b, rows_c = [], [], []
+    for n in (1, 2):
+        for b in range(1, 6):
+            if stats["N"][n][b]:
+                rows_n.append(n)
+                rows_b.append(b)
+                rows_c.append(stats["N"][n][b])
+    return pa.table(
+        {
+            "n": pa.array(rows_n, pa.int64()),
+            "bucket": pa.array(rows_b, pa.int64()),
+            "cnt": pa.array(rows_c, pa.int64()),
+        }
+    )
+
+
+def _q_export_manifest(sf_dir: str):
+    """Resumable partitioned export (S4/S5 analog): manifest rows."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from topicrawler_ray.pipelines.export import write_partitioned
+
+    out = tempfile.mkdtemp(prefix="topicrawler_q_export_")
+    try:
+        ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+        manifest = write_partitioned(ds, out, key_column="doc_id", num_partitions=8)
+        names = sorted(manifest)
+        return pa.table(
+            {
+                "partition": pa.array(names, pa.string()),
+                "rows": pa.array([manifest[k]["rows"] for k in names], pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -478,6 +526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "vocabulary": _q_vocabulary,
         "ngram_counts_ws": _q_ngram_counts_ws,
+        "ngram_count_of_counts": _q_ngram_count_of_counts,
+        "export_manifest": _q_export_manifest,
         "ngram_stats_seg": _q_ngram_stats_seg,
         "media_features": _q_media_features,
         "line_perp": _q_line_perp,
@@ -557,6 +607,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "vocabulary": (
             "SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents"
+        ),
+        "ngram_count_of_counts": (
+            "WITH words AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS w, "
+            "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents), "
+            "uni AS (SELECT w AS ngram, 1 AS n, count(*) AS num FROM words GROUP BY w), "
+            "bi AS (SELECT a.w || ' ' || b.w AS ngram, 2 AS n, count(*) AS num "
+            "FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            "GROUP BY 1), "
+            "allc AS (SELECT * FROM uni UNION ALL SELECT * FROM bi) "
+            "SELECT CAST(n AS BIGINT) AS n, CAST(LEAST(num, 5) AS BIGINT) AS bucket, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM allc GROUP BY 1, 2"
         ),
         "corpus_truncate": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens "
