@@ -71,3 +71,48 @@ class TestCli:
         assert out["perplexity"] > 1
         assert len(out["ngrams"]) > 0
         assert all(n["log10p"] <= 0 for n in out["ngrams"])
+
+    def test_crawl_checkpoint_resume_cli(self):
+        """Interrupted CLI crawl resumes from checkpoint to the same
+        final log as an uninterrupted run."""
+        import pyarrow.parquet as pq
+
+        ck = tempfile.mkdtemp(prefix="cli_ck_")
+        out1 = tempfile.mkdtemp(prefix="cli_out1_")
+        out2 = tempfile.mkdtemp(prefix="cli_out2_")
+        try:
+            base = [
+                "crawl", "--sf-dir", "/root/testdata/sf0.001",
+                "--num-cpus", "4", "--checkpoint", ck,
+            ]
+            r1 = _run(base + ["--max-waves", "60"])  # partial (past ckpt 50)
+            assert r1.returncode == 0, r1.stderr[-1500:]
+            r2 = _run(base + ["--resume", "--out", out1], timeout=400)
+            assert r2.returncode == 0, r2.stderr[-1500:]
+            r3 = _run(
+                [
+                    "crawl", "--sf-dir", "/root/testdata/sf0.001",
+                    "--num-cpus", "4", "--out", out2,
+                ],
+                timeout=400,
+            )
+            assert r3.returncode == 0, r3.stderr[-1500:]
+            a = pq.read_table(out1 + "/crawl_log.parquet")
+            b = pq.read_table(out2 + "/crawl_log.parquet")
+            # Table.equals treats NaN != NaN (the perp column has NaNs for
+            # robots/404 rows); compare serialized bytes instead
+            import pyarrow.ipc as ipc
+
+            def blob(t):
+                import pyarrow as pa
+
+                buf = pa.BufferOutputStream()
+                w = ipc.new_stream(buf, t.schema)
+                w.write_table(t)
+                w.close()
+                return buf.getvalue().to_pybytes()
+
+            assert blob(a) == blob(b)
+        finally:
+            for d in (ck, out1, out2):
+                shutil.rmtree(d, ignore_errors=True)

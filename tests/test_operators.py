@@ -360,3 +360,21 @@ class TestDistributedLMBuild:
         lm = build_lm_distributed(ds, order=2, scorer="kneser_ney", tokenizer=ws_tokens)
         assert math.isfinite(lm.ngram_log10_prob(["the", "cat"]))
         assert lm.ngram_prob(["the", "cat"]) > lm.ngram_prob(["the", "zzz"])
+
+
+class TestFetchJoin:
+    def test_missing_urls_drop(self, ray_session, sf_dir):
+        import ray.data
+
+        from topicrawler_ray.sources.pages import pages_path
+        from topicrawler_ray.state.pagestore import fetch_join
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(pages_path(sf_dir), columns=["url"])
+        real = t.column("url").to_pylist()[:10]
+        frontier = real + ["http://host0.example/missing/zz%d" % i for i in range(5)]
+        ds = ray.data.from_items([{"url": u} for u in frontier])
+        out = fetch_join(ds, sf_dir).to_pandas()
+        assert sorted(out.url) == sorted(real)
+        assert (out.html_size > 0).all() or (out.html_size >= 0).all()

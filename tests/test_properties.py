@@ -88,3 +88,19 @@ class TestCuckooFilter:
         assert all(first)
         second = st_.test_and_add(keys)
         assert not any(second)
+
+
+class TestCuckooFalsePositiveRate:
+    def test_fp_rate_bounded(self):
+        import numpy as np
+
+        f = CuckooFilter(capacity=1 << 16)
+        rng = np.random.default_rng(17)
+        present = rng.integers(0, 1 << 62, size=40000, dtype=np.int64).tolist()
+        for k in present:
+            f.add(int(k))
+        absent = rng.integers(0, 1 << 62, size=20000, dtype=np.int64).tolist()
+        present_set = set(present)
+        fp = sum(1 for k in absent if int(k) not in present_set and f.contains(int(k)))
+        rate = fp / len(absent)
+        assert rate < 0.05, rate
