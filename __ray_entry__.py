@@ -39,6 +39,35 @@ def _q_extract_text(sf_dir: str):
     return ds.select_columns(["url", "clean_text"])
 
 
+def _q_extract_boilerpipe(sf_dir: str):
+    """M3 alternative extractor (boilerpipe-like density heuristic) via
+    the registry - rows-only (heuristic output, pytest-covered)."""
+    import pyarrow as pa
+
+    from topicrawler_ray.registry import resolve
+    from topicrawler_ray.sources.pages import read_pages
+
+    extractor = resolve("html_text_extractor", "boilerpipe_like")
+
+    def extract(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        keep_u, keep_t = [], []
+        for u, h in zip(urls, htmls):
+            if u.endswith("robots.txt"):
+                continue
+            keep_u.append(u)
+            keep_t.append(extractor(h.decode("utf-8", "replace")))
+        return pa.table(
+            {
+                "url": pa.array(keep_u, pa.string()),
+                "article_text": pa.array(keep_t, pa.large_string()),
+            }
+        )
+
+    return read_pages(sf_dir).map_batches(extract, batch_format="pyarrow")
+
+
 def _q_scored_pages(sf_dir: str):
     """Extraction + LM perplexity scoring (T1, A7, F10)."""
     from topicrawler_ray.pipelines.flagship import scored_pages
@@ -507,6 +536,7 @@ def _q_export_manifest(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
+        "extract_boilerpipe": _q_extract_boilerpipe,
         "scored_pages": _q_scored_pages,
         "crawl_log": _q_crawl_log,
         "crawl_seen": _q_crawl_seen,

@@ -378,3 +378,37 @@ class TestFetchJoin:
         out = fetch_join(ds, sf_dir).to_pandas()
         assert sorted(out.url) == sorted(real)
         assert (out.html_size > 0).all() or (out.html_size >= 0).all()
+
+
+class TestRegistry:
+    def test_defaults_registered(self):
+        from topicrawler_ray import registry
+
+        assert "jsoup" in registry.available("html_text_extractor")
+        assert "boilerpipe_like" in registry.available("html_text_extractor")
+        assert registry.available("utf8_cleaner") == ["ext", "min"]
+        assert "kneser_ney" in registry.available("scorer_lm")
+
+    def test_register_and_resolve(self):
+        from topicrawler_ray import registry
+
+        registry.register("utf8_cleaner", "identity", lambda s: s)
+        assert registry.resolve("utf8_cleaner", "identity")("x") == "x"
+        try:
+            registry.resolve("utf8_cleaner", "nope")
+            assert False
+        except KeyError as e:
+            assert "nope" in str(e)
+
+    def test_boilerpipe_like_strips_short_boilerplate(self):
+        from topicrawler_ray.registry import _boilerpipe_like_text
+
+        html = (
+            '<div class="nav">Home | About</div>'
+            "<p>This is a long enough paragraph with many words to keep "
+            "for the article body extraction heuristic.</p>"
+            '<div class="footer">(c) corp</div>'
+        )
+        out = _boilerpipe_like_text(html)
+        assert "long enough paragraph" in out
+        assert "Home" not in out and "corp" not in out
