@@ -28,15 +28,46 @@ class TestPagesSource:
 
     def test_extraction_byte_identical(self, pages_table):
         """Per-URL invariant: our extractor output == the analytically
-        derived oracle `text`, char for char, on every page."""
+        derived oracle `text`, char for char, on every page (incl. the
+        ISO-8859-1 and unresolvable-charset variants)."""
+        from topicrawler_ray.stages.extract import decode_page_bytes
+
         for i in range(pages_table.num_rows):
             url = pages_table["url"][i].as_py()
             if url.endswith("robots.txt"):
                 continue
-            html = pages_table["html"][i].as_py().decode("utf-8")
+            html = decode_page_bytes(url, pages_table["html"][i].as_py())
             expected = pages_table["text"][i].as_py()
             got = java_trim(clean_min(get_plaintext(clean_min(html))))
             assert got == expected, url
+
+    def test_charset_variants_present(self, pages_table):
+        """The fixture carries real ISO-8859-1 pages (mojibake under a
+        UTF-8 decode) and unresolvable-charset pages (error-string text,
+        TextExtractor.java:57-66)."""
+        from topicrawler_ray.stages.extract import decode_page_bytes, sniff_charset
+
+        n_latin = n_bad = 0
+        for i in range(pages_table.num_rows):
+            html = pages_table["html"][i].as_py()
+            cs = sniff_charset(html)
+            if cs is None:
+                continue
+            url = pages_table["url"][i].as_py()
+            if cs.lower() == "iso-8859-1":
+                n_latin += 1
+                good = decode_page_bytes(url, html)
+                assert "café entrée." in good
+                # a UTF-8 decode of the same bytes is mojibake
+                assert "café" not in html.decode("utf-8", "replace")
+            else:
+                n_bad += 1
+                text = decode_page_bytes(url, html)
+                assert text == (
+                    "Failed to get content of URI: '%s'. "
+                    "(1 UnsupportedCharsetException:x-no-such-charset-1)\n" % url
+                )
+        assert n_latin > 0 and n_bad > 0
 
     def test_mega_host_skew(self, pages_table):
         hosts = [u.split("/")[2] for u in pages_table["url"].to_pylist()]

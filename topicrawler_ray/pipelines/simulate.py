@@ -23,7 +23,7 @@ from ..functions.hashing import url_hash64
 from ..functions.strings import format_g12, java_trim
 from ..functions.urls import extract_outlinks, host_of_url, path_of_url, seed_line_url
 from ..stages import prioritize as prio
-from ..stages.extract import extract_one
+from ..stages.extract import decode_page_bytes, extract_one
 from ..stages.score import score_text
 from ..state.frontier import parse_robots
 
@@ -127,7 +127,7 @@ def simulate_crawl(
                 rules = parse_robots(html.decode("utf-8", "replace")) if html else []
                 robots_rules[host_of_url(url)] = rules
             elif status == 200:
-                html_s = html.decode("utf-8", "replace")
+                html_s = decode_page_bytes(url, html)
                 _, scoring_text, _ = extract_one(html_s)
                 perp = score_text(lm, java_trim(scoring_text))
                 perp_str = format_g12(perp)

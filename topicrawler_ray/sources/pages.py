@@ -95,9 +95,15 @@ DIRTY_MOD = 23  # doc_id % 23 == 5 -> BOM+U+FFFD injected into paragraph 1
 EXT_DIRTY_MOD = 29  # doc_id % 29 == 11 -> Ext-only dirty char U+20A8 in p2
 ENTITY_MOD = 31  # doc_id % 31 == 13 -> HTML entities in p2
 MESSY_LINK_MOD = 37  # doc_id % 37 == 17 -> non-canonical duplicate link
+LATIN1_MOD = 43  # doc_id % 43 == 21 -> ISO-8859-1 page w/ <meta charset>
+BAD_CHARSET_MOD = 47  # doc_id % 47 == 31 -> unresolvable charset name
+BAD_CHARSET_NAME = "x-no-such-charset-1"
+FIXTURE_VERSION = 2  # bump when the page grammar changes (invalidates /tmp)
 
 
-def _paragraphs(doc_id: int, words: list[str]) -> tuple[str, str, str, str]:
+def _paragraphs(
+    doc_id: int, words: list[str], charset_extra: bool = False
+) -> tuple[str, str, str, str]:
     """Split doc words into two sentence-terminated paragraphs, with
     deterministic noise injection for perplexity-bucket diversity.
 
@@ -132,6 +138,11 @@ def _paragraphs(doc_id: int, words: list[str]) -> tuple[str, str, str, str]:
         # named + numeric entities decode during parsing (Jsoup semantics)
         p2_html = p2 + " K&uuml;che &amp; Co &#8211; gut."
         p2_expected = p2 + " K\u00fcche & Co \u2013 gut."
+    if charset_extra:
+        # latin-1-representable non-ASCII words: these bytes only decode
+        # correctly when the extractor honors the <meta charset> (M1)
+        p2_html = p2_html + " caf\u00e9 entr\u00e9e."
+        p2_expected = p2_expected + " caf\u00e9 entr\u00e9e."
     return p1_html, p1_expected, p2_html, p2_expected
 
 
@@ -177,7 +188,14 @@ def _anchor_cell(doc_id: int, n_docs: int, n_hosts: int) -> tuple[str, str, list
     return " ".join(parts), " ".join(texts), urls
 
 
-def _page_html(doc_id: int, words: list[str], n_docs: int, n_hosts: int) -> str:
+def _page_html(
+    doc_id: int,
+    words: list[str],
+    n_docs: int,
+    n_hosts: int,
+    meta_charset: str | None = None,
+    charset_extra: bool = False,
+) -> str:
     if doc_id % EMPTY_MOD == 7:
         # empty extraction (perp -> -1) but real outlinks: children get a
         # via perp of -1 and exercise the prioritizer's REJECT path; the
@@ -191,22 +209,31 @@ def _page_html(doc_id: int, words: list[str], n_docs: int, n_hosts: int) -> str:
         )
     host = host_of(doc_id, n_hosts)
     title = "Doc %d host%d" % (doc_id, host)
-    p1, _, p2, _ = _paragraphs(doc_id, words)
+    p1, _, p2, _ = _paragraphs(doc_id, words, charset_extra)
     anchors, _, _ = _anchor_cell(doc_id, n_docs, n_hosts)
     home = "http://host0.example/p0"
+    # <meta> is a void block tag contributing no text and no separator
+    # (accumulator is still empty when it is entered)
+    meta = '<meta charset="%s">' % meta_charset if meta_charset else ""
     return (
-        "<html><head><title>%s</title></head>\n"
+        "<html><head>%s<title>%s</title></head>\n"
         "<body>\n"
         '<div class="nav">Home | <a href="%s">start</a></div>\n'
         "<p>%s</p>\n"
         "<p>%s</p>\n"
         '<div class="links">%s</div>\n'
         '<div class="footer">&copy; 2014 host%d.example</div>\n'
-        "</body></html>" % (title, home, p1, p2, anchors, host)
+        "</body></html>" % (meta, title, home, p1, p2, anchors, host)
     )
 
 
-def _expected_text(doc_id: int, words: list[str], n_docs: int, n_hosts: int) -> str:
+def _expected_text(
+    doc_id: int,
+    words: list[str],
+    n_docs: int,
+    n_hosts: int,
+    charset_extra: bool = False,
+) -> str:
     """Analytic derivation of the extraction composite for the template.
 
     Whitespace algebra (hand-derived, verified char-for-char in tests):
@@ -219,7 +246,7 @@ def _expected_text(doc_id: int, words: list[str], n_docs: int, n_hosts: int) -> 
         return ""
     host = host_of(doc_id, n_hosts)
     title = "Doc %d host%d" % (doc_id, host)
-    _, p1, _, p2 = _paragraphs(doc_id, words)
+    _, p1, _, p2 = _paragraphs(doc_id, words, charset_extra)
     _, anchor_text, _ = _anchor_cell(doc_id, n_docs, n_hosts)
     return (
         "%s\n Home | start\n %s\n %s\n %s\n © 2014 host%d.example"
@@ -231,6 +258,53 @@ def robots_body(host: int) -> str:
     if host % ROBOTS_DISALLOW_HOST_MOD == 3:
         return "User-agent: *\nDisallow: /blocked/\n"
     return "User-agent: *\nDisallow:\n"
+
+
+def _build_page(
+    doc_id: int, words: list[str], n_docs: int, n_hosts: int
+) -> tuple[bytes, str]:
+    """(html_bytes, expected_extraction) for one page, including the
+    charset variants (M1: charset-aware decode).
+
+    * ``LATIN1_MOD`` pages are ENCODED ISO-8859-1 with an in-band
+      ``<meta charset>`` and latin-1-only words appended - decoding them
+      as UTF-8 would yield U+FFFD mojibake, so byte-identity proves the
+      extractor honors the declaration.  Pages whose content is not
+      latin-1-representable (dirty-char fixtures, non-latin scripts)
+      deterministically fall back to the plain UTF-8 variant.
+    * ``BAD_CHARSET_MOD`` pages declare an unresolvable charset: the
+      expected text is the reference's error string
+      (``TextExtractor.java:57-66``) run through the extraction
+      composite (the trailing newline is trimmed).
+    """
+    if doc_id % EMPTY_MOD == 7:
+        return _page_html(doc_id, words, n_docs, n_hosts).encode("utf-8"), ""
+    if doc_id % LATIN1_MOD == 21:
+        cand = _page_html(
+            doc_id, words, n_docs, n_hosts,
+            meta_charset="ISO-8859-1", charset_extra=True,
+        )
+        try:
+            return (
+                cand.encode("iso-8859-1"),
+                _expected_text(doc_id, words, n_docs, n_hosts, charset_extra=True),
+            )
+        except UnicodeEncodeError:
+            pass  # not latin-1-representable -> plain UTF-8 page below
+    elif doc_id % BAD_CHARSET_MOD == 31:
+        html = _page_html(
+            doc_id, words, n_docs, n_hosts, meta_charset=BAD_CHARSET_NAME
+        )
+        err = (
+            "Failed to get content of URI: '%s'. "
+            "(1 UnsupportedCharsetException:%s)\n"
+            % (url_of(doc_id, n_hosts), BAD_CHARSET_NAME)
+        )
+        return html.encode("utf-8"), err[:-1]
+    return (
+        _page_html(doc_id, words, n_docs, n_hosts).encode("utf-8"),
+        _expected_text(doc_id, words, n_docs, n_hosts),
+    )
 
 
 def build_pages_table(sf_dir: str) -> pa.Table:
@@ -263,8 +337,9 @@ def build_pages_table(sf_dir: str) -> pa.Table:
         words = text.split(" ")
         urls.append(url_of(doc_id, n_hosts))
         ts.append(EPOCH_US + doc_id * 1_000_000)
-        htmls.append(_page_html(doc_id, words, n_docs, n_hosts).encode("utf-8"))
-        out_texts.append(_expected_text(doc_id, words, n_docs, n_hosts))
+        html_bytes, expected = _build_page(doc_id, words, n_docs, n_hosts)
+        htmls.append(html_bytes)
+        out_texts.append(expected)
         out_langs.append(lang)
 
     return pa.table(
@@ -285,7 +360,11 @@ def pages_path(sf_dir: str) -> str:
     safely; content is a pure function of ``sf_dir``.
     """
     name = Path(sf_dir).name or "sf"
-    out_dir = Path(tempfile.gettempdir()) / "topicrawler_ray_pages" / name
+    out_dir = (
+        Path(tempfile.gettempdir())
+        / ("topicrawler_ray_pages_v%d" % FIXTURE_VERSION)
+        / name
+    )
     out = out_dir / "pages.parquet"
     if not out.exists():
         out_dir.mkdir(parents=True, exist_ok=True)

@@ -20,7 +20,7 @@ from dataclasses import dataclass
 
 from ..functions.strings import format_g12, java_trim
 from ..functions.urls import extract_outlinks
-from ..stages.extract import extract_one
+from ..stages.extract import decode_page_bytes, extract_one
 from ..stages.score import score_text
 from ..state.frontier import parse_robots
 
@@ -83,7 +83,7 @@ class CrawlProcessor:
             return FetchResult(
                 pos, url, 200, True, float("nan"), "", "", "", lang, ts_us, [], rules
             )
-        html = html_bytes.decode("utf-8", "replace")
+        html = decode_page_bytes(url, html_bytes)
         clean_text, scoring_text, abbr = extract_one(html)
         perp = score_text(self._lm, java_trim(scoring_text))
         perp_str = format_g12(perp)

@@ -2,9 +2,14 @@
 
 Implements the reference disposition-chain extraction per page:
 
-* decode recorded bytes as UTF-8 (``TextExtractor.getUtf8HtmlText``,
-  ``lt.ltbot/.../text/TextExtractor.java:40-66`` - fixture pages are
-  all UTF-8; a charset column could extend this),
+* decode recorded bytes with the page's charset
+  (``TextExtractor.getUtf8HtmlText``,
+  ``lt.ltbot/.../text/TextExtractor.java:40-66``: decode with the
+  response charset under REPLACE semantics, re-encode UTF-8; an
+  unresolvable charset follows the catch block at :57-66 - the error
+  string IS the returned text).  Without HTTP headers the charset comes
+  from the in-band ``<meta charset>`` declaration (first 1024 bytes),
+  defaulting to UTF-8 like the reference's Recorder does,
 * ``clean -> jsoup text -> clean`` composite then ``String.trim()``
   (``TextExtractor.java:80-85``;
   ``DecesiveValueProducerPerplexity.getPerplexity`` trim at :303),
@@ -37,6 +42,42 @@ _EXT_ONLY = sorted(set(EXT_DIRTY_CODEPOINTS) - set(MIN_DIRTY_CODEPOINTS))
 _EXT_ONLY_RE = _re.compile(
     "[%s]" % "".join("\\u%04x" % cp for cp in _EXT_ONLY)
 )
+
+
+_META_CHARSET_RE = _re.compile(
+    rb"(?i)<meta[^>]+charset\s*=\s*[\"']?\s*([a-zA-Z0-9_\-:.]+)"
+)
+
+
+def sniff_charset(html_bytes: bytes) -> str | None:
+    """In-band charset declaration (``<meta charset=..>`` or
+    ``http-equiv`` content charset) in the first 1024 bytes; None when
+    absent.  The scan is ASCII-compatible, like browsers' pre-scan."""
+    m = _META_CHARSET_RE.search(html_bytes[:1024])
+    return m.group(1).decode("ascii", "replace") if m else None
+
+
+def decode_page_bytes(url: str, html_bytes: bytes) -> str:
+    """``TextExtractor.getUtf8HtmlText`` parity (TextExtractor.java:40-66).
+
+    Decode the recorded bytes with the page charset; malformed sequences
+    become U+FFFD (java.nio ``Charset.decode`` uses REPLACE - so does
+    python ``errors="replace"``).  A charset name Python cannot resolve
+    mirrors the reference's catch block (:57-66): the returned "text" is
+    the formatted failure string (depth-1 cause chain), which then flows
+    through extraction/scoring like any other content.
+    """
+    import codecs
+
+    name = sniff_charset(html_bytes) or "utf-8"
+    try:
+        codec = codecs.lookup(name)
+    except LookupError:
+        return (
+            "Failed to get content of URI: '%s'. "
+            "(1 UnsupportedCharsetException:%s)\n" % (url, name)
+        )
+    return html_bytes.decode(codec.name, "replace")
 
 
 def is_robots_url(url: str) -> bool:
@@ -80,7 +121,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
             score_texts.append("")
             abbrs.append("")
             continue
-        html_utf8 = html.decode("utf-8", "replace")
+        html_utf8 = decode_page_bytes(url, html)
         c, s, a = extract_one(html_utf8)
         clean_texts.append(c)
         score_texts.append(s)
