@@ -194,11 +194,7 @@ def _q_dedup_minhash(sf_dir: str):
     ds = ray.data.from_arrow(
         pa.table({"doc_id": pa.array(all_ids, pa.int64()), "text": all_texts})
     )
-    pairs = minhash_near_dup_pairs(
-        ds, dict(zip(all_ids, all_texts)), threshold=0.5
-    )
-    import pandas as pd
-
+    pairs = minhash_near_dup_pairs(ds, threshold=0.5)
     df = pairs.to_pandas()
     df["jaccard"] = df["jaccard"].round(4)
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
@@ -289,7 +285,13 @@ def _q_knn_ivf(sf_dir: str):
         )
     )
     queries = np.array([e for _, e in qrows], dtype=np.float64)
-    return ivf_topk(_embs(sf_dir), queries, k=10, n_lists=8, nprobe=3)
+    t = ivf_topk(_embs(sf_dir), queries, k=10, n_lists=8, nprobe=3)
+    df = t.to_pandas()
+    df["cosine_e4"] = np.floor(df["cosine"] * 10000).astype("int64")
+    df = df.drop(columns=["cosine"])
+    df["query_id"] = df["query_id"].astype("int64")
+    df["rank"] = df["rank"].astype("int64")
+    return df
 
 
 def _q_token_counts(sf_dir: str):

@@ -157,7 +157,7 @@ class TestDedup:
         ds = ray.data.from_items(
             [{"doc_id": i, "text": t} for i, t in texts.items()]
         )
-        pairs = minhash_near_dup_pairs(ds, texts, threshold=0.7).to_pandas()
+        pairs = minhash_near_dup_pairs(ds, threshold=0.7).to_pandas()
         assert set(zip(pairs.id_a, pairs.id_b)) == {(1, 2)}
 
     def test_embedding_near_dup_bruteforce_vs_numpy(self, ray_session):

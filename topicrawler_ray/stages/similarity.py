@@ -89,13 +89,31 @@ def brute_force_topk(
 
 
 def train_centroids(ds, n_lists: int = 16, vec_column: str = "embedding",
-                    iters: int = 5, seed: int = 23) -> np.ndarray:
-    """Deterministic mini k-means on a sample (driver-side; the sample is
-    small by construction)."""
-    sample = ds.random_sample(min(1.0, 4096 / max(1, ds.count())), seed=seed)
-    vecs = np.array(
-        [r[vec_column] for r in sample.take(4096)], dtype=np.float32
-    )
+                    iters: int = 5, seed: int = 23, id_column: str = "vec_id",
+                    max_sample: int = 4096) -> np.ndarray:
+    """Deterministic mini k-means on a deterministic sample (driver-side;
+    the sample is small by construction).
+
+    The sample is a modulo-decimation on the id column (``id % stride ==
+    0``) read in id order - NO distributed RNG, so a sequential oracle
+    can replicate centroid training bit-for-bit."""
+    import pyarrow.compute as pc
+
+    total = ds.count()
+    stride = max(1, (total + max_sample - 1) // max_sample)
+    sampled = ds
+    if stride > 1:
+        sampled = ds.map_batches(
+            lambda t: t.filter(
+                pc.equal(pc.mod(t.column(id_column), stride), 0)
+            ),
+            batch_format="pyarrow",
+        )
+    rows = sorted(
+        sampled.select_columns([id_column, vec_column]).take_all(),
+        key=lambda r: r[id_column],
+    )[:max_sample]
+    vecs = np.array([r[vec_column] for r in rows], dtype=np.float32)
     vecs = _normalize(vecs)
     rng = np.random.default_rng(seed)
     cent = vecs[rng.choice(len(vecs), size=min(n_lists, len(vecs)), replace=False)]
@@ -144,13 +162,17 @@ def ivf_topk(
         qids = [qi for qi, s in enumerate(psets) if lid in s]
         if not qids:
             return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
+        # sort the list members by id so the partial top-k (incl. float
+        # tie-breaks) is independent of Ray's within-group row order
+        group = group.sort_values(id_column)
         mat = _normalize(np.array(group[vec_column].tolist(), dtype=np.float32))
         ids = group[id_column].to_numpy()
         sims = qm[qids] @ mat.T
         o_q, o_id, o_c = [], [], []
         kk = min(k, sims.shape[1])
         for row, qi in enumerate(qids):
-            idx = np.argpartition(-sims[row], kk - 1)[:kk]
+            # deterministic selection: by similarity desc, ties by id asc
+            idx = np.lexsort((ids, -sims[row]))[:kk]
             for j in idx:
                 o_q.append(qi)
                 o_id.append(int(ids[j]))
