@@ -40,16 +40,18 @@ def _q_extract_text(sf_dir: str):
 
 
 def _q_extract_boilerpipe(sf_dir: str):
-    """M3 alternative extractor (boilerpipe-like density heuristic) via
-    the registry - rows-only (heuristic output, pytest-covered)."""
+    """M3 alternative extractor: the ported boilerpipe ArticleExtractor
+    (densitometric block classification) via the registry."""
     import pyarrow as pa
 
     from topicrawler_ray.registry import resolve
     from topicrawler_ray.sources.pages import read_pages
 
-    extractor = resolve("html_text_extractor", "boilerpipe_like")
+    extractor = resolve("html_text_extractor", "boilerpipe")
 
     def extract(batch: pa.Table) -> pa.Table:
+        from topicrawler_ray.stages.extract import decode_page_bytes
+
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
         keep_u, keep_t = [], []
@@ -57,7 +59,7 @@ def _q_extract_boilerpipe(sf_dir: str):
             if u.endswith("robots.txt"):
                 continue
             keep_u.append(u)
-            keep_t.append(extractor(h.decode("utf-8", "replace")))
+            keep_t.append(extractor(decode_page_bytes(u, h)))
         return pa.table(
             {
                 "url": pa.array(keep_u, pa.string()),

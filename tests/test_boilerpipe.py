@@ -1,0 +1,157 @@
+"""Boilerpipe ArticleExtractor port tests (pure functions, no Ray)."""
+
+from topicrawler_ray.functions.boilerpipe import (
+    LABEL_END,
+    LABEL_TITLE,
+    article_blocks,
+    article_text,
+    block_proximity_fusion,
+    classify_num_words_rules,
+    find_terminating_blocks,
+    parse_blocks,
+)
+
+
+def _page(body: str, title: str = "T") -> str:
+    return "<html><head><title>%s</title></head><body>%s</body></html>" % (
+        title,
+        body,
+    )
+
+
+LONG1 = "word " * 60 + "end."
+LONG2 = "other " * 55 + "stop."
+
+
+class TestBlockParser:
+    def test_blocks_and_title(self):
+        blocks, title = parse_blocks(
+            _page("<p>one two three</p><div>four five</div>", "My Title")
+        )
+        assert title == "My Title"
+        assert [b.text for b in blocks] == ["one two three", "four five"]
+
+    def test_anchor_words_and_link_density(self):
+        blocks, _ = parse_blocks(
+            _page('<p>plain <a href="/">linked words here</a> tail</p>')
+        )
+        (b,) = blocks
+        assert b.num_words == 5
+        assert b.num_anchor_words == 3
+        assert abs(b.link_density - 0.6) < 1e-9
+
+    def test_inline_tags_do_not_cut(self):
+        blocks, _ = parse_blocks(_page("<p>a <b>b</b> c <span>d</span> e</p>"))
+        assert [b.text for b in blocks] == ["a b c d e"]
+
+    def test_script_ignored(self):
+        blocks, _ = parse_blocks(
+            _page("<script>var x = 'not text';</script><p>real</p>")
+        )
+        assert [b.text for b in blocks] == ["real"]
+
+    def test_text_density_wrapping(self):
+        # 40 words of 5 chars -> 6 chars/word incl. space -> >2 wrapped
+        # 80-char lines; density well below the word count
+        blocks, _ = parse_blocks(_page("<p>%s</p>" % ("abcde " * 40)))
+        (b,) = blocks
+        assert b.num_words == 40
+        assert b.num_wrapped_lines >= 2
+        assert b.text_density < b.num_words
+
+
+class TestClassifier:
+    def test_link_dense_block_is_boilerplate(self):
+        blocks, _ = parse_blocks(
+            _page('<div><a href="/">home nav menu</a> x</div><p>%s</p>' % LONG1)
+        )
+        classify_num_words_rules(blocks)
+        assert not blocks[0].is_content  # link density 0.75
+        assert blocks[1].is_content
+
+    def test_short_isolated_block_is_boilerplate(self):
+        blocks, _ = parse_blocks(
+            _page("<div>short footer text</div>")
+        )
+        classify_num_words_rules(blocks)
+        assert not blocks[0].is_content
+
+    def test_long_block_is_content(self):
+        blocks, _ = parse_blocks(_page("<p>%s</p>" % LONG1))
+        classify_num_words_rules(blocks)
+        assert blocks[0].is_content
+
+    def test_short_block_next_to_long_is_content(self):
+        # curr<=16 words but next>15 -> content (the headline rule)
+        blocks, _ = parse_blocks(
+            _page("<h1>a headline of eight words right here now</h1><p>%s</p>" % LONG1)
+        )
+        classify_num_words_rules(blocks)
+        assert blocks[0].is_content
+
+
+class TestFilters:
+    def test_terminating_blocks_finder(self):
+        blocks, _ = parse_blocks(
+            _page("<p>%s</p><div>Comments</div><div>12 comments so far</div>" % LONG1)
+        )
+        find_terminating_blocks(blocks)
+        assert LABEL_END in blocks[1].labels
+        assert LABEL_END in blocks[2].labels
+        assert LABEL_END not in blocks[0].labels
+
+    def test_fusion_merges_adjacent_same_class(self):
+        blocks, _ = parse_blocks(_page("<p>%s</p><p>%s</p>" % (LONG1, LONG2)))
+        classify_num_words_rules(blocks)
+        fused = block_proximity_fusion(blocks, 1)
+        assert len(fused) == 1
+        assert fused[0].num_words == blocks[0].num_words  # merged totals
+
+    def test_article_cuts_after_comments(self):
+        html = _page(
+            "<p>%s</p><div>Comments</div><p>%s</p>" % (LONG1, LONG2)
+        )
+        out = article_text(html)
+        assert "word" in out
+        assert "other" not in out  # after-comments content removed
+
+    def test_title_expansion(self):
+        html = _page(
+            "<h1>Great Piece</h1><p>%s</p>" % LONG1, title="Great Piece | site.com"
+        )
+        blocks = article_blocks(html)
+        assert any(LABEL_TITLE in b.labels for b in blocks)
+        out = article_text(html)
+        assert out.startswith("Great Piece")
+
+    def test_nav_and_footer_stripped_on_fixture_shape(self):
+        html = _page(
+            '<div class="nav">Home | <a href="/">start</a></div>'
+            "<p>%s</p><p>%s</p>"
+            '<div class="links"><a href="/a">l0</a> <a href="/b">l1</a></div>'
+            '<div class="footer">© 2014 host1.example</div>' % (LONG1, LONG2)
+        )
+        out = article_text(html)
+        assert "word" in out and "other" in out
+        assert "Home" not in out
+        assert "l0" not in out
+        assert "© 2014" not in out
+
+    def test_error_parity(self):
+        # article_text never raises; the error path mirrors
+        # BoilerpipeTextExtractor.getPlaintext (:36-44)
+        import topicrawler_ray.functions.boilerpipe as bp
+
+        orig = bp.article_blocks
+        bp.article_blocks = lambda html: (_ for _ in ()).throw(ValueError("x"))
+        try:
+            out = bp.article_text("<p>abc</p>")
+            assert out == "Failed to get plaintext content \n<p>abc</p>"
+        finally:
+            bp.article_blocks = orig
+
+    def test_registry_exposes_boilerpipe(self):
+        from topicrawler_ray.registry import resolve
+
+        fn = resolve("html_text_extractor", "boilerpipe")
+        assert "word" in fn(_page("<p>%s</p>" % LONG1))

@@ -74,7 +74,10 @@ def _register_defaults() -> None:
     from .functions.sentencemaker import get_sentences
     from .functions.tokenizer import filtered_and_normalized_tokens
 
+    from .functions.boilerpipe import article_text
+
     register("html_text_extractor", "jsoup", get_plaintext)
+    register("html_text_extractor", "boilerpipe", article_text)
     register("html_text_extractor", "boilerpipe_like", _boilerpipe_like_text)
     register("utf8_cleaner", "min", clean_min)
     register("utf8_cleaner", "ext", clean_ext)
