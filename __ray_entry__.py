@@ -354,15 +354,24 @@ def _q_ngram_counts_ws(sf_dir: str):
 
 
 def _q_ngram_stats_seg(sf_dir: str):
-    """Full seg-tokenized count pipeline (A1/A3): trigram counts joined
-    with nfollow stats on the history (rows-only; pytest has the
-    pure-python oracle)."""
-    from topicrawler_ray.lm.build import count_ngrams, nfollow
+    """J4: the unified per-ngram index record (counts left-outer-joined
+    with nprecede/nfollow/nfollowerprecede on the ngram key,
+    ``GenerateNgramIndex.java:297-309``) over seg-tokenized trigrams."""
+    from topicrawler_ray.lm.build import ngram_index
 
     ds = _docs(sf_dir).select_columns(["text"])
-    counts = count_ngrams(ds, order=3)
-    nf = nfollow(counts)
-    return nf
+    idx = ngram_index(ds, order=3)
+
+    def cast_n(batch):
+        import pyarrow as pa
+
+        return batch.set_column(
+            batch.schema.get_field_index("n"),
+            "n",
+            batch.column("n").cast(pa.int64()),
+        )
+
+    return idx.map_batches(cast_n, batch_format="pyarrow")
 
 
 def _q_media_features(sf_dir: str):

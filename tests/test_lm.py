@@ -124,3 +124,95 @@ class TestDocumentPerplexity:
         on_topic = document_perplexity(lm, "The cat sat on the mat.")
         off_topic = document_perplexity(lm, "Quantum flux reactors emit neutrinos.")
         assert on_topic < off_topic
+
+
+class TestNgramIndex:
+    """J4: unified per-ngram index record + __sum_ngrams__ artifact."""
+
+    DOCS = ["the cat sat on the mat", "the cat ran", "a dog sat on the mat"]
+
+    def _index(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.lm.build import ngram_index
+
+        ds = ray.data.from_items([{"text": t} for t in self.DOCS])
+        return ngram_index(ds, 3)
+
+    def test_wide_record_vs_python_oracle(self, ray_session):
+        """The joined record must equal a sequential dict-based oracle."""
+        from collections import Counter, defaultdict
+
+        from topicrawler_ray.lm.build import sentence_tokens
+
+        c = Counter()
+        for t in self.DOCS:
+            for toks in sentence_tokens(t):
+                for k in range(1, 4):
+                    for i in range(len(toks) - k + 1):
+                        c[" ".join(toks[i : i + k])] += 1
+        stats = {p: defaultdict(lambda: [0, 0, 0, 0]) for p in ("np", "nf", "nfp")}
+        for g, num in c.items():
+            parts = g.split(" ")
+            b = 1 if num == 1 else (2 if num == 2 else 3)
+            if len(parts) >= 2:
+                for p, key in (
+                    ("nf", " ".join(parts[:-1])),
+                    ("np", " ".join(parts[1:])),
+                ):
+                    stats[p][key][0] += num
+                    stats[p][key][b] += 1
+            if len(parts) >= 3:
+                key = " ".join(parts[1:-1])
+                stats["nfp"][key][0] += num
+                stats["nfp"][key][b] += 1
+
+        df = self._index(ray_session).to_pandas().set_index("ngram")
+        assert len(df) == len(c)
+        for g, num in c.items():
+            row = df.loc[g]
+            assert row["num"] == num
+            assert row["n"] == g.count(" ") + 1
+            for p in ("np", "nf", "nfp"):
+                exp = stats[p].get(g, [0, 0, 0, 0])
+                got = [row["%s_n" % p], row["%s_n1" % p], row["%s_n2" % p], row["%s_n3" % p]]
+                assert got == exp, (g, p, got, exp)
+
+    def test_sum_ngrams_artifact_roundtrip(self, ray_session, tmp_path):
+        import ray.data
+
+        from topicrawler_ray.lm.build import (
+            count_ngrams,
+            count_of_counts,
+            read_sum_ngrams,
+            write_sum_ngrams,
+        )
+
+        ds = ray.data.from_items([{"text": t} for t in self.DOCS])
+        stats = count_of_counts(count_ngrams(ds, 3), 3)
+        p = str(tmp_path / "__sum_ngrams__")
+        text = write_sum_ngrams(stats, p)
+        assert text.startswith("#\n# Number of times where an ngram occurred: \n")
+        assert "max_n=3\nmax_c=6\n" in text
+        back = read_sum_ngrams(p)
+        assert back["N"] == stats["N"] and back["S"] == stats["S"]
+
+    def test_kn_fed_from_index_matches_in_memory(self, ray_session):
+        from topicrawler_ray.functions import ngrams as ngram_mod  # noqa: F401
+        from topicrawler_ray.lm.backoff import NgramCounts
+        from topicrawler_ray.lm.build import kn_stats_from_index, sentence_tokens
+        from topicrawler_ray.lm.kneserney import KneserNeyLM, KNStats
+
+        counts = NgramCounts(3)
+        for t in self.DOCS:
+            for toks in sentence_tokens(t):
+                counts.add_sequence(toks)
+        lm_mem = KneserNeyLM(KNStats(counts))
+        lm_idx = KneserNeyLM(kn_stats_from_index(self._index(ray_session), 3))
+        for g in (
+            ["the", "cat", "sat"],
+            ["a", "dog", "ran"],
+            ["the", "mat"],
+            ["unknownword"],
+        ):
+            assert lm_mem.ngram_log10_prob(g) == lm_idx.ngram_log10_prob(g)

@@ -201,6 +201,167 @@ def count_of_counts(counts_ds, order: int, max_c: int = 6) -> dict:
 
 
 # --------------------------------------------------------------------------
+# J4: the unified per-ngram index record + __sum_ngrams__ artifact
+
+
+INDEX_STAT_PREFIXES = ("np", "nf", "nfp")  # reference join order
+
+
+def ngram_index(ds, order: int, column: str = "text", mincount: int = 1,
+                tokenizer=None, num_partitions: int = 8):
+    """J4 (``GenerateNgramIndex.java:297-309``): the ``join -a1`` of the
+    n-gram counts with the nprecede / nfollow / nfollowerprecede
+    continuation stats on the ngram key - the unified index record
+    ``ngram, n, num, np_n, np_n1..3, nf_n, nf_n1..3, nfp_n, nfp_n1..3``
+    (missing stats filled with 0, like ``join -a1 -e ''``).
+
+    Ray shape: one counting shuffle produces the counts; the three
+    continuation stats derive from the SAME counts Dataset; three
+    left-outer ``Dataset.join``s all keyed on the ngram string (the one
+    partitioning key reused across every stage).  Partitioning
+    assumption: the ngram key is hash-partitioned; no skew handling
+    needed since single hot n-grams are single rows here.
+    """
+    counts = count_ngrams(ds, order, column, mincount, tokenizer)
+    # Ray 2.49: aggregates emit 0-column empty blocks that break
+    # downstream joins; repartition() concatenates them away
+    counts = counts.repartition(num_partitions)
+    stats = {
+        "np": nprecede(counts).repartition(num_partitions),
+        "nf": nfollow(counts).repartition(num_partitions),
+        "nfp": nfollowerprecede(counts).repartition(num_partitions),
+    }
+    out = counts
+    for prefix in INDEX_STAT_PREFIXES:
+        out = out.join(
+            stats[prefix],
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("ngram",),
+            right_on=("key",),
+        )
+
+        def rename_fill(batch: pa.Table, prefix=prefix) -> pa.Table:
+            import pyarrow.compute as pc
+
+            for src, dst in (
+                ("n_sum", "%s_n" % prefix),
+                ("n1", "%s_n1" % prefix),
+                ("n2", "%s_n2" % prefix),
+                ("n3", "%s_n3" % prefix),
+            ):
+                col = pc.coalesce(
+                    batch.column(src).cast(pa.int64()), pa.scalar(0, pa.int64())
+                )
+                batch = batch.drop_columns([src]).append_column(dst, col)
+            return batch
+
+        out = out.map_batches(rename_fill, batch_format="pyarrow")
+    return out
+
+
+def write_sum_ngrams(stats: dict, path: str) -> str:
+    """Write the ``__sum_ngrams__`` stats artifact
+    (``GenerateNgramIndex.java:493-498`` format parity).  ``stats`` is
+    the :func:`count_of_counts` result."""
+    order = stats["max_n"]
+    N, S = stats["N"], stats["S"]
+    lines = [
+        "#",
+        "# Number of times where an ngram occurred: ",
+        "#  at_least_once, exactly_once, exactly_twice, exactly_three_times,"
+        " exactly_four_times, five_times_or_more.",
+        "#",
+        "max_n=%d" % order,
+        "max_c=6",
+    ]
+    for n in range(1, order + 1):
+        lines.append("n%d=%s" % (n, ",".join(str(x) for x in N[n])))
+    for n in range(1, order + 1):
+        lines.append("s%d=%d" % (n, S[n]))
+    text = "\n".join(lines) + "\n"
+    import os
+    import tempfile
+
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d)
+    with os.fdopen(fd, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)
+    return text
+
+
+def read_sum_ngrams(path: str) -> dict:
+    """Parse a ``__sum_ngrams__`` artifact back into the stats dict."""
+    vals: dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            k, v = line.split("=", 1)
+            vals[k] = v
+    order = int(vals["max_n"])
+    max_c = int(vals["max_c"])
+    N = [[0] * max_c for _ in range(order + 1)]
+    S = [0] * (order + 1)
+    for n in range(1, order + 1):
+        N[n] = [int(x) for x in vals["n%d" % n].split(",")]
+        S[n] = int(vals["s%d" % n])
+    return {"N": N, "S": S, "max_n": order, "max_c": max_c}
+
+
+def kn_stats_from_index(index_table, order: int):
+    """Feed Kneser-Ney from the J4 index record (the disk-backed path
+    the reference uses via its Lucene index): rebuild
+    :class:`~.kneserney.KNStats` from the joined table instead of from
+    in-memory ``NgramCounts`` scans."""
+    from ..lm.backoff import NgramCounts
+    from ..lm.kneserney import KNStats
+
+    if hasattr(index_table, "iter_batches"):  # a Ray Dataset
+        batches = list(index_table.iter_batches(batch_size=65536, batch_format="pyarrow"))
+        index_table = pa.concat_tables(batches) if batches else None
+    counts = NgramCounts(order)
+    nf: dict[tuple, list[int]] = {}
+    np_: dict[tuple, list[int]] = {}
+    nfp: dict[tuple, list[int]] = {}
+    cols = {
+        name: index_table.column(name).to_pylist()
+        for name in index_table.schema.names
+    }
+    for i, g in enumerate(cols["ngram"]):
+        key = tuple(g.split(" "))
+        counts.counts[len(key)][key] = int(cols["num"][i])
+        for prefix, table in (("nf", nf), ("np", np_), ("nfp", nfp)):
+            b = [
+                int(cols["%s_n1" % prefix][i]),
+                int(cols["%s_n2" % prefix][i]),
+                int(cols["%s_n3" % prefix][i]),
+            ]
+            if any(b):
+                table[key] = b
+    stats = KNStats.__new__(KNStats)
+    stats.order = order
+    stats.counts = counts
+    stats.nf = nf
+    stats.np = np_
+    stats.nfp = nfp
+    max_c = 6
+    stats.N = [[0] * max_c for _ in range(order + 1)]
+    stats.sum_ngrams = [0] * (order + 1)
+    stats.num_ngrams = [0] * (order + 1)
+    for n in range(1, order + 1):
+        for c in counts.counts[n].values():
+            stats.N[n][min(c, max_c - 1)] += 1
+            stats.sum_ngrams[n] += c
+        stats.num_ngrams[n] = len(counts.counts[n])
+        stats.N[n][0] = stats.num_ngrams[n]
+    return stats
+
+
+# --------------------------------------------------------------------------
 # whitespace-token variant (SQL-oracle-able over the documents table)
 
 
