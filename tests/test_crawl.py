@@ -162,3 +162,97 @@ class TestCuckooOnlyMode:
         assert res.log.num_rows >= 0.95 * len(sim_result.rows)
         # no exact set -> no conformance artifact in this mode
         assert res.seen_keys == set()
+
+
+class TestLogSpool:
+    def test_spill_keeps_conformance_exact(self, ray_session, sf_dir, sim_result):
+        """With a tiny spill threshold the log lives almost entirely in
+        parquet spool parts; content must still equal the oracle's
+        exactly and driver RAM holds only the tail."""
+        import os
+
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+
+        spool = tempfile.mkdtemp(prefix="topicrawler_spool_")
+        try:
+            cfg = CrawlConfig(log_spill_rows=25, log_spool_dir=spool, **_SMALL)
+            eng = RayCrawlEngine(sf_dir, cfg)
+            res = eng.run()
+            assert len(eng._log_parts) > 3  # really spooled
+            assert sum(b.num_rows for b in eng.log_batches) < 25  # bounded tail
+            assert all(os.path.exists(p) for p in eng._log_parts)
+            _assert_log_matches(res.log, sim_result.rows)
+            assert res.seen_keys == sim_result.seen_keys
+        finally:
+            shutil.rmtree(spool, ignore_errors=True)
+
+    def test_checkpoint_resume_with_spool(self, ray_session, sf_dir, sim_result):
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+
+        ckpt = tempfile.mkdtemp(prefix="topicrawler_ckpt_spool_")
+        try:
+            cfg = CrawlConfig(
+                checkpoint_dir=ckpt,
+                checkpoint_every_waves=20,
+                log_spill_rows=25,
+                **_SMALL,
+            )
+            eng = RayCrawlEngine(sf_dir, cfg)
+            eng.bootstrap()
+            while eng.wave < 45:
+                if eng.run_wave() == 0:
+                    break
+            del eng
+            eng2 = RayCrawlEngine(sf_dir, cfg)
+            res = eng2.resume_run()
+            _assert_log_matches(res.log, sim_result.rows)
+            assert res.seen_keys == sim_result.seen_keys
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
+class TestPageStorePointReads:
+    def test_point_reads_match_and_memory_bounded(self, sf_dir):
+        """The row-group LRU path returns exactly the rows a full scan
+        would, while keeping at most max_cached_row_groups decoded."""
+        import pyarrow.parquet as pq
+
+        from topicrawler_ray.sources.pages import pages_bucketed_dir, pages_path
+        from topicrawler_ray.state.pagestore import PageStoreState, shard_of_url
+
+        world = 2
+        stores = [
+            PageStoreState(pages_bucketed_dir(sf_dir), r, world, max_cached_row_groups=4)
+            for r in range(world)
+        ]
+        t = pq.read_table(pages_path(sf_dir), columns=["url", "warc_ts", "html", "lang"])
+        urls = t.column("url").to_pylist()
+        expect = {
+            u: (h, s, l)
+            for u, s, h, l in zip(
+                urls,
+                t.column("warc_ts").cast("int64").to_pylist(),
+                t.column("html").to_pylist(),
+                t.column("lang").to_pylist(),
+            )
+        }
+        # fetch every url through its owning shard, plus misses
+        for u in urls:
+            s = shard_of_url(u, world)
+            got = stores[s].fetch([u, u + "/missing"])
+            assert got == {u: expect[u]}, u
+            assert len(stores[s]._rg_cache) <= 4
+        # the other shard does not own it -> 404
+        for u in urls[:20]:
+            s = 1 - shard_of_url(u, world)
+            assert stores[s].fetch([u]) == {}
+
+    def test_index_is_url_column_only(self, sf_dir):
+        """Warm-up builds the int->int index without decoding html."""
+        from topicrawler_ray.sources.pages import pages_bucketed_dir
+        from topicrawler_ray.state.pagestore import PageStoreState
+
+        st = PageStoreState(pages_bucketed_dir(sf_dir), 0, 2)
+        st._load()
+        assert len(st._rg_cache) == 0  # nothing decoded yet
+        assert all(isinstance(k, int) and isinstance(v, int) for k, v in st._index.items())

@@ -412,3 +412,22 @@ class TestRegistry:
         out = _boilerpipe_like_text(html)
         assert "long enough paragraph" in out
         assert "Home" not in out and "corp" not in out
+
+
+class TestPrioritizerVectorized:
+    def test_schedule_batch_matches_scalar_grid(self):
+        import numpy as np
+
+        from topicrawler_ray.stages import prioritize as prio
+
+        grid = [
+            -1.0, 0.0, 0.5, 1.0, 1.0000001, 2.0, 100.0, 499.999, 500.0,
+            500.001, 1234.5, 4999.99, 5000.0, 5000.01, 20000.0, 49999.9,
+            50000.0, 50001.0, 1e6, float("inf"),
+        ]
+        directives, costs = prio.schedule_batch(np.array(grid))
+        for v, d, c in zip(grid, directives, costs):
+            a = prio.schedule(v)
+            assert d == a.directive, v
+            if a.directive >= 0:
+                assert c == a.cost, v

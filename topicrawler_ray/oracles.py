@@ -1,0 +1,634 @@
+"""Sequential oracle materialization - the driver-checkable fixtures.
+
+Round-1 VERDICT item 1: 18 of 31 queries had no DuckDB oracle, so the
+driver could only certify 42% of the surface.  This module computes the
+EXPECTED output of each of those queries with a plain single-process
+python implementation (no Ray - dicts, loops, numpy) and writes it to
+parquet under ``/tmp``; ``__ray_entry__.oracle_sql`` then SELECTs from
+those files, making the distributed Ray execution (partitioning, joins,
+shuffles, actor scheduling) hash-checkable against an independently
+executed sequential derivation.
+
+What "independent" means here: the per-row scalar kernels (extraction,
+scoring, sentence splitting, hashing) are shared with the library -
+they are unit-tested against reference goldens on their own - while
+everything the Ray runtime is responsible for (block distribution,
+groupby/join semantics, actor pools, wave scheduling) is re-derived
+sequentially.  The crawl oracles come from the pure-python simulator
+(``pipelines/simulate.py``), which shares no frontier/seen/wave code
+with the engine.
+
+Artifacts are cached per (fixture version, oracle version, sf dir) and
+written atomically; content is a pure function of the testdata.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .sources.pages import FIXTURE_VERSION
+
+ORACLE_VERSION = 1
+
+LM_ORDER = 3
+
+from functools import lru_cache as _lru_cache
+
+
+def oracle_root(sf_dir: str) -> Path:
+    name = Path(sf_dir).name or "sf"
+    return (
+        Path(tempfile.gettempdir())
+        / ("topicrawler_ray_oracles_v%d.%d" % (FIXTURE_VERSION, ORACLE_VERSION))
+        / name
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared sequential building blocks
+
+
+def _pages_rows(sf_dir: str):
+    """(url, warc_ts_us, html_bytes) rows of the pages fixture."""
+    from .sources.pages import pages_path
+
+    t = pq.read_table(pages_path(sf_dir), columns=["url", "warc_ts", "html"])
+    return list(
+        zip(
+            t.column("url").to_pylist(),
+            t.column("warc_ts").cast(pa.int64()).to_pylist(),
+            t.column("html").to_pylist(),
+        )
+    )
+
+
+def _lm(sf_dir: str):
+    from .lm.train import build_scorer_lm
+
+    return build_scorer_lm(sf_dir, LM_ORDER)
+
+
+@_lru_cache(maxsize=4)
+def _scored_rows(sf_dir: str) -> list[tuple[str, int, str, float, str]]:
+    """(url, ts_us, clean_text, perp, perp_str) per page - the sequential
+    equivalent of the flagship extract+score pipeline."""
+    from .functions.strings import format_g12
+    from .stages.extract import decode_page_bytes, extract_one, is_robots_url
+    from .stages.score import score_text
+
+    lm = _lm(sf_dir)
+    out = []
+    for url, ts, html in _pages_rows(sf_dir):
+        if is_robots_url(url):
+            clean, ext = "", ""
+        else:
+            clean, ext, _ = extract_one(decode_page_bytes(url, html))
+        perp = score_text(lm, ext)
+        out.append((url, ts, clean, perp, format_g12(perp)))
+    return out
+
+
+@_lru_cache(maxsize=4)
+def _sentence_rows(sf_dir: str) -> list[tuple[str, str, str, int, str]]:
+    """(time, sentence, url, sent_idx, perp_str) - SentenceWriter rows."""
+    from .functions.sentencemaker import get_sentences
+    from .stages.sinks import iso8601_utc
+
+    rows = []
+    for url, ts, clean, _perp, perp_str in _scored_rows(sf_dir):
+        if not clean:
+            continue
+        tstr = iso8601_utc(ts)
+        for i, sentence in enumerate(get_sentences(clean, min_length=2)):
+            rows.append((tstr, sentence, url, i, perp_str))
+    return rows
+
+
+@_lru_cache(maxsize=4)
+def _line_perp_rows(sf_dir: str):
+    """(url, sent_idx, n_ngrams, n_oov, perp) per sentence."""
+    from .pipelines.perpeval import _line_metrics
+
+    lm = _lm(sf_dir)
+    out = []
+    for _t, sentence, url, idx, _p in _sentence_rows(sf_dir):
+        n, n_oov, _lp, perp, _lpn, _pn = _line_metrics(lm, sentence)
+        out.append((url, idx, n, n_oov, perp))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# per-query builders (each returns a pa.Table with the query's types)
+
+
+def _b_scored_pages(sf_dir: str) -> pa.Table:
+    rows = _scored_rows(sf_dir)
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "perp": pa.array([r[3] for r in rows], pa.float64()),
+            "perp_str": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+
+
+def _b_extract_boilerpipe(sf_dir: str) -> pa.Table:
+    from .functions.boilerpipe import article_text
+    from .stages.extract import decode_page_bytes, is_robots_url
+
+    urls, texts = [], []
+    for url, _ts, html in _pages_rows(sf_dir):
+        if is_robots_url(url):
+            continue
+        urls.append(url)
+        texts.append(article_text(decode_page_bytes(url, html)))
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "article_text": pa.array(texts, pa.large_string()),
+        }
+    )
+
+
+def _b_sentences_corpus(sf_dir: str) -> pa.Table:
+    rows = _sentence_rows(sf_dir)
+    return pa.table(
+        {
+            "time": pa.array([r[0] for r in rows], pa.string()),
+            "sentence": pa.array([r[1] for r in rows], pa.string()),
+            "url": pa.array([r[2] for r in rows], pa.string()),
+            "sent_idx": pa.array([r[3] for r in rows], pa.int32()),
+            "perp": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+
+
+def _b_line_perp(sf_dir: str) -> pa.Table:
+    rows = _line_perp_rows(sf_dir)
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "sent_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "n_ngrams": pa.array([r[2] for r in rows], pa.int64()),
+            "n_oov": pa.array([r[3] for r in rows], pa.int64()),
+            "perp": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _b_filtered_sentences(sf_dir: str) -> pa.Table:
+    t = _b_line_perp(sf_dir)
+    import pyarrow.compute as pc
+
+    return t.filter(pc.less_equal(t.column("perp"), 1000.0))
+
+
+def _b_doc_perp(sf_dir: str) -> pa.Table:
+    from .lm.perplexity import calculate_perplexity, text_ngrams
+
+    lm = _lm(sf_dir)
+    by_url: dict[str, list[tuple[int, str]]] = {}
+    for _t, sentence, url, idx, _p in _sentence_rows(sf_dir):
+        by_url.setdefault(url, []).append((idx, sentence))
+    urls, n_ng, n_oov, perps, perps_noov = [], [], [], [], []
+    for url, items in by_url.items():
+        items.sort()
+        ngrams: list = []
+        for _i, s in items:
+            ngrams.extend(text_ngrams(s or "", lm.order))
+        oov = sum(1 for g in ngrams if lm.ngram_ends_with_oov(g))
+        urls.append(url)
+        n_ng.append(len(ngrams))
+        n_oov.append(oov)
+        perps.append(calculate_perplexity(lm, ngrams, skip_oov=False))
+        perps_noov.append(
+            calculate_perplexity(
+                lm,
+                [g for g in ngrams if not lm.ngram_ends_with_oov(g)],
+                skip_oov=False,
+            )
+        )
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "n_ngrams": pa.array(n_ng, pa.int64()),
+            "n_oov": pa.array(n_oov, pa.int64()),
+            "perp": pa.array(perps, pa.float64()),
+            "perp_noov": pa.array(perps_noov, pa.float64()),
+        }
+    )
+
+
+def _b_distinct_sentences(sf_dir: str) -> pa.Table:
+    sents = sorted({r[1] for r in _sentence_rows(sf_dir)})
+    return pa.table({"sentence": pa.array(sents, pa.string())})
+
+
+def _b_perp_stats(sf_dir: str) -> pa.Table:
+    perps = [r[3] for r in _scored_rows(sf_dir)]
+    kept = [p for p in perps if math.isfinite(p) and p > 1.0]
+    sum_e6 = int(sum(int(np.rint(p * 1e6)) for p in kept))
+    n = len(kept) or 1
+    return pa.table(
+        {
+            "perp_min": pa.array([min(kept)], pa.float64()),
+            "perp_max": pa.array([max(kept)], pa.float64()),
+            "perp_mean": pa.array([(sum_e6 / n) / 1e6], pa.float64()),
+            "n_docs": pa.array([len(kept)], pa.int64()),
+        }
+    )
+
+
+# -- crawl (independent simulator) ------------------------------------------
+
+
+_sim_cache: dict[str, object] = {}
+
+
+def _sim(sf_dir: str):
+    if sf_dir not in _sim_cache:
+        from .pipelines.simulate import simulate_crawl
+
+        _sim_cache[sf_dir] = simulate_crawl(sf_dir)
+    return _sim_cache[sf_dir]
+
+
+def _b_crawl_log(sf_dir: str) -> pa.Table:
+    from .pipelines.crawl import LOG_SCHEMA
+
+    rows = _sim(sf_dir).rows
+    schema = pa.schema([f for f in LOG_SCHEMA if f.name != "perp"])
+    return pa.table(
+        {f.name: pa.array([r[f.name] for r in rows], f.type) for f in schema}
+    )
+
+
+def _b_crawl_seen(sf_dir: str) -> pa.Table:
+    keys = sorted(k - (1 << 63) for k in _sim(sf_dir).seen_keys)
+    return pa.table({"seen_key": pa.array(keys, pa.int64())})
+
+
+def _b_crawl_metrics(sf_dir: str) -> pa.Table:
+    waves: dict[int, dict[str, int]] = {}
+    for r in _sim(sf_dir).rows:
+        w = waves.setdefault(
+            r["wave"], {"fetches": 0, "ok": 0, "missing": 0, "robots": 0, "scored": 0}
+        )
+        w["fetches"] += 1
+        w["ok"] += int(r["status"] == 200)
+        w["missing"] += int(r["status"] == 404)
+        w["robots"] += int(r["is_robots"])
+        w["scored"] += int(r["perp_str"] != "")
+    ws = sorted(waves)
+    return pa.table(
+        {
+            "wave": pa.array(ws, pa.int64()),
+            "fetches": pa.array([waves[w]["fetches"] for w in ws], pa.int64()),
+            "ok": pa.array([waves[w]["ok"] for w in ws], pa.int64()),
+            "missing": pa.array([waves[w]["missing"] for w in ws], pa.int64()),
+            "robots": pa.array([waves[w]["robots"] for w in ws], pa.int64()),
+            "scored": pa.array([waves[w]["scored"] for w in ws], pa.int64()),
+        }
+    )
+
+
+# -- text analysis / multimodal / export ------------------------------------
+
+
+def _docs_table(sf_dir: str) -> pa.Table:
+    return pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def _b_langid(sf_dir: str) -> pa.Table:
+    from .stages.textstats import LangId
+
+    t = _docs_table(sf_dir)
+    li = LangId()
+    preds = [li.classify(x) for x in t.column("text").to_pylist()]
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "lang_pred": pa.array(preds, pa.string()),
+        }
+    )
+
+
+def _b_media_features(sf_dir: str) -> pa.Table:
+    from .functions.hashing import murmur3_x64_128
+
+    ids = _docs_table(sf_dir).column("doc_id").to_pylist()
+    o_type, o_mean = [], []
+    for i in ids:
+        kind = ("image/png", "audio/wav", "video/mp4")[i % 3]
+        o_type.append(kind)
+        if not kind.startswith("image"):
+            o_mean.append(None)
+            continue
+        h1, h2 = murmur3_x64_128(b"media-%d" % i)
+        payload = (h1.to_bytes(8, "little") + h2.to_bytes(8, "little")) * (8 + i % 8)
+        n = 8 * 8 * 3
+        arr = np.frombuffer(
+            (payload * (n // max(1, len(payload)) + 1))[:n], dtype=np.uint8
+        )
+        o_mean.append(float(np.mean(arr)))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(o_type, pa.string()),
+            "pixel_mean": pa.array(o_mean, pa.float64()),
+        }
+    )
+
+
+def _b_export_manifest(sf_dir: str) -> pa.Table:
+    from .functions.hashing import url_hash64
+
+    ids = _docs_table(sf_dir).column("doc_id").to_pylist()
+    counts = [0] * 8
+    for i in ids:
+        counts[url_hash64(str(i)) % 8] += 1
+    names = ["part=%04d" % p for p in range(8)]
+    return pa.table(
+        {
+            "partition": pa.array(names, pa.string()),
+            "rows": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+# -- dedup -------------------------------------------------------------------
+
+
+def _minhash_docs(sf_dir: str) -> list[tuple[int, str]]:
+    """Replicates the query's base + perturbed corpus construction."""
+    t = _docs_table(sf_dir)
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    out = list(zip(ids, texts))
+    for i, x in zip(ids, texts):
+        if i % 10 == 0:
+            words = x.split(" ")
+            for j in range(0, len(words), 10):
+                words[j] = "perturbed%d" % j
+            out.append((i + 1_000_000, " ".join(words)))
+    return out
+
+
+def _b_dedup_minhash(sf_dir: str) -> pa.Table:
+    from .functions.hashing import murmur3_x64_128
+    from .stages.dedup import jaccard, minhash_signature, word_shingles
+
+    docs = _minhash_docs(sf_dir)
+    num_perm, bands = 128, 16
+    rows_per_band = num_perm // bands
+    buckets: dict[tuple[int, int], list[int]] = {}
+    shingles = {i: word_shingles(t or "") for i, t in docs}
+    for i, _t in docs:
+        sig = minhash_signature(shingles[i], num_perm)
+        for b in range(bands):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            h = murmur3_x64_128(chunk.tobytes())[0] - (1 << 63)
+            buckets.setdefault((b, h), []).append(i)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        for a in members:
+            for b in members:
+                if a < b:
+                    cand.add((a, b))
+    o_a, o_b, o_j = [], [], []
+    for a, b in sorted(cand):
+        j = jaccard(shingles[a], shingles[b])
+        if j >= 0.5:
+            o_a.append(a)
+            o_b.append(b)
+            o_j.append(round(j, 4))
+    return pa.table(
+        {
+            "id_a": pa.array(o_a, pa.int64()),
+            "id_b": pa.array(o_b, pa.int64()),
+            "jaccard": pa.array(o_j, pa.float64()),
+        }
+    )
+
+
+def _simhash_docs(sf_dir: str) -> list[tuple[int, str]]:
+    t = _docs_table(sf_dir)
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    out = list(zip(ids, texts))
+    for i, x in zip(ids, texts):
+        if i % 10 == 0:
+            words = x.split(" ")
+            if words:
+                words[0] = "zzchanged"
+            out.append((i + 1_000_000, " ".join(words)))
+    return out
+
+
+def _b_dedup_simhash(sf_dir: str) -> pa.Table:
+    """ALL-pairs Hamming oracle: the 16-bit banding in the engine is
+    lossless for max_hamming=3 (pigeonhole), so brute force over every
+    pair is the strongest possible check of the blocked path."""
+    from .stages.dedup import simhash64
+
+    docs = _simhash_docs(sf_dir)
+    ids = np.array([i for i, _ in docs], dtype=np.int64)
+    hs = np.array(
+        [simhash64(t or "") for _, t in docs], dtype=np.uint64
+    )
+    order = np.argsort(ids)
+    ids, hs = ids[order], hs[order]
+    o_a, o_b, o_h = [], [], []
+    n = len(ids)
+    for i in range(n):
+        x = hs[i] ^ hs[i + 1 :]
+        dist = np.zeros(len(x), dtype=np.int64)
+        while x.any():
+            dist += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        for off in np.nonzero(dist <= 3)[0]:
+            o_a.append(int(ids[i]))
+            o_b.append(int(ids[i + 1 + off]))
+            o_h.append(int(dist[off]))
+    return pa.table(
+        {
+            "id_a": pa.array(o_a, pa.int64()),
+            "id_b": pa.array(o_b, pa.int64()),
+            "hamming": pa.array(o_h, pa.int64()),
+        }
+    )
+
+
+# -- ANN ---------------------------------------------------------------------
+
+
+def _b_knn_ivf(sf_dir: str) -> pa.Table:
+    """Sequential replication of ivf_topk (deterministic by design:
+    modulo-decimation centroid sample, id-sorted groups, lexsort
+    tie-breaks, (cosine, -id) heap merge)."""
+    import heapq
+
+    from .stages.similarity import _normalize, kmeans_lite
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    k, n_lists, nprobe = 10, 8, 3
+
+    q = _normalize(
+        np.array(
+            [vecs[np.nonzero(ids == i)[0][0]] for i in sorted(ids[ids < 5])],
+            dtype=np.float64,
+        ).astype(np.float32)
+    )
+
+    total = len(ids)
+    stride = max(1, (total + 4096 - 1) // 4096)
+    mask = (ids % stride) == 0
+    sorder = np.argsort(ids[mask])
+    sample = vecs[mask][sorder][:4096]
+    cent = kmeans_lite(sample, n_lists)
+
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    probe_sets = [set(map(int, row)) for row in probes]
+
+    mat_all = _normalize(vecs)
+    assign = np.argmax(mat_all @ cent.T, axis=1).astype(np.int32)
+
+    heaps: dict[int, list] = {}
+    for lid in sorted(set(int(a) for a in assign)):
+        qids = [qi for qi, s in enumerate(probe_sets) if lid in s]
+        if not qids:
+            continue
+        sel = np.nonzero(assign == lid)[0]
+        sel = sel[np.argsort(ids[sel])]
+        mat = _normalize(vecs[sel])
+        gids = ids[sel]
+        sims = q[qids] @ mat.T
+        kk = min(k, sims.shape[1])
+        for row, qi in enumerate(qids):
+            idx = np.lexsort((gids, -sims[row]))[:kk]
+            for j in idx:
+                heapq.heappush(
+                    heaps.setdefault(qi, []), (float(sims[row, j]), -int(gids[j]))
+                )
+                if len(heaps[qi]) > k:
+                    heapq.heappop(heaps[qi])
+    o_q, o_rank, o_id, o_c = [], [], [], []
+    for qi in sorted(heaps):
+        best = sorted(heaps[qi], key=lambda v: (-v[0], -v[1]))
+        for rank, (c, nid) in enumerate(best):
+            o_q.append(qi)
+            o_rank.append(rank)
+            o_id.append(-nid)
+            o_c.append(int(math.floor(c * 10000)))
+    return pa.table(
+        {
+            "query_id": pa.array(o_q, pa.int64()),
+            "rank": pa.array(o_rank, pa.int64()),
+            "vec_id": pa.array(o_id, pa.int64()),
+            "cosine_e4": pa.array(o_c, pa.int64()),
+        }
+    )
+
+
+# -- n-gram index ------------------------------------------------------------
+
+
+def _b_ngram_stats_seg(sf_dir: str) -> pa.Table:
+    """Sequential J4 record over seg-tokenized trigrams of documents."""
+    from collections import Counter, defaultdict
+
+    from .lm.build import sentence_tokens
+
+    c: Counter[str] = Counter()
+    for text in _docs_table(sf_dir).column("text").to_pylist():
+        if not text:
+            continue
+        for toks in sentence_tokens(text):
+            for kk in range(1, 4):
+                for i in range(len(toks) - kk + 1):
+                    c[" ".join(toks[i : i + kk])] += 1
+    stats = {p: defaultdict(lambda: [0, 0, 0, 0]) for p in ("np", "nf", "nfp")}
+    for g, num in c.items():
+        parts = g.split(" ")
+        b = 1 if num == 1 else (2 if num == 2 else 3)
+        if len(parts) >= 2:
+            for p, key in (("nf", " ".join(parts[:-1])), ("np", " ".join(parts[1:]))):
+                stats[p][key][0] += num
+                stats[p][key][b] += 1
+        if len(parts) >= 3:
+            key = " ".join(parts[1:-1])
+            stats["nfp"][key][0] += num
+            stats["nfp"][key][b] += 1
+    grams = sorted(c)
+    cols: dict[str, list] = {
+        "ngram": grams,
+        "num": [c[g] for g in grams],
+        "n": [g.count(" ") + 1 for g in grams],
+    }
+    for p in ("np", "nf", "nfp"):
+        for bi, suffix in enumerate(("n", "n1", "n2", "n3")):
+            cols["%s_%s" % (p, suffix)] = [stats[p].get(g, [0, 0, 0, 0])[bi] for g in grams]
+    arrays = {"ngram": pa.array(cols["ngram"], pa.string())}
+    for name, vals in cols.items():
+        if name != "ngram":
+            arrays[name] = pa.array(vals, pa.int64())
+    # column order matches the query output
+    names = ["ngram", "num", "n"] + [
+        "%s_%s" % (p, s) for p in ("np", "nf", "nfp") for s in ("n", "n1", "n2", "n3")
+    ]
+    return pa.table({n: arrays[n] for n in names})
+
+
+# ---------------------------------------------------------------------------
+
+BUILDERS = {
+    "scored_pages": _b_scored_pages,
+    "extract_boilerpipe": _b_extract_boilerpipe,
+    "sentences_corpus": _b_sentences_corpus,
+    "line_perp": _b_line_perp,
+    "filtered_sentences": _b_filtered_sentences,
+    "doc_perp": _b_doc_perp,
+    "distinct_sentences": _b_distinct_sentences,
+    "perp_stats": _b_perp_stats,
+    "crawl_log": _b_crawl_log,
+    "crawl_seen": _b_crawl_seen,
+    "crawl_metrics": _b_crawl_metrics,
+    "langid": _b_langid,
+    "media_features": _b_media_features,
+    "export_manifest": _b_export_manifest,
+    "dedup_minhash": _b_dedup_minhash,
+    "dedup_simhash": _b_dedup_simhash,
+    "knn_ivf": _b_knn_ivf,
+    "ngram_stats_seg": _b_ngram_stats_seg,
+}
+
+
+def oracle_path(sf_dir: str, name: str) -> str:
+    """Materialise one oracle fixture (cached, atomic); return its path."""
+    root = oracle_root(sf_dir)
+    out = root / ("%s.parquet" % name)
+    if not out.exists():
+        root.mkdir(parents=True, exist_ok=True)
+        table = BUILDERS[name](sf_dir)
+        fd, tmp = tempfile.mkstemp(dir=root, suffix=".tmp")
+        os.close(fd)
+        pq.write_table(table, tmp)
+        os.replace(tmp, out)
+    return str(out)
+
+
+def materialize_all(sf_dir: str) -> dict[str, str]:
+    return {name: oracle_path(sf_dir, name) for name in BUILDERS}

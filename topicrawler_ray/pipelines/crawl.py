@@ -140,7 +140,12 @@ class RayCrawlEngine:
         self.next_seq = 0
         self.n_rejected = 0
         self._last_ckpt_wave = 0
+        # crawl log: a bounded in-memory tail + parquet spool parts
+        # (the durable log at scale; driver RSS stays flat)
         self.log_batches: list[pa.RecordBatch] = []
+        self._log_rows_spooled = 0
+        self._log_parts: list[str] = []
+        self._log_spool_dir: str | None = None
 
     # -- the loop ----------------------------------------------------------
     def warmup(self) -> None:
@@ -233,38 +238,7 @@ class RayCrawlEngine:
                 cand_urls.append(link)
                 cand_meta.append((r.url, r.perp_str, parent_hops + 1))
 
-        # prioritize from the STRING perp (DecesiveValuePrioritizer.java:175)
-        to_schedule: list[FrontierEntry] = []
-        max_domains = self.cfg.max_domains
-        for url, (via, pvs, hops) in zip(cand_urls, cand_meta):
-            if hops > self.cfg.max_hops:  # TooManyHopsDecideRule (cxml:26)
-                self.n_hops_rejected += 1
-                continue
-            if max_domains is not None:
-                # TooManyDomainsDecideRule (T6): reject when the observed
-                # count already EXCEEDS the max, then record the domain
-                # either way (TooManyDomainsDecideRule.java:32-46; the
-                # reference's getDomain quirk returns ".tld")
-                domain = _domain_of(host_of_url(url))
-                rejected = len(self._domains) > max_domains
-                self._domains.add(domain)
-                if rejected:
-                    self.n_domain_rejected += 1
-                    continue
-            a = prio.schedule(float(pvs))
-            if a.directive < 0:
-                self.n_rejected += 1
-                continue
-            # SPEC: seq is assigned in candidate-proposal order BEFORE the
-            # seen filter (duplicates consume seq numbers) so scheduling
-            # is one fire-and-forget call per shard - the shard drops
-            # already-seen urls itself (FrontierShardState.push_if_new)
-            to_schedule.append(
-                FrontierEntry(
-                    a.directive, a.cost, self.next_seq, url, via, pvs, hops=hops
-                )
-            )
-            self.next_seq += 1
+        to_schedule = self._prioritize_candidates(cand_urls, cand_meta)
         if to_schedule:
             byshard: dict[int, list[FrontierEntry]] = {}
             for e in to_schedule:
@@ -275,6 +249,7 @@ class RayCrawlEngine:
                 self._pending.append(self.frontier[s].push_if_new.remote(es))
 
         self._append_log(picked, results)
+        self._maybe_spill_log()
         self.wave += 1
         if (
             self.cfg.checkpoint_dir
@@ -283,9 +258,61 @@ class RayCrawlEngine:
             self.checkpoint()
         return len(results)
 
+    def _prioritize_candidates(
+        self, cand_urls: list[str], cand_meta: list[tuple[str, str, int]]
+    ) -> list[FrontierEntry]:
+        """Vectorized DecesiveValuePrioritizer pass over the wave's
+        candidates (VERDICT r1 item 4): hops filter + one numpy
+        ``schedule_batch`` instead of a per-candidate python loop; the
+        domain gate stays sequential only when configured (its set
+        semantics are order-dependent).  The perp is parsed FROM THE
+        STRING (DecesiveValuePrioritizer.java:175); seq numbers are
+        assigned in candidate-proposal order to accepted entries only,
+        BEFORE the seen filter (duplicates consume seq numbers)."""
+        import numpy as np
+
+        if not cand_urls:
+            return []
+        n = len(cand_urls)
+        hops_arr = np.fromiter((m[2] for m in cand_meta), dtype=np.int64, count=n)
+        alive = hops_arr <= self.cfg.max_hops  # TooManyHopsDecideRule (cxml:26)
+        self.n_hops_rejected += int(n - alive.sum())
+        if self.cfg.max_domains is not None:
+            # TooManyDomainsDecideRule (T6): reject when the observed
+            # count already EXCEEDS the max, then record the domain
+            # either way (TooManyDomainsDecideRule.java:32-46; the
+            # reference's getDomain quirk returns ".tld")
+            max_domains = self.cfg.max_domains
+            for i in np.nonzero(alive)[0]:
+                domain = _domain_of(host_of_url(cand_urls[i]))
+                rejected = len(self._domains) > max_domains
+                self._domains.add(domain)
+                if rejected:
+                    self.n_domain_rejected += 1
+                    alive[i] = False
+        perps = np.array([m[1] for m in cand_meta], dtype=np.float64)
+        directives, costs = prio.schedule_batch(perps)
+        self.n_rejected += int((alive & (directives < 0)).sum())
+        accept = alive & (directives >= 0)
+        seqs = self.next_seq + np.cumsum(accept) - 1
+        out = [
+            FrontierEntry(
+                int(directives[i]),
+                int(costs[i]),
+                int(seqs[i]),
+                cand_urls[i],
+                cand_meta[i][0],
+                cand_meta[i][1],
+                hops=int(hops_arr[i]),
+            )
+            for i in np.nonzero(accept)[0]
+        ]
+        self.next_seq += int(accept.sum())
+        return out
+
     def _drain_single_shard(self, shard_index: int, picked: list[FrontierEntry]) -> int:
         ray = self.ray
-        base = sum(b.num_rows for b in self.log_batches)
+        base = self._log_row_count()
         res = ray.get(
             self.frontier[shard_index].drain.remote(
                 picked,
@@ -314,6 +341,7 @@ class RayCrawlEngine:
         self.wave = res["wave_no"]
         self.n_rejected += res["n_rejected"]
         self.n_hops_rejected += res["n_hops_rejected"]
+        self._maybe_spill_log()
         if (
             self.cfg.checkpoint_dir
             and self.wave - self._last_ckpt_wave >= self.cfg.checkpoint_every_waves
@@ -321,8 +349,50 @@ class RayCrawlEngine:
             self.checkpoint()
         return len(rows)
 
+    # -- crawl-log spool (VERDICT r1 item 6) -------------------------------
+    def _log_row_count(self) -> int:
+        return self._log_rows_spooled + sum(b.num_rows for b in self.log_batches)
+
+    def _ensure_spool_dir(self) -> str:
+        if self._log_spool_dir is None:
+            import tempfile
+
+            if self.cfg.log_spool_dir:
+                d = self.cfg.log_spool_dir
+            elif self.cfg.checkpoint_dir:
+                d = os.path.join(self.cfg.checkpoint_dir, "log_spool")
+            else:
+                d = tempfile.mkdtemp(prefix="topicrawler_log_spool_")
+            os.makedirs(d, exist_ok=True)
+            self._log_spool_dir = d
+        return self._log_spool_dir
+
+    def _spill_log(self) -> None:
+        """Flush the in-memory tail to a numbered parquet part - the
+        durable, partitioned crawl log.  At 10^10-frontier scale the
+        spool dir IS the log (consumers read it as a Dataset); only the
+        current window ever lives in driver RAM."""
+        if not self.log_batches:
+            return
+        import pyarrow.parquet as pq
+
+        d = self._ensure_spool_dir()
+        part = os.path.join(d, "log_part_%06d.parquet" % len(self._log_parts))
+        tmp = part + ".tmp"
+        pq.write_table(
+            pa.Table.from_batches(self.log_batches, schema=LOG_SCHEMA), tmp
+        )
+        os.replace(tmp, part)
+        self._log_parts.append(part)
+        self._log_rows_spooled += sum(b.num_rows for b in self.log_batches)
+        self.log_batches = []
+
+    def _maybe_spill_log(self) -> None:
+        if sum(b.num_rows for b in self.log_batches) >= self.cfg.log_spill_rows:
+            self._spill_log()
+
     def _append_log(self, picked, results) -> None:
-        base = sum(b.num_rows for b in self.log_batches)
+        base = self._log_row_count()
         self.log_batches.append(
             pa.record_batch(
                 {
@@ -366,11 +436,15 @@ class RayCrawlEngine:
         if self._pending:
             ray.get(self._pending)
             self._pending = []
-        log = (
-            pa.Table.from_batches(self.log_batches, schema=LOG_SCHEMA)
-            if self.log_batches
-            else LOG_SCHEMA.empty_table()
-        )
+        import pyarrow.parquet as pq
+
+        tables = [pq.read_table(p) for p in self._log_parts]
+        if self.log_batches:
+            tables.append(pa.Table.from_batches(self.log_batches, schema=LOG_SCHEMA))
+        # NOTE: concatenating here materializes the full log for the
+        # fixture-scale CrawlResult API; at 10^10-URL scale consumers
+        # read the spool dir itself as a Dataset (log_parts paths)
+        log = pa.concat_tables(tables) if tables else LOG_SCHEMA.empty_table()
         seen_keys: set[int] = set()
         if self.cfg.seen_keep_exact:
             # the conformance artifact is the exact KEY set across shards
@@ -400,6 +474,10 @@ class RayCrawlEngine:
         for i, blob in enumerate(fsnaps):
             with open(os.path.join(d, "frontier_%02d.pkl" % i), "wb") as f:
                 f.write(blob)
+        # flush the in-memory tail so the spool is the complete durable
+        # log, then record only the part PATHS in the checkpoint meta
+        # (the log itself is already partitioned parquet on disk)
+        self._spill_log()
         meta = {
             "wave": self.wave,
             "next_seq": self.next_seq,
@@ -407,15 +485,11 @@ class RayCrawlEngine:
             "n_hops_rejected": self.n_hops_rejected,
             "domains": self._domains,
             "n_domain_rejected": self.n_domain_rejected,
+            "log_parts": list(self._log_parts),
+            "log_rows_spooled": self._log_rows_spooled,
         }
         with open(os.path.join(d, "meta.pkl"), "wb") as f:
             pickle.dump(meta, f)
-        import pyarrow.parquet as pq
-
-        pq.write_table(
-            pa.Table.from_batches(self.log_batches, schema=LOG_SCHEMA),
-            os.path.join(d, "log.parquet"),
-        )
         # mark complete (atomic rename of a DONE marker)
         with open(os.path.join(d, "_DONE"), "w") as f:
             f.write("ok")
@@ -448,9 +522,16 @@ class RayCrawlEngine:
         self.n_hops_rejected = meta.get("n_hops_rejected", 0)
         self._domains = meta.get("domains", set())
         self.n_domain_rejected = meta.get("n_domain_rejected", 0)
-        import pyarrow.parquet as pq
+        if "log_parts" in meta:
+            self._log_parts = list(meta["log_parts"])
+            self._log_rows_spooled = int(meta["log_rows_spooled"])
+            self.log_batches = []
+        else:  # legacy single-file checkpoint layout
+            import pyarrow.parquet as pq
 
-        self.log_batches = pq.read_table(os.path.join(d, "log.parquet")).to_batches()
+            self.log_batches = pq.read_table(
+                os.path.join(d, "log.parquet")
+            ).to_batches()
         return True
 
     def resume_run(self) -> CrawlResult:

