@@ -111,6 +111,29 @@ def bench_crawl(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
+def bench_crawl_full(sf_dir: str, num_cpus: int) -> dict:
+    """Full crawl to completion from the default seed list (uncapped
+    waves) - the tracked headline VERDICT r1 item 10 asked for, so
+    regressions in the wave loop and its politeness tail are visible
+    round-over-round."""
+    from topicrawler_ray.config import CrawlConfig
+    from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+
+    cfg = CrawlConfig.sized(num_cpus)
+    eng = RayCrawlEngine(sf_dir, cfg)
+    eng.warmup()
+    t0 = time.time()
+    res = eng.run()
+    dt = time.time() - t0
+    fetches = res.log.num_rows
+    return {
+        "sec": dt,
+        "fetches": fetches,
+        "waves": res.stats["waves"],
+        "pages_per_s": fetches / dt,
+    }
+
+
 def bench_frontier_ops(num_cpus: int, n_ops: int = 200_000) -> dict:
     """Push/pop/seen throughput on the sharded actor state plane."""
     import ray
@@ -168,17 +191,22 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
         pages_path(sf_dir)  # warm page-cache / materialise input once
         r_scored = bench_scored_pages(sf_dir, num_cpus)
         r_crawl = bench_crawl(sf_dir, num_cpus)
+        r_full = bench_crawl_full(sf_dir, num_cpus)
         r_ops = bench_frontier_ops(num_cpus)
     finally:
         ray.shutdown()
-    total = r_scored["sec"] + r_crawl["sec"] + r_ops["sec"]
+    total = r_scored["sec"] + r_crawl["sec"] + r_full["sec"] + r_ops["sec"]
     return {
-        "metric": "headline pipelines wall time (scored_pages + crawl + frontier_ops)",
+        "metric": (
+            "headline pipelines wall time "
+            "(scored_pages + crawl + crawl_full + frontier_ops)"
+        ),
         "value": round(total, 3),
         "unit": "sec",
         "queries": {
             "scored_pages": round(r_scored["sec"], 3),
             "crawl": round(r_crawl["sec"], 3),
+            "crawl_full": round(r_full["sec"], 3),
             "frontier_ops": round(r_ops["sec"], 3),
         },
         "rates": {
@@ -186,6 +214,10 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
             "crawl_pages_per_s": round(r_crawl["pages_per_s"], 1),
             "crawl_fetches": r_crawl["fetches"],
             "crawl_waves": r_crawl["waves"],
+            "crawl_full_sec": round(r_full["sec"], 3),
+            "crawl_full_fetches": r_full["fetches"],
+            "crawl_full_waves": r_full["waves"],
+            "crawl_full_pages_per_s": round(r_full["pages_per_s"], 1),
             "frontier_ops_per_s": round(r_ops["ops_per_s"], 1),
         },
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
