@@ -256,3 +256,18 @@ class TestPageStorePointReads:
         st._load()
         assert len(st._rg_cache) == 0  # nothing decoded yet
         assert all(isinstance(k, int) and isinstance(v, int) for k, v in st._index.items())
+
+
+class TestArpaScorer:
+    def test_arpa_scorer_conformance(self, ray_session, sf_dir):
+        """Crawl with the ARPA-loaded LM (scorer='arpa') matches the
+        sequential simulator using the same scorer - the reference's
+        readFromArpa disk-artifact path driven end-to-end."""
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+        from topicrawler_ray.pipelines.simulate import simulate_crawl
+
+        cfg = CrawlConfig(scorer="arpa", max_waves=40, **_SMALL)
+        res = RayCrawlEngine(sf_dir, cfg).run()
+        sim = simulate_crawl(sf_dir, config=cfg)
+        _assert_log_matches(res.log, sim.rows)
+        assert res.seen_keys == sim.seen_keys

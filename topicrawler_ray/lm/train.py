@@ -163,6 +163,13 @@ def build_scorer_lm(sf_dir: str, order: int = DEFAULT_ORDER, scorer: str = "stup
         return build_topic_lm_kn(sf_dir, order)
     if scorer == "laplace":
         return build_topic_lm_laplace(sf_dir, order)
+    if scorer == "arpa":
+        # the disk-artifact path the reference takes (readFromArpa,
+        # LanguageModelHelper.java:190-205): export the topic LM as
+        # .arpa.gz once, score from the loaded backoff tables
+        from .arpa import export_topic_lm_arpa, read_arpa
+
+        return read_arpa(export_topic_lm_arpa(sf_dir, order))
     raise KeyError("unknown scorer %r" % scorer)
 
 

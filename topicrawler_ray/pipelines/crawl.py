@@ -323,6 +323,9 @@ class RayCrawlEngine:
                 self.wave,
                 base,
                 self.cfg.max_hops,
+                # never drain past the configured wave cap (the drain
+                # budget is counted in waves)
+                min(2000, self.cfg.max_waves - self.wave),
             )
         )
         rows = res["log_rows"]
