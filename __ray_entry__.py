@@ -179,33 +179,48 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
-def _q_dedup_minhash(sf_dir: str):
-    """MinHash+LSH near-dup pairs over documents + deterministic
-    perturbed copies (doc_id+1000000, ~10% words replaced) so real
-    near-duplicates exist."""
+def _perturbed_docs_ds(sf_dir: str, mode: str):
+    """documents + deterministic perturbed copies (doc_id+1000000) as a
+    DISTRIBUTED transform (map_batches over the documents Dataset - no
+    driver-side corpus load; the oracle reconstructs the same rows
+    sequentially).  mode 'minhash': ~10% words replaced; mode 'simhash':
+    first word replaced."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
     import ray.data
 
+    def add_copies(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_ids, out_texts = list(ids), list(texts)
+        for i, x in zip(ids, texts):
+            if i % 10 != 0:
+                continue
+            words = x.split(" ")
+            if mode == "minhash":
+                for j in range(0, len(words), 10):
+                    words[j] = "perturbed%d" % j
+            elif words:
+                words[0] = "zzchanged"
+            out_ids.append(i + 1_000_000)
+            out_texts.append(" ".join(words))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_texts, pa.string()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        sf_dir + "/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(add_copies, batch_format="pyarrow")
+
+
+def _q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup pairs over documents + perturbed copies."""
     from topicrawler_ray.stages.dedup import minhash_near_dup_pairs
 
-    t = pq.read_table(sf_dir + "/documents.parquet", columns=["doc_id", "text"])
-    ids = t.column("doc_id").to_pylist()
-    texts = t.column("text").to_pylist()
-    add_ids, add_texts = [], []
-    for i, x in zip(ids, texts):
-        if i % 10 == 0:
-            words = x.split(" ")
-            for j in range(0, len(words), 10):
-                words[j] = "perturbed%d" % j
-            add_ids.append(i + 1_000_000)
-            add_texts.append(" ".join(words))
-    all_ids = ids + add_ids
-    all_texts = texts + add_texts
-    ds = ray.data.from_arrow(
-        pa.table({"doc_id": pa.array(all_ids, pa.int64()), "text": all_texts})
-    )
-    pairs = minhash_near_dup_pairs(ds, threshold=0.5)
+    pairs = minhash_near_dup_pairs(_perturbed_docs_ds(sf_dir, "minhash"), threshold=0.5)
     df = pairs.to_pandas()
     df["jaccard"] = df["jaccard"].round(4)
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
@@ -213,32 +228,9 @@ def _q_dedup_minhash(sf_dir: str):
 
 def _q_dedup_simhash(sf_dir: str):
     """SimHash near-dup pairs over documents + perturbed copies."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    import ray.data
-
     from topicrawler_ray.stages.dedup import simhash_near_dup_pairs
 
-    t = pq.read_table(sf_dir + "/documents.parquet", columns=["doc_id", "text"])
-    ids = t.column("doc_id").to_pylist()
-    texts = t.column("text").to_pylist()
-    add_ids, add_texts = [], []
-    for i, x in zip(ids, texts):
-        if i % 10 == 0:
-            words = x.split(" ")
-            if words:
-                words[0] = "zzchanged"
-            add_ids.append(i + 1_000_000)
-            add_texts.append(" ".join(words))
-    ds = ray.data.from_arrow(
-        pa.table(
-            {
-                "doc_id": pa.array(ids + add_ids, pa.int64()),
-                "text": texts + add_texts,
-            }
-        )
-    )
-    return simhash_near_dup_pairs(ds, max_hamming=3)
+    return simhash_near_dup_pairs(_perturbed_docs_ds(sf_dir, "simhash"), max_hamming=3)
 
 
 def _q_embedding_near_dup(sf_dir: str):
@@ -428,6 +420,79 @@ def _q_doc_perp(sf_dir: str):
     return doc_perplexity(ds, topic_lm_ref(sf_dir))
 
 
+def _q_scored_pages_kn(sf_dir: str):
+    """F16 through the driver: extraction + Kneser-Ney LM scoring (the
+    alternate scorer variant, same actor-pool shape)."""
+    from topicrawler_ray.lm.train import topic_lm_ref
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.extract import extract_batch
+    from topicrawler_ray.stages.score import PerplexityScorer
+
+    ds = read_pages(sf_dir, num_blocks=8)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow")
+    ds = ds.map_batches(
+        PerplexityScorer,
+        fn_constructor_kwargs={"lm_ref": topic_lm_ref(sf_dir, 3, "kneser_ney")},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return ds.select_columns(["url", "perp", "perp_str"])
+
+
+def _q_doc_perp_oovref(sf_dir: str):
+    """J5 through the driver: per-document perplexity with OOV
+    accounting against a SECOND reference LM (--oovreflm)."""
+    import ray
+
+    from topicrawler_ray.lm.train import build_oovref_lm, topic_lm_ref
+    from topicrawler_ray.pipelines.perpeval import doc_perplexity
+
+    ds = _q_sentences_corpus(sf_dir)
+    return doc_perplexity(
+        ds,
+        topic_lm_ref(sf_dir),
+        oov_lm_ref=ray.put(build_oovref_lm(sf_dir)),
+    )
+
+
+def _q_media_frames(sf_dir: str):
+    """Multimodal video path: synthetic media -> frame-sample stage
+    (stub codec) -> exploded (media_id, frame_idx, frame_hash) rows."""
+    import pyarrow as pa
+
+    from topicrawler_ray.stages.multimodal import (
+        VideoFrameSampleStage,
+        synthesize_media_batch,
+    )
+
+    ds = _docs(sf_dir).select_columns(["doc_id"])
+    ds = ds.map_batches(synthesize_media_batch, batch_format="pyarrow")
+    ds = ds.map_batches(
+        VideoFrameSampleStage, batch_format="pyarrow", batch_size=32, concurrency=2
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        samples = batch.column("frame_hashes").to_pylist()
+        o_id, o_idx, o_h = [], [], []
+        for i, hs in zip(ids, samples):
+            if hs is None:
+                continue
+            for k, h in enumerate(hs):
+                o_id.append(i)
+                o_idx.append(k)
+                o_h.append(h)
+        return pa.table(
+            {
+                "media_id": pa.array(o_id, pa.int64()),
+                "frame_idx": pa.array(o_idx, pa.int64()),
+                "frame_hash": pa.array(o_h, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def _q_filtered_sentences(sf_dir: str):
     """FilterLines: sentences with perplexity <= 1000."""
     from topicrawler_ray.pipelines.perpeval import filter_lines
@@ -584,6 +649,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "line_perp": _q_line_perp,
         "doc_perp": _q_doc_perp,
+        "doc_perp_oovref": _q_doc_perp_oovref,
+        "scored_pages_kn": _q_scored_pages_kn,
+        "media_frames": _q_media_frames,
         "filtered_sentences": _q_filtered_sentences,
         "corpus_truncate": _q_corpus_truncate,
         "distinct_sentences": _q_distinct_sentences,

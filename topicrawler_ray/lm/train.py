@@ -173,6 +173,31 @@ def build_scorer_lm(sf_dir: str, order: int = DEFAULT_ORDER, scorer: str = "stup
     raise KeyError("unknown scorer %r" % scorer)
 
 
+OOVREF_DOC_MOD = 6  # doc_id % 6 == 0 -> oov-reference-LM training doc
+
+
+@lru_cache(maxsize=4)
+def build_oovref_lm(sf_dir: str, order: int = DEFAULT_ORDER) -> StupidBackoffLM:
+    """J5 ``--oovreflm``: a SECOND reference LM trained on a different
+    deterministic page subset (``doc_id % 6 == 0``, no vocab inflation)
+    so its vocabulary genuinely differs from the scorer LM's - OOV
+    accounting against it is a real membership test
+    (``PerpDoc.java:141-150,255-262``)."""
+    from ..sources.pages import pages_path
+
+    pages = pq.read_table(pages_path(sf_dir), columns=["url", "text"])
+    counts = NgramCounts(order)
+    for url, text in zip(pages.column("url").to_pylist(), pages.column("text").to_pylist()):
+        doc_id = _doc_id_from_url(url)
+        if doc_id is None or doc_id % OOVREF_DOC_MOD != 0:
+            continue
+        for sentence in training_sentences_from_text(text):
+            tokens = _tokenize_for_lm(sentence)
+            if tokens:
+                counts.add_sequence(tokens)
+    return freeze_lm(StupidBackoffLM(counts))
+
+
 def build_lm_from_text_dir(text_dir: str, order: int = DEFAULT_ORDER) -> StupidBackoffLM:
     """S9 LM-corpus reader: train from a directory of ``.txt`` files, one
     sentence per line (``LanguageModelHelper.createBerkelyLmFromTxtFilesInDirectory``,

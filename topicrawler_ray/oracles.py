@@ -75,15 +75,18 @@ def _lm(sf_dir: str):
     return build_scorer_lm(sf_dir, LM_ORDER)
 
 
-@_lru_cache(maxsize=4)
-def _scored_rows(sf_dir: str) -> list[tuple[str, int, str, float, str]]:
+@_lru_cache(maxsize=8)
+def _scored_rows(
+    sf_dir: str, scorer: str = "stupid_backoff"
+) -> list[tuple[str, int, str, float, str]]:
     """(url, ts_us, clean_text, perp, perp_str) per page - the sequential
     equivalent of the flagship extract+score pipeline."""
     from .functions.strings import format_g12
+    from .lm.train import build_scorer_lm
     from .stages.extract import decode_page_bytes, extract_one, is_robots_url
     from .stages.score import score_text
 
-    lm = _lm(sf_dir)
+    lm = build_scorer_lm(sf_dir, LM_ORDER, scorer)
     out = []
     for url, ts, html in _pages_rows(sf_dir):
         if is_robots_url(url):
@@ -128,8 +131,8 @@ def _line_perp_rows(sf_dir: str):
 # per-query builders (each returns a pa.Table with the query's types)
 
 
-def _b_scored_pages(sf_dir: str) -> pa.Table:
-    rows = _scored_rows(sf_dir)
+def _b_scored_pages(sf_dir: str, scorer: str = "stupid_backoff") -> pa.Table:
+    rows = _scored_rows(sf_dir, scorer)
     return pa.table(
         {
             "url": pa.array([r[0] for r in rows], pa.string()),
@@ -137,6 +140,10 @@ def _b_scored_pages(sf_dir: str) -> pa.Table:
             "perp_str": pa.array([r[4] for r in rows], pa.string()),
         }
     )
+
+
+def _b_scored_pages_kn(sf_dir: str) -> pa.Table:
+    return _b_scored_pages(sf_dir, "kneser_ney")
 
 
 def _b_extract_boilerpipe(sf_dir: str) -> pa.Table:
@@ -222,6 +229,70 @@ def _b_doc_perp(sf_dir: str) -> pa.Table:
             "n_oov": pa.array(n_oov, pa.int64()),
             "perp": pa.array(perps, pa.float64()),
             "perp_noov": pa.array(perps_noov, pa.float64()),
+        }
+    )
+
+
+def _b_doc_perp_oovref(sf_dir: str) -> pa.Table:
+    """doc_perp with OOV accounting against the second reference LM."""
+    from .lm.perplexity import calculate_perplexity, text_ngrams
+    from .lm.train import build_oovref_lm
+
+    lm = _lm(sf_dir)
+    ref = build_oovref_lm(sf_dir, LM_ORDER)
+    by_url: dict[str, list[tuple[int, str]]] = {}
+    for _t, sentence, url, idx, _p in _sentence_rows(sf_dir):
+        by_url.setdefault(url, []).append((idx, sentence))
+    urls, n_ng, n_oov, perps, perps_noov = [], [], [], [], []
+    for url, items in by_url.items():
+        items.sort()
+        ngrams: list = []
+        for _i, s in items:
+            ngrams.extend(text_ngrams(s or "", lm.order))
+        oov = sum(1 for g in ngrams if ref.ngram_ends_with_oov(g))
+        urls.append(url)
+        n_ng.append(len(ngrams))
+        n_oov.append(oov)
+        perps.append(calculate_perplexity(lm, ngrams, skip_oov=False))
+        perps_noov.append(
+            calculate_perplexity(
+                lm,
+                [g for g in ngrams if not ref.ngram_ends_with_oov(g)],
+                skip_oov=False,
+            )
+        )
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "n_ngrams": pa.array(n_ng, pa.int64()),
+            "n_oov": pa.array(n_oov, pa.int64()),
+            "perp": pa.array(perps, pa.float64()),
+            "perp_noov": pa.array(perps_noov, pa.float64()),
+        }
+    )
+
+
+def _b_media_frames(sf_dir: str) -> pa.Table:
+    """Sequential VideoFrameSampleStage replication (stub codec)."""
+    from .functions.hashing import murmur3_x64_128
+
+    ids = _docs_table(sf_dir).column("doc_id").to_pylist()
+    o_id, o_idx, o_h = [], [], []
+    for i in ids:
+        if i % 3 != 2:  # only video/mp4 rows sample frames
+            continue
+        h1, h2 = murmur3_x64_128(b"media-%d" % i)
+        payload = (h1.to_bytes(8, "little") + h2.to_bytes(8, "little")) * (8 + i % 8)
+        dur = 1000 + (i % 30) * 500
+        for k, t in enumerate(range(0, max(1, dur), 1000)):
+            o_id.append(i)
+            o_idx.append(k)
+            o_h.append(murmur3_x64_128(payload + t.to_bytes(4, "little"))[0] % (1 << 31))
+    return pa.table(
+        {
+            "media_id": pa.array(o_id, pa.int64()),
+            "frame_idx": pa.array(o_idx, pa.int64()),
+            "frame_hash": pa.array(o_h, pa.int64()),
         }
     )
 
@@ -596,6 +667,9 @@ def _b_ngram_stats_seg(sf_dir: str) -> pa.Table:
 
 BUILDERS = {
     "scored_pages": _b_scored_pages,
+    "scored_pages_kn": _b_scored_pages_kn,
+    "doc_perp_oovref": _b_doc_perp_oovref,
+    "media_frames": _b_media_frames,
     "extract_boilerpipe": _b_extract_boilerpipe,
     "sentences_corpus": _b_sentences_corpus,
     "line_perp": _b_line_perp,
