@@ -108,8 +108,27 @@ class StupidBackoffLM:
             return s
         return nom / denom
 
+    _SCORE_CACHE_MAX = 1 << 20
+
     def ngram_log10_prob(self, ngram: list[str]) -> float:
-        return math.log10(self.score(ngram))
+        # memoized per instance: ngram TYPES are Zipf-few relative to
+        # token count, and the score is a pure function of the ngram
+        # (lazy init so artifacts pickled before this attr still load)
+        cache = self.__dict__.get("_score_cache")
+        if cache is None:
+            cache = self.__dict__["_score_cache"] = {}
+        key = tuple(ngram)
+        v = cache.get(key)
+        if v is None:
+            v = math.log10(self.score(ngram))
+            if len(cache) < self._SCORE_CACHE_MAX:
+                cache[key] = v
+        return v
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state.pop("_score_cache", None)  # never ship the cache
+        return state
 
 
 class FrozenCounts:

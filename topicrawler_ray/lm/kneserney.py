@@ -141,8 +141,26 @@ class KneserNeyLM:
             return punk
         return prob
 
+    _SCORE_CACHE_MAX = 1 << 20
+
     def ngram_log10_prob(self, ngram: list[str]) -> float:
-        return math.log10(self.ngram_prob(ngram))
+        # memoized per instance (pure function of the ngram; lazy init
+        # so pickled artifacts without the attr still load)
+        cache = self.__dict__.get("_score_cache")
+        if cache is None:
+            cache = self.__dict__["_score_cache"] = {}
+        key = tuple(ngram)
+        v = cache.get(key)
+        if v is None:
+            v = math.log10(self.ngram_prob(ngram))
+            if len(cache) < self._SCORE_CACHE_MAX:
+                cache[key] = v
+        return v
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state.pop("_score_cache", None)  # never ship the cache
+        return state
 
     # -- the KN recursion, iterative form (KneserNeyLM.java:196-343) -------
     def kn(self, ngram: list[str], punk: float) -> float:
