@@ -493,6 +493,38 @@ def _q_media_frames(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def _q_politeness_slots(sf_dir: str):
+    """Batch-mode politeness batching (north-star groupby-host shuffle):
+    a deterministic frontier snapshot derived from documents -> per-host
+    fetch slot + earliest-allowed-time assignment.  Pure-SQL oracle
+    (window function over the same derivation)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from topicrawler_ray.sources.pages import n_hosts_for
+    from topicrawler_ray.stages.politeness import assign_politeness_slots
+
+    n_docs = pq.read_metadata(sf_dir + "/documents.parquet").num_rows
+    n_hosts = n_hosts_for(n_docs)
+
+    def frontier_rows(batch: pa.Table) -> pa.Table:
+        from topicrawler_ray.sources.pages import url_of
+
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([url_of(i, n_hosts) for i in ids], pa.string()),
+                "directive": pa.array([i % 3 + 1 for i in ids], pa.int64()),
+                "cost": pa.array([i % 7 for i in ids], pa.int64()),
+                "seq": pa.array(ids, pa.int64()),
+            }
+        )
+
+    ds = _docs(sf_dir).select_columns(["doc_id"])
+    ds = ds.map_batches(frontier_rows, batch_format="pyarrow")
+    return assign_politeness_slots(ds, min_delay_ms=100)
+
+
 def _q_filtered_sentences(sf_dir: str):
     """FilterLines: sentences with perplexity <= 1000."""
     from topicrawler_ray.pipelines.perpeval import filter_lines
@@ -652,6 +684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_perp_oovref": _q_doc_perp_oovref,
         "scored_pages_kn": _q_scored_pages_kn,
         "media_frames": _q_media_frames,
+        "politeness_slots": _q_politeness_slots,
         "filtered_sentences": _q_filtered_sentences,
         "corpus_truncate": _q_corpus_truncate,
         "distinct_sentences": _q_distinct_sentences,
@@ -753,6 +786,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.w || ' ' || b.w AS ngram, count(*) AS num "
             "FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
             "GROUP BY 1 HAVING count(*) >= 2"
+        ),
+        # pure-SQL window-function oracle over the same deterministic
+        # frontier derivation (host formula from sources/pages.py:
+        # mega-host mod + Knuth multiplicative hash; n_hosts=10 at the
+        # driver's sf0.01)
+        "politeness_slots": (
+            "WITH f AS (SELECT 'http://host' || h || '.example/p' || doc_id AS url, "
+            "'host' || h || '.example' AS host, "
+            "CAST(doc_id % 3 + 1 AS BIGINT) AS directive, "
+            "CAST(doc_id % 7 AS BIGINT) AS cost, "
+            "CAST(doc_id AS BIGINT) AS seq FROM ("
+            "SELECT doc_id, CASE WHEN doc_id % 10 < 4 THEN 0 "
+            "ELSE 1 + (doc_id * 2654435761) % 9 END AS h FROM documents)) "
+            "SELECT url, directive, cost, seq, host, "
+            "CAST(row_number() OVER w - 1 AS BIGINT) AS slot, "
+            "CAST((row_number() OVER w - 1) * 100 AS BIGINT) AS not_before_ms "
+            "FROM f WINDOW w AS (PARTITION BY host ORDER BY directive, cost, seq)"
         ),
         # the remaining queries are not expressible in SQL over the raw
         # tables (stateful crawl scheduling, seg tokenization, LM

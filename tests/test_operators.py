@@ -431,3 +431,33 @@ class TestPrioritizerVectorized:
             assert d == a.directive, v
             if a.directive >= 0:
                 assert c == a.cost, v
+
+
+class TestPolitenessBatching:
+    def test_slots_per_host_order(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.politeness import assign_politeness_slots
+
+        rows = [
+            {"url": "http://a.example/p1", "directive": 2, "cost": 5, "seq": 1},
+            {"url": "http://a.example/p2", "directive": 1, "cost": 9, "seq": 2},
+            {"url": "http://a.example/p3", "directive": 1, "cost": 4, "seq": 3},
+            {"url": "http://b.example/p4", "directive": 3, "cost": 1, "seq": 4},
+        ]
+        out = (
+            assign_politeness_slots(ray.data.from_items(rows), min_delay_ms=100)
+            .to_pandas()
+            .sort_values(["host", "slot"])
+        )
+        a = out[out.host == "a.example"]
+        # order within host: (directive, cost, seq)
+        assert a.url.tolist() == [
+            "http://a.example/p3",
+            "http://a.example/p2",
+            "http://a.example/p1",
+        ]
+        assert a.slot.tolist() == [0, 1, 2]
+        assert a.not_before_ms.tolist() == [0, 100, 200]
+        b = out[out.host == "b.example"]
+        assert b.slot.tolist() == [0]
