@@ -233,6 +233,17 @@ def _q_dedup_simhash(sf_dir: str):
     return simhash_near_dup_pairs(_perturbed_docs_ds(sf_dir, "simhash"), max_hamming=3)
 
 
+def _q_dedup_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard similarity join (no LSH recall loss) over
+    documents + perturbed copies."""
+    from topicrawler_ray.stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_perturbed_docs_ds(sf_dir, "minhash"), threshold=0.5)
+    df = pairs.to_pandas()
+    df["jaccard"] = df["jaccard"].round(4)
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_embedding_near_dup(sf_dir: str):
     from topicrawler_ray.stages.dedup import embedding_near_dup_pairs
 
@@ -666,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "embedding_near_dup": _q_embedding_near_dup,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_ivf": _q_knn_ivf,

@@ -461,3 +461,55 @@ class TestPolitenessBatching:
         assert a.not_before_ms.tolist() == [0, 100, 200]
         b = out[out.host == "b.example"]
         assert b.slot.tolist() == [0]
+
+
+class TestNgramJaccardJoin:
+    def test_exact_pairs_vs_python(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.dedup import (
+            jaccard,
+            ngram_jaccard_pairs,
+            word_shingles,
+        )
+
+        base = "tok%d " * 60 % tuple(range(60))
+        near = base.replace("tok5", "x5")
+        far = "zz%d " * 60 % tuple(range(60))
+        texts = {1: base, 2: near, 3: far, 4: base + "extra tail words here"}
+        ds = ray.data.from_items([{"doc_id": i, "text": t} for i, t in texts.items()])
+        out = ngram_jaccard_pairs(ds, threshold=0.3).to_pandas()
+        got = {
+            (a, b): round(j, 6)
+            for a, b, j in zip(out.id_a, out.id_b, out.jaccard)
+        }
+        sh = {i: word_shingles(t) for i, t in texts.items()}
+        expect = {}
+        for a in texts:
+            for b in texts:
+                if a < b:
+                    j = jaccard(sh[a], sh[b])
+                    if j >= 0.3:
+                        expect[(a, b)] = round(j, 6)
+        assert got == expect and len(expect) >= 2
+
+    def test_stop_shingle_filter(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.dedup import ngram_jaccard_pairs
+
+        # a shingle shared by everyone is dropped with max_shingle_df=2,
+        # killing the only overlap between docs 1 and 2
+        common = "the same three words"
+        ds = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": common + " alpha beta gamma delta"},
+                {"doc_id": 2, "text": common + " epsilon zeta eta theta"},
+                {"doc_id": 3, "text": common + " iota kappa lambda mu"},
+            ]
+        )
+        full = ngram_jaccard_pairs(ds, threshold=0.01).to_pandas()
+        filtered = ngram_jaccard_pairs(
+            ds, threshold=0.01, max_shingle_df=2
+        ).to_pandas()
+        assert len(full) > len(filtered)

@@ -491,6 +491,41 @@ def _b_dedup_minhash(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_dedup_ngram_jaccard(sf_dir: str) -> pa.Table:
+    """ALL-pairs exact shingle-Jaccard oracle (sequential)."""
+    from .stages.dedup import jaccard, word_shingles
+
+    docs = _minhash_docs(sf_dir)
+    shingles = {i: word_shingles(t or "") for i, t in docs}
+    ids = sorted(shingles)
+    o_a, o_b, o_j = [], [], []
+    for x in range(len(ids)):
+        a = ids[x]
+        sa = shingles[a]
+        if not sa:
+            continue
+        for y in range(x + 1, len(ids)):
+            b = ids[y]
+            sb = shingles[b]
+            if not sb:
+                continue
+            # quick upper bound: |A∩B| <= min sizes
+            if min(len(sa), len(sb)) / max(len(sa), len(sb)) < 0.5:
+                continue
+            j = jaccard(sa, sb)
+            if j >= 0.5:
+                o_a.append(a)
+                o_b.append(b)
+                o_j.append(round(j, 4))
+    return pa.table(
+        {
+            "id_a": pa.array(o_a, pa.int64()),
+            "id_b": pa.array(o_b, pa.int64()),
+            "jaccard": pa.array(o_j, pa.float64()),
+        }
+    )
+
+
 def _simhash_docs(sf_dir: str) -> list[tuple[int, str]]:
     t = _docs_table(sf_dir)
     ids = t.column("doc_id").to_pylist()
@@ -685,6 +720,7 @@ BUILDERS = {
     "export_manifest": _b_export_manifest,
     "dedup_minhash": _b_dedup_minhash,
     "dedup_simhash": _b_dedup_simhash,
+    "dedup_ngram_jaccard": _b_dedup_ngram_jaccard,
     "knn_ivf": _b_knn_ivf,
     "ngram_stats_seg": _b_ngram_stats_seg,
 }

@@ -271,6 +271,134 @@ def minhash_near_dup_pairs(
     return joined_b.map_batches(verify, batch_format="pyarrow")
 
 
+def _default_partitions(requested: int | None) -> int:
+    """Size shuffle partitions to the cluster: the chained hash-shuffle
+    operators each spawn `num_partitions` aggregator actors, so on a
+    small CPU budget a large fixed value starves the pipeline."""
+    if requested:
+        return requested
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(8, cpus // 2))
+
+
+def ngram_jaccard_pairs(
+    ds,
+    threshold: float = 0.5,
+    k: int = 3,
+    column: str = "text",
+    id_column: str = "doc_id",
+    num_partitions: int | None = None,
+    max_shingle_df: int | None = None,
+):
+    """EXACT n-gram (word k-shingle) Jaccard similarity join.
+
+    Sparse-vector expression (no candidate generation, no LSH recall
+    loss): explode each doc into distinct ``(id, shingle_hash)`` rows,
+    SELF-JOIN on the shingle hash to count pairwise intersections, then
+    join the per-doc shingle counts back and keep pairs with
+    ``inter / (|A| + |B| - inter) >= threshold``.  All shuffles key on
+    the shingle hash or the pair id.
+
+    Skew: a shingle shared by d docs contributes d^2 join rows -
+    at web scale pass ``max_shingle_df`` to drop stop-shingles (standard
+    practice; a shingle in thousands of docs carries no dedup signal).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max
+
+    num_partitions = _default_partitions(num_partitions)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        # each row CARRIES its doc's set size (known locally), so no
+        # join is needed later to attach |A| / |B|
+        ids = batch.column(id_column).to_pylist()
+        texts = batch.column(column).to_pylist()
+        o_id, o_sh, o_sz = [], [], []
+        for i, t in zip(ids, texts):
+            sh = word_shingles(t or "", k)
+            for s in sh:
+                o_id.append(i)
+                o_sh.append(s - (1 << 63))
+                o_sz.append(len(sh))
+        return pa.table(
+            {
+                id_column: pa.array(o_id, pa.int64()),
+                "shingle": pa.array(o_sh, pa.int64()),
+                "set_size": pa.array(o_sz, pa.int64()),
+            }
+        )
+
+    shingles = ds.select_columns([id_column, column]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    if max_shingle_df is not None:
+        df_counts = (
+            shingles.groupby("shingle")
+            .aggregate(Count(alias_name="df"))
+            .repartition(num_partitions)
+        )
+        keep = df_counts.filter(expr="df <= %d" % max_shingle_df).select_columns(
+            ["shingle"]
+        ).repartition(num_partitions)
+        shingles = shingles.join(
+            keep, join_type="inner", num_partitions=num_partitions, on=("shingle",)
+        )
+    joined = shingles.join(
+        shingles,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("shingle",),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+    ca, cb = id_column + "_a", id_column + "_b"
+
+    def upper(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.less(batch.column(ca), batch.column(cb)))
+        return pa.table(
+            {
+                "id_a": f.column(ca),
+                "id_b": f.column(cb),
+                "size_a": f.column("set_size_a"),
+                "size_b": f.column("set_size_b"),
+            }
+        )
+
+    inter = (
+        joined.map_batches(upper, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(
+            Count(alias_name="inter"),
+            Max("size_a", alias_name="size_a"),
+            Max("size_b", alias_name="size_b"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        inter_v = np.asarray(batch.column("inter"), dtype=np.float64)
+        sa = np.asarray(batch.column("size_a"), dtype=np.float64)
+        sb = np.asarray(batch.column("size_b"), dtype=np.float64)
+        union = sa + sb - inter_v
+        jac = np.where(union > 0, inter_v / union, 0.0)
+        keep = np.nonzero(jac >= threshold)[0]
+        return pa.table(
+            {
+                "id_a": batch.column("id_a").take(keep),
+                "id_b": batch.column("id_b").take(keep),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
+
+    return inter.map_batches(finish, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # simhash
 
