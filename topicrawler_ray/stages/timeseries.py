@@ -1,0 +1,130 @@
+"""Time-series operators Ray Data lacks natively: tumbling-window
+aggregation and the as-of join (prompt "custom operators" bullet).
+
+Both are expressed as compositions of ``map_batches`` + one keyed
+shuffle, with the partitioning assumption documented:
+
+* **tumbling_window_agg**: the window id is a pure function of the
+  timestamp (``floor(epoch / width)``), so assignment is stateless and
+  vectorized; one ``groupby(window, *keys)`` shuffle aggregates.  Sums
+  over float columns are micro-quantized to int64 first so the
+  distributed reduce is exact and order-independent (same rule as
+  ``perp_stats``).
+* **asof_join**: for each left row, the latest right row with
+  ``right.on <= left.on`` within the same ``by`` key (inclusive -
+  DuckDB ``ASOF JOIN`` semantics).  Ray shape: align both sides to a
+  common schema with a side tag, ONE ``groupby(by)`` shuffle, then a
+  per-group vectorized ``pandas.merge_asof``.  Partitioning assumption:
+  one ``by`` group fits a task (time-partition the right side and
+  carry forward per-key tails if a single key's history exceeds that -
+  documented, not needed at fixture scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def tumbling_window_agg(
+    ds,
+    ts_column: str = "ts",
+    width_seconds: int = 300,
+    keys: tuple = ("event_type",),
+    value_column: str = "value",
+):
+    """-> (window_start ts, *keys, n_events, sum_value_e2) per window."""
+    from ray.data.aggregate import Count, Sum
+
+    width_us = width_seconds * 1_000_000
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch.column(ts_column).cast(pa.int64()), dtype=np.int64)
+        win = (ts // width_us) * width_us
+        e2 = np.rint(
+            np.asarray(batch.column(value_column), dtype=np.float64) * 100
+        ).astype(np.int64)
+        return (
+            batch.append_column("window_start_us", pa.array(win, pa.int64()))
+            .append_column("value_e2", pa.array(e2, pa.int64()))
+        )
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["window_start_us", *keys])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_e2", alias_name="sum_value_e2"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ws = batch.column("window_start_us").cast(pa.timestamp("us"))
+        batch = batch.drop_columns(["window_start_us"])
+        return batch.add_column(0, "window_start", ws)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    by: str,
+    on: str,
+    right_columns: tuple,
+    suffix: str = "_asof",
+):
+    """For each left row: columns of the latest right row with
+    ``right[on] <= left[on]`` and equal ``by`` (NULLs when none).
+
+    Returns the left schema + ``<col><suffix>`` for each of
+    ``right_columns``."""
+
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    types: dict[str, pa.DataType] = {}
+    for name, ty in zip(right_schema.names, right_schema.types):
+        types[name] = ty
+    for name, ty in zip(left_schema.names, left_schema.types):
+        types[name] = ty
+    left_cols = list(left_schema.names)
+    right_keep = list(dict.fromkeys([by, on, *right_columns]))
+    all_cols = list(dict.fromkeys(left_cols + right_keep))
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            out = {
+                c: (
+                    batch.column(c).cast(types[c])
+                    if c in batch.schema.names
+                    else pa.nulls(n, type=types[c])
+                )
+                for c in all_cols
+            }
+            t = pa.table(out)
+            return t.append_column("__side", pa.array([side] * n, pa.int8()))
+
+        return fn
+
+    tagged = left_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        right_ds.select_columns(right_keep).map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def join_group(group: pd.DataFrame) -> pd.DataFrame:
+        lefts = group[group["__side"] == 0].sort_values(on, kind="mergesort")
+        rights = group[group["__side"] == 1].sort_values(on, kind="mergesort")
+        rights = rights[[on, *right_columns]].copy()
+        rights[on + suffix] = rights[on]  # the matched right timestamp
+        rights = rights.rename(columns={c: c + suffix for c in right_columns})
+        merged = pd.merge_asof(
+            lefts[left_cols],
+            rights,
+            on=on,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return merged
+
+    return tagged.groupby(by).map_groups(join_group, batch_format="pandas")
