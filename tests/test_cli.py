@@ -116,3 +116,54 @@ class TestCli:
         finally:
             for d in (ck, out1, out2):
                 shutil.rmtree(d, ignore_errors=True)
+
+
+class TestDedupCli:
+    def test_dedup_exact_cli(self):
+        out_dir = tempfile.mkdtemp(prefix="cli_dedup_")
+        try:
+            r = _run(
+                [
+                    "dedup",
+                    "--input", "/root/testdata/sf0.001/documents.parquet",
+                    "--method", "exact",
+                    "--out", os.path.join(out_dir, "o"),
+                    "--num-cpus", "4",
+                ]
+            )
+            assert r.returncode == 0, r.stderr[-2000:]
+            import glob
+
+            import pyarrow.parquet as pq
+
+            files = glob.glob(os.path.join(out_dir, "o", "*.parquet"))
+            assert files
+            n = sum(pq.read_metadata(f).num_rows for f in files)
+            assert n == 500  # all fixture docs are distinct
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+
+class TestNgramIndexCli:
+    def test_ngram_index_cli(self):
+        out_dir = tempfile.mkdtemp(prefix="cli_idx_")
+        try:
+            r = _run(
+                [
+                    "ngram-index",
+                    "--input", "/root/testdata/sf0.001/documents.parquet",
+                    "--out", out_dir,
+                    "--order", "2",
+                    "--num-cpus", "4",
+                ]
+            )
+            assert r.returncode == 0, r.stderr[-2000:]
+            from topicrawler_ray.lm.build import read_sum_ngrams
+
+            stats = read_sum_ngrams(os.path.join(out_dir, "__sum_ngrams__"))
+            assert stats["max_n"] == 2 and stats["S"][1] > 0
+            import glob
+
+            assert glob.glob(os.path.join(out_dir, "ngram_index", "*.parquet"))
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)

@@ -102,6 +102,85 @@ def cmd_export_corpus(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Training-data dedup over a parquet table (exact / minhash /
+    simhash / ngram-jaccard / embedding), ray-job-submit-able."""
+    _init_ray(args.num_cpus)
+    import ray
+    import ray.data
+
+    ds = ray.data.read_parquet(args.input)
+    method = args.method
+    if method == "exact":
+        from .stages.dedup import exact_dedup
+
+        out = exact_dedup(ds, column=args.column, id_column=args.id_column)
+    elif method == "minhash":
+        from .stages.dedup import minhash_near_dup_pairs
+
+        out = minhash_near_dup_pairs(
+            ds, column=args.column, id_column=args.id_column,
+            threshold=args.threshold,
+        )
+    elif method == "simhash":
+        from .stages.dedup import simhash_near_dup_pairs
+
+        out = simhash_near_dup_pairs(
+            ds, column=args.column, id_column=args.id_column,
+            max_hamming=args.max_hamming,
+        )
+    elif method == "jaccard":
+        from .stages.dedup import ngram_jaccard_pairs
+
+        out = ngram_jaccard_pairs(
+            ds, threshold=args.threshold, column=args.column,
+            id_column=args.id_column,
+        )
+    elif method == "embedding":
+        from .stages.dedup import embedding_near_dup_pairs
+
+        out = embedding_near_dup_pairs(
+            ds, threshold=args.threshold, id_column=args.id_column,
+            vec_column=args.column, lsh_bits=args.lsh_bits,
+        )
+    else:
+        raise SystemExit("unknown method %r" % method)
+    if args.out:
+        out.write_parquet(args.out)
+        print(json.dumps({"out": args.out}))
+    else:
+        print(json.dumps({"rows": out.count()}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_ngram_index(args) -> int:
+    """J4: build the unified per-ngram index + __sum_ngrams__ artifact."""
+    _init_ray(args.num_cpus)
+    import ray
+
+    from .lm.build import (
+        count_ngrams,
+        count_of_counts,
+        ngram_index,
+        write_sum_ngrams,
+    )
+
+    import ray.data
+
+    ds = ray.data.read_parquet(args.input)
+    idx = ngram_index(ds, args.order, column=args.column, mincount=args.mincount)
+    os.makedirs(args.out, exist_ok=True)
+    idx.write_parquet(os.path.join(args.out, "ngram_index"))
+    stats = count_of_counts(
+        count_ngrams(ds, args.order, args.column, args.mincount), args.order
+    )
+    write_sum_ngrams(stats, os.path.join(args.out, "__sum_ngrams__"))
+    print(json.dumps({"out": args.out, "S": stats["S"]}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_segment(args) -> int:
     """lt.seg ``Segmenter`` app equivalent: sentence-split + tokenize a
     text file/dir distributed via read_text -> map_batches."""
@@ -197,6 +276,28 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--normalize-level", type=int, default=2)
     g.add_argument("--num-cpus", type=int, default=None)
     g.set_defaults(fn=cmd_segment)
+
+    d = sub.add_parser("dedup", help="dedup a parquet table")
+    d.add_argument("--input", required=True)
+    d.add_argument("--method", default="exact",
+                   choices=["exact", "minhash", "simhash", "jaccard", "embedding"])
+    d.add_argument("--column", default="text")
+    d.add_argument("--id-column", default="doc_id")
+    d.add_argument("--threshold", type=float, default=0.7)
+    d.add_argument("--max-hamming", type=int, default=3)
+    d.add_argument("--lsh-bits", type=int, default=0)
+    d.add_argument("--out", default=None)
+    d.add_argument("--num-cpus", type=int, default=None)
+    d.set_defaults(fn=cmd_dedup)
+
+    n = sub.add_parser("ngram-index", help="build the J4 ngram index + stats")
+    n.add_argument("--input", required=True)
+    n.add_argument("--out", required=True)
+    n.add_argument("--column", default="text")
+    n.add_argument("--order", type=int, default=3)
+    n.add_argument("--mincount", type=int, default=1)
+    n.add_argument("--num-cpus", type=int, default=None)
+    n.set_defaults(fn=cmd_ngram_index)
 
     m = sub.add_parser("lm", help="ngram probs + perplexity of a text")
     m.add_argument("--sf-dir", default="/root/testdata/sf0.01")

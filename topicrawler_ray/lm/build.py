@@ -208,7 +208,7 @@ INDEX_STAT_PREFIXES = ("np", "nf", "nfp")  # reference join order
 
 
 def ngram_index(ds, order: int, column: str = "text", mincount: int = 1,
-                tokenizer=None, num_partitions: int = 8):
+                tokenizer=None, num_partitions: int | None = None):
     """J4 (``GenerateNgramIndex.java:297-309``): the ``join -a1`` of the
     n-gram counts with the nprecede / nfollow / nfollowerprecede
     continuation stats on the ngram key - the unified index record
@@ -222,14 +222,39 @@ def ngram_index(ds, order: int, column: str = "text", mincount: int = 1,
     assumption: the ngram key is hash-partitioned; no skew handling
     needed since single hot n-grams are single rows here.
     """
+    from ..stages.dedup import _default_partitions
+
+    num_partitions = _default_partitions(num_partitions)
     counts = count_ngrams(ds, order, column, mincount, tokenizer)
     # Ray 2.49: aggregates emit 0-column empty blocks that break
     # downstream joins; repartition() concatenates them away
     counts = counts.repartition(num_partitions)
+
+    def _with_sentinel(stats_ds):
+        """A stats side can be globally EMPTY (e.g. nfp at order 2) -
+        then even repartition leaves schema-less blocks.  Union one
+        sentinel row whose key contains NUL (unreachable by any real
+        ngram) so every block carries the schema; the left join simply
+        never matches it."""
+        import ray.data
+
+        sentinel = ray.data.from_arrow(
+            pa.table(
+                {
+                    "key": pa.array(["\x00sentinel\x00"], pa.string()),
+                    "n_sum": pa.array([0], pa.int64()),
+                    "n1": pa.array([0], pa.int64()),
+                    "n2": pa.array([0], pa.int64()),
+                    "n3": pa.array([0], pa.int64()),
+                }
+            )
+        )
+        return stats_ds.union(sentinel).repartition(num_partitions)
+
     stats = {
-        "np": nprecede(counts).repartition(num_partitions),
-        "nf": nfollow(counts).repartition(num_partitions),
-        "nfp": nfollowerprecede(counts).repartition(num_partitions),
+        "np": _with_sentinel(nprecede(counts)),
+        "nf": _with_sentinel(nfollow(counts)),
+        "nfp": _with_sentinel(nfollowerprecede(counts)),
     }
     out = counts
     for prefix in INDEX_STAT_PREFIXES:

@@ -596,6 +596,8 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.4, id_column: str = "vec_i
             .map_groups(tile_pairs, batch_format="pandas")
         )
 
+    import ray
+
     rng = np.random.default_rng(11)
     dim = len(ds.take(1)[0][vec_column])  # one row only - not a materialize
     planes = rng.standard_normal((lsh_bits, dim)).astype(np.float32)
