@@ -183,6 +183,9 @@ class TestLogSpool:
             assert all(os.path.exists(p) for p in eng._log_parts)
             _assert_log_matches(res.log, sim_result.rows)
             assert res.seen_keys == sim_result.seen_keys
+            # lazy Dataset over the spool == the materialized table
+            lazy = eng.log_dataset().to_pandas().sort_values("fetch_seq")
+            assert len(lazy) == len(sim_result.rows)
         finally:
             shutil.rmtree(spool, ignore_errors=True)
 

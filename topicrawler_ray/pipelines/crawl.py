@@ -433,6 +433,18 @@ class RayCrawlEngine:
                 break
         return self.result()
 
+    def log_dataset(self):
+        """The crawl log as a LAZY Ray Dataset over the parquet spool
+        parts - the at-scale consumption path (``result().log``
+        materializes the whole table; at a 10^10 frontier you stream
+        this instead)."""
+        self._spill_log()
+        import ray.data
+
+        if not self._log_parts:
+            return ray.data.from_arrow(LOG_SCHEMA.empty_table())
+        return ray.data.read_parquet(self._log_parts)
+
     # -- results / checkpoint ---------------------------------------------
     def result(self) -> CrawlResult:
         ray = self.ray
