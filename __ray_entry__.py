@@ -564,6 +564,24 @@ def _q_events_asof_click(sf_dir: str):
     ].sort_values("event_id").reset_index(drop=True)
 
 
+def _q_events_props_k(sf_dir: str):
+    """Semi-structured extraction: the JSON props field 'k' per event,
+    aggregated per event_type (pure-SQL oracle via DuckDB json)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from topicrawler_ray.stages.timeseries import extract_json_field
+
+    ds = ray.data.read_parquet(
+        sf_dir + "/events.parquet", columns=["event_type", "props"]
+    )
+    ds = extract_json_field(ds, "props", "k")
+    return (
+        ds.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+    )
+
+
 def _q_politeness_slots(sf_dir: str):
     """Batch-mode politeness batching (north-star groupby-host shuffle):
     a deterministic frontier snapshot derived from documents -> per-host
@@ -758,6 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _q_media_frames,
         "politeness_slots": _q_politeness_slots,
         "events_windowed": _q_events_windowed,
+        "events_props_k": _q_events_props_k,
         "events_asof_click": _q_events_asof_click,
         "filtered_sentences": _q_filtered_sentences,
         "corpus_truncate": _q_corpus_truncate,
@@ -860,6 +879,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.w || ' ' || b.w AS ngram, count(*) AS num "
             "FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
             "GROUP BY 1 HAVING count(*) >= 2"
+        ),
+        "events_props_k": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) "
+            "AS sum_k FROM events GROUP BY event_type"
         ),
         "events_windowed": (
             "SELECT CAST((epoch_us(ts) // 300000000) * 300000000 AS BIGINT) "

@@ -67,6 +67,37 @@ def tumbling_window_agg(
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def extract_json_field(
+    ds, column: str = "props", field: str = "k", out_column: str | None = None,
+    as_int: bool = True,
+):
+    """Semi-structured extraction: pull one field out of a JSON string
+    column, vectorized per batch (stdlib ``json`` per row inside the
+    batch fn - no driver involvement; a pyarrow JSON kernel would drop
+    in when available).  Missing/invalid JSON -> null."""
+    import json as _json
+
+    out_column = out_column or field
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = []
+        for s in batch.column(column).to_pylist():
+            try:
+                v = _json.loads(s).get(field)
+            except Exception:
+                v = None
+            if as_int and v is not None:
+                try:
+                    v = int(v)
+                except (TypeError, ValueError):
+                    v = None
+            vals.append(v)
+        ty = pa.int64() if as_int else pa.string()
+        return batch.append_column(out_column, pa.array(vals, ty))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def asof_join(
     left_ds,
     right_ds,
