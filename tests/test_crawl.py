@@ -274,3 +274,42 @@ class TestArpaScorer:
         sim = simulate_crawl(sf_dir, config=cfg)
         _assert_log_matches(res.log, sim.rows)
         assert res.seen_keys == sim.seen_keys
+
+
+class TestCrawlDelay:
+    def test_parse_and_period(self):
+        from topicrawler_ray.state.frontier import crawl_delay_period, parse_robots
+
+        rules, delay = parse_robots(
+            "User-agent: *\nDisallow: /x/\nCrawl-delay: 0.3\n"
+        )
+        assert rules == ["/x/"] and delay == 0.3
+        assert crawl_delay_period(0.3) == 3
+        assert crawl_delay_period(None) == 1
+        assert crawl_delay_period(0) == 1
+        # respectCrawlDelayUpToSeconds=180 clamp (cxml:31)
+        assert crawl_delay_period(10_000) == 1800
+        # other agents' delay ignored
+        _, d2 = parse_robots("User-agent: bot\nCrawl-delay: 9\n")
+        assert d2 is None
+
+    def test_delayed_hosts_fetch_every_third_wave(self, ray_session, sf_dir, sim_result):
+        """Fixture hosts with Crawl-delay 0.3 must show inter-fetch wave
+        gaps >= 3 in BOTH the engine log and the oracle's."""
+        from collections import defaultdict
+
+        from topicrawler_ray.sources.pages import CRAWL_DELAY_HOST_MOD
+
+        waves_by_host = defaultdict(list)
+        for r in sim_result.rows:
+            if not r["is_robots"]:
+                waves_by_host[r["host"]].append(r["wave"])
+        checked = 0
+        for host, waves in waves_by_host.items():
+            h = int(host.split("host")[1].split(".")[0])
+            gaps = [b - a for a, b in zip(waves, waves[1:])]
+            if h % CRAWL_DELAY_HOST_MOD == 2:
+                if gaps:
+                    checked += 1
+                    assert min(gaps) >= 3, (host, gaps[:5])
+        assert checked > 0, "no delayed host fetched twice - fixture too small"

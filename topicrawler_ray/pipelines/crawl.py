@@ -180,7 +180,7 @@ class RayCrawlEngine:
         the deferred refs at the next wave / at result time).
         """
         ray = self.ray
-        pops = ray.get([s.pop_wave.remote() for s in self.frontier])
+        pops = ray.get([s.pop_wave.remote(self.wave) for s in self.frontier])
         if self._pending:
             ray.get(self._pending)  # surface any async push/robots errors
             self._pending = []
@@ -191,14 +191,33 @@ class RayCrawlEngine:
                 active_shards.append(si)
             picked.extend(entries)
         if not picked:
+            # Crawl-delay can leave a whole wave empty while hosts wait:
+            # advance the virtual clock (return -1: not done, no fetches)
+            if any(ray.get([s.has_work.remote() for s in self.frontier])):
+                self.wave += 1
+                return -1
             return 0
         # single-active-shard fast path: delegate the wave loop to the
         # shard itself until another shard gains work (the politeness
-        # tail would otherwise pay 3 driver round trips per 1-fetch wave)
+        # tail would otherwise pay 3 driver round trips per 1-fetch wave).
+        # Crawl-delay caveat: an empty pick no longer implies an empty
+        # shard (hosts may be WAITING on their delay period), so the
+        # drain is only valid when every other shard truly has no work -
+        # the drain never pops siblings, and a waiting sibling host must
+        # rejoin the wave loop when its slot comes up.
         if (
             len(active_shards) == 1
             and self.cfg.max_domains is None
             and len(self.frontier) > 1
+            and not any(
+                ray.get(
+                    [
+                        s.has_work.remote()
+                        for i, s in enumerate(self.frontier)
+                        if i != active_shards[0]
+                    ]
+                )
+            )
         ):
             return self._drain_single_shard(active_shards[0], picked)
         picked.sort(key=lambda e: (e.directive, e.cost, e.seq, e.url))
@@ -216,14 +235,16 @@ class RayCrawlEngine:
         results.sort(key=lambda r: r.pos)
 
         # robots rule updates (404 robots -> allow-all); fire-and-forget
-        robots_updates: dict[int, list[tuple[str, list[str]]]] = {}
+        robots_updates: dict[int, list[tuple[str, list[str], float | None]]] = {}
         for r in results:
             if r.is_robots:
                 host = host_of_url(r.url)
-                rules = r.robots_rules if r.robots_rules is not None else []
+                rules, delay = (
+                    r.robots_rules if r.robots_rules is not None else ([], None)
+                )
                 robots_updates.setdefault(
                     shard_of_host(host, len(self.frontier)), []
-                ).append((host, rules))
+                ).append((host, rules, delay))
         for s, items_ in robots_updates.items():
             self._pending.append(self.frontier[s].set_robots_many.remote(items_))
 

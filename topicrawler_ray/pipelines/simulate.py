@@ -25,7 +25,7 @@ from ..functions.urls import extract_outlinks, host_of_url, path_of_url, seed_li
 from ..stages import prioritize as prio
 from ..stages.extract import decode_page_bytes, extract_one
 from ..stages.score import score_text
-from ..state.frontier import parse_robots
+from ..state.frontier import crawl_delay_period, parse_robots
 
 
 @dataclass
@@ -61,8 +61,10 @@ def simulate_crawl(
     # frontier: host -> list of entry tuples (directive, cost, seq, url,
     # via, perp_via_str); kept unsorted, min() picks the head
     frontier: dict[str, list[tuple]] = {}
-    robots_rules: dict[str, list[str]] = {}  # host -> prefixes (known)
+    # host -> (disallow prefixes, crawl_delay_seconds|None) once fetched
+    robots_rules: dict[str, tuple[list[str], float | None]] = {}
     robots_requested: set[str] = set()
+    next_allowed: dict[str, int] = {}  # Crawl-delay politeness clock
     next_seq = 0
 
     def seen_add(url: str) -> bool:
@@ -91,6 +93,8 @@ def simulate_crawl(
             if not entries:
                 del frontier[host]
                 continue
+            if wave < next_allowed.get(host, 0):
+                continue  # Crawl-delay: host's slot hasn't come up yet
             if host not in robots_rules:
                 if host not in robots_requested:
                     robots_requested.add(host)
@@ -99,7 +103,7 @@ def simulate_crawl(
                         (0, 1, head[2], "http://%s/robots.txt" % host, head[3], "", 0, True)
                     )
                 continue
-            rules = robots_rules[host]
+            rules, delay = robots_rules[host]
             while entries:
                 e = min(entries)
                 entries.remove(e)
@@ -109,10 +113,18 @@ def simulate_crawl(
                     res.n_robots_rejected += 1
                     continue
                 picks.append((*e, False))
+                period = crawl_delay_period(delay)
+                if period > 1:
+                    next_allowed[host] = wave + period
                 break
             if not entries:
                 del frontier[host]
         if not picks:
+            # Crawl-delay can leave whole waves empty while hosts wait:
+            # advance the virtual clock without fetching
+            if any(frontier.values()):
+                wave += 1
+                continue
             break
         picks.sort(key=lambda p: (p[0], p[1], p[2], p[3]))
 
@@ -124,8 +136,11 @@ def simulate_crawl(
             perp_str = ""
             n_out = 0
             if is_robots:
-                rules = parse_robots(html.decode("utf-8", "replace")) if html else []
-                robots_rules[host_of_url(url)] = rules
+                robots_rules[host_of_url(url)] = (
+                    parse_robots(html.decode("utf-8", "replace"))
+                    if html
+                    else ([], None)
+                )
             elif status == 200:
                 html_s = decode_page_bytes(url, html)
                 _, scoring_text, _ = extract_one(html_s)

@@ -98,7 +98,9 @@ MESSY_LINK_MOD = 37  # doc_id % 37 == 17 -> non-canonical duplicate link
 LATIN1_MOD = 43  # doc_id % 43 == 21 -> ISO-8859-1 page w/ <meta charset>
 BAD_CHARSET_MOD = 47  # doc_id % 47 == 31 -> unresolvable charset name
 BAD_CHARSET_NAME = "x-no-such-charset-1"
-FIXTURE_VERSION = 2  # bump when the page grammar changes (invalidates /tmp)
+CRAWL_DELAY_HOST_MOD = 7  # host % 7 == 2 -> robots Crawl-delay: 0.3
+CRAWL_DELAY_S = 0.3  # -> politeness period of 3 waves (100ms slots)
+FIXTURE_VERSION = 3  # bump when the page grammar changes (invalidates /tmp)
 
 
 def _paragraphs(
@@ -255,9 +257,14 @@ def _expected_text(
 
 
 def robots_body(host: int) -> str:
+    delay = (
+        "Crawl-delay: %g\n" % CRAWL_DELAY_S
+        if host % CRAWL_DELAY_HOST_MOD == 2
+        else ""
+    )
     if host % ROBOTS_DISALLOW_HOST_MOD == 3:
-        return "User-agent: *\nDisallow: /blocked/\n"
-    return "User-agent: *\nDisallow:\n"
+        return "User-agent: *\nDisallow: /blocked/\n" + delay
+    return "User-agent: *\nDisallow:\n" + delay
 
 
 def _build_page(

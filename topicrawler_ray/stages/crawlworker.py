@@ -38,7 +38,8 @@ class FetchResult:
     lang: str
     warc_ts_us: int
     outlinks: list[str]  # canonical, document order
-    robots_rules: list[str] | None  # for robots fetches
+    # for robots fetches: (disallow prefixes, crawl_delay_seconds|None)
+    robots_rules: tuple[list[str], float | None] | None
 
 
 class CrawlProcessor:
@@ -62,7 +63,7 @@ class CrawlProcessor:
         except Exception:
             return FetchResult(
                 pos, url, -1, is_robots, float("nan"), "", "", "", "", 0,
-                [], [] if is_robots else None,
+                [], ([], None) if is_robots else None,
             )
 
     def _process(
@@ -75,7 +76,7 @@ class CrawlProcessor:
         if page is None:
             return FetchResult(
                 pos, url, 404, is_robots, float("nan"), "", "", "", "", 0,
-                [], [] if is_robots else None,
+                [], ([], None) if is_robots else None,
             )
         html_bytes, ts_us, lang = page
         if is_robots:

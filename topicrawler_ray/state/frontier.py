@@ -55,10 +55,12 @@ class FrontierEntry:
     hops: int = field(compare=False, default=0)  # link hops from seed (cxml:26)
 
 
-def parse_robots(body: str) -> list[str]:
-    """Minimal robots.txt: collect ``Disallow:`` path prefixes under
-    ``User-agent: *`` (empty Disallow == allow all)."""
+def parse_robots(body: str) -> tuple[list[str], float | None]:
+    """Minimal robots.txt: collect ``Disallow:`` path prefixes and the
+    ``Crawl-delay`` (seconds) under ``User-agent: *`` (empty Disallow ==
+    allow all; missing/invalid Crawl-delay -> None)."""
     rules: list[str] = []
+    delay: float | None = None
     active = False
     for line in body.splitlines():
         line = line.split("#", 1)[0].strip()
@@ -71,7 +73,27 @@ def parse_robots(body: str) -> list[str]:
             active = val == "*"
         elif key == "disallow" and active and val:
             rules.append(val)
-    return rules
+        elif key == "crawl-delay" and active:
+            try:
+                delay = float(val)
+            except ValueError:
+                pass
+    return rules, delay
+
+
+RESPECT_CRAWL_DELAY_UP_TO_S = 180  # cxml:31 respectCrawlDelayUpToSeconds
+MIN_DELAY_MS = 100  # cxml:30 - one wave == one 100ms politeness slot
+
+
+def crawl_delay_period(delay_s: float | None) -> int:
+    """A host's politeness period in WAVES: the robots Crawl-delay
+    (clamped to respectCrawlDelayUpToSeconds, cxml:31) expressed in
+    100ms wave slots; no/zero delay -> 1 (every wave eligible)."""
+    import math
+
+    if not delay_s or delay_s <= 0:
+        return 1
+    return max(1, math.ceil(min(delay_s, RESPECT_CRAWL_DELAY_UP_TO_S) * 1000 / MIN_DELAY_MS))
 
 
 class RobotsCache:
@@ -80,6 +102,7 @@ class RobotsCache:
     def __init__(self):
         self._rules: dict[str, list[str] | None] = {}
         self._requested: set[str] = set()
+        self._delays: dict[str, float | None] = {}
 
     def known(self, host: str) -> bool:
         return self._rules.get(host) is not None
@@ -91,8 +114,13 @@ class RobotsCache:
         self._requested.add(host)
         return True
 
-    def set_rules(self, host: str, rules: list[str]) -> None:
+    def set_rules(self, host: str, rules: list[str], delay: float | None = None) -> None:
         self._rules[host] = rules
+        self._delays[host] = delay
+
+    def period(self, host: str) -> int:
+        """Politeness period in waves (robots Crawl-delay honored)."""
+        return crawl_delay_period(self._delays.get(host))
 
     def allowed(self, host: str, path: str) -> bool:
         rules = self._rules.get(host)
@@ -138,6 +166,9 @@ class FrontierShardState:
         self._overflow_count: dict[str, int] = {}
         self.n_spilled = 0
         self.n_reloaded = 0
+        # Crawl-delay politeness: host -> first wave it may fetch again
+        self.next_allowed: dict[str, int] = {}
+        self._auto_wave = 0  # fallback clock when pop_wave(None) is used
 
     # -- spill helpers -----------------------------------------------------
     def _spill_path(self, host: str) -> str:
@@ -230,8 +261,8 @@ class FrontierShardState:
                     self._maybe_spill(host)
             self.n_pushed += 1
 
-    def set_robots(self, host: str, rules: list[str]) -> None:
-        self.robots.set_rules(host, rules)
+    def set_robots(self, host: str, rules: list[str], delay: float | None = None) -> None:
+        self.robots.set_rules(host, rules, delay)
 
     def push_if_new(self, entries: list[FrontierEntry]) -> int:
         """URL-seen test-and-add then push, in the given (seq) order.
@@ -290,8 +321,10 @@ class FrontierShardState:
             results.sort(key=lambda r: r.pos)
             for r in results:
                 if r.is_robots:
-                    rules = r.robots_rules if r.robots_rules is not None else []
-                    self.set_robots(host_of_url(r.url), rules)
+                    rules, delay = (
+                        r.robots_rules if r.robots_rules is not None else ([], None)
+                    )
+                    self.set_robots(host_of_url(r.url), rules, delay)
             # candidates in proposal order
             to_mine: list[FrontierEntry] = []
             by_sibling: dict[int, list[FrontierEntry]] = {}
@@ -353,9 +386,15 @@ class FrontierShardState:
             budget -= 1
             if sibling_active or budget <= 0:
                 break
-            picked, _rej = self.pop_wave()
+            picked, _rej = self.pop_wave(wave_no)
+            # Crawl-delay can leave whole waves empty while hosts wait:
+            # advance the virtual clock without fetching
+            while not picked and self.has_work() and budget > 0:
+                wave_no += 1
+                budget -= 1
+                picked, _rej = self.pop_wave(wave_no)
             if not picked:
-                finished = True
+                finished = not self.has_work()
                 break
         return {
             "log_rows": log_rows,
@@ -368,12 +407,22 @@ class FrontierShardState:
         }
 
     # -- wave pop ----------------------------------------------------------
-    def pop_wave(self) -> tuple[list[FrontierEntry], int]:
-        """One politeness slot for every host this shard owns.
+    def pop_wave(self, wave_no: int | None = None) -> tuple[list[FrontierEntry], int]:
+        """One politeness slot for every ELIGIBLE host this shard owns.
+
+        ``wave_no`` is the global virtual clock (100ms slots); a host
+        whose robots ``Crawl-delay`` implies a period of k waves becomes
+        eligible again only at ``last fetch wave + k`` - the Heritrix
+        ``respectCrawlDelayUpToSeconds`` behavior (cxml:31).  When no
+        wave number is supplied (microbench path) an internal counter
+        advances one wave per call.
 
         Returns (picked entries [incl. robots prerequisites], number of
         robots-rejected entries discarded this wave).
         """
+        if wave_no is None:
+            wave_no = self._auto_wave
+        self._auto_wave = wave_no + 1
         picked: list[FrontierEntry] = []
         rejected = 0
         if self._overflow_count:
@@ -384,6 +433,8 @@ class FrontierShardState:
             if not q:
                 del self.queues[host]
                 continue
+            if wave_no < self.next_allowed.get(host, 0):
+                continue  # Crawl-delay: host's slot hasn't come up yet
             if not self.robots.known(host):
                 if self.robots.request_once(host):
                     head = q[0]
@@ -415,6 +466,9 @@ class FrontierShardState:
                     FrontierEntry(directive, cost, seq, url, via, pvs, False, is_seed, hops)
                 )
                 self.n_popped += 1
+                period = self.robots.period(host)
+                if period > 1:
+                    self.next_allowed[host] = wave_no + period
                 break
             if not q and not self._overflow_count.get(host):
                 self.queues.pop(host, None)
@@ -435,6 +489,9 @@ class FrontierShardState:
                 "queues": self.queues,
                 "rules": self.robots._rules,
                 "requested": self.robots._requested,
+                "delays": self.robots._delays,
+                "next_allowed": self.next_allowed,
+                "auto_wave": self._auto_wave,
                 "seen": self.seen.snapshot(),
                 "head_budget": self.head_budget,
                 "spill_floor": self._spill_floor,
@@ -456,6 +513,9 @@ class FrontierShardState:
         st.queues = d["queues"]
         st.robots._rules = d["rules"]
         st.robots._requested = d["requested"]
+        st.robots._delays = d.get("delays", {})
+        st.next_allowed = d.get("next_allowed", {})
+        st._auto_wave = d.get("auto_wave", 0)
         st.seen = SeenShardState.restore(d["seen"])
         st.head_budget = d.get("head_budget")
         st._spill_floor = d.get("spill_floor", {})
@@ -501,15 +561,15 @@ def make_frontier_actors(num_shards: int, seen_capacity: int = 1 << 16,
         def exact_seen_keys(self):
             return self.state.exact_seen_keys()
 
-        def set_robots(self, host, rules):
-            self.state.set_robots(host, rules)
+        def set_robots(self, host, rules, delay=None):
+            self.state.set_robots(host, rules, delay)
 
         def set_robots_many(self, items):
-            for host, rules in items:
-                self.state.set_robots(host, rules)
+            for host, rules, delay in items:
+                self.state.set_robots(host, rules, delay)
 
-        def pop_wave(self):
-            return self.state.pop_wave()
+        def pop_wave(self, wave_no=None):
+            return self.state.pop_wave(wave_no)
 
         def has_work(self):
             return self.state.has_work()

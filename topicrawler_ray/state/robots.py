@@ -24,7 +24,8 @@ def make_robots_actors(num_shards: int):
             self.cache.set_rules(host, rules)
 
         def set_from_body(self, host: str, body: str) -> None:
-            self.cache.set_rules(host, parse_robots(body))
+            rules, delay = parse_robots(body)
+            self.cache.set_rules(host, rules, delay)
 
         def known(self, host: str) -> bool:
             return self.cache.known(host)
