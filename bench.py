@@ -156,12 +156,12 @@ def bench_frontier_ops(num_cpus: int, n_ops: int = 200_000) -> dict:
 
     t0 = time.time()
     ray.get([frontier[s].push.remote(es) for s, es in entries_by_shard.items()])
-    ray.get([frontier[s].set_robots_many.remote([("h%d.example" % h, []) for h in range(n_hosts)]) for s in range(shards)])
+    ray.get([frontier[s].set_robots_many.remote([("h%d.example" % h, [], None) for h in range(n_hosts)]) for s in range(shards)])
     pushed = sum(len(es) for es in entries_by_shard.values())
     popped = 0
     while True:
         waves = ray.get([s.pop_wave.remote() for s in frontier])
-        got = sum(len(p) for p, _ in waves)
+        got = sum(len(p) for p, _rej, _wake in waves)
         if got == 0:
             break
         popped += got

@@ -186,14 +186,16 @@ class RayCrawlEngine:
             self._pending = []
         picked: list[FrontierEntry] = []
         active_shards = []
-        for si, (entries, _rej) in enumerate(pops):
+        wakes: list[int | None] = []
+        for si, (entries, _rej, wake) in enumerate(pops):
             if entries:
                 active_shards.append(si)
             picked.extend(entries)
+            wakes.append(wake)
         if not picked:
             # Crawl-delay can leave a whole wave empty while hosts wait:
             # advance the virtual clock (return -1: not done, no fetches)
-            if any(ray.get([s.has_work.remote() for s in self.frontier])):
+            if any(w is not None for w in wakes):
                 self.wave += 1
                 return -1
             return 0
@@ -201,25 +203,27 @@ class RayCrawlEngine:
         # shard itself until another shard gains work (the politeness
         # tail would otherwise pay 3 driver round trips per 1-fetch wave).
         # Crawl-delay caveat: an empty pick no longer implies an empty
-        # shard (hosts may be WAITING on their delay period), so the
-        # drain is only valid when every other shard truly has no work -
-        # the drain never pops siblings, and a waiting sibling host must
-        # rejoin the wave loop when its slot comes up.
+        # shard (hosts may be WAITING on their delay period).  The drain
+        # never pops siblings, so it may only run for waves NO sibling
+        # can use: its budget is capped at the earliest sibling wake
+        # wave (fresh pushes to siblings still abort it immediately).
         if (
             len(active_shards) == 1
             and self.cfg.max_domains is None
             and len(self.frontier) > 1
-            and not any(
-                ray.get(
-                    [
-                        s.has_work.remote()
-                        for i, s in enumerate(self.frontier)
-                        if i != active_shards[0]
-                    ]
-                )
-            )
         ):
-            return self._drain_single_shard(active_shards[0], picked)
+            wave_budget = 2000
+            for i, w in enumerate(wakes):
+                if i == active_shards[0] or w is None:
+                    continue
+                if w <= self.wave:
+                    wave_budget = 0  # a sibling is eligible now: no drain
+                    break
+                wave_budget = min(wave_budget, w - self.wave)
+            if wave_budget > 0:
+                return self._drain_single_shard(
+                    active_shards[0], picked, wave_budget
+                )
         picked.sort(key=lambda e: (e.directive, e.cost, e.seq, e.url))
 
         # fetch + process: workers pull their pages from the store shards
@@ -331,7 +335,9 @@ class RayCrawlEngine:
         self.next_seq += int(accept.sum())
         return out
 
-    def _drain_single_shard(self, shard_index: int, picked: list[FrontierEntry]) -> int:
+    def _drain_single_shard(
+        self, shard_index: int, picked: list[FrontierEntry], wave_budget: int = 2000
+    ) -> int:
         ray = self.ray
         base = self._log_row_count()
         res = ray.get(
@@ -344,9 +350,9 @@ class RayCrawlEngine:
                 self.wave,
                 base,
                 self.cfg.max_hops,
-                # never drain past the configured wave cap (the drain
-                # budget is counted in waves)
-                min(2000, self.cfg.max_waves - self.wave),
+                # never drain past the wave cap or a sibling's wake wave
+                # (the drain budget is counted in waves)
+                min(wave_budget, 2000, self.cfg.max_waves - self.wave),
             )
         )
         rows = res["log_rows"]

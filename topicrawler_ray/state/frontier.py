@@ -386,13 +386,13 @@ class FrontierShardState:
             budget -= 1
             if sibling_active or budget <= 0:
                 break
-            picked, _rej = self.pop_wave(wave_no)
+            picked, _rej, _wake = self.pop_wave(wave_no)
             # Crawl-delay can leave whole waves empty while hosts wait:
             # advance the virtual clock without fetching
             while not picked and self.has_work() and budget > 0:
                 wave_no += 1
                 budget -= 1
-                picked, _rej = self.pop_wave(wave_no)
+                picked, _rej, _wake = self.pop_wave(wave_no)
             if not picked:
                 finished = not self.has_work()
                 break
@@ -407,7 +407,9 @@ class FrontierShardState:
         }
 
     # -- wave pop ----------------------------------------------------------
-    def pop_wave(self, wave_no: int | None = None) -> tuple[list[FrontierEntry], int]:
+    def pop_wave(
+        self, wave_no: int | None = None
+    ) -> tuple[list[FrontierEntry], int, int | None]:
         """One politeness slot for every ELIGIBLE host this shard owns.
 
         ``wave_no`` is the global virtual clock (100ms slots); a host
@@ -418,7 +420,9 @@ class FrontierShardState:
         advances one wave per call.
 
         Returns (picked entries [incl. robots prerequisites], number of
-        robots-rejected entries discarded this wave).
+        robots-rejected entries discarded this wave, wake wave - see
+        :meth:`wake_wave`; piggybacked so the driver needs no extra RPC
+        for drain/termination decisions).
         """
         if wave_no is None:
             wave_no = self._auto_wave
@@ -472,7 +476,17 @@ class FrontierShardState:
                 break
             if not q and not self._overflow_count.get(host):
                 self.queues.pop(host, None)
-        return picked, rejected
+        return picked, rejected, self.wake_wave()
+
+    def wake_wave(self) -> int | None:
+        """None when this shard has no work; else the earliest wave at
+        which any of its hosts could become eligible (0 = immediately).
+        Lets the driver size a sibling's drain budget so waves that
+        nobody else can use run in-actor (Crawl-delay politeness)."""
+        hosts = set(self.queues) | set(self._overflow_count)
+        if not hosts:
+            return None
+        return min(self.next_allowed.get(h, 0) for h in hosts)
 
     def pending(self) -> int:
         return sum(len(q) for q in self.queues.values()) + sum(
@@ -570,6 +584,9 @@ def make_frontier_actors(num_shards: int, seen_capacity: int = 1 << 16,
 
         def pop_wave(self, wave_no=None):
             return self.state.pop_wave(wave_no)
+
+        def wake_wave(self):
+            return self.state.wake_wave()
 
         def has_work(self):
             return self.state.has_work()
