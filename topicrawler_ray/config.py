@@ -41,6 +41,13 @@ class CrawlConfig:
     frontier_spill_dir: str | None = None  # overflow spills to disk when set
     max_waves: int = 100000
     max_domains: int | None = None  # TooManyDomainsDecideRule (off by default)
+    # fused wave path: frontier shards fetch+process their own hosts'
+    # pages inline (host-co-partitioned archive) when a wave picks at
+    # most `inline_max` entries on that shard; wider waves fall back to
+    # the worker pool.  Politeness waves are RPC-latency-bound, so this
+    # collapses the wave critical path to one driver round trip.
+    inline_process: bool = True
+    inline_max: int = 64
     politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
     checkpoint_dir: str | None = None
     checkpoint_every_waves: int = 50
@@ -55,7 +62,10 @@ class CrawlConfig:
         """Scale shard/worker counts to the CPU budget (workers get ~60%
         of CPUs; state shards are cheap fractional actors)."""
         shards = max(2, min(16, num_cpus // 4))
-        workers = max(3, int(num_cpus * 0.6))
+        # inline mode fuses per-wave processing into the shards; the
+        # worker pool only serves wide waves (seed floods), and every
+        # extra actor process raises ambient RPC latency - keep it small
+        workers = max(3, num_cpus // 4)
         base = dict(
             num_frontier_shards=shards,
             num_seen_shards=shards,

@@ -119,12 +119,24 @@ class RayCrawlEngine:
         self.sf_dir = sf_dir
         self.seeds = seeds if seeds is not None else default_seeds(sf_dir)
         lm_ref = topic_lm_ref(sf_dir, self.cfg.order, self.cfg.scorer)
+        # fused wave path: frontier shards fetch+process their own hosts'
+        # pages inline (host-co-partitioned archive), collapsing the
+        # politeness wave critical path to ONE driver round trip.  Needs
+        # the host-bucket ownership rule (world | NUM_HOST_BUCKETS).
+        from ..sources.pages import NUM_HOST_BUCKETS, pages_host_bucketed_dir
+
+        self._inline = (
+            self.cfg.inline_process
+            and NUM_HOST_BUCKETS % self.cfg.num_frontier_shards == 0
+        )
         self.frontier = make_frontier_actors(
             self.cfg.num_frontier_shards,
             self.cfg.seen_capacity_per_shard,
             self.cfg.seen_keep_exact,
             self.cfg.frontier_head_budget,
             self.cfg.frontier_spill_dir,
+            lm_ref=lm_ref if self._inline else None,
+            pages_dir=pages_host_bucketed_dir(sf_dir) if self._inline else None,
         )
         self.stores = make_page_store_actors(
             pages_bucketed_dir(sf_dir), self.cfg.num_page_stores
@@ -154,7 +166,7 @@ class RayCrawlEngine:
         self.ray.get(
             [s.warm.remote() for s in self.stores]
             + [w.ping.remote() for w in self.workers]
-            + [f.has_work.remote() for f in self.frontier]
+            + [f.warm.remote() for f in self.frontier]
         )
 
     def bootstrap(self) -> None:
@@ -173,30 +185,62 @@ class RayCrawlEngine:
     def run_wave(self) -> int:
         """Execute one wave; returns the number of fetches performed.
 
-        Critical path = 3 driver round trips: pop -> fetch+process ->
-        seen.  Frontier pushes and robots updates are fired without a
-        blocking get - Ray orders calls per actor, so the next wave's
-        ``pop_wave`` on the same shard observes them (errors surface on
-        the deferred refs at the next wave / at result time).
+        Fused critical path (inline mode, the default): ONE driver round
+        trip - ``pop_and_process`` pops each shard's politeness slots AND
+        processes the fetches inside the shard (host-co-partitioned page
+        reads, robots applied locally).  Wide waves (a shard picking more
+        than ``inline_max``) fall back per-shard to the worker pool so
+        seed floods keep their many-worker parallelism.  Frontier pushes
+        and robots updates are fired without a blocking get - Ray orders
+        calls per actor, so the next wave's pop on the same shard
+        observes them (errors surface on the deferred refs at the next
+        wave / at result time).
         """
         ray = self.ray
-        pops = ray.get([s.pop_wave.remote(self.wave) for s in self.frontier])
+        if self._inline:
+            pops = ray.get(
+                [
+                    s.pop_and_process.remote(self.wave, self.cfg.inline_max)
+                    for s in self.frontier
+                ]
+            )
+        else:
+            raw = ray.get([s.pop_wave.remote(self.wave) for s in self.frontier])
+            pops = [(entries, None, rej, wake) for entries, rej, wake in raw]
         if self._pending:
             ray.get(self._pending)  # surface any async push/robots errors
             self._pending = []
         picked: list[FrontierEntry] = []
+        pairs: list[tuple[FrontierEntry, object]] = []  # inline-processed
+        pending_entries: list[FrontierEntry] = []  # need the worker pool
+        inline_results: dict[int, list] = {}  # shard -> aligned results
         active_shards = []
         wakes: list[int | None] = []
-        for si, (entries, _rej, wake) in enumerate(pops):
+        for si, (entries, results, _rej, wake) in enumerate(pops):
             if entries:
                 active_shards.append(si)
             picked.extend(entries)
             wakes.append(wake)
+            if results is not None:
+                pairs.extend(zip(entries, results))
+                inline_results[si] = results
+            else:
+                pending_entries.extend(entries)
         if not picked:
             # Crawl-delay can leave a whole wave empty while hosts wait:
-            # advance the virtual clock (return -1: not done, no fetches)
-            if any(w is not None for w in wakes):
-                self.wave += 1
+            # jump the virtual clock straight to the earliest wake wave
+            # (empty waves emit no log rows, so this is conformance-
+            # identical to stepping one wave per driver round trip —
+            # which cost up to period-1 full pop-all-shards RPC rounds
+            # per fetch and caused the r2 crawl_full regression).
+            # max(wave+1, ...) guarantees progress even if a wake is
+            # stale; the max_waves clamp keeps the final wave counter
+            # identical to the stepping semantics at the cap.
+            known = [w for w in wakes if w is not None]
+            if known:
+                self.wave = min(
+                    max(self.wave + 1, min(known)), self.cfg.max_waves
+                )
                 return -1
             return 0
         # single-active-shard fast path: delegate the wave loop to the
@@ -222,35 +266,52 @@ class RayCrawlEngine:
                 wave_budget = min(wave_budget, w - self.wave)
             if wave_budget > 0:
                 return self._drain_single_shard(
-                    active_shards[0], picked, wave_budget
+                    active_shards[0],
+                    pops[active_shards[0]][0],
+                    wave_budget,
+                    first_results=inline_results.get(active_shards[0]),
                 )
-        picked.sort(key=lambda e: (e.directive, e.cost, e.seq, e.url))
 
-        # fetch + process: workers pull their pages from the store shards
-        items = [(i, e.url, e.is_robots) for i, e in enumerate(picked)]
-        nw = len(self.workers)
-        chunks = [items[i::nw] for i in range(nw)]
-        futures = [
-            w.process_batch.remote(chunk)
-            for w, chunk in zip(self.workers, chunks)
-            if chunk
-        ]
-        results = [r for batch in ray.get(futures) for r in batch]
-        results.sort(key=lambda r: r.pos)
+        # fetch + process the non-inline picks: workers pull their pages
+        # from the store shards (wide-wave path)
+        if pending_entries:
+            pending_entries.sort(key=lambda e: (e.directive, e.cost, e.seq, e.url))
+            items = [(i, e.url, e.is_robots) for i, e in enumerate(pending_entries)]
+            nw = len(self.workers)
+            chunks = [items[i::nw] for i in range(nw)]
+            futures = [
+                w.process_batch.remote(chunk)
+                for w, chunk in zip(self.workers, chunks)
+                if chunk
+            ]
+            wresults = [r for batch in ray.get(futures) for r in batch]
+            wresults.sort(key=lambda r: r.pos)
 
-        # robots rule updates (404 robots -> allow-all); fire-and-forget
-        robots_updates: dict[int, list[tuple[str, list[str], float | None]]] = {}
-        for r in results:
-            if r.is_robots:
-                host = host_of_url(r.url)
-                rules, delay = (
-                    r.robots_rules if r.robots_rules is not None else ([], None)
-                )
-                robots_updates.setdefault(
-                    shard_of_host(host, len(self.frontier)), []
-                ).append((host, rules, delay))
-        for s, items_ in robots_updates.items():
-            self._pending.append(self.frontier[s].set_robots_many.remote(items_))
+            # robots rule updates (404 robots -> allow-all) for the
+            # worker-processed picks; inline shards applied theirs
+            # locally (a host is only popped by its owner shard)
+            robots_updates: dict[int, list[tuple[str, list[str], float | None]]] = {}
+            for r in wresults:
+                if r.is_robots:
+                    host = host_of_url(r.url)
+                    rules, delay = (
+                        r.robots_rules if r.robots_rules is not None else ([], None)
+                    )
+                    robots_updates.setdefault(
+                        shard_of_host(host, len(self.frontier)), []
+                    ).append((host, rules, delay))
+            for s, items_ in robots_updates.items():
+                self._pending.append(self.frontier[s].set_robots_many.remote(items_))
+            pairs.extend(zip(pending_entries, wresults))
+
+        # global wave order: sort (entry, result) pairs by the wave key
+        # and assign fetch positions in that order - identical to the
+        # classic sort-then-scatter, since per-page processing is pure
+        pairs.sort(key=lambda p: (p[0].directive, p[0].cost, p[0].seq, p[0].url))
+        picked = [p[0] for p in pairs]
+        results = [p[1] for p in pairs]
+        for i, r in enumerate(results):
+            r.pos = i
 
         # candidates in (parent fetch pos, link ord) order
         cand_urls: list[str] = []
@@ -336,7 +397,8 @@ class RayCrawlEngine:
         return out
 
     def _drain_single_shard(
-        self, shard_index: int, picked: list[FrontierEntry], wave_budget: int = 2000
+        self, shard_index: int, picked: list[FrontierEntry], wave_budget: int = 2000,
+        first_results: list | None = None,
     ) -> int:
         ray = self.ray
         base = self._log_row_count()
@@ -353,6 +415,7 @@ class RayCrawlEngine:
                 # never drain past the wave cap or a sibling's wake wave
                 # (the drain budget is counted in waves)
                 min(wave_budget, 2000, self.cfg.max_waves - self.wave),
+                first_results,
             )
         )
         rows = res["log_rows"]

@@ -416,6 +416,53 @@ def pages_bucketed_dir(sf_dir: str, num_buckets: int = NUM_URL_BUCKETS) -> str:
     return str(out_dir)
 
 
+NUM_HOST_BUCKETS = 64  # host-hash buckets of the host-co-partitioned layout
+
+
+def pages_host_bucketed_dir(sf_dir: str, num_buckets: int = NUM_HOST_BUCKETS) -> str:
+    """Materialise the pages table hash-partitioned by
+    ``shard_of_host(host) % num_buckets`` (one parquet per host bucket).
+
+    This is the frontier-co-partitioned archive layout: a frontier shard
+    ``rank`` of ``world`` (world | num_buckets) owns exactly the buckets
+    ``b % world == rank`` for ITS OWN hosts, so the politeness wave loop
+    can point-read every page it fetches locally - no cross-actor hop on
+    the wave critical path, and each shard's point-read index covers only
+    ``1/world`` of the URL space (the metadata-scale requirement at
+    10^10 URLs).  Classic web-archive practice: partition the crawl
+    archive by host so politeness, robots state and page payloads
+    co-locate."""
+    from ..functions.hashing import url_hash64
+    from ..functions.urls import host_of_url
+
+    src = Path(pages_path(sf_dir))
+    out_dir = src.parent / "pages_hostbucketed"
+    if out_dir.exists():
+        return str(out_dir)
+    table = pq.read_table(src)
+    buckets = np.array(
+        [
+            url_hash64("host:" + host_of_url(u)) % num_buckets
+            for u in table.column("url").to_pylist()
+        ],
+        dtype=np.int64,
+    )
+    tmp = Path(tempfile.mkdtemp(dir=src.parent, prefix=".tmp_hostbuckets_"))
+    try:
+        for b in range(num_buckets):
+            idx = np.nonzero(buckets == b)[0]
+            pq.write_table(
+                table.take(idx), tmp / ("hostbucket=%02d.parquet" % b)
+            )
+        os.replace(tmp, out_dir)
+    except Exception:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return str(out_dir)
+
+
 def read_pages(sf_dir: str, num_blocks: int | None = None):
     """Ray Dataset over the synthetic pages parquet (lazy, streaming).
 

@@ -169,6 +169,15 @@ class FrontierShardState:
         # Crawl-delay politeness: host -> first wave it may fetch again
         self.next_allowed: dict[str, int] = {}
         self._auto_wave = 0  # fallback clock when pop_wave(None) is used
+        # runtime attachments for the fused wave path (never snapshotted):
+        # a CrawlProcessor + a host-co-partitioned PageStoreState let the
+        # shard fetch-and-process its own hosts' pages INLINE, collapsing
+        # the wave critical path to one driver round trip.  Politeness
+        # waves are RPC-latency-bound (a handful of pages per wave), so
+        # co-locating frontier state, robots rules and page point-reads
+        # per host partition is the scale-correct design, not a shortcut.
+        self.processor = None
+        self.page_reader = None
 
     # -- spill helpers -----------------------------------------------------
     def _spill_path(self, host: str) -> str:
@@ -279,6 +288,41 @@ class FrontierShardState:
     def exact_seen_keys(self) -> list[int]:
         return sorted(self.seen.exact)
 
+    # -- fused pop+process (inline wave path) ------------------------------
+    def _process_local(self, items: list[tuple[int, str, bool]]) -> list:
+        """Fetch this shard's pages from its host-bucket partition and run
+        the pure per-fetch processor - byte-identical to the worker path
+        (same CrawlProcessor code), zero RPC."""
+        pages = self.page_reader.fetch([u for _, u, _ in items])
+        return [
+            self.processor.process(pos, url, rob, pages.get(url))
+            for pos, url, rob in items
+        ]
+
+    def pop_and_process(self, wave_no: int, inline_max: int):
+        """One politeness slot AND its processing in a single actor call.
+
+        Returns ``(picked, results | None, rejected, wake)`` - results
+        are positionally aligned with ``picked`` when the shard processed
+        inline (pick count <= inline_max and a processor is attached);
+        ``None`` means the caller must process the entries via the worker
+        pool (wide waves keep their many-worker parallelism).  Robots
+        responses for this shard's own hosts are applied locally - in the
+        classic path the driver routes them back to this same shard
+        anyway (a host is only ever popped by its owner)."""
+        picked, rejected, wake = self.pop_wave(wave_no)
+        if not picked or self.processor is None or len(picked) > inline_max:
+            return picked, None, rejected, wake
+        items = [(i, e.url, e.is_robots) for i, e in enumerate(picked)]
+        results = self._process_local(items)
+        for r in results:
+            if r.is_robots:
+                rules, delay = (
+                    r.robots_rules if r.robots_rules is not None else ([], None)
+                )
+                self.set_robots(host_of_url(r.url), rules, delay)
+        return picked, results, rejected, wake
+
     # -- shard-local drain (single-active-shard fast path) -----------------
     def drain(
         self,
@@ -291,6 +335,7 @@ class FrontierShardState:
         fetch_seq: int,
         max_hops: int,
         budget: int = 2000,
+        first_results: list | None = None,
     ) -> dict:
         """Run the wave loop locally while this shard is the ONLY active
         one (the politeness tail: one mega-host fetching one page per
@@ -315,10 +360,27 @@ class FrontierShardState:
         n_hops_rejected = 0
         finished = False
         while True:
-            picked.sort(key=lambda e: (e.directive, e.cost, e.seq, e.url))
-            items = [(i, e.url, e.is_robots) for i, e in enumerate(picked)]
-            results = ray.get(worker.process_batch.remote(items))
-            results.sort(key=lambda r: r.pos)
+            if first_results is not None:
+                # the caller's pop_and_process already processed this
+                # wave's picks (aligned positionally): joint-sort the
+                # pairs instead of re-fetching
+                pairs = sorted(
+                    zip(picked, first_results),
+                    key=lambda p: (p[0].directive, p[0].cost, p[0].seq, p[0].url),
+                )
+                picked = [p[0] for p in pairs]
+                results = [p[1] for p in pairs]
+                for i, r in enumerate(results):
+                    r.pos = i
+                first_results = None
+            else:
+                picked.sort(key=lambda e: (e.directive, e.cost, e.seq, e.url))
+                items = [(i, e.url, e.is_robots) for i, e in enumerate(picked)]
+                if self.processor is not None:
+                    results = self._process_local(items)
+                else:
+                    results = ray.get(worker.process_batch.remote(items))
+                results.sort(key=lambda r: r.pos)
             for r in results:
                 if r.is_robots:
                     rules, delay = (
@@ -386,13 +448,26 @@ class FrontierShardState:
             budget -= 1
             if sibling_active or budget <= 0:
                 break
-            picked, _rej, _wake = self.pop_wave(wave_no)
+            picked, _rej, wake = self.pop_wave(wave_no)
             # Crawl-delay can leave whole waves empty while hosts wait:
-            # advance the virtual clock without fetching
+            # jump the virtual clock straight to the earliest wake wave
+            # (conformance-identical: empty waves emit no log rows, and
+            # the budget is debited by the number of waves skipped —
+            # exactly what one-wave stepping would consume)
             while not picked and self.has_work() and budget > 0:
-                wave_no += 1
-                budget -= 1
-                picked, _rej, _wake = self.pop_wave(wave_no)
+                step = 1
+                if wake is not None and wake > wave_no + 1:
+                    step = wake - wave_no
+                if step > budget:
+                    # the earliest wake lies beyond the sibling-capped
+                    # budget: consume what remains and hand back to the
+                    # driver (same terminal wave as stepping)
+                    wave_no += budget
+                    budget = 0
+                    break
+                wave_no += step
+                budget -= step
+                picked, _rej, wake = self.pop_wave(wave_no)
             if not picked:
                 finished = not self.has_work()
                 break
@@ -546,7 +621,13 @@ def shard_of_host(host: str, num_shards: int) -> int:
 def make_frontier_actors(num_shards: int, seen_capacity: int = 1 << 16,
                          seen_keep_exact: bool = True,
                          head_budget: int | None = None,
-                         spill_dir: str | None = None):
+                         spill_dir: str | None = None,
+                         lm_ref=None, pages_dir: str | None = None):
+    """``lm_ref`` + ``pages_dir`` (a host-co-partitioned pages layout,
+    see ``sources.pages.pages_host_bucketed_dir``) attach a fused
+    fetch+process path to each shard: politeness waves then cost ONE
+    driver round trip instead of pop -> worker -> page-store chains.
+    Requires ``NUM_HOST_BUCKETS % num_shards == 0`` (ownership rule)."""
     import ray
 
     @ray.remote(num_cpus=0.25)
@@ -558,6 +639,32 @@ def make_frontier_actors(num_shards: int, seen_capacity: int = 1 << 16,
                 head_budget,
                 ("%s/shard_%02d" % (spill_dir, rank)) if spill_dir else None,
             )
+            if lm_ref is not None and pages_dir is not None:
+                from ..sources.pages import NUM_HOST_BUCKETS
+                from ..stages.crawlworker import CrawlProcessor
+                from .pagestore import PageStoreState
+
+                lm = (
+                    ray.get(lm_ref)
+                    if isinstance(lm_ref, ray.ObjectRef)
+                    else lm_ref
+                )
+                self.state.processor = CrawlProcessor(lm)
+                self.state.page_reader = PageStoreState(
+                    pages_dir,
+                    rank,
+                    num_shards,
+                    bucket_prefix="hostbucket",
+                    num_buckets=NUM_HOST_BUCKETS,
+                )
+
+        def warm(self):
+            if self.state.page_reader is not None:
+                self.state.page_reader._load()
+            return True
+
+        def pop_and_process(self, wave_no, inline_max):
+            return self.state.pop_and_process(wave_no, inline_max)
 
         def push(self, entries):
             self.state.push(entries)
@@ -566,10 +673,10 @@ def make_frontier_actors(num_shards: int, seen_capacity: int = 1 << 16,
             return self.state.push_if_new(entries)
 
         def drain(self, picked, worker, siblings, my_index, next_seq, wave_no,
-                  fetch_seq, max_hops, budget=2000):
+                  fetch_seq, max_hops, budget=2000, first_results=None):
             return self.state.drain(
                 picked, worker, siblings, my_index, next_seq, wave_no,
-                fetch_seq, max_hops, budget,
+                fetch_seq, max_hops, budget, first_results,
             )
 
         def exact_seen_keys(self):
@@ -611,6 +718,10 @@ def make_frontier_actors(num_shards: int, seen_capacity: int = 1 << 16,
             return self.state.snapshot()
 
         def restore(self, blob):
+            # keep the runtime attachments across checkpoint restores
+            proc, reader = self.state.processor, self.state.page_reader
             self.state = FrontierShardState.restore(blob)
+            self.state.processor = proc
+            self.state.page_reader = reader
 
     return [FrontierShard.remote(r) for r in range(num_shards)]

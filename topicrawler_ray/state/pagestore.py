@@ -45,11 +45,21 @@ def _unpack(v: int) -> tuple[int, int, int]:
 
 class PageStoreState:
     def __init__(self, pages_path: str, rank: int, world: int,
-                 max_cached_row_groups: int = 64):
+                 max_cached_row_groups: int = 64,
+                 bucket_prefix: str = "bucket",
+                 num_buckets: int = NUM_URL_BUCKETS):
+        """``bucket_prefix``/``num_buckets`` select the partition scheme:
+        the default url-hash buckets (``bucket=NN.parquet``) for the
+        sharded PageStore pool, or the frontier-co-partitioned host
+        buckets (``hostbucket=NN.parquet``) for in-shard point reads -
+        the ownership rule ``b % world == rank`` is the same either way
+        (world must divide num_buckets for host partitions)."""
         self._path = pages_path
         self._rank = rank
         self._world = world
         self._max_rg = max_cached_row_groups
+        self._bucket_prefix = bucket_prefix
+        self._num_buckets = num_buckets
         self._files: list[str] = []
         self._index: dict[int, int] | None = None  # url hash -> packed loc
         self._rg_cache: OrderedDict[tuple[int, int], dict] = OrderedDict()
@@ -59,11 +69,17 @@ class PageStoreState:
             # bucketed layout: open ONLY this shard's bucket files
             # (partition pruning - nothing else is read from storage)
             return [
-                os.path.join(self._path, "bucket=%02d.parquet" % b)
-                for b in range(NUM_URL_BUCKETS)
+                os.path.join(
+                    self._path,
+                    "%s=%02d.parquet" % (self._bucket_prefix, b),
+                )
+                for b in range(self._num_buckets)
                 if b % self._world == self._rank
                 and os.path.exists(
-                    os.path.join(self._path, "bucket=%02d.parquet" % b)
+                    os.path.join(
+                        self._path,
+                        "%s=%02d.parquet" % (self._bucket_prefix, b),
+                    )
                 )
             ]
         return [self._path]  # single-file fallback: filter rows below
