@@ -450,6 +450,33 @@ def _q_scored_pages_kn(sf_dir: str):
     return ds.select_columns(["url", "perp", "perp_str"])
 
 
+def _q_scored_pages_disk(sf_dir: str):
+    """Disk-backed LM serving (``CountingStringLM.java:58-159``: the
+    index IS the model): the sharded n-gram index artifact is written
+    distributed, scorer actors receive only the artifact PATH and page
+    buckets in through a bounded LRU - no count row ever reaches driver
+    RAM.  Scores are bit-identical to ``scored_pages_kn`` (same KN
+    formula over the same counts), so it shares that oracle fixture."""
+    import ray
+
+    from topicrawler_ray.lm.diskserve import load_disk_lm
+    from topicrawler_ray.lm.train import disk_lm_artifact
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.extract import extract_batch
+    from topicrawler_ray.stages.score import PerplexityScorer
+
+    lm = load_disk_lm(disk_lm_artifact(sf_dir, 3), "kneser_ney")
+    ds = read_pages(sf_dir, num_blocks=8)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow")
+    ds = ds.map_batches(
+        PerplexityScorer,
+        fn_constructor_kwargs={"lm_ref": ray.put(lm)},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return ds.select_columns(["url", "perp", "perp_str"])
+
+
 def _q_doc_perp_oovref(sf_dir: str):
     """J5 through the driver: per-document perplexity with OOV
     accounting against a SECOND reference LM (--oovreflm)."""
@@ -773,6 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_perp": _q_doc_perp,
         "doc_perp_oovref": _q_doc_perp_oovref,
         "scored_pages_kn": _q_scored_pages_kn,
+        "scored_pages_disk": _q_scored_pages_disk,
         "media_frames": _q_media_frames,
         "politeness_slots": _q_politeness_slots,
         "events_windowed": _q_events_windowed,

@@ -155,12 +155,66 @@ def build_topic_lm_kn(sf_dir: str, order: int = DEFAULT_ORDER):
     return build_kneser_ney(build_topic_counts(sf_dir, order))
 
 
+def disk_lm_artifact(sf_dir: str, order: int = DEFAULT_ORDER,
+                     num_buckets: int = 64) -> str:
+    """Build (once per sf_dir/order) the sharded disk LM artifact for
+    the topic training corpus - the Ray-native equivalent of the
+    reference's Lucene index directory (``CountingStringLM.java:58-159``:
+    the index IS the model).  The bucket files are written DISTRIBUTED
+    by :func:`~.diskserve.write_lm_artifact`; the driver folds only the
+    tiny count-of-counts manifest.  Content is a pure function of
+    (sf_dir, order); atomic directory rename."""
+    import os
+    import tempfile
+    from pathlib import Path
+
+    import ray.data
+
+    from ..sources.pages import pages_path
+    from .build import ngram_index
+    from .diskserve import write_lm_artifact
+
+    out = Path(pages_path(sf_dir)).parent / ("disklm_order%d" % order)
+    if out.exists():
+        return str(out)
+    # fixture-scale corpus Dataset: one row per training sentence (at
+    # crawl scale this is documents -> flat_map(split_sentences) over
+    # the corpus parquet; the artifact WRITE is distributed either way)
+    sentences = [{"text": s} for s in iter_training_sentences(sf_dir)]
+    ds = ray.data.from_items(sentences)
+
+    def one_sentence(text: str) -> list[list[str]]:
+        toks = _tokenize_for_lm(text)
+        return [toks] if toks else []
+
+    idx = ngram_index(ds, order, tokenizer=one_sentence)
+    tmp = tempfile.mkdtemp(dir=out.parent, prefix=".tmp_disklm_")
+    try:
+        write_lm_artifact(idx, order, tmp, num_buckets=num_buckets)
+        os.replace(tmp, out)
+    except Exception:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return str(out)
+
+
 def build_scorer_lm(sf_dir: str, order: int = DEFAULT_ORDER, scorer: str = "stupid_backoff"):
     """Resolve a crawl scorer LM by registry name."""
     if scorer == "stupid_backoff":
         return build_topic_lm(sf_dir, order)
     if scorer == "kneser_ney":
         return build_topic_lm_kn(sf_dir, order)
+    if scorer in ("kneser_ney_disk", "stupid_backoff_disk"):
+        # disk-backed serving: the broadcast object is just the artifact
+        # path + LRU config; every scorer actor pages its own buckets in
+        from .diskserve import load_disk_lm
+
+        return load_disk_lm(
+            disk_lm_artifact(sf_dir, order),
+            scorer.removesuffix("_disk"),
+        )
     if scorer == "laplace":
         return build_topic_lm_laplace(sf_dir, order)
     if scorer == "arpa":

@@ -703,6 +703,10 @@ def _b_ngram_stats_seg(sf_dir: str) -> pa.Table:
 BUILDERS = {
     "scored_pages": _b_scored_pages,
     "scored_pages_kn": _b_scored_pages_kn,
+    # disk-backed serving must score bit-identically to the in-memory
+    # KN path; the fixture is the same sequential derivation (which
+    # imports nothing from lm/diskserve.py - non-circular)
+    "scored_pages_disk": _b_scored_pages_kn,
     "doc_perp_oovref": _b_doc_perp_oovref,
     "media_frames": _b_media_frames,
     "extract_boilerpipe": _b_extract_boilerpipe,
