@@ -63,7 +63,11 @@ for name in only:
         for c in cols:
             av, bv = a[c], b[c]
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
-                ok = ok and ((av.astype(float) - bv.astype(float)).abs() < 1e-9).all()
+                afl, bfl = av.astype(float), bv.astype(float)
+                # NaN == NaN must compare equal (the driver hashes
+                # canonicalized values; NaN-NaN is NaN and would fail <)
+                close = (afl - bfl).abs() < 1e-9
+                ok = ok and (close | (afl.isna() & bfl.isna())).all()
             else:
                 ok = ok and (av.astype(str) == bv.astype(str)).all()
     print(

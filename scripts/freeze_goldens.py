@@ -1,0 +1,216 @@
+"""Freeze golden oracle fixtures for the four queries whose sequential
+derivation would otherwise share code with the engine kernels it
+certifies (VERDICT r2 item 3: langid, knn_ivf, media_features,
+media_frames, extract_boilerpipe).
+
+This script is the ONLY place those kernels are invoked oracle-side:
+it runs them ONCE, writes the outputs as parquet goldens under
+``topicrawler_ray/resources/goldens/<sf>/``, and the goldens are
+committed to git.  The oracle builders in ``topicrawler_ray/oracles.py``
+then just READ the goldens - they import nothing from ``stages/`` or
+``functions/`` - so a regression in either the kernel or the Ray
+plumbing breaks the driver's hash compare instead of silently moving
+the oracle along with the bug.
+
+Usage: python scripts/freeze_goldens.py [sf_dir ...]
+       (default: /root/testdata/sf0.001 /root/testdata/sf0.01)
+"""
+
+import heapq
+import math
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from topicrawler_ray.oracles import GOLDEN_ROOT  # noqa: E402
+
+
+def _docs_table(sf_dir):
+    return pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def freeze_langid(sf_dir) -> pa.Table:
+    from topicrawler_ray.stages.textstats import LangId
+
+    t = _docs_table(sf_dir)
+    li = LangId()
+    preds = [li.classify(x) for x in t.column("text").to_pylist()]
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "lang_pred": pa.array(preds, pa.string()),
+        }
+    )
+
+
+def freeze_media_features(sf_dir) -> pa.Table:
+    from topicrawler_ray.functions.hashing import murmur3_x64_128
+
+    ids = _docs_table(sf_dir).column("doc_id").to_pylist()
+    o_type, o_mean = [], []
+    for i in ids:
+        kind = ("image/png", "audio/wav", "video/mp4")[i % 3]
+        o_type.append(kind)
+        if not kind.startswith("image"):
+            o_mean.append(None)
+            continue
+        h1, h2 = murmur3_x64_128(b"media-%d" % i)
+        payload = (h1.to_bytes(8, "little") + h2.to_bytes(8, "little")) * (8 + i % 8)
+        n = 8 * 8 * 3
+        arr = np.frombuffer(
+            (payload * (n // max(1, len(payload)) + 1))[:n], dtype=np.uint8
+        )
+        o_mean.append(float(np.mean(arr)))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(o_type, pa.string()),
+            "pixel_mean": pa.array(o_mean, pa.float64()),
+        }
+    )
+
+
+def freeze_media_frames(sf_dir) -> pa.Table:
+    from topicrawler_ray.functions.hashing import murmur3_x64_128
+
+    ids = _docs_table(sf_dir).column("doc_id").to_pylist()
+    o_id, o_idx, o_h = [], [], []
+    for i in ids:
+        if i % 3 != 2:  # only video/mp4 rows sample frames
+            continue
+        h1, h2 = murmur3_x64_128(b"media-%d" % i)
+        payload = (h1.to_bytes(8, "little") + h2.to_bytes(8, "little")) * (8 + i % 8)
+        dur = 1000 + (i % 30) * 500
+        for k, t in enumerate(range(0, max(1, dur), 1000)):
+            o_id.append(i)
+            o_idx.append(k)
+            o_h.append(murmur3_x64_128(payload + t.to_bytes(4, "little"))[0] % (1 << 31))
+    return pa.table(
+        {
+            "media_id": pa.array(o_id, pa.int64()),
+            "frame_idx": pa.array(o_idx, pa.int64()),
+            "frame_hash": pa.array(o_h, pa.int64()),
+        }
+    )
+
+
+def freeze_extract_boilerpipe(sf_dir) -> pa.Table:
+    from topicrawler_ray.functions.boilerpipe import article_text
+    from topicrawler_ray.sources.pages import pages_path
+    from topicrawler_ray.stages.extract import decode_page_bytes, is_robots_url
+
+    t = pq.read_table(pages_path(sf_dir), columns=["url", "html"])
+    urls, texts = [], []
+    for url, html in zip(
+        t.column("url").to_pylist(), t.column("html").to_pylist()
+    ):
+        if is_robots_url(url):
+            continue
+        urls.append(url)
+        texts.append(article_text(decode_page_bytes(url, html)))
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "article_text": pa.array(texts, pa.large_string()),
+        }
+    )
+
+
+def freeze_knn_ivf(sf_dir) -> pa.Table:
+    from topicrawler_ray.stages.similarity import _normalize, kmeans_lite
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    k, n_lists, nprobe = 10, 8, 3
+
+    q = _normalize(
+        np.array(
+            [vecs[np.nonzero(ids == i)[0][0]] for i in sorted(ids[ids < 5])],
+            dtype=np.float64,
+        ).astype(np.float32)
+    )
+
+    total = len(ids)
+    stride = max(1, (total + 4096 - 1) // 4096)
+    mask = (ids % stride) == 0
+    sorder = np.argsort(ids[mask])
+    sample = vecs[mask][sorder][:4096]
+    cent = kmeans_lite(sample, n_lists)
+
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    probe_sets = [set(map(int, row)) for row in probes]
+
+    mat_all = _normalize(vecs)
+    assign = np.argmax(mat_all @ cent.T, axis=1).astype(np.int32)
+
+    heaps = {}
+    for lid in sorted(set(int(a) for a in assign)):
+        qids = [qi for qi, s in enumerate(probe_sets) if lid in s]
+        if not qids:
+            continue
+        sel = np.nonzero(assign == lid)[0]
+        sel = sel[np.argsort(ids[sel])]
+        mat = _normalize(vecs[sel])
+        gids = ids[sel]
+        sims = q[qids] @ mat.T
+        kk = min(k, sims.shape[1])
+        for row, qi in enumerate(qids):
+            idx = np.lexsort((gids, -sims[row]))[:kk]
+            for j in idx:
+                heapq.heappush(
+                    heaps.setdefault(qi, []), (float(sims[row, j]), -int(gids[j]))
+                )
+                if len(heaps[qi]) > k:
+                    heapq.heappop(heaps[qi])
+    o_q, o_rank, o_id, o_c = [], [], [], []
+    for qi in sorted(heaps):
+        best = sorted(heaps[qi], key=lambda v: (-v[0], -v[1]))
+        for rank, (c, nid) in enumerate(best):
+            o_q.append(qi)
+            o_rank.append(rank)
+            o_id.append(-nid)
+            o_c.append(int(math.floor(c * 10000)))
+    return pa.table(
+        {
+            "query_id": pa.array(o_q, pa.int64()),
+            "rank": pa.array(o_rank, pa.int64()),
+            "vec_id": pa.array(o_id, pa.int64()),
+            "cosine_e4": pa.array(o_c, pa.int64()),
+        }
+    )
+
+
+FREEZERS = {
+    "langid": freeze_langid,
+    "media_features": freeze_media_features,
+    "media_frames": freeze_media_frames,
+    "extract_boilerpipe": freeze_extract_boilerpipe,
+    "knn_ivf": freeze_knn_ivf,
+}
+
+
+def main(sf_dirs):
+    for sf_dir in sf_dirs:
+        name = Path(sf_dir).name or "sf"
+        out_dir = GOLDEN_ROOT / name
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for qname, fn in FREEZERS.items():
+            table = fn(sf_dir)
+            out = out_dir / ("%s.parquet" % qname)
+            pq.write_table(table, out, compression="zstd")
+            print("%s/%s: %d rows -> %s" % (name, qname, table.num_rows, out))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])

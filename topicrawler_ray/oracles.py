@@ -37,6 +37,23 @@ from .sources.pages import FIXTURE_VERSION
 
 ORACLE_VERSION = 1
 
+# frozen golden fixtures (committed to git) for the queries whose
+# sequential derivation would otherwise share code with the kernel it
+# certifies; regenerate with scripts/freeze_goldens.py (VERDICT r2
+# item 3: oracle builders import nothing from stages/ or functions/)
+GOLDEN_ROOT = Path(__file__).resolve().parent / "resources" / "goldens"
+
+
+def _golden(sf_dir: str, name: str) -> pa.Table:
+    p = GOLDEN_ROOT / (Path(sf_dir).name or "sf") / ("%s.parquet" % name)
+    if not p.exists():
+        raise FileNotFoundError(
+            "no frozen golden for %r at %s - run "
+            "scripts/freeze_goldens.py %s to freeze this scale factor"
+            % (name, p, sf_dir)
+        )
+    return pq.read_table(p)
+
 LM_ORDER = 3
 
 from functools import lru_cache as _lru_cache
@@ -147,21 +164,9 @@ def _b_scored_pages_kn(sf_dir: str) -> pa.Table:
 
 
 def _b_extract_boilerpipe(sf_dir: str) -> pa.Table:
-    from .functions.boilerpipe import article_text
-    from .stages.extract import decode_page_bytes, is_robots_url
-
-    urls, texts = [], []
-    for url, _ts, html in _pages_rows(sf_dir):
-        if is_robots_url(url):
-            continue
-        urls.append(url)
-        texts.append(article_text(decode_page_bytes(url, html)))
-    return pa.table(
-        {
-            "url": pa.array(urls, pa.string()),
-            "article_text": pa.array(texts, pa.large_string()),
-        }
-    )
+    """Frozen golden (scripts/freeze_goldens.py) - imports nothing from
+    the boilerpipe kernel it certifies."""
+    return _golden(sf_dir, "extract_boilerpipe")
 
 
 def _b_sentences_corpus(sf_dir: str) -> pa.Table:
@@ -273,28 +278,9 @@ def _b_doc_perp_oovref(sf_dir: str) -> pa.Table:
 
 
 def _b_media_frames(sf_dir: str) -> pa.Table:
-    """Sequential VideoFrameSampleStage replication (stub codec)."""
-    from .functions.hashing import murmur3_x64_128
-
-    ids = _docs_table(sf_dir).column("doc_id").to_pylist()
-    o_id, o_idx, o_h = [], [], []
-    for i in ids:
-        if i % 3 != 2:  # only video/mp4 rows sample frames
-            continue
-        h1, h2 = murmur3_x64_128(b"media-%d" % i)
-        payload = (h1.to_bytes(8, "little") + h2.to_bytes(8, "little")) * (8 + i % 8)
-        dur = 1000 + (i % 30) * 500
-        for k, t in enumerate(range(0, max(1, dur), 1000)):
-            o_id.append(i)
-            o_idx.append(k)
-            o_h.append(murmur3_x64_128(payload + t.to_bytes(4, "little"))[0] % (1 << 31))
-    return pa.table(
-        {
-            "media_id": pa.array(o_id, pa.int64()),
-            "frame_idx": pa.array(o_idx, pa.int64()),
-            "frame_hash": pa.array(o_h, pa.int64()),
-        }
-    )
+    """Frozen golden (scripts/freeze_goldens.py) - table literal, no
+    re-derivation of the stub codec formulas."""
+    return _golden(sf_dir, "media_frames")
 
 
 def _b_distinct_sentences(sf_dir: str) -> pa.Table:
@@ -380,44 +366,15 @@ def _docs_table(sf_dir: str) -> pa.Table:
 
 
 def _b_langid(sf_dir: str) -> pa.Table:
-    from .stages.textstats import LangId
-
-    t = _docs_table(sf_dir)
-    li = LangId()
-    preds = [li.classify(x) for x in t.column("text").to_pylist()]
-    return pa.table(
-        {
-            "doc_id": t.column("doc_id"),
-            "lang_pred": pa.array(preds, pa.string()),
-        }
-    )
+    """Frozen golden (scripts/freeze_goldens.py) - fixed expected labels
+    for the deterministic fixture docs, no LangId import."""
+    return _golden(sf_dir, "langid")
 
 
 def _b_media_features(sf_dir: str) -> pa.Table:
-    from .functions.hashing import murmur3_x64_128
-
-    ids = _docs_table(sf_dir).column("doc_id").to_pylist()
-    o_type, o_mean = [], []
-    for i in ids:
-        kind = ("image/png", "audio/wav", "video/mp4")[i % 3]
-        o_type.append(kind)
-        if not kind.startswith("image"):
-            o_mean.append(None)
-            continue
-        h1, h2 = murmur3_x64_128(b"media-%d" % i)
-        payload = (h1.to_bytes(8, "little") + h2.to_bytes(8, "little")) * (8 + i % 8)
-        n = 8 * 8 * 3
-        arr = np.frombuffer(
-            (payload * (n // max(1, len(payload)) + 1))[:n], dtype=np.uint8
-        )
-        o_mean.append(float(np.mean(arr)))
-    return pa.table(
-        {
-            "media_id": pa.array(ids, pa.int64()),
-            "media_type": pa.array(o_type, pa.string()),
-            "pixel_mean": pa.array(o_mean, pa.float64()),
-        }
-    )
+    """Frozen golden (scripts/freeze_goldens.py) - table literal, no
+    re-derivation of the stub codec formulas."""
+    return _golden(sf_dir, "media_features")
 
 
 def _b_export_manifest(sf_dir: str) -> pa.Table:
@@ -578,76 +535,9 @@ def _b_dedup_simhash(sf_dir: str) -> pa.Table:
 
 
 def _b_knn_ivf(sf_dir: str) -> pa.Table:
-    """Sequential replication of ivf_topk (deterministic by design:
-    modulo-decimation centroid sample, id-sorted groups, lexsort
-    tie-breaks, (cosine, -id) heap merge)."""
-    import heapq
-
-    from .stages.similarity import _normalize, kmeans_lite
-
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
-    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
-    k, n_lists, nprobe = 10, 8, 3
-
-    q = _normalize(
-        np.array(
-            [vecs[np.nonzero(ids == i)[0][0]] for i in sorted(ids[ids < 5])],
-            dtype=np.float64,
-        ).astype(np.float32)
-    )
-
-    total = len(ids)
-    stride = max(1, (total + 4096 - 1) // 4096)
-    mask = (ids % stride) == 0
-    sorder = np.argsort(ids[mask])
-    sample = vecs[mask][sorder][:4096]
-    cent = kmeans_lite(sample, n_lists)
-
-    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
-    probe_sets = [set(map(int, row)) for row in probes]
-
-    mat_all = _normalize(vecs)
-    assign = np.argmax(mat_all @ cent.T, axis=1).astype(np.int32)
-
-    heaps: dict[int, list] = {}
-    for lid in sorted(set(int(a) for a in assign)):
-        qids = [qi for qi, s in enumerate(probe_sets) if lid in s]
-        if not qids:
-            continue
-        sel = np.nonzero(assign == lid)[0]
-        sel = sel[np.argsort(ids[sel])]
-        mat = _normalize(vecs[sel])
-        gids = ids[sel]
-        sims = q[qids] @ mat.T
-        kk = min(k, sims.shape[1])
-        for row, qi in enumerate(qids):
-            idx = np.lexsort((gids, -sims[row]))[:kk]
-            for j in idx:
-                heapq.heappush(
-                    heaps.setdefault(qi, []), (float(sims[row, j]), -int(gids[j]))
-                )
-                if len(heaps[qi]) > k:
-                    heapq.heappop(heaps[qi])
-    o_q, o_rank, o_id, o_c = [], [], [], []
-    for qi in sorted(heaps):
-        best = sorted(heaps[qi], key=lambda v: (-v[0], -v[1]))
-        for rank, (c, nid) in enumerate(best):
-            o_q.append(qi)
-            o_rank.append(rank)
-            o_id.append(-nid)
-            o_c.append(int(math.floor(c * 10000)))
-    return pa.table(
-        {
-            "query_id": pa.array(o_q, pa.int64()),
-            "rank": pa.array(o_rank, pa.int64()),
-            "vec_id": pa.array(o_id, pa.int64()),
-            "cosine_e4": pa.array(o_c, pa.int64()),
-        }
-    )
-
+    """Frozen golden (scripts/freeze_goldens.py) - precomputed
+    centroid/neighbor results, no kmeans_lite/_normalize import."""
+    return _golden(sf_dir, "knn_ivf")
 
 # -- n-gram index ------------------------------------------------------------
 
