@@ -23,6 +23,7 @@ _LOG_FIELDS = (
     "n_outlinks",
     "via",
     "perp_via_str",
+    "retries",
 )
 
 _SMALL = dict(
@@ -123,6 +124,50 @@ class TestHopLimit:
         assert res.stats["hops_rejected"] == sim.n_hops_rejected > 0
         _assert_log_matches(res.log, sim.rows)
         assert res.seen_keys == sim.seen_keys
+
+
+class TestTransientRetries:
+    """Transient-failure retry/re-queue semantics (cxml:66-67): a 50x
+    fetch consumes its politeness slot, re-queues with retries+1 and
+    snoozes the host; after max_retries total attempts it quarantines
+    with a log row.  Conformance: engine vs the simulator's independent
+    implementation of the same spec, exact ordering parity."""
+
+    def test_fault_retry_conformance_exact(self, ray_session, sf_dir):
+        from topicrawler_ray.config import CrawlConfig
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+        from topicrawler_ray.pipelines.simulate import simulate_crawl
+
+        # every 4th doc 503s on its first fetch, succeeds on retry;
+        # short retry delay keeps the test fast
+        cfg = CrawlConfig(fault_mod=4, fault_attempts=1, retry_delay_waves=7, **_SMALL)
+        res = RayCrawlEngine(sf_dir, cfg).run()
+        sim = simulate_crawl(sf_dir, config=cfg)
+        _assert_log_matches(res.log, sim.rows)
+        assert res.seen_keys == sim.seen_keys
+        retried = [r for r in res.log.to_pylist() if r["retries"] > 0]
+        assert retried, "fault injection produced no retried fetches"
+        # retried docs eventually succeeded (status 200 after 1 retry)
+        assert all(r["status"] == 200 for r in retried if not r["is_robots"])
+
+    def test_fault_exhausts_to_quarantine(self, ray_session, sf_dir):
+        from topicrawler_ray.config import CrawlConfig
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+        from topicrawler_ray.pipelines.simulate import simulate_crawl
+
+        # faults outlast max_retries: doc quarantined with a 503 log row
+        cfg = CrawlConfig(
+            fault_mod=4, fault_attempts=5, max_retries=3, retry_delay_waves=5,
+            **_SMALL,
+        )
+        res = RayCrawlEngine(sf_dir, cfg).run()
+        sim = simulate_crawl(sf_dir, config=cfg)
+        _assert_log_matches(res.log, sim.rows)
+        assert res.seen_keys == sim.seen_keys
+        quarantined = [r for r in res.log.to_pylist() if r["status"] == 503]
+        assert quarantined, "no quarantined rows despite persistent faults"
+        assert all(r["retries"] == cfg.max_retries - 1 for r in quarantined)
+        assert all(r["n_outlinks"] == 0 for r in quarantined)
 
 
 class TestHeadBudgetSpill:

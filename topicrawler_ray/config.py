@@ -29,7 +29,17 @@ class CrawlConfig:
     order: int = 3
     scorer: str = "stupid_backoff"  # registry key: stupid_backoff | kneser_ney | laplace
     max_hops: int = 20  # cxml:26
-    max_retries: int = 3  # cxml:66 (fetch-sim has no transient failures)
+    # transient-failure retry (cxml:66-67): a 50x fetch re-queues the
+    # entry with retries+1 and snoozes its host queue retry_delay_waves
+    # (retryDelaySeconds=90 -> 900 x 100ms wave slots); after
+    # max_retries total attempts the entry is quarantined with a log row
+    max_retries: int = 3  # cxml:66
+    retry_delay_waves: int = 900  # cxml:67 (90s in 100ms politeness slots)
+    # deterministic transient-fault injection for the fetch-sim: doc ids
+    # divisible by fault_mod return 503 on their first fault_attempts
+    # fetches (None = no faults - the default fetch-sim is fault-free)
+    fault_mod: int | None = None
+    fault_attempts: int = 1
     num_frontier_shards: int = 4
     num_seen_shards: int = 4  # standalone SeenShard pools (engine embeds seen in frontier)
     num_page_stores: int = 4

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .sources.pages import FIXTURE_VERSION
 
-ORACLE_VERSION = 1
+ORACLE_VERSION = 2  # v2: crawl_log gains the retries column
 
 # frozen golden fixtures (committed to git) for the queries whose
 # sequential derivation would otherwise share code with the kernel it

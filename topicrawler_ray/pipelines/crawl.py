@@ -53,6 +53,7 @@ LOG_SCHEMA = pa.schema(
         ("n_outlinks", pa.int32()),
         ("via", pa.string()),
         ("perp_via_str", pa.string()),
+        ("retries", pa.int32()),  # transient attempts before this terminal fetch
     ]
 )
 
@@ -129,6 +130,11 @@ class RayCrawlEngine:
             self.cfg.inline_process
             and NUM_HOST_BUCKETS % self.cfg.num_frontier_shards == 0
         )
+        fault = (
+            (self.cfg.fault_mod, self.cfg.fault_attempts)
+            if self.cfg.fault_mod
+            else None
+        )
         self.frontier = make_frontier_actors(
             self.cfg.num_frontier_shards,
             self.cfg.seen_capacity_per_shard,
@@ -137,12 +143,14 @@ class RayCrawlEngine:
             self.cfg.frontier_spill_dir,
             lm_ref=lm_ref if self._inline else None,
             pages_dir=pages_host_bucketed_dir(sf_dir) if self._inline else None,
+            fault=fault,
         )
         self.stores = make_page_store_actors(
             pages_bucketed_dir(sf_dir), self.cfg.num_page_stores
         )
         self.workers = make_crawl_workers(
-            lm_ref, self.cfg.num_workers, self.cfg.worker_num_cpus, self.stores
+            lm_ref, self.cfg.num_workers, self.cfg.worker_num_cpus, self.stores,
+            fault=fault,
         )
         self._pending: list = []  # fire-and-forget push/robots refs
         self._domains: set[str] = set()  # TooManyDomainsDecideRule state
@@ -200,7 +208,12 @@ class RayCrawlEngine:
         if self._inline:
             pops = ray.get(
                 [
-                    s.pop_and_process.remote(self.wave, self.cfg.inline_max)
+                    s.pop_and_process.remote(
+                        self.wave,
+                        self.cfg.inline_max,
+                        self.cfg.max_retries,
+                        self.cfg.retry_delay_waves,
+                    )
                     for s in self.frontier
                 ]
             )
@@ -276,7 +289,10 @@ class RayCrawlEngine:
         # from the store shards (wide-wave path)
         if pending_entries:
             pending_entries.sort(key=lambda e: (e.directive, e.cost, e.seq, e.url))
-            items = [(i, e.url, e.is_robots) for i, e in enumerate(pending_entries)]
+            items = [
+                (i, e.url, e.is_robots, e.retries)
+                for i, e in enumerate(pending_entries)
+            ]
             nw = len(self.workers)
             chunks = [items[i::nw] for i in range(nw)]
             futures = [
@@ -290,8 +306,12 @@ class RayCrawlEngine:
             # robots rule updates (404 robots -> allow-all) for the
             # worker-processed picks; inline shards applied theirs
             # locally (a host is only popped by its owner shard)
+            from ..stages.crawlworker import is_transient_status
+
             robots_updates: dict[int, list[tuple[str, list[str], float | None]]] = {}
+            retry_updates: dict[int, list[FrontierEntry]] = {}
             for r in wresults:
+                e = pending_entries[r.pos]
                 if r.is_robots:
                     host = host_of_url(r.url)
                     rules, delay = (
@@ -300,9 +320,25 @@ class RayCrawlEngine:
                     robots_updates.setdefault(
                         shard_of_host(host, len(self.frontier)), []
                     ).append((host, rules, delay))
+                elif (
+                    is_transient_status(r.status)
+                    and e.retries + 1 < self.cfg.max_retries
+                ):
+                    # transient 50x: re-queue on the owner shard with
+                    # retries+1 (queue snooze); no log row, no pair
+                    retry_updates.setdefault(
+                        shard_of_host(host_of_url(e.url), len(self.frontier)), []
+                    ).append(e)
+                    continue
+                pairs.append((e, r))
             for s, items_ in robots_updates.items():
                 self._pending.append(self.frontier[s].set_robots_many.remote(items_))
-            pairs.extend(zip(pending_entries, wresults))
+            for s, es in retry_updates.items():
+                self._pending.append(
+                    self.frontier[s].requeue_retries.remote(
+                        es, self.wave, self.cfg.retry_delay_waves
+                    )
+                )
 
         # global wave order: sort (entry, result) pairs by the wave key
         # and assign fetch positions in that order - identical to the
@@ -342,6 +378,8 @@ class RayCrawlEngine:
             and self.wave - self._last_ckpt_wave >= self.cfg.checkpoint_every_waves
         ):
             self.checkpoint()
+        if not results:
+            return -1  # slots consumed but every pick was retried
         return len(results)
 
     def _prioritize_candidates(
@@ -416,6 +454,8 @@ class RayCrawlEngine:
                 # (the drain budget is counted in waves)
                 min(wave_budget, 2000, self.cfg.max_waves - self.wave),
                 first_results,
+                self.cfg.max_retries,
+                self.cfg.retry_delay_waves,
             )
         )
         rows = res["log_rows"]
@@ -440,6 +480,8 @@ class RayCrawlEngine:
             and self.wave - self._last_ckpt_wave >= self.cfg.checkpoint_every_waves
         ):
             self.checkpoint()
+        if not rows and not res["finished"]:
+            return -1  # e.g. every pick was transiently retried
         return len(rows)
 
     # -- crawl-log spool (VERDICT r1 item 6) -------------------------------
@@ -510,6 +552,9 @@ class RayCrawlEngine:
                     "via": pa.array([picked[r.pos].via for r in results], pa.string()),
                     "perp_via_str": pa.array(
                         [picked[r.pos].perp_via_str for r in results], pa.string()
+                    ),
+                    "retries": pa.array(
+                        [picked[r.pos].retries for r in results], pa.int32()
                     ),
                 },
                 schema=LOG_SCHEMA,

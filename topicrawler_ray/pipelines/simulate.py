@@ -74,11 +74,22 @@ def simulate_crawl(
         res.seen_keys.add(k)
         return True
 
+    def is_faulted(url: str, retries: int) -> bool:
+        """Independent re-implementation of the deterministic
+        transient-fault spec (doc id divisible by fault_mod fails its
+        first fault_attempts fetches with a 503)."""
+        if cfg.fault_mod is None:
+            return False
+        tail = url.rsplit("/p", 1)
+        if len(tail) != 2 or not tail[1].isdigit():
+            return False
+        return int(tail[1]) % cfg.fault_mod == 0 and retries < cfg.fault_attempts
+
     for line in seeds:
         u = seed_line_url(line)
         seen_add(u)
         frontier.setdefault(host_of_url(u), []).append(
-            (prio.SEED_DIRECTIVE, prio.SEED_COST, next_seq, u, "", prio.SEED_PERP_STR, 0)
+            (prio.SEED_DIRECTIVE, prio.SEED_COST, next_seq, u, "", prio.SEED_PERP_STR, 0, 0)
         )
         next_seq += 1
 
@@ -100,7 +111,7 @@ def simulate_crawl(
                     robots_requested.add(host)
                     head = min(entries)
                     picks.append(
-                        (0, 1, head[2], "http://%s/robots.txt" % host, head[3], "", 0, True)
+                        (0, 1, head[2], "http://%s/robots.txt" % host, head[3], "", 0, 0, True)
                     )
                 continue
             rules, delay = robots_rules[host]
@@ -129,13 +140,24 @@ def simulate_crawl(
         picks.sort(key=lambda p: (p[0], p[1], p[2], p[3]))
 
         candidates: list[tuple[str, str, str, int]] = []  # (url, via, pvs, hops)
-        for directive, cost, seq, url, via, pvs, hops, is_robots in picks:
+        for directive, cost, seq, url, via, pvs, hops, retries, is_robots in picks:
             html = page_html.get(url)
             status = 200 if html is not None else 404
             perp = float("nan")
             perp_str = ""
             n_out = 0
-            if is_robots:
+            if not is_robots and status == 200 and is_faulted(url, retries):
+                # transient 50x: the slot was consumed; re-queue with
+                # retries+1 and snooze the host queue (cxml:66-67),
+                # quarantine with a log row once retries are exhausted
+                if retries + 1 < cfg.max_retries:
+                    frontier.setdefault(host_of_url(url), []).append(
+                        (directive, cost, seq, url, via, pvs, hops, retries + 1)
+                    )
+                    next_allowed[host_of_url(url)] = wave + cfg.retry_delay_waves
+                    continue  # no log row while retries remain
+                status = 503
+            elif is_robots:
                 robots_rules[host_of_url(url)] = (
                     parse_robots(html.decode("utf-8", "replace"))
                     if html
@@ -166,6 +188,7 @@ def simulate_crawl(
                     "n_outlinks": n_out,
                     "via": via,
                     "perp_via_str": pvs,
+                    "retries": retries,
                 }
             )
             fetch_seq += 1
@@ -194,7 +217,7 @@ def simulate_crawl(
                 res.n_dup += 1
                 continue
             frontier.setdefault(host_of_url(url), []).append(
-                (a.directive, a.cost, seq, url, via, pvs, hops)
+                (a.directive, a.cost, seq, url, via, pvs, hops, 0)
             )
         wave += 1
 

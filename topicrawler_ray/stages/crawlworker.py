@@ -42,11 +42,34 @@ class FetchResult:
     robots_rules: tuple[list[str], float | None] | None
 
 
+def transient_fault(url: str, retries: int, fault: tuple[int, int] | None) -> bool:
+    """Deterministic transient-failure injection for the fetch-sim
+    (``fault = (mod, attempts)``): a document page whose doc id is
+    divisible by ``mod`` returns a 503 on its first ``attempts``
+    fetches, then succeeds.  Robots and 404 urls never fault.  The
+    conformance simulator implements the same predicate independently."""
+    if not fault:
+        return False
+    mod, attempts = fault
+    if retries >= attempts:
+        return False
+    tail = url.rsplit("/p", 1)
+    if len(tail) != 2 or not tail[1].isdigit():
+        return False
+    return int(tail[1]) % mod == 0
+
+
+def is_transient_status(status: int) -> bool:
+    """Retryable fetch statuses (Heritrix retryable 5xx class)."""
+    return 500 <= status < 600
+
+
 class CrawlProcessor:
     """Pure per-fetch logic shared by Ray workers and the oracle."""
 
-    def __init__(self, lm):
+    def __init__(self, lm, fault: tuple[int, int] | None = None):
         self._lm = lm
+        self._fault = fault
 
     def process(
         self,
@@ -54,12 +77,13 @@ class CrawlProcessor:
         url: str,
         is_robots: bool,
         page: tuple[bytes, int, str] | None,
+        retries: int = 0,
     ) -> FetchResult:
         """Process one fetch; unexpected per-row failures are quarantined
         as status -1 rows (no score, no outlinks) instead of killing the
         wave (poison-row policy, SURVEY par.4 retries design)."""
         try:
-            return self._process(pos, url, is_robots, page)
+            return self._process(pos, url, is_robots, page, retries)
         except Exception:
             return FetchResult(
                 pos, url, -1, is_robots, float("nan"), "", "", "", "", 0,
@@ -72,11 +96,17 @@ class CrawlProcessor:
         url: str,
         is_robots: bool,
         page: tuple[bytes, int, str] | None,
+        retries: int = 0,
     ) -> FetchResult:
         if page is None:
             return FetchResult(
                 pos, url, 404, is_robots, float("nan"), "", "", "", "", 0,
                 [], ([], None) if is_robots else None,
+            )
+        if not is_robots and transient_fault(url, retries, self._fault):
+            # transient 50x: occupies the politeness slot, no content
+            return FetchResult(
+                pos, url, 503, False, float("nan"), "", "", "", "", 0, [], None
             )
         html_bytes, ts_us, lang = page
         if is_robots:
@@ -95,7 +125,8 @@ class CrawlProcessor:
         )
 
 
-def make_crawl_workers(lm_ref, num_workers: int, num_cpus: float = 0.5, stores=None):
+def make_crawl_workers(lm_ref, num_workers: int, num_cpus: float = 0.5, stores=None,
+                       fault: tuple[int, int] | None = None):
     """Spawn the worker pool.  When ``stores`` (PageStore handles) are
     given, workers run the fetch-sim themselves (actor-to-actor, one less
     driver round trip on the wave critical path)."""
@@ -105,17 +136,19 @@ def make_crawl_workers(lm_ref, num_workers: int, num_cpus: float = 0.5, stores=N
     class CrawlWorker:
         def __init__(self, lm_ref, stores):
             lm = ray.get(lm_ref) if isinstance(lm_ref, ray.ObjectRef) else lm_ref
-            self.proc = CrawlProcessor(lm)
+            self.proc = CrawlProcessor(lm, fault)
             self.stores = stores or []
 
         def process_batch(self, items, pages=None):
-            """items: list of (pos, url, is_robots); pages: url -> row or
-            None to fetch from the page-store shards directly."""
+            """items: list of (pos, url, is_robots, retries); pages:
+            url -> row or None to fetch from the page-store shards
+            directly."""
             if pages is None:
                 from ..state.pagestore import shard_of_url
 
                 by_store: dict[int, list[str]] = {}
-                for _, url, _ in items:
+                for item in items:
+                    url = item[1]
                     by_store.setdefault(
                         shard_of_url(url, len(self.stores)), []
                     ).append(url)
@@ -126,8 +159,11 @@ def make_crawl_workers(lm_ref, num_workers: int, num_cpus: float = 0.5, stores=N
                 for p in parts:
                     pages.update(p)
             return [
-                self.proc.process(pos, url, is_robots, pages.get(url))
-                for pos, url, is_robots in items
+                self.proc.process(
+                    item[0], item[1], item[2], pages.get(item[1]),
+                    item[3] if len(item) > 3 else 0,
+                )
+                for item in items
             ]
 
         def ping(self):

@@ -53,6 +53,7 @@ class FrontierEntry:
     is_robots: bool = field(compare=False, default=False)
     is_seed: bool = field(compare=False, default=False)
     hops: int = field(compare=False, default=0)  # link hops from seed (cxml:26)
+    retries: int = field(compare=False, default=0)  # transient attempts so far (cxml:66)
 
 
 def parse_robots(body: str) -> tuple[list[str], float | None]:
@@ -258,7 +259,7 @@ class FrontierShardState:
     def push(self, entries: list[FrontierEntry]) -> None:
         for e in entries:
             host = host_of_url(e.url)
-            row = (e.directive, e.cost, e.seq, e.url, e.via, e.perp_via_str, e.is_seed, e.hops)
+            row = (e.directive, e.cost, e.seq, e.url, e.via, e.perp_via_str, e.is_seed, e.hops, e.retries)
             floor = self._spill_floor.get(host)
             if floor is not None and row[:3] >= floor:
                 # at/above the spill floor: must join the overflow so the
@@ -288,18 +289,33 @@ class FrontierShardState:
     def exact_seen_keys(self) -> list[int]:
         return sorted(self.seen.exact)
 
+    # -- transient-retry re-queue (cxml:66-67) -----------------------------
+    def requeue_retry(self, e: FrontierEntry, wave_no: int,
+                      retry_delay_waves: int) -> None:
+        """Re-enqueue a transiently-failed entry with ``retries + 1``
+        (same directive/cost/seq, so it stays at its heap position) and
+        snooze its host queue to ``wave_no + retry_delay_waves`` - the
+        Heritrix queue-snooze on retryable failures (maxRetries /
+        retryDelaySeconds, cxml:66-67).  Bypasses the seen filter: the
+        url was marked seen at its original push."""
+        import dataclasses
+
+        self.push([dataclasses.replace(e, retries=e.retries + 1)])
+        self.next_allowed[host_of_url(e.url)] = wave_no + retry_delay_waves
+
     # -- fused pop+process (inline wave path) ------------------------------
-    def _process_local(self, items: list[tuple[int, str, bool]]) -> list:
+    def _process_local(self, items: list[tuple[int, str, bool, int]]) -> list:
         """Fetch this shard's pages from its host-bucket partition and run
         the pure per-fetch processor - byte-identical to the worker path
         (same CrawlProcessor code), zero RPC."""
-        pages = self.page_reader.fetch([u for _, u, _ in items])
+        pages = self.page_reader.fetch([item[1] for item in items])
         return [
-            self.processor.process(pos, url, rob, pages.get(url))
-            for pos, url, rob in items
+            self.processor.process(pos, url, rob, pages.get(url), retries)
+            for pos, url, rob, retries in items
         ]
 
-    def pop_and_process(self, wave_no: int, inline_max: int):
+    def pop_and_process(self, wave_no: int, inline_max: int,
+                        max_retries: int = 3, retry_delay_waves: int = 900):
         """One politeness slot AND its processing in a single actor call.
 
         Returns ``(picked, results | None, rejected, wake)`` - results
@@ -309,19 +325,39 @@ class FrontierShardState:
         pool (wide waves keep their many-worker parallelism).  Robots
         responses for this shard's own hosts are applied locally - in the
         classic path the driver routes them back to this same shard
-        anyway (a host is only ever popped by its owner)."""
+        anyway (a host is only ever popped by its owner).  Transiently
+        failed picks (50x) are re-queued locally with ``retries + 1``
+        and EXCLUDED from the returned wave (they emit no log row unless
+        retries are exhausted); the returned wake is recomputed after
+        any snooze."""
+        from ..stages.crawlworker import is_transient_status
+
         picked, rejected, wake = self.pop_wave(wave_no)
         if not picked or self.processor is None or len(picked) > inline_max:
             return picked, None, rejected, wake
-        items = [(i, e.url, e.is_robots) for i, e in enumerate(picked)]
+        items = [(i, e.url, e.is_robots, e.retries) for i, e in enumerate(picked)]
         results = self._process_local(items)
-        for r in results:
+        keep_p: list[FrontierEntry] = []
+        keep_r: list = []
+        requeued = False
+        for e, r in zip(picked, results):
             if r.is_robots:
                 rules, delay = (
                     r.robots_rules if r.robots_rules is not None else ([], None)
                 )
                 self.set_robots(host_of_url(r.url), rules, delay)
-        return picked, results, rejected, wake
+            if (
+                is_transient_status(r.status)
+                and e.retries + 1 < max_retries
+            ):
+                self.requeue_retry(e, wave_no, retry_delay_waves)
+                requeued = True
+                continue  # no log row; slot was consumed
+            keep_p.append(e)
+            keep_r.append(r)
+        if requeued:
+            wake = self.wake_wave()
+        return keep_p, keep_r, rejected, wake
 
     # -- shard-local drain (single-active-shard fast path) -----------------
     def drain(
@@ -336,6 +372,8 @@ class FrontierShardState:
         max_hops: int,
         budget: int = 2000,
         first_results: list | None = None,
+        max_retries: int = 3,
+        retry_delay_waves: int = 900,
     ) -> dict:
         """Run the wave loop locally while this shard is the ONLY active
         one (the politeness tail: one mega-host fetching one page per
@@ -354,6 +392,7 @@ class FrontierShardState:
         import ray
 
         from ..stages import prioritize as prio
+        from ..stages.crawlworker import is_transient_status
 
         log_rows: list[tuple] = []
         n_rejected = 0
@@ -375,7 +414,7 @@ class FrontierShardState:
                 first_results = None
             else:
                 picked.sort(key=lambda e: (e.directive, e.cost, e.seq, e.url))
-                items = [(i, e.url, e.is_robots) for i, e in enumerate(picked)]
+                items = [(i, e.url, e.is_robots, e.retries) for i, e in enumerate(picked)]
                 if self.processor is not None:
                     results = self._process_local(items)
                 else:
@@ -387,6 +426,21 @@ class FrontierShardState:
                         r.robots_rules if r.robots_rules is not None else ([], None)
                     )
                     self.set_robots(host_of_url(r.url), rules, delay)
+            # transient-retry re-queue (no log row while retries remain;
+            # the slot was consumed, the host queue is snoozed)
+            keep_p: list[FrontierEntry] = []
+            keep_r: list = []
+            for r in results:
+                e = picked[r.pos]
+                if is_transient_status(r.status) and e.retries + 1 < max_retries:
+                    self.requeue_retry(e, wave_no, retry_delay_waves)
+                    continue
+                keep_p.append(e)
+                keep_r.append(r)
+            if len(keep_p) != len(picked):
+                picked, results = keep_p, keep_r
+                for i, r in enumerate(results):
+                    r.pos = i
             # candidates in proposal order
             to_mine: list[FrontierEntry] = []
             by_sibling: dict[int, list[FrontierEntry]] = {}
@@ -441,6 +495,7 @@ class FrontierShardState:
                         len(r.outlinks),
                         e.via,
                         e.perp_via_str,
+                        e.retries,
                     )
                 )
             fetch_seq += len(results)
@@ -452,22 +507,26 @@ class FrontierShardState:
             # Crawl-delay can leave whole waves empty while hosts wait:
             # jump the virtual clock straight to the earliest wake wave
             # (conformance-identical: empty waves emit no log rows, and
-            # the budget is debited by the number of waves skipped —
-            # exactly what one-wave stepping would consume)
-            while not picked and self.has_work() and budget > 0:
+            # the budget is debited by the number of waves skipped).
+            # INVARIANT: the drain owns the half-open wave range
+            # [start, start + budget) - a sibling becomes eligible AT
+            # the boundary, so popping requires a slot strictly inside
+            # the range (step <= budget - 1); at the boundary we consume
+            # what remains and hand back to the driver.
+            while not picked and self.has_work() and budget > 1:
                 step = 1
                 if wake is not None and wake > wave_no + 1:
                     step = wake - wave_no
-                if step > budget:
-                    # the earliest wake lies beyond the sibling-capped
-                    # budget: consume what remains and hand back to the
-                    # driver (same terminal wave as stepping)
-                    wave_no += budget
-                    budget = 0
+                if step > budget - 1:
                     break
                 wave_no += step
                 budget -= step
                 picked, _rej, wake = self.pop_wave(wave_no)
+            if not picked and budget > 0 and self.has_work():
+                # unused skip slots up to the boundary: consume them so
+                # the driver resumes exactly at start + budget
+                wave_no += budget
+                budget = 0
             if not picked:
                 finished = not self.has_work()
                 break
@@ -536,13 +595,13 @@ class FrontierShardState:
                     q = self.queues.get(host, [])
                     if not q:
                         break
-                directive, cost, seq, url, via, pvs, is_seed, hops = heapq.heappop(q)
+                directive, cost, seq, url, via, pvs, is_seed, hops, retries = heapq.heappop(q)
                 if not self.robots.allowed(host, path_of_url(url)):
                     rejected += 1
                     self.n_robots_rejected += 1
                     continue
                 picked.append(
-                    FrontierEntry(directive, cost, seq, url, via, pvs, False, is_seed, hops)
+                    FrontierEntry(directive, cost, seq, url, via, pvs, False, is_seed, hops, retries)
                 )
                 self.n_popped += 1
                 period = self.robots.period(host)
@@ -622,7 +681,8 @@ def make_frontier_actors(num_shards: int, seen_capacity: int = 1 << 16,
                          seen_keep_exact: bool = True,
                          head_budget: int | None = None,
                          spill_dir: str | None = None,
-                         lm_ref=None, pages_dir: str | None = None):
+                         lm_ref=None, pages_dir: str | None = None,
+                         fault: tuple[int, int] | None = None):
     """``lm_ref`` + ``pages_dir`` (a host-co-partitioned pages layout,
     see ``sources.pages.pages_host_bucketed_dir``) attach a fused
     fetch+process path to each shard: politeness waves then cost ONE
@@ -649,7 +709,7 @@ def make_frontier_actors(num_shards: int, seen_capacity: int = 1 << 16,
                     if isinstance(lm_ref, ray.ObjectRef)
                     else lm_ref
                 )
-                self.state.processor = CrawlProcessor(lm)
+                self.state.processor = CrawlProcessor(lm, fault)
                 self.state.page_reader = PageStoreState(
                     pages_dir,
                     rank,
@@ -663,8 +723,11 @@ def make_frontier_actors(num_shards: int, seen_capacity: int = 1 << 16,
                 self.state.page_reader._load()
             return True
 
-        def pop_and_process(self, wave_no, inline_max):
-            return self.state.pop_and_process(wave_no, inline_max)
+        def pop_and_process(self, wave_no, inline_max, max_retries=3,
+                            retry_delay_waves=900):
+            return self.state.pop_and_process(
+                wave_no, inline_max, max_retries, retry_delay_waves
+            )
 
         def push(self, entries):
             self.state.push(entries)
@@ -673,10 +736,12 @@ def make_frontier_actors(num_shards: int, seen_capacity: int = 1 << 16,
             return self.state.push_if_new(entries)
 
         def drain(self, picked, worker, siblings, my_index, next_seq, wave_no,
-                  fetch_seq, max_hops, budget=2000, first_results=None):
+                  fetch_seq, max_hops, budget=2000, first_results=None,
+                  max_retries=3, retry_delay_waves=900):
             return self.state.drain(
                 picked, worker, siblings, my_index, next_seq, wave_no,
                 fetch_seq, max_hops, budget, first_results,
+                max_retries, retry_delay_waves,
             )
 
         def exact_seen_keys(self):
@@ -688,6 +753,10 @@ def make_frontier_actors(num_shards: int, seen_capacity: int = 1 << 16,
         def set_robots_many(self, items):
             for host, rules, delay in items:
                 self.state.set_robots(host, rules, delay)
+
+        def requeue_retries(self, entries, wave_no, retry_delay_waves):
+            for e in entries:
+                self.state.requeue_retry(e, wave_no, retry_delay_waves)
 
         def pop_wave(self, wave_no=None):
             return self.state.pop_wave(wave_no)
