@@ -582,7 +582,12 @@ def _q_events_asof_click(sf_dir: str):
         lambda t: t.filter(pc.equal(t.column("event_type"), "click")),
         batch_format="pyarrow",
     )
-    out = asof_join(lefts, rights, by="user_id", on="ts", right_columns=("value",))
+    # time_buckets engages the giant-key path (range partition + tail
+    # carry-forward) - exact, so the DuckDB ASOF oracle certifies it
+    out = asof_join(
+        lefts, rights, by="user_id", on="ts", right_columns=("value",),
+        time_buckets=8,
+    )
     df = out.to_pandas()
     for c in ("event_id", "user_id"):
         df[c] = df[c].astype("int64")

@@ -514,6 +514,28 @@ class TestNgramJaccardJoin:
         ).to_pandas()
         assert len(full) > len(filtered)
 
+    def test_stop_shingle_guard_is_default(self, ray_session):
+        """The d^2 skew guard defaults ON (max_shingle_df=128): a
+        boilerplate shingle shared by 130 docs is dropped by default, so
+        docs overlapping ONLY in it never pair; max_shingle_df=None
+        restores exact Jaccard."""
+        import ray.data
+
+        from topicrawler_ray.stages.dedup import ngram_jaccard_pairs
+
+        boiler = "all rights reserved inc"
+        rows = [
+            {"doc_id": i, "text": boiler + " u%da u%db u%dc u%dd" % (i, i, i, i)}
+            for i in range(130)
+        ]
+        ds = ray.data.from_items(rows)
+        by_default = ngram_jaccard_pairs(ds, threshold=0.01, k=4).to_pandas()
+        assert len(by_default) == 0  # stop-shingle dropped, no pairs
+        exact = ngram_jaccard_pairs(
+            ds, threshold=0.01, k=4, max_shingle_df=None
+        ).to_pandas()
+        assert len(exact) == 130 * 129 // 2  # every pair shares the boilerplate
+
 
 class TestTimeSeries:
     def test_tumbling_window(self, ray_session):
@@ -579,6 +601,59 @@ class TestTimeSeries:
         assert out.loc[2, "v_asof"] == 20.0
         assert pd.isna(out.loc[3, "v_asof"])
         assert out.loc[2, "ts_asof"].value // 10**3 * 0 == 0  # present
+
+    def test_asof_giant_key_time_buckets_exact(self, ray_session):
+        """Giant-key path: one user's click history dominates (far more
+        rows than any time bucket holds of it); the range-partitioned
+        carry-forward join must equal the single-group-per-key path
+        row for row, including bucket-boundary and no-right-yet rows."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from topicrawler_ray.stages.timeseries import asof_join
+
+        rng = np.random.default_rng(5)
+        # giant key 7: 400 rights + 400 lefts over a wide span; small
+        # keys 1-3 sparse; key 9 has lefts but no rights at all
+        rows_r, rows_l = [], []
+        for i in range(400):
+            rows_r.append((7, 1000 + i * 97, float(i)))
+            rows_l.append((7, 990 + i * 101, float(i)))
+        for k in (1, 2, 3):
+            rows_r.append((k, 5000 * k, 7.5 * k))
+            rows_l.append((k, 5000 * k + int(rng.integers(-10, 10)), 0.0))
+        rows_l.append((9, 12345, 0.0))
+
+        def tbl(rows):
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "k": pa.array([r[0] for r in rows], pa.int64()),
+                        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                        "v": pa.array([r[2] for r in rows], pa.float64()),
+                    }
+                )
+            )
+
+        def run(buckets):
+            return (
+                asof_join(
+                    tbl(rows_l), tbl(rows_r), by="k", on="ts",
+                    right_columns=("v",), time_buckets=buckets,
+                )
+                .to_pandas()
+                .sort_values(["k", "ts"])
+                .reset_index(drop=True)
+            )
+
+        single = run(None)
+        bucketed = run(16)  # ~25 giant-key rights per bucket
+        pd.testing.assert_frame_equal(single, bucketed)
+        # sanity: the giant key really produced matches and the
+        # no-rights key is all-null
+        assert bucketed[bucketed.k == 7]["v_asof"].notna().sum() > 390
+        assert bucketed[bucketed.k == 9]["v_asof"].isna().all()
 
 
 class TestEmbeddingLshRecall:

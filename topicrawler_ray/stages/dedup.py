@@ -293,7 +293,7 @@ def ngram_jaccard_pairs(
     column: str = "text",
     id_column: str = "doc_id",
     num_partitions: int | None = None,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 128,
 ):
     """EXACT n-gram (word k-shingle) Jaccard similarity join.
 
@@ -304,9 +304,13 @@ def ngram_jaccard_pairs(
     ``inter / (|A| + |B| - inter) >= threshold``.  All shuffles key on
     the shingle hash or the pair id.
 
-    Skew: a shingle shared by d docs contributes d^2 join rows -
-    at web scale pass ``max_shingle_df`` to drop stop-shingles (standard
-    practice; a shingle in thousands of docs carries no dedup signal).
+    Skew: a shingle shared by d docs contributes d^2 join rows, so
+    stop-shingles are dropped BY DEFAULT (``max_shingle_df=128``: a
+    shingle in over a hundred docs carries no dedup signal but would
+    dominate the self-join at web scale - one shingle in 10^4 docs is
+    10^8 join rows).  The dropped-shingle count is logged; pass ``None``
+    to disable the guard (exact Jaccard even for boilerplate shingles).
+    Dropping affects only intersections, never the carried set sizes.
     """
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Max
@@ -337,11 +341,27 @@ def ngram_jaccard_pairs(
         explode, batch_format="pyarrow"
     )
     if max_shingle_df is not None:
+        # materialize the (small) df table once so the dropped-count
+        # action and the keep-join don't re-execute the explode+groupby
         df_counts = (
             shingles.groupby("shingle")
             .aggregate(Count(alias_name="df"))
             .repartition(num_partitions)
+            .materialize()
         )
+        n_dropped = df_counts.filter(
+            expr="df > %d" % max_shingle_df
+        ).count()
+        if n_dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: dropping %d stop-shingles with "
+                "df > %d (affects intersections only; pass "
+                "max_shingle_df=None for exact Jaccard)",
+                n_dropped,
+                max_shingle_df,
+            )
         keep = df_counts.filter(expr="df <= %d" % max_shingle_df).select_columns(
             ["shingle"]
         ).repartition(num_partitions)

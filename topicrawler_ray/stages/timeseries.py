@@ -14,10 +14,14 @@ shuffle, with the partitioning assumption documented:
   ``right.on <= left.on`` within the same ``by`` key (inclusive -
   DuckDB ``ASOF JOIN`` semantics).  Ray shape: align both sides to a
   common schema with a side tag, ONE ``groupby(by)`` shuffle, then a
-  per-group vectorized ``pandas.merge_asof``.  Partitioning assumption:
-  one ``by`` group fits a task (time-partition the right side and
-  carry forward per-key tails if a single key's history exceeds that -
-  documented, not needed at fixture scale).
+  per-group vectorized ``pandas.merge_asof``.  With
+  ``time_buckets=W > 1`` the giant-key path engages: rows are range-
+  partitioned into W equal time buckets, each ``(by, bucket)`` group
+  joins locally, and the latest right row per earlier bucket is
+  carried forward per key (one forward-fill over at most W tail rows
+  per key), so a single key whose history exceeds a task's memory
+  splits across W tasks while staying EXACT - any earlier right row
+  other than the carried tail can never be the as-of answer.
 """
 
 from __future__ import annotations
@@ -105,12 +109,16 @@ def asof_join(
     on: str,
     right_columns: tuple,
     suffix: str = "_asof",
+    time_buckets: int | None = None,
 ):
     """For each left row: columns of the latest right row with
     ``right[on] <= left[on]`` and equal ``by`` (NULLs when none).
 
     Returns the left schema + ``<col><suffix>`` for each of
-    ``right_columns``."""
+    ``right_columns``.  ``time_buckets=W > 1`` enables the giant-key
+    path (module docstring): exact range-partitioned as-of with
+    per-key tail carry-forward, bounding any task at one key's rows
+    within one time bucket instead of its whole history."""
 
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
@@ -158,4 +166,94 @@ def asof_join(
         )
         return merged
 
-    return tagged.groupby(by).map_groups(join_group, batch_format="pandas")
+    if not time_buckets or time_buckets <= 1:
+        return tagged.groupby(by).map_groups(join_group, batch_format="pandas")
+
+    # -- giant-key path: range partition + per-key tail carry-forward ------
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    W = int(time_buckets)
+    tagged = tagged.materialize()  # reused below; aggregates are small
+    bounds = tagged.aggregate(Min(on), Max(on))
+
+    def _as_i64(v):
+        # the aggregate returns int, np.datetime64 or pandas.Timestamp
+        # depending on the column type; normalize to the COLUMN's unit
+        # (same int64 view bucketize() uses)
+        if isinstance(v, (int, np.integer)):
+            return int(v)
+        return pa.scalar(v).cast(types[on]).cast(pa.int64()).as_py()
+
+    lo_i = _as_i64(bounds["min(%s)" % on])
+    hi_i = _as_i64(bounds["max(%s)" % on])
+    width = max(1, (hi_i - lo_i) // W + 1)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        vals = batch.column(on).cast(pa.int64())
+        b = pc.divide(pc.subtract(vals, lo_i), width)
+        return batch.append_column("__bucket", pc.cast(b, pa.int32()))
+
+    bucketed = tagged.map_batches(bucketize, batch_format="pyarrow")
+
+    # latest right row per (key, bucket) - one row per pair, bounded
+    def bucket_tail(group: pd.DataFrame) -> pd.DataFrame:
+        rights = group[group["__side"] == 1]
+        if rights.empty:
+            return rights
+        rights = rights.sort_values(
+            [on, *right_columns], kind="mergesort"
+        )
+        return rights.tail(1)
+
+    tails = bucketed.groupby([by, "__bucket"]).map_groups(
+        bucket_tail, batch_format="pandas"
+    )
+
+    # forward-fill per key: emit the latest EARLIER tail into each later
+    # bucket (at most W rows in, at most W rows out per key)
+    def carry_forward(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("__bucket", kind="mergesort")
+        out = []
+        last = None
+        next_b = 0
+        for _, row in group.iterrows():
+            b = int(row["__bucket"])
+            if last is not None:
+                for fill in range(next_b, b + 1):
+                    if fill > int(last["__bucket"]):
+                        r = last.copy()
+                        r["__bucket"] = fill
+                        out.append(r)
+            last = row
+            next_b = b + 1
+        if last is not None:
+            for fill in range(next_b, W):
+                r = last.copy()
+                r["__bucket"] = fill
+                out.append(r)
+        if not out:
+            return group.iloc[0:0]
+        return pd.DataFrame(out)
+
+    carried = tails.groupby(by).map_groups(carry_forward, batch_format="pandas")
+
+    def cast_like(batch: pa.Table) -> pa.Table:
+        cols = {
+            c: batch.column(c).cast(types[c]) for c in all_cols
+        }
+        t = pa.table(cols)
+        t = t.append_column("__side", batch.column("__side").cast(pa.int8()))
+        return t.append_column(
+            "__bucket", batch.column("__bucket").cast(pa.int32())
+        )
+
+    final = bucketed.union(carried.map_batches(cast_like, batch_format="pyarrow"))
+
+    def join_bucket_group(group: pd.DataFrame) -> pd.DataFrame:
+        merged = join_group(group)
+        return merged.drop(columns=["__bucket"], errors="ignore")
+
+    return final.groupby([by, "__bucket"]).map_groups(
+        join_bucket_group, batch_format="pandas"
+    )
