@@ -294,12 +294,45 @@ class TestMultimodal:
         assert imgs.pixel_mean.notna().all()
         assert df[df.media_type != "image/png"].pixel_mean.isna().all()
 
-    def test_real_codec_raises(self):
+    def test_real_codec_raises_without_pil(self):
         from topicrawler_ray.stages.multimodal import ImageDecodeStage
 
-        stage = ImageDecodeStage(fake=False)
-        with pytest.raises(NotImplementedError):
-            stage._decode(b"xx", 8, 8)
+        try:
+            import PIL  # noqa: F401
+        except ImportError:
+            with pytest.raises(NotImplementedError):
+                ImageDecodeStage(fake=False)
+        else:
+            pytest.skip("PIL present: covered by test_real_codec_decodes_png")
+
+    def test_real_codec_decodes_png(self):
+        """REAL decode path (codec='pil'): round-trip a generated PNG
+        through the stage kernel.  Skip-marked in containers without
+        PIL - the plumbing it shares with the stub path is tested
+        above either way."""
+        PIL = pytest.importorskip("PIL.Image")
+        import io
+
+        import numpy as np
+
+        from topicrawler_ray.stages.multimodal import ImageDecodeStage
+
+        img = PIL.new("RGB", (32, 16), color=(200, 10, 60))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        stage = ImageDecodeStage(target_size=8, codec="pil")
+        arr = stage._decode(buf.getvalue(), 32, 16)
+        assert arr.shape == (8, 8, 3)
+        assert np.allclose(arr.reshape(-1, 3).mean(axis=0), (200, 10, 60), atol=2)
+
+    def test_auto_codec_falls_back_to_stub(self):
+        from topicrawler_ray.stages.multimodal import ImageDecodeStage
+
+        stage = ImageDecodeStage(codec="auto")
+        if stage._pil is not None:
+            pytest.skip("PIL present: auto resolves to the real codec")
+        arr = stage._decode(b"payload-bytes", 8, 8)
+        assert arr.shape == (8, 8, 3)  # deterministic stub grid
 
 
 class TestRobotsActors:

@@ -61,23 +61,47 @@ def synthesize_media_batch(doc_batch: pa.Table) -> pa.Table:
 class ImageDecodeStage:
     """Actor-pool stage: decode + resize images.
 
-    STUB: the real ``__init__`` would import PIL and the real ``_decode``
-    would return an HxWx3 array; here ``fake=True`` (default) derives a
-    deterministic 8x8 "thumbnail" checksum grid from the payload bytes,
-    and ``fake=False`` raises ``NotImplementedError`` exactly where the
-    codec belongs."""
+    Codec selection (``codec``):
 
-    def __init__(self, target_size: int = 8, fake: bool = True):
+    * ``"stub"`` (default, and what the deterministic fixtures use):
+      derives an 8x8 "thumbnail" checksum grid from the payload bytes.
+    * ``"pil"``: REAL decode via PIL (``Image.open -> convert("RGB") ->
+      resize``) - raises ``ImportError`` where the codec belongs when
+      PIL is absent (it is not in this container; the real path is
+      covered by a skip-marked test).
+    * ``"auto"``: PIL when importable, stub otherwise.
+
+    ``fake=False`` is the legacy spelling of ``codec="pil"``.  Either
+    way the import happens ONCE per actor in ``__init__``, never per
+    batch."""
+
+    def __init__(self, target_size: int = 8, fake: bool = True,
+                 codec: str | None = None):
         self.target_size = target_size
-        self.fake = fake
+        if codec is None:
+            codec = "stub" if fake else "pil"
+        self.codec = codec
+        self._pil = None
+        if codec in ("pil", "auto"):
+            try:
+                from PIL import Image
+
+                self._pil = Image
+            except ImportError:
+                if codec == "pil":
+                    raise NotImplementedError(
+                        "image decode requires PIL (not in this container)"
+                    )
 
     def _decode(self, payload: bytes, width: int, height: int):
-        if not self.fake:
-            raise NotImplementedError(
-                "image decode requires PIL/torchvision (not in this container)"
-            )
         import numpy as np
 
+        if self._pil is not None:
+            import io
+
+            img = self._pil.open(io.BytesIO(payload)).convert("RGB")
+            img = img.resize((self.target_size, self.target_size))
+            return np.asarray(img, dtype=np.uint8)
         h = np.frombuffer(
             (payload * ((self.target_size**2 * 3) // max(1, len(payload)) + 1))[
                 : self.target_size**2 * 3
