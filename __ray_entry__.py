@@ -340,6 +340,33 @@ def _q_langid(sf_dir: str):
     return ds.select_columns(["doc_id", "lang_pred"])
 
 
+def _q_langid_wordlist(sf_dir: str):
+    """jLanI-style word-probability language ID (the identifier the
+    reference's eval harness uses; trainable wordlist tables built once
+    per actor) with the coverage confidence quantized for hashing."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from topicrawler_ray.stages.textstats import WordListLangId
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = ds.map_batches(WordListLangId, batch_format="pyarrow", concurrency=2)
+
+    def quantize(batch):
+        import pyarrow as pa
+
+        cov = [
+            int(math.floor(c * 10000))
+            for c in batch.column("lang_coverage").to_pylist()
+        ]
+        return batch.drop_columns(["lang_coverage", "text"]).append_column(
+            "lang_cov_e4", pa.array(cov, pa.int64())
+        )
+
+    return ds.map_batches(quantize, batch_format="pyarrow")
+
+
 def _q_fingerprints(sf_dir: str):
     from topicrawler_ray.stages.textstats import fingerprint_batch
 
@@ -819,6 +846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "text_quality": _q_quality,
         "langid": _q_langid,
+        "langid_wordlist": _q_langid_wordlist,
         "fingerprints": _q_fingerprints,
         "vocabulary": _q_vocabulary,
         "ngram_counts_ws": _q_ngram_counts_ws,

@@ -191,8 +191,28 @@ def freeze_knn_ivf(sf_dir) -> pa.Table:
     )
 
 
+def freeze_langid_wordlist(sf_dir) -> pa.Table:
+    from topicrawler_ray.stages.textstats import WordListLangId
+
+    t = _docs_table(sf_dir)
+    li = WordListLangId()
+    preds, covs = [], []
+    for x in t.column("text").to_pylist():
+        lang, cov = li.classify(x)
+        preds.append(lang)
+        covs.append(int(math.floor(cov * 10000)))
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "lang_pred": pa.array(preds, pa.string()),
+            "lang_cov_e4": pa.array(covs, pa.int64()),
+        }
+    )
+
+
 FREEZERS = {
     "langid": freeze_langid,
+    "langid_wordlist": freeze_langid_wordlist,
     "media_features": freeze_media_features,
     "media_frames": freeze_media_frames,
     "extract_boilerpipe": freeze_extract_boilerpipe,

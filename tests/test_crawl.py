@@ -321,6 +321,36 @@ class TestArpaScorer:
         assert res.seen_keys == sim.seen_keys
 
 
+class TestDiskLMScorer:
+    def test_disk_lm_crawl_matches_in_memory_kn(self, ray_session, sf_dir):
+        """Crawl scored through the DISK-BACKED KN artifact
+        (scorer='kneser_ney_disk': actors hold only the artifact path +
+        a bounded bucket LRU) is log-identical to the in-memory KN
+        crawl - the CountingStringLM Lucene-serving analog driven
+        through the full engine."""
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+        from topicrawler_ray.pipelines.simulate import simulate_crawl
+
+        kw = dict(max_waves=40, **_SMALL)
+        mem = RayCrawlEngine(sf_dir, CrawlConfig(scorer="kneser_ney", **kw)).run()
+        disk = RayCrawlEngine(
+            sf_dir, CrawlConfig(scorer="kneser_ney_disk", **kw)
+        ).run()
+        # field-wise compare (the raw float perp column is NaN for
+        # robots/404 rows and NaN != NaN; perp_str carries the value)
+        am, ad = mem.log.to_pylist(), disk.log.to_pylist()
+        assert len(am) == len(ad)
+        for x, y in zip(am, ad):
+            for k in _LOG_FIELDS:
+                assert x[k] == y[k], (x["fetch_seq"], k, x[k], y[k])
+        assert disk.seen_keys == mem.seen_keys
+        # and both match the sequential simulator on the same scorer
+        sim = simulate_crawl(
+            sf_dir, config=CrawlConfig(scorer="kneser_ney", **kw)
+        )
+        _assert_log_matches(disk.log, sim.rows)
+
+
 class TestCrawlDelay:
     def test_parse_and_period(self):
         from topicrawler_ray.state.frontier import crawl_delay_period, parse_robots

@@ -84,6 +84,47 @@ class TestTextStats:
         assert li.classify("le chat est dans la maison avec les autres") == "fr"
         assert li.classify("") == "und"
 
+    def test_wordlist_langid_jlani_style(self, ray_session):
+        """The production-shaped (jLanI-style) identifier: word
+        log-probability tables + coverage confidence over seven
+        languages, incl. languages the toy trigram profiles lack."""
+        import pyarrow as pa
+        import ray.data
+
+        from topicrawler_ray.stages.textstats import WordListLangId
+
+        li = WordListLangId()
+        cases = {
+            "en": "the house was on the hill and they could see it from far",
+            "de": "der hund ist nicht mit der katze aus dem haus gegangen",
+            "fr": "le chat est dans la maison avec les autres et il ne sort pas",
+            "es": "la casa que está en la colina no se puede ver desde aquí",
+            "it": "il gatto è nella casa con gli altri e non vuole uscire",
+            "nl": "de hond is niet met de kat uit het huis gegaan vandaag",
+            "pt": "o gato está na casa com os outros e não quer sair hoje",
+        }
+        for lang, text in cases.items():
+            got, cov = li.classify(text)
+            assert got == lang, (lang, got, cov)
+            assert cov > 0.3
+        assert li.classify("")[0] == "und"
+        assert li.classify("qzx wvk jjj pfft 12345")[0] == "und"
+
+        # trainable: a custom language wordlist wins on its own text
+        li.fit("xx", "blorp glizz fnord blorp wibble glizz snark")
+        assert li.classify("the blorp and the glizz met a fnord")[0] in ("xx", "en")
+        assert li.classify("blorp glizz fnord wibble snark blorp")[0] == "xx"
+
+        # actor-pool stage shape: map_batches adds lang_pred + coverage
+        ds = ray.data.from_arrow(
+            pa.table({"text": [cases["en"], cases["de"], ""]})
+        )
+        out = ds.map_batches(
+            WordListLangId, concurrency=1, batch_format="pyarrow"
+        ).to_pandas()
+        assert list(out.lang_pred) == ["en", "de", "und"]
+        assert "lang_coverage" in out.columns
+
     def test_fingerprint_deterministic(self):
         from topicrawler_ray.stages.textstats import (
             content_hash64,

@@ -371,6 +371,11 @@ def _b_langid(sf_dir: str) -> pa.Table:
     return _golden(sf_dir, "langid")
 
 
+def _b_langid_wordlist(sf_dir: str) -> pa.Table:
+    """Frozen golden for the jLanI-style word-probability identifier."""
+    return _golden(sf_dir, "langid_wordlist")
+
+
 def _b_media_features(sf_dir: str) -> pa.Table:
     """Frozen golden (scripts/freeze_goldens.py) - table literal, no
     re-derivation of the stub codec formulas."""
@@ -610,6 +615,7 @@ BUILDERS = {
     "crawl_seen": _b_crawl_seen,
     "crawl_metrics": _b_crawl_metrics,
     "langid": _b_langid,
+    "langid_wordlist": _b_langid_wordlist,
     "media_features": _b_media_features,
     "export_manifest": _b_export_manifest,
     "dedup_minhash": _b_dedup_minhash,
