@@ -340,6 +340,56 @@ def _q_langid(sf_dir: str):
     return ds.select_columns(["doc_id", "lang_pred"])
 
 
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25}
+_SAMPLE_DEFAULT = 0.1
+_SAMPLE_SEED = "42"
+
+
+def _q_sample_stratified(sf_dir: str):
+    """Deterministic stratified hash sampling (training-mix curation):
+    per-lang keep fractions keyed on md5(seed:doc_id) - a stateless
+    row-local filter, reproducible and DuckDB-recomputable."""
+    from topicrawler_ray.stages.sampling import stratified_sample
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "lang"])
+    return stratified_sample(
+        ds, "doc_id", "lang", _SAMPLE_FRACTIONS, _SAMPLE_DEFAULT,
+        seed=_SAMPLE_SEED,
+    )
+
+
+def _q_events_topk_type(sf_dir: str):
+    """Group-wise top-k (per-batch partial top-k combiner -> one small
+    groupby): the 5 highest-value events per event type."""
+    import ray.data
+
+    from topicrawler_ray.stages.ranking import topk_per_group
+
+    ev = ray.data.read_parquet(
+        sf_dir + "/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return topk_per_group(
+        ev, "event_type", "value", "event_id", k=5
+    ).select_columns(["event_type", "event_id", "value", "rank"])
+
+
+def _q_word_df(sf_dir: str):
+    """Corpus word document-frequency (distinct-docs-per-word): the
+    canonical stop-term signal, one word-keyed shuffle."""
+    from topicrawler_ray.stages.ranking import word_df
+
+    return word_df(_docs(sf_dir))
+
+
+def _q_doc_top_terms(sf_dir: str):
+    """Per-document keyword extraction: top-3 terms by (tf DESC, term)
+    after dropping stop terms (df > half the corpus) - all-integer
+    scoring, df side joined on the word key (never broadcast)."""
+    from topicrawler_ray.stages.ranking import doc_top_terms
+
+    return doc_top_terms(_docs(sf_dir), k=3, max_df_docs=250)
+
+
 def _q_langid_wordlist(sf_dir: str):
     """jLanI-style word-probability language ID (the identifier the
     reference's eval harness uses; trainable wordlist tables built once
@@ -847,6 +897,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q_quality,
         "langid": _q_langid,
         "langid_wordlist": _q_langid_wordlist,
+        "sample_stratified": _q_sample_stratified,
+        "events_topk_type": _q_events_topk_type,
+        "word_df": _q_word_df,
+        "doc_top_terms": _q_doc_top_terms,
         "fingerprints": _q_fingerprints,
         "vocabulary": _q_vocabulary,
         "ngram_counts_ws": _q_ngram_counts_ws,
@@ -1004,6 +1058,38 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER w - 1 AS BIGINT) AS slot, "
             "CAST((row_number() OVER w - 1) * 100 AS BIGINT) AS not_before_ms "
             "FROM f WINDOW w AS (PARTITION BY host ORDER BY directive, cost, seq)"
+        ),
+        "sample_stratified": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < "
+            "CASE lang WHEN 'en' THEN '%08x' WHEN 'de' THEN '%08x' "
+            "ELSE '%08x' END"
+        ) % (2147483648, 1073741824, 429496729),
+        "events_topk_type": (
+            "SELECT event_type, event_id, value, "
+            "CAST(row_number() OVER w - 1 AS BIGINT) AS rank FROM events "
+            "WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id) "
+            "QUALIFY row_number() OVER w <= 5"
+        ),
+        "word_df": (
+            "SELECT word, CAST(count(*) AS BIGINT) AS df FROM ("
+            "SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word "
+            "FROM documents WHERE text <> '') GROUP BY word"
+        ),
+        "doc_top_terms": (
+            "WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+            "FROM documents WHERE text <> '') WHERE term <> '' "
+            "GROUP BY doc_id, term), "
+            "dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM ("
+            "SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word "
+            "FROM documents WHERE text <> '') GROUP BY word "
+            "HAVING count(*) <= 250) "
+            "SELECT t.doc_id, t.term, t.tf, d.df, "
+            "CAST(row_number() OVER w - 1 AS BIGINT) AS rank "
+            "FROM tf t JOIN dfq d ON t.term = d.word "
+            "WINDOW w AS (PARTITION BY t.doc_id ORDER BY t.tf DESC, t.term) "
+            "QUALIFY row_number() OVER w <= 3"
         ),
         # the remaining queries are not expressible in SQL over the raw
         # tables (stateful crawl scheduling, seg tokenization, LM

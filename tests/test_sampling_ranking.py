@@ -1,0 +1,138 @@
+"""Sampling + ranking operators (training-data curation suite):
+deterministic hash sampling, group-wise top-k, df / top-terms."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+class TestHashSampling:
+    def test_fraction_and_determinism(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.sampling import hash_sample
+
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(range(4000), pa.int64())})
+        )
+        a = hash_sample(ds, "doc_id", 0.25, seed="s1").to_pandas()
+        b = hash_sample(ds, "doc_id", 0.25, seed="s1").to_pandas()
+        assert list(a.doc_id) == list(b.doc_id)  # pure function of ids
+        assert 0.20 < len(a) / 4000 < 0.30  # ~fraction
+        c = hash_sample(ds, "doc_id", 0.25, seed="s2").to_pandas()
+        assert list(a.doc_id) != list(c.doc_id)  # seed matters
+
+    def test_nested_fractions(self, ray_session):
+        """A smaller fraction with the same seed is a SUBSET of a larger
+        one (threshold monotonicity) - lets eval holdouts nest."""
+        import ray.data
+
+        from topicrawler_ray.stages.sampling import hash_sample
+
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(range(2000), pa.int64())})
+        )
+        small = set(hash_sample(ds, "doc_id", 0.1, seed="s").to_pandas().doc_id)
+        big = set(hash_sample(ds, "doc_id", 0.4, seed="s").to_pandas().doc_id)
+        assert small <= big
+
+    def test_stratified_fractions(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.sampling import stratified_sample
+
+        n = 3000
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "lang": pa.array(
+                    [("en", "de", "fr")[i % 3] for i in range(n)], pa.string()
+                ),
+            }
+        )
+        out = stratified_sample(
+            ray.data.from_arrow(t), "doc_id", "lang",
+            {"en": 0.8, "de": 0.2}, default_fraction=0.0,
+        ).to_pandas()
+        counts = out.lang.value_counts().to_dict()
+        assert 0.7 < counts["en"] / 1000 < 0.9
+        assert 0.12 < counts["de"] / 1000 < 0.28
+        assert "fr" not in counts  # default 0 drops the stratum
+
+
+class TestTopkPerGroup:
+    def test_matches_pandas_reference(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from topicrawler_ray.stages.ranking import topk_per_group
+
+        rng = np.random.default_rng(11)
+        n = 5000
+        df = pd.DataFrame(
+            {
+                "g": rng.integers(0, 20, n),
+                "score": rng.integers(0, 50, n).astype("float64"),
+                "id": np.arange(n, dtype="int64"),
+            }
+        )
+        out = (
+            topk_per_group(
+                ray.data.from_pandas(df), "g", "score", "id", k=4
+            )
+            .to_pandas()
+            .sort_values(["g", "rank"])
+            .reset_index(drop=True)
+        )
+        ref = (
+            df.sort_values(["g", "score", "id"], ascending=[True, False, True])
+            .groupby("g", sort=True)
+            .head(4)
+            .reset_index(drop=True)
+        )
+        assert list(out.g) == list(ref.g)
+        assert list(out.id) == list(ref.id)
+        assert list(out.score) == list(ref.score)
+        # ranks run 0..k-1 within each group
+        assert all(
+            list(sub["rank"]) == list(range(len(sub)))
+            for _, sub in out.groupby("g")
+        )
+
+
+class TestDocTerms:
+    def test_word_df_and_top_terms(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.ranking import doc_top_terms, word_df
+
+        docs = [
+            {"doc_id": 0, "text": "alpha alpha beta common common"},
+            {"doc_id": 1, "text": "beta beta gamma common"},
+            {"doc_id": 2, "text": "gamma delta common common common"},
+        ]
+        ds = ray.data.from_items(docs)
+        dfm = dict(
+            zip(*(lambda d: (d.word, d.df))(word_df(ds).to_pandas()))
+        )
+        assert dfm == {
+            "alpha": 1, "beta": 2, "gamma": 2, "delta": 1, "common": 3
+        }
+        # stop-term 'common' (df 3 > max_df 2) is dropped everywhere
+        out = (
+            doc_top_terms(ds, k=2, max_df_docs=2)
+            .to_pandas()
+            .sort_values(["doc_id", "rank"])
+            .reset_index(drop=True)
+        )
+        got = {
+            (r.doc_id, r.rank): (r.term, r.tf, r.df)
+            for r in out.itertuples()
+        }
+        assert got[(0, 0)] == ("alpha", 2, 1)
+        assert got[(0, 1)] == ("beta", 1, 2)
+        assert got[(1, 0)] == ("beta", 2, 2)
+        assert got[(1, 1)] == ("gamma", 1, 2)
+        assert got[(2, 0)] == ("delta", 1, 1)  # tf tie -> term asc
+        assert got[(2, 1)] == ("gamma", 1, 2)
+        assert "common" not in set(out.term)
