@@ -390,6 +390,18 @@ def _q_doc_top_terms(sf_dir: str):
     return doc_top_terms(_docs(sf_dir), k=3, max_df_docs=250)
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Sequence packing (LLM training-sample construction): greedy
+    fixed-capacity packing in doc_id order, fresh sequence per 64-doc
+    range - a two-pass prefix scan whose result is identical for any
+    partitioning (checked against an independent sequential oracle)."""
+    from topicrawler_ray.stages.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(sf_dir), max_tokens=128, range_size=64
+    )
+
+
 def _q_langid_wordlist(sf_dir: str):
     """jLanI-style word-probability language ID (the identifier the
     reference's eval harness uses; trainable wordlist tables built once
@@ -897,6 +909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q_quality,
         "langid": _q_langid,
         "langid_wordlist": _q_langid_wordlist,
+        "pack_sequences": _q_pack_sequences,
         "sample_stratified": _q_sample_stratified,
         "events_topk_type": _q_events_topk_type,
         "word_df": _q_word_df,

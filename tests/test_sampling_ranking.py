@@ -136,3 +136,60 @@ class TestDocTerms:
         assert got[(2, 0)] == ("delta", 1, 1)  # tf tie -> term asc
         assert got[(2, 1)] == ("gamma", 1, 2)
         assert "common" not in set(out.term)
+
+
+class TestSequencePacking:
+    def test_capacity_and_partitioning_invariance(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.packing import pack_sequences
+
+        rng = np.random.default_rng(3)
+        docs = [
+            {"doc_id": i, "text": " ".join("w%d" % j for j in range(int(rng.integers(1, 40))))}
+            for i in range(500)
+        ]
+        def run(nblocks):
+            ds = ray.data.from_items(docs, override_num_blocks=nblocks)
+            return (
+                pack_sequences(ds, max_tokens=64, range_size=100)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+
+        a, b = run(2), run(17)
+        # block boundaries never leak into the packing
+        assert a.equals(b)
+        # capacity respected: per-sequence token sums <= 64 (except
+        # oversized single docs, none here since docs < 40 tokens)
+        sums = a.groupby("seq_id")["n_tokens"].sum()
+        assert (sums <= 64).all()
+        # offsets are the running fill within each sequence
+        for _sid, sub in a.sort_values(["seq_id", "doc_id"]).groupby("seq_id"):
+            run_fill = 0
+            for r in sub.itertuples():
+                assert r.seq_offset == run_fill
+                run_fill += r.n_tokens
+        # sequences never cross 100-doc ranges
+        rng_of_seq = a.assign(rid=a.doc_id // 100).groupby("seq_id")["rid"].nunique()
+        assert (rng_of_seq == 1).all()
+
+    def test_oversized_doc_gets_own_sequence(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.packing import pack_sequences
+
+        docs = [
+            {"doc_id": 0, "text": "a b c"},
+            {"doc_id": 1, "text": " ".join("x%d" % j for j in range(30))},  # > cap
+            {"doc_id": 2, "text": "d e"},
+        ]
+        out = (
+            pack_sequences(ray.data.from_items(docs), max_tokens=10)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(out.seq_id) == [0, 1, 2]  # the giant doc sits alone
+        assert list(out.seq_offset) == [0, 0, 0]

@@ -371,6 +371,52 @@ def _b_langid(sf_dir: str) -> pa.Table:
     return _golden(sf_dir, "langid")
 
 
+def _b_pack_sequences(sf_dir: str) -> pa.Table:
+    """Sequential reimplementation of the packing SPEC (greedy in
+    doc_id order, fresh sequence per 64-doc range, capacity 128
+    whitespace tokens) - shares no code with stages/packing.py."""
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows = sorted(
+        zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    )
+    max_tokens, range_size = 128, 64
+    o_id, o_n, o_seq, o_off = [], [], [], []
+    seq = 0
+    fill = 0
+    cur_range = None
+    for doc_id, text in rows:
+        n = len(text.split(" ")) if text else 0
+        rid = doc_id // range_size
+        if cur_range is None:
+            cur_range = rid
+        elif rid != cur_range:
+            cur_range = rid
+            if fill > 0:  # close the open sequence at the range boundary
+                seq += 1
+                fill = 0
+        if fill > 0 and fill + n > max_tokens:
+            seq += 1
+            fill = 0
+        o_id.append(doc_id)
+        o_n.append(n)
+        o_seq.append(seq)
+        o_off.append(fill)
+        fill += n
+        if fill >= max_tokens:
+            seq += 1
+            fill = 0
+    return pa.table(
+        {
+            "doc_id": pa.array(o_id, pa.int64()),
+            "n_tokens": pa.array(o_n, pa.int64()),
+            "seq_id": pa.array(o_seq, pa.int64()),
+            "seq_offset": pa.array(o_off, pa.int64()),
+        }
+    )
+
+
 def _b_langid_wordlist(sf_dir: str) -> pa.Table:
     """Frozen golden for the jLanI-style word-probability identifier."""
     return _golden(sf_dir, "langid_wordlist")
@@ -616,6 +662,7 @@ BUILDERS = {
     "crawl_metrics": _b_crawl_metrics,
     "langid": _b_langid,
     "langid_wordlist": _b_langid_wordlist,
+    "pack_sequences": _b_pack_sequences,
     "media_features": _b_media_features,
     "export_manifest": _b_export_manifest,
     "dedup_minhash": _b_dedup_minhash,
