@@ -135,6 +135,19 @@ def _q_sentences_corpus(sf_dir: str):
     return ds.map_batches(sentences_batch, batch_format="pyarrow")
 
 
+def _q_sentences_breakiter(sf_dir: str):
+    """BreakIteratorStringProvider sentence view: UAX #29 sentence /
+    word segmentation (the ICU-analog provider) exploded distributedly
+    over extracted pages."""
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.extract import extract_batch
+    from topicrawler_ray.stages.sinks import breakiter_sentences_batch
+
+    ds = read_pages(sf_dir, num_blocks=8)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow")
+    return ds.map_batches(breakiter_sentences_batch, batch_format="pyarrow")
+
+
 def _q_plaintext_corpus(sf_dir: str):
     """PlainTextDocumentWriter escaping (S6): url -> escaped text."""
     from topicrawler_ray.sources.pages import read_pages
@@ -897,6 +910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_metrics": _q_crawl_metrics,
         "fetch_join": _q_fetch_join,
         "sentences_corpus": _q_sentences_corpus,
+        "sentences_breakiter": _q_sentences_breakiter,
         "plaintext_corpus": _q_plaintext_corpus,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,

@@ -182,6 +182,32 @@ def _b_sentences_corpus(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_sentences_breakiter(sf_dir: str) -> pa.Table:
+    """Sequential UAX #29 sentence explode (the scalar segmentation
+    kernel is shared and separately golden-tested in
+    tests/test_breakiter.py; what this fixture certifies is the
+    distributed flat-map over extracted pages)."""
+    from .functions.breakiter import provider_split_sentences, provider_tokenize
+
+    o_url, o_idx, o_sent, o_ntok = [], [], [], []
+    for url, _ts, clean, _perp, _ps in _scored_rows(sf_dir):
+        if not clean:
+            continue
+        for i, sentence in enumerate(provider_split_sentences(clean)):
+            o_url.append(url)
+            o_idx.append(i)
+            o_sent.append(sentence)
+            o_ntok.append(len(provider_tokenize(sentence)))
+    return pa.table(
+        {
+            "url": pa.array(o_url, pa.string()),
+            "sent_idx": pa.array(o_idx, pa.int32()),
+            "sentence": pa.array(o_sent, pa.string()),
+            "n_tokens": pa.array(o_ntok, pa.int64()),
+        }
+    )
+
+
 def _b_line_perp(sf_dir: str) -> pa.Table:
     rows = _line_perp_rows(sf_dir)
     return pa.table(
@@ -652,6 +678,7 @@ BUILDERS = {
     "media_frames": _b_media_frames,
     "extract_boilerpipe": _b_extract_boilerpipe,
     "sentences_corpus": _b_sentences_corpus,
+    "sentences_breakiter": _b_sentences_breakiter,
     "line_perp": _b_line_perp,
     "filtered_sentences": _b_filtered_sentences,
     "doc_perp": _b_doc_perp,

@@ -85,6 +85,11 @@ def _register_defaults() -> None:
     register("sentence_splitter", "sentence_maker", get_sentences)
     register("tokenizer", "diff", filtered_and_normalized_tokens)
 
+    from .functions.breakiter import provider_split_sentences, provider_tokenize
+
+    register("sentence_splitter", "breakiterator", provider_split_sentences)
+    register("tokenizer", "breakiterator", provider_tokenize)
+
     from .lm.backoff import StupidBackoffLM
     from .lm.kneserney import build_kneser_ney
 

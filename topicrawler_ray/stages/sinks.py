@@ -67,6 +67,34 @@ def sentences_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def breakiter_sentences_batch(batch: pa.Table) -> pa.Table:
+    """flat-map extracted pages -> UAX #29 sentence rows - the
+    ``BreakIteratorStringProvider`` (``lt.lm/.../service/
+    BreakIteratorStringProvider.java:66-103``) sentence/token view as a
+    Dataset transform: ``url, sent_idx, sentence, n_tokens``."""
+    from ..functions.breakiter import provider_split_sentences, provider_tokenize
+
+    urls = batch.column("url").to_pylist()
+    texts = batch.column("clean_text").to_pylist()
+    o_url, o_idx, o_sent, o_ntok = [], [], [], []
+    for url, text in zip(urls, texts):
+        if not text:
+            continue
+        for i, sentence in enumerate(provider_split_sentences(text)):
+            o_url.append(url)
+            o_idx.append(i)
+            o_sent.append(sentence)
+            o_ntok.append(len(provider_tokenize(sentence)))
+    return pa.table(
+        {
+            "url": pa.array(o_url, pa.string()),
+            "sent_idx": pa.array(o_idx, pa.int32()),
+            "sentence": pa.array(o_sent, pa.string()),
+            "n_tokens": pa.array(o_ntok, pa.int64()),
+        }
+    )
+
+
 def plaintext_batch(batch: pa.Table) -> pa.Table:
     """scored pages -> plaintext-corpus rows (PlainTextDocumentWriter)."""
     urls = batch.column("url").to_pylist()
