@@ -375,6 +375,89 @@ class TestMultimodal:
         arr = stage._decode(b"payload-bytes", 8, 8)
         assert arr.shape == (8, 8, 3)  # deterministic stub grid
 
+    @staticmethod
+    def _make_wav(freq_hz=440, rate=8000, n=8000, amp=0.5):
+        import io
+        import wave
+
+        import numpy as np
+
+        t = np.arange(n) / rate
+        samples = (amp * np.sin(2 * np.pi * freq_hz * t) * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(samples.tobytes())
+        return buf.getvalue()
+
+    def test_real_wav_codec_rms(self):
+        """REAL audio path (stdlib wave, no ffmpeg): a constant-amplitude
+        sine has RMS amp/sqrt(2) in every frame."""
+        import math
+
+        from topicrawler_ray.stages.multimodal import (
+            AudioFeatureStage,
+            wav_frame_rms,
+        )
+
+        payload = self._make_wav(amp=0.5)
+        energies = wav_frame_rms(payload, frame_ms=100)
+        assert len(energies) == 10  # 1s at 100ms hop
+        for e in energies:
+            assert e == pytest.approx(0.5 / math.sqrt(2), rel=1e-2)
+        # auto codec sniffs RIFF/WAVE and takes the real path
+        stage = AudioFeatureStage(frame_ms=100, codec="auto")
+        assert stage._features(payload, dur=1000) == energies
+        # non-WAV payload under codec="wav" raises the honest stub error
+        with pytest.raises(NotImplementedError):
+            AudioFeatureStage(codec="wav")._features(b"\xffmp3-ish", 1000)
+
+    @staticmethod
+    def _make_y4m(w=4, h=4, fps=2, n_frames=4):
+        head = b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C420\x0a" % (w, h, fps)
+        frame_size = w * h + 2 * ((w // 2) * (h // 2))
+        body = b"".join(
+            b"FRAME\x0a" + bytes((i * 37 + j) % 256 for j in range(frame_size))
+            for i in range(n_frames)
+        )
+        return head + body
+
+    def test_real_y4m_codec_frame_hashes(self):
+        """REAL video path (pure-Python YUV4MPEG2 parse): sampled hashes
+        cover actual frame pixel bytes."""
+        from topicrawler_ray.functions.hashing import murmur3_x64_128
+        from topicrawler_ray.stages.multimodal import (
+            VideoFrameSampleStage,
+            parse_y4m,
+        )
+
+        payload = self._make_y4m(fps=2, n_frames=4)  # 2s of video
+        w, h, fps, frames = parse_y4m(payload)
+        assert (w, h, fps, len(frames)) == (4, 4, 2.0, 4)
+        assert len(set(frames)) == 4
+        stage = VideoFrameSampleStage(every_ms=1000, codec="y4m")
+        hashes = stage._hashes(payload, dur=0)  # duration from the stream
+        # samples at t=0ms (frame 0) and t=1000ms (frame 2)
+        assert hashes == [
+            murmur3_x64_128(frames[0])[0] % (1 << 31),
+            murmur3_x64_128(frames[2])[0] % (1 << 31),
+        ]
+        with pytest.raises(NotImplementedError):
+            VideoFrameSampleStage(codec="y4m")._hashes(b"\x00mp4-ish", 1000)
+
+    def test_y4m_malformed_payloads_raise(self):
+        from topicrawler_ray.stages.multimodal import parse_y4m
+
+        with pytest.raises(ValueError):
+            parse_y4m(b"RIFF....WAVE")
+        with pytest.raises(ValueError):
+            parse_y4m(b"YUV4MPEG2 W4 H4\x0a")  # missing F
+        good = self._make_y4m()
+        with pytest.raises(ValueError):
+            parse_y4m(good[:-3])  # truncated final frame
+
 
 class TestRobotsActors:
     def test_standalone_robots_filtering(self, ray_session):
