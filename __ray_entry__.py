@@ -371,6 +371,19 @@ def _q_sample_stratified(sf_dir: str):
     )
 
 
+_SHUFFLE_SHARDS = 8
+
+
+def _q_shuffle_shards(sf_dir: str):
+    """Deterministic global shuffle into ordered shards (training-data
+    layout): row-local key assign + ONE groupby(shard) exchange; the
+    shard/rank layout is md5-recomputable in SQL."""
+    from topicrawler_ray.stages.sampling import shuffle_shards
+
+    ds = _docs(sf_dir).select_columns(["doc_id"])
+    return shuffle_shards(ds, "doc_id", _SHUFFLE_SHARDS, seed=_SAMPLE_SEED)
+
+
 def _q_events_topk_type(sf_dir: str):
     """Group-wise top-k (per-batch partial top-k combiner -> one small
     groupby): the 5 highest-value events per event type."""
@@ -925,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_wordlist": _q_langid_wordlist,
         "pack_sequences": _q_pack_sequences,
         "sample_stratified": _q_sample_stratified,
+        "shuffle_shards": _q_shuffle_shards,
         "events_topk_type": _q_events_topk_type,
         "word_df": _q_word_df,
         "doc_top_terms": _q_doc_top_terms,
@@ -1092,6 +1106,16 @@ def oracle_sql() -> dict[str, str]:
             "CASE lang WHEN 'en' THEN '%08x' WHEN 'de' THEN '%08x' "
             "ELSE '%08x' END"
         ) % (2147483648, 1073741824, 429496729),
+        "shuffle_shards": (
+            "WITH keyed AS (SELECT doc_id, "
+            "CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS BIGINT) AS shuffle_key FROM documents) "
+            "SELECT doc_id, shuffle_key, "
+            "CAST(shuffle_key % 8 AS INTEGER) AS shard, "
+            "CAST(row_number() OVER (PARTITION BY shuffle_key % 8 "
+            "ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS shard_pos "
+            "FROM keyed"
+        ),
         "events_topk_type": (
             "SELECT event_type, event_id, value, "
             "CAST(row_number() OVER w - 1 AS BIGINT) AS rank FROM events "

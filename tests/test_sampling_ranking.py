@@ -60,6 +60,51 @@ class TestHashSampling:
         assert "fr" not in counts  # default 0 drops the stratum
 
 
+class TestShuffleShards:
+    def test_permutation_and_determinism(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.sampling import shuffle_shards
+
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(range(2000), pa.int64())})
+        )
+        a = shuffle_shards(ds, "doc_id", 8, seed="s1").to_pandas()
+        # every row exactly once (it's a permutation layout)
+        assert sorted(a.doc_id) == list(range(2000))
+        # shard assignment consistent with the key, ranks contiguous 0..n-1
+        assert ((a.shuffle_key % 8) == a.shard).all()
+        for shard, grp in a.groupby("shard"):
+            grp = grp.sort_values(["shuffle_key", "doc_id"])
+            assert list(grp.shard_pos) == list(range(len(grp)))
+        # roughly uniform shards
+        sizes = a.groupby("shard").size()
+        assert len(sizes) == 8 and sizes.min() > 2000 / 8 * 0.7
+        # deterministic; seed changes the layout
+        b = shuffle_shards(ds, "doc_id", 8, seed="s1").to_pandas()
+        assert a.sort_values("doc_id").reset_index(drop=True).equals(
+            b.sort_values("doc_id").reset_index(drop=True)
+        )
+        c = shuffle_shards(ds, "doc_id", 8, seed="s2").to_pandas()
+        assert not a.sort_values("doc_id").shuffle_key.reset_index(
+            drop=True
+        ).equals(c.sort_values("doc_id").shuffle_key.reset_index(drop=True))
+
+    def test_partitioning_invariance(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.sampling import shuffle_shards
+
+        t = pa.table({"doc_id": pa.array(range(500), pa.int64())})
+        one = shuffle_shards(
+            ray.data.from_arrow(t), "doc_id", 4, seed="x"
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        many = shuffle_shards(
+            ray.data.from_arrow(t).repartition(13), "doc_id", 4, seed="x"
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert one.equals(many)  # layout independent of input blocking
+
+
 class TestTopkPerGroup:
     def test_matches_pandas_reference(self, ray_session):
         import pandas as pd

@@ -47,6 +47,42 @@ def hash_sample(ds, id_column: str, fraction: float, seed: str = "0"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def shuffle_shards(ds, id_column: str, num_shards: int, seed: str = "0"):
+    """Deterministic global shuffle into ordered shards - the
+    training-data writer's layout step.
+
+    Each row gets ``shuffle_key = hash32(seed, id)``; rows land in
+    ``shard = key % num_shards`` and are ranked inside their shard by
+    ``(key, id)``.  The concatenation shard 0..S-1 in rank order IS a
+    uniform seeded permutation of the corpus, yet:
+
+    * assignment is row-local (one ``map_batches``), the only exchange
+      is ONE hash-keyed ``groupby(shard)`` shuffle,
+    * layout is a pure function of (ids, seed) - a failed shard can be
+      rewritten alone (resumable output), and an oracle (DuckDB md5 +
+      window rank) recomputes it exactly,
+    * at 100 TB pick ``num_shards`` so one shard (~corpus/S) fits a
+      task's heap, e.g. S = 1e5 for ~GB shards; shard files then map
+      1:1 to output parquet parts.
+    """
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_pylist()
+        keys = [_bucket32(seed, str(i)) for i in ids]
+        batch = batch.append_column("shuffle_key", pa.array(keys, pa.int64()))
+        return batch.append_column(
+            "shard", pa.array([k % num_shards for k in keys], pa.int32())
+        )
+
+    def rank_group(df):
+        df = df.sort_values(["shuffle_key", id_column]).reset_index(drop=True)
+        df["shard_pos"] = pa.array(range(len(df)), pa.int64()).to_pandas()
+        return df
+
+    ds = ds.map_batches(assign, batch_format="pyarrow")
+    return ds.groupby("shard").map_groups(rank_group)
+
+
 def stratified_sample(ds, id_column: str, strata_column: str,
                       fractions: dict, default_fraction: float = 0.0,
                       seed: str = "0"):
