@@ -327,6 +327,32 @@ def _q_knn_ivf(sf_dir: str):
     return df
 
 
+def _q_knn_lsh(sf_dir: str):
+    """Random-hyperplane LSH ANN (scale path; approximate, deterministic
+    seeded planes - hash-checked vs the frozen sequential golden)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from topicrawler_ray.stages.similarity import lsh_topk
+
+    qt = pq.read_table(sf_dir + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrows = sorted(
+        (
+            (i, e)
+            for i, e in zip(qt["vec_id"].to_pylist(), qt["embedding"].to_pylist())
+            if i < 5
+        )
+    )
+    queries = np.array([e for _, e in qrows], dtype=np.float64)
+    t = lsh_topk(_embs(sf_dir), queries, k=10, n_bits=8, probe_hamming=1)
+    df = t.to_pandas()
+    df["cosine_e4"] = np.floor(df["cosine"] * 10000).astype("int64")
+    df = df.drop(columns=["cosine"])
+    df["query_id"] = df["query_id"].astype("int64")
+    df["rank"] = df["rank"].astype("int64")
+    return df
+
+
 def _q_token_counts(sf_dir: str):
     from topicrawler_ray.stages.textstats import token_count_batch
 
@@ -932,6 +958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_ivf": _q_knn_ivf,
+        "knn_lsh": _q_knn_lsh,
         "token_counts": _q_token_counts,
         "text_quality": _q_quality,
         "langid": _q_langid,

@@ -191,6 +191,74 @@ def freeze_knn_ivf(sf_dir) -> pa.Table:
     )
 
 
+def freeze_knn_lsh(sf_dir) -> pa.Table:
+    """Sequential replication of stages/similarity.py:lsh_topk with the
+    query parameters of __ray_entry__._q_knn_lsh (k=10, n_bits=8,
+    probe_hamming=1, queries = vec_id < 5)."""
+    from topicrawler_ray.stages.similarity import (
+        _normalize,
+        lsh_planes,
+        lsh_signatures,
+    )
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    k, n_bits = 10, 8
+
+    q = _normalize(
+        np.array(
+            [vecs[np.nonzero(ids == i)[0][0]] for i in sorted(ids[ids < 5])],
+            dtype=np.float64,
+        ).astype(np.float32)
+    )
+    planes = lsh_planes(q.shape[1], n_bits)
+    qsigs = lsh_signatures(q, planes)
+    probe_map = {}
+    for qi, sig in enumerate(map(int, qsigs)):
+        for bkt in {sig} | {sig ^ (1 << b) for b in range(n_bits)}:
+            probe_map.setdefault(bkt, []).append(qi)
+
+    sigs = lsh_signatures(_normalize(vecs), planes).astype(np.int64)
+    heaps = {}
+    for bkt in sorted(set(map(int, sigs))):
+        qids = probe_map.get(bkt, [])
+        if not qids:
+            continue
+        sel = np.nonzero(sigs == bkt)[0]
+        sel = sel[np.argsort(ids[sel])]
+        mat = _normalize(vecs[sel])
+        gids = ids[sel]
+        sims = q[qids] @ mat.T
+        kk = min(k, sims.shape[1])
+        for row, qi in enumerate(qids):
+            idx = np.lexsort((gids, -sims[row]))[:kk]
+            for j in idx:
+                heapq.heappush(
+                    heaps.setdefault(qi, []), (float(sims[row, j]), -int(gids[j]))
+                )
+                if len(heaps[qi]) > k:
+                    heapq.heappop(heaps[qi])
+    o_q, o_rank, o_id, o_c = [], [], [], []
+    for qi in sorted(heaps):
+        best = sorted(heaps[qi], key=lambda v: (-v[0], -v[1]))
+        for rank, (c, nid) in enumerate(best):
+            o_q.append(qi)
+            o_rank.append(rank)
+            o_id.append(-nid)
+            o_c.append(int(math.floor(c * 10000)))
+    return pa.table(
+        {
+            "query_id": pa.array(o_q, pa.int64()),
+            "rank": pa.array(o_rank, pa.int64()),
+            "vec_id": pa.array(o_id, pa.int64()),
+            "cosine_e4": pa.array(o_c, pa.int64()),
+        }
+    )
+
+
 def freeze_langid_wordlist(sf_dir) -> pa.Table:
     from topicrawler_ray.stages.textstats import WordListLangId
 
@@ -217,6 +285,7 @@ FREEZERS = {
     "media_frames": freeze_media_frames,
     "extract_boilerpipe": freeze_extract_boilerpipe,
     "knn_ivf": freeze_knn_ivf,
+    "knn_lsh": freeze_knn_lsh,
 }
 
 

@@ -259,6 +259,33 @@ class TestSimilarity:
             hits += len(e & a)
         assert hits >= 8  # >= ~53% recall on random data
 
+    def test_lsh_recall_and_determinism(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.similarity import brute_force_topk, lsh_topk
+
+        rng = np.random.default_rng(11)
+        vecs = rng.standard_normal((200, 16)).astype(np.float64)
+        ds = ray.data.from_items(
+            [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(200)]
+        )
+        q = vecs[:3]
+        exact = brute_force_topk(ds, q, k=5).to_pandas()
+        a1 = lsh_topk(ds, q, k=5, n_bits=6, probe_hamming=1).to_pandas()
+        a2 = lsh_topk(ds, q, k=5, n_bits=6, probe_hamming=1).to_pandas()
+        # seeded planes + id-sorted buckets -> run-to-run identical
+        assert a1.equals(a2)
+        hits = 0
+        for qi in range(3):
+            e = set(exact[exact.query_id == qi].vec_id)
+            a = set(a1[a1.query_id == qi].vec_id)
+            hits += len(e & a)
+        assert hits >= 6  # multi-probe recall on random data
+        # each query always finds itself (cosine 1.0 in its own bucket)
+        for qi in range(3):
+            top = a1[(a1.query_id == qi) & (a1["rank"] == 0)]
+            assert top.vec_id.iloc[0] == qi
+
 
 class TestNgramCounts:
     def test_ws_counts_vs_python(self, ray_session, sf_dir):

@@ -616,6 +616,12 @@ def _b_knn_ivf(sf_dir: str) -> pa.Table:
     centroid/neighbor results, no kmeans_lite/_normalize import."""
     return _golden(sf_dir, "knn_ivf")
 
+
+def _b_knn_lsh(sf_dir: str) -> pa.Table:
+    """Frozen golden (scripts/freeze_goldens.py) - precomputed
+    hyperplane-bucket results, no lsh_planes/lsh_signatures import."""
+    return _golden(sf_dir, "knn_lsh")
+
 # -- n-gram index ------------------------------------------------------------
 
 
@@ -696,6 +702,7 @@ BUILDERS = {
     "dedup_simhash": _b_dedup_simhash,
     "dedup_ngram_jaccard": _b_dedup_ngram_jaccard,
     "knn_ivf": _b_knn_ivf,
+    "knn_lsh": _b_knn_lsh,
     "ngram_stats_seg": _b_ngram_stats_seg,
 }
 

@@ -8,6 +8,10 @@
   deterministic), every row assigned to its nearest centroid in
   ``map_batches``, queries probe only ``nprobe`` nearest lists via a
   ``groupby(list_id)`` search (documented recall < 1).
+* ``lsh_topk``: random-hyperplane LSH scale path - seeded signature
+  bits assigned row-locally, queries multi-probe their signature's
+  Hamming-1 neighbourhood via a ``groupby(bucket)`` search (documented
+  recall < 1; no training pass at all, unlike IVF).
 """
 
 from __future__ import annotations
@@ -23,6 +27,127 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
     return m / n
+
+
+def _merge_topk(partials, k: int) -> pa.Table:
+    """Exact driver-side merge of per-partition partial top-k rows
+    (only k x Q x partitions rows ever reach the driver): similarity
+    desc, ties by smaller vec_id."""
+    heaps: dict[int, list] = {}
+    for r in partials:
+        heapq.heappush(
+            heaps.setdefault(int(r["query_id"]), []),
+            (float(r["cosine"]), -int(r["vec_id"])),
+        )
+        if len(heaps[int(r["query_id"])]) > k:
+            heapq.heappop(heaps[int(r["query_id"])])
+    o_q, o_rank, o_id, o_c = [], [], [], []
+    for qi in sorted(heaps):
+        best = sorted(heaps[qi], key=lambda t: (-t[0], -t[1]))
+        for rank, (c, nid) in enumerate(best):
+            o_q.append(qi)
+            o_rank.append(rank)
+            o_id.append(-nid)
+            o_c.append(c)
+    return pa.table(
+        {
+            "query_id": pa.array(o_q, pa.int32()),
+            "rank": pa.array(o_rank, pa.int32()),
+            "vec_id": pa.array(o_id, pa.int64()),
+            "cosine": pa.array(o_c, pa.float64()),
+        }
+    )
+
+
+def lsh_planes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
+    """Seeded random hyperplanes - shared by the distributed path and
+    the sequential oracle (bit-identical)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).astype(np.float32)
+
+
+def lsh_signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Pack sign bits of the hyperplane projections into uint32
+    bucket ids (row-local, no training)."""
+    bits = (mat @ planes.T) > 0  # (N, n_bits)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.uint32)).astype(np.uint32)
+    return (bits.astype(np.uint32) * weights).sum(axis=1, dtype=np.uint32)
+
+
+def lsh_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    n_bits: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 7,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+):
+    """Random-hyperplane LSH approximate top-k (scale path).
+
+    Rows bucket by signature in ONE row-local ``map_batches``; each
+    query probes its own bucket plus every bucket within
+    ``probe_hamming`` bit flips (1 + n_bits buckets at the default).
+    The only exchange is the ``groupby(bucket)`` shuffle; the query
+    matrix and probe map are ``ray.put`` once.  Recall < 1 (candidates
+    outside the probed buckets are unseen) - raise ``n_bits`` for
+    smaller buckets, ``probe_hamming`` for recall."""
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    planes = lsh_planes(q.shape[1], n_bits, seed)
+    qsigs = lsh_signatures(q, planes)
+    probe_map: dict[int, list[int]] = {}
+    for qi, sig in enumerate(map(int, qsigs)):
+        buckets = {sig}
+        if probe_hamming >= 1:
+            buckets |= {sig ^ (1 << b) for b in range(n_bits)}
+        if probe_hamming >= 2:
+            buckets |= {
+                sig ^ (1 << a) ^ (1 << b)
+                for a in range(n_bits)
+                for b in range(a + 1, n_bits)
+            }
+        for bkt in buckets:
+            probe_map.setdefault(bkt, []).append(qi)
+    planes_ref = ray.put(planes)
+    q_ref = ray.put(q)
+    probe_ref = ray.put(probe_map)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        p = ray.get(planes_ref)
+        mat = _normalize(np.array(batch.column(vec_column).to_pylist(), dtype=np.float32))
+        sigs = lsh_signatures(mat, p).astype(np.int64)
+        return batch.append_column("bucket", pa.array(sigs, pa.int64()))
+
+    def search(group: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(q_ref)
+        probes = ray.get(probe_ref)
+        qids = probes.get(int(group["bucket"].iloc[0]), [])
+        if not qids:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
+        group = group.sort_values(id_column)
+        mat = _normalize(np.array(group[vec_column].tolist(), dtype=np.float32))
+        ids = group[id_column].to_numpy()
+        sims = qm[qids] @ mat.T
+        o_q, o_id, o_c = [], [], []
+        kk = min(k, sims.shape[1])
+        for row, qi in enumerate(qids):
+            idx = np.lexsort((ids, -sims[row]))[:kk]
+            for j in idx:
+                o_q.append(qi)
+                o_id.append(int(ids[j]))
+                o_c.append(float(sims[row, j]))
+        return pd.DataFrame({"query_id": o_q, "vec_id": o_id, "cosine": o_c})
+
+    partials = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(search, batch_format="pandas")
+        .take_all()
+    )
+    return _merge_topk(partials, k)
 
 
 def brute_force_topk(
