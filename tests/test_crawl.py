@@ -209,6 +209,33 @@ class TestCuckooOnlyMode:
         assert res.seen_keys == set()
 
 
+class TestBloomSeenMode:
+    def test_bloom_conformance_exact_with_exact_set(
+        self, ray_session, sf_dir, sim_result
+    ):
+        """seen_filter_kind='bloom' + keep_exact: the probabilistic
+        structure changes, the crawl must not (exact set arbitrates)."""
+        from topicrawler_ray.config import CrawlConfig
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+
+        cfg = CrawlConfig(seen_filter_kind="bloom", **_SMALL)
+        res = RayCrawlEngine(sf_dir, cfg).run()
+        _assert_log_matches(res.log, sim_result.rows)
+        assert res.seen_keys == sim_result.seen_keys
+
+    def test_bloom_scale_mode_without_exact_set(
+        self, ray_session, sf_dir, sim_result
+    ):
+        from topicrawler_ray.config import CrawlConfig
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+
+        cfg = CrawlConfig(
+            seen_filter_kind="bloom", seen_keep_exact=False, **_SMALL
+        )
+        res = RayCrawlEngine(sf_dir, cfg).run()
+        assert res.log.num_rows >= 0.95 * len(sim_result.rows)
+
+
 class TestLogSpool:
     def test_spill_keeps_conformance_exact(self, ray_session, sf_dir, sim_result):
         """With a tiny spill threshold the log lives almost entirely in

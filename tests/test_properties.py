@@ -90,6 +90,50 @@ class TestCuckooFilter:
         assert not any(second)
 
 
+class TestBloomFilter:
+    @given(st.lists(st.integers(min_value=0, max_value=(1 << 63) - 1), max_size=300))
+    @settings(max_examples=50, deadline=None)
+    def test_no_false_negatives(self, keys):
+        from topicrawler_ray.state.seen import BloomFilter
+
+        f = BloomFilter(capacity=4096)
+        for k in keys:
+            assert f.add(k)
+        for k in keys:
+            assert f.contains(k)
+
+    def test_fp_rate_bounded(self):
+        import numpy as np
+
+        from topicrawler_ray.state.seen import BloomFilter
+
+        f = BloomFilter(capacity=1 << 16)
+        rng = np.random.default_rng(17)
+        present = rng.integers(0, 1 << 62, size=40000, dtype=np.int64)
+        f.add_many(present)
+        absent = rng.integers(0, 1 << 62, size=20000, dtype=np.int64)
+        present_set = set(present.tolist())
+        hits = f.contains_many(absent)
+        fp = sum(
+            1 for k, h in zip(absent.tolist(), hits) if h and k not in present_set
+        )
+        assert fp / len(absent) < 0.02, fp / len(absent)
+
+    def test_batch_path_first_wins_with_intra_batch_dups(self):
+        st_ = SeenShardState(capacity=4096, keep_exact=False, filter_kind="bloom")
+        out = st_.test_and_add([5, 9, 5, 7, 9, 5])
+        assert out == [True, True, False, True, False, False]
+        assert st_.test_and_add([5, 9, 7]) == [False, False, False]
+
+    def test_snapshot_restore_roundtrip(self):
+        st_ = SeenShardState(capacity=4096, keep_exact=False, filter_kind="bloom")
+        st_.test_and_add(list(range(100)))
+        st2 = SeenShardState.restore(st_.snapshot())
+        assert st2.filter_kind == "bloom"
+        assert st2.test_and_add(list(range(100))) == [False] * 100
+        assert st2.test_and_add([12345]) == [True]
+
+
 class TestCuckooFalsePositiveRate:
     def test_fp_rate_bounded(self):
         import numpy as np

@@ -49,6 +49,7 @@ def cmd_crawl(args) -> int:
         checkpoint_dir=args.checkpoint,
         max_waves=args.max_waves,
         scorer=args.scorer,
+        seen_filter_kind=args.seen_filter,
     )
     engine = RayCrawlEngine(args.sf_dir, cfg)
     result = engine.resume_run() if args.resume else engine.run()
@@ -254,6 +255,7 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--resume", action="store_true")
     c.add_argument("--max-waves", type=int, default=100000)
     c.add_argument("--scorer", default="stupid_backoff")
+    c.add_argument("--seen-filter", default="cuckoo", choices=["cuckoo", "bloom"])
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_crawl)
 

@@ -47,6 +47,7 @@ class CrawlConfig:
     worker_num_cpus: float = 0.5
     seen_capacity_per_shard: int = 1 << 16
     seen_keep_exact: bool = True  # disable at 10^10 scale
+    seen_filter_kind: str = "cuckoo"  # or "bloom" (north rule names both)
     frontier_head_budget: int | None = None  # queueTotalBudget analog (cxml:70)
     frontier_spill_dir: str | None = None  # overflow spills to disk when set
     max_waves: int = 100000

@@ -144,6 +144,7 @@ class RayCrawlEngine:
             lm_ref=lm_ref if self._inline else None,
             pages_dir=pages_host_bucketed_dir(sf_dir) if self._inline else None,
             fault=fault,
+            seen_filter_kind=self.cfg.seen_filter_kind,
         )
         self.stores = make_page_store_actors(
             pages_bucketed_dir(sf_dir), self.cfg.num_page_stores

@@ -145,10 +145,11 @@ class FrontierShardState:
         seen_keep_exact: bool = True,
         head_budget: int | None = None,
         spill_dir: str | None = None,
+        seen_filter_kind: str = "cuckoo",
     ):
         self.queues: dict[str, list[tuple]] = {}
         self.robots = RobotsCache()
-        self.seen = SeenShardState(seen_capacity, seen_keep_exact)
+        self.seen = SeenShardState(seen_capacity, seen_keep_exact, seen_filter_kind)
         self.n_pushed = 0
         self.n_popped = 0
         self.n_robots_rejected = 0
@@ -682,7 +683,8 @@ def make_frontier_actors(num_shards: int, seen_capacity: int = 1 << 16,
                          head_budget: int | None = None,
                          spill_dir: str | None = None,
                          lm_ref=None, pages_dir: str | None = None,
-                         fault: tuple[int, int] | None = None):
+                         fault: tuple[int, int] | None = None,
+                         seen_filter_kind: str = "cuckoo"):
     """``lm_ref`` + ``pages_dir`` (a host-co-partitioned pages layout,
     see ``sources.pages.pages_host_bucketed_dir``) attach a fused
     fetch+process path to each shard: politeness waves then cost ONE
@@ -698,6 +700,7 @@ def make_frontier_actors(num_shards: int, seen_capacity: int = 1 << 16,
                 seen_keep_exact,
                 head_budget,
                 ("%s/shard_%02d" % (spill_dir, rank)) if spill_dir else None,
+                seen_filter_kind,
             )
             if lm_ref is not None and pages_dir is not None:
                 from ..sources.pages import NUM_HOST_BUCKETS

@@ -3,7 +3,9 @@
 Equivalent of Heritrix ``BdbUriUniqFilter`` (cxml:467): a persistent
 test-and-add membership set over canonicalized URL hashes.  Per the north
 rule the memory-bounded structure is a cuckoo filter (partial-key cuckoo
-hashing, 4-slot buckets, 16-bit fingerprints -> ~3% fp at 95% load); at
+hashing, 4-slot buckets, 16-bit fingerprints -> ~3% fp at 95% load) or a
+bloom filter (``filter_kind="bloom"``: k=7 double-hashed probes over a
+10-bits/key array, ~0.8% fp, branch-free numpy batch adds); at
 test scale shards additionally keep the exact 64-bit key set so the
 conformance harness can compare the final seen set exactly and measure
 the filter's false-positive rate.
@@ -86,11 +88,77 @@ class CuckooFilter:
         return False
 
 
+class BloomFilter:
+    """Vectorized Bloom filter over 64-bit keys (double hashing).
+
+    The north rule names "bloom/cuckoo URL-seen"; this is the bloom
+    leg.  ``bits_per_key=10`` with ``k=7`` probes gives ~0.8% fp at
+    design capacity.  Unlike the cuckoo filter it cannot delete and
+    has no load ceiling (fp just degrades past capacity), but adds
+    are branch-free numpy ops over whole key batches - the right
+    trade for an append-only URL-seen set.
+    """
+
+    K = 7
+
+    def __init__(self, capacity: int = 1 << 16, bits_per_key: int = 10):
+        nbits = 1
+        while nbits < capacity * bits_per_key:
+            nbits <<= 1  # power of two so probe = hash & mask
+        self._nbits = nbits
+        self._bits = np.zeros(nbits >> 6, dtype=np.uint64)
+        self.count = 0
+
+    def _probes(self, keys: np.ndarray) -> np.ndarray:
+        """(N, K) bit positions via Kirsch-Mitzenmacher double hashing."""
+        k = keys.astype(np.uint64)
+        h1 = (k * np.uint64(0xFF51AFD7ED558CCD)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        h1 ^= h1 >> np.uint64(33)
+        h2 = (k * np.uint64(0xC4CEB9FE1A85EC53)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        h2 ^= h2 >> np.uint64(29)
+        h2 |= np.uint64(1)  # odd stride
+        i = np.arange(self.K, dtype=np.uint64)
+        return (h1[:, None] + i[None, :] * h2[:, None]) & np.uint64(self._nbits - 1)
+
+    def add_many(self, keys: np.ndarray) -> None:
+        pos = self._probes(np.asarray(keys, dtype=np.uint64)).ravel()
+        np.bitwise_or.at(
+            self._bits, (pos >> np.uint64(6)), np.uint64(1) << (pos & np.uint64(63))
+        )
+        self.count += len(keys)
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        pos = self._probes(np.asarray(keys, dtype=np.uint64))
+        hit = (
+            self._bits[(pos >> np.uint64(6))] >> (pos & np.uint64(63))
+        ) & np.uint64(1)
+        return hit.all(axis=1)
+
+    # scalar API parity with CuckooFilter
+    def contains(self, key: int) -> bool:
+        return bool(self.contains_many(np.array([key], dtype=np.uint64))[0])
+
+    def add(self, key: int) -> bool:
+        self.add_many(np.array([key], dtype=np.uint64))
+        return True
+
+
 class SeenShardState:
     """Plain-python shard state (usable in-process or inside an actor)."""
 
-    def __init__(self, capacity: int = 1 << 16, keep_exact: bool = True):
-        self.filter = CuckooFilter(capacity)
+    def __init__(
+        self,
+        capacity: int = 1 << 16,
+        keep_exact: bool = True,
+        filter_kind: str = "cuckoo",
+    ):
+        if filter_kind == "bloom":
+            self.filter = BloomFilter(capacity)
+        elif filter_kind == "cuckoo":
+            self.filter = CuckooFilter(capacity)
+        else:
+            raise ValueError("filter_kind must be 'cuckoo' or 'bloom'")
+        self.filter_kind = filter_kind
         self.keep_exact = keep_exact
         self.exact: set[int] = set()
         self.n_added = 0
@@ -98,6 +166,22 @@ class SeenShardState:
 
     def test_and_add(self, keys: list[int]) -> list[bool]:
         """For each key: True if it was NEW (and is now added)."""
+        if not self.keep_exact and isinstance(self.filter, BloomFilter):
+            # branch-free batch path: probe all keys at once; first
+            # occurrence of an intra-batch duplicate wins (scalar-path
+            # semantics preserved)
+            arr = np.asarray(keys, dtype=np.uint64)
+            if not len(arr):
+                return []
+            present = self.filter.contains_many(arr)
+            _, first_idx = np.unique(arr, return_index=True)
+            is_first = np.zeros(len(arr), dtype=bool)
+            is_first[first_idx] = True
+            new = (~present) & is_first
+            if new.any():
+                self.filter.add_many(arr[new])
+                self.n_added += int(new.sum())
+            return new.tolist()
         out = []
         for k in keys:
             in_filter = self.filter.contains(k)
@@ -121,8 +205,8 @@ class SeenShardState:
     def snapshot(self) -> bytes:
         return pickle.dumps(
             {
-                "table": self.filter._table,
-                "count": self.filter.count,
+                "filter": self.filter,
+                "filter_kind": self.filter_kind,
                 "exact": self.exact,
                 "keep_exact": self.keep_exact,
                 "n_added": self.n_added,
@@ -133,24 +217,23 @@ class SeenShardState:
     @classmethod
     def restore(cls, blob: bytes) -> "SeenShardState":
         d = pickle.loads(blob)
-        st = cls(keep_exact=d["keep_exact"])
-        st.filter._table = d["table"]
-        st.filter._nb = d["table"].shape[0]
-        st.filter.count = d["count"]
+        st = cls(keep_exact=d["keep_exact"], filter_kind=d.get("filter_kind", "cuckoo"))
+        st.filter = d["filter"]
         st.exact = d["exact"]
         st.n_added = d["n_added"]
         st.n_fp = d["n_fp"]
         return st
 
 
-def make_seen_actors(num_shards: int, capacity_per_shard: int = 1 << 16, keep_exact: bool = True):
+def make_seen_actors(num_shards: int, capacity_per_shard: int = 1 << 16,
+                     keep_exact: bool = True, filter_kind: str = "cuckoo"):
     """Spawn the sharded seen-filter actor pool."""
     import ray
 
     @ray.remote(num_cpus=0.25)
     class SeenShard:
         def __init__(self, capacity: int, keep_exact: bool):
-            self.state = SeenShardState(capacity, keep_exact)
+            self.state = SeenShardState(capacity, keep_exact, filter_kind)
 
         def test_and_add(self, keys: list[int]) -> list[bool]:
             return self.state.test_and_add(keys)
