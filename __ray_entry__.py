@@ -371,6 +371,95 @@ def _q_quality(sf_dir: str):
     )
 
 
+def _q_quality_gopher(sf_dir: str):
+    """Gopher-style repetition signals. The fixture docs are single-line,
+    so BOTH sides first apply the same deterministic reshaping (turn
+    ' table ' separators into newlines, ' key ' into ' #... ') - the
+    augmentation is shared spec, the measured kernels are independent."""
+    import pyarrow as pa
+
+    from topicrawler_ray.stages.textstats import gopher_repetition_batch
+
+    def reshape(batch: pa.Table) -> pa.Table:
+        texts = [
+            (t or "").replace(" table ", "\n").replace(" key ", " #... ")
+            for t in batch.column("text").to_pylist()
+        ]
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", pa.array(texts, pa.string())
+        )
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = ds.map_batches(reshape, batch_format="pyarrow")
+    ds = ds.map_batches(gopher_repetition_batch, batch_format="pyarrow")
+    return ds.select_columns(
+        ["doc_id", "n_lines", "n_distinct_lines", "top_bigram_count",
+         "n_word_pairs", "n_symbols"]
+    )
+
+
+def _q_pii_redact(sf_dir: str):
+    """PII scrub: the fixture text carries no PII, so both sides append
+    the same deterministic synthetic contact line, then redact with
+    independent regex engines (Python re vs DuckDB RE2)."""
+    import pyarrow as pa
+
+    from topicrawler_ray.stages.textstats import pii_redact_batch
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = [
+            "%s contact user%d@example.com via 10.0.%d.1 end"
+            % (t or "", i, i % 256)
+            for i, t in zip(ids, texts)
+        ]
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", pa.array(out, pa.string())
+        )
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = ds.map_batches(inject, batch_format="pyarrow")
+    ds = ds.map_batches(pii_redact_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "text_redacted", "n_emails", "n_ipv4"])
+
+
+def _q_url_filter(sf_dir: str):
+    """Crawl-scope URL filtering (DecideRule analog) over the pages
+    table: drop robots.txt, query-string URLs and blocklisted hosts."""
+    import ray.data
+
+    from topicrawler_ray.sources.pages import pages_path
+    from topicrawler_ray.stages.urlfilter import url_filter
+
+    ds = ray.data.read_parquet(pages_path(sf_dir), columns=["url"])
+    return url_filter(ds).select_columns(["url", "host"])
+
+
+def _q_perp_buckets(sf_dir: str):
+    """CCNet-style corpus partition: exact ntile(3) of documents by LM
+    perplexity (quantized) - head/middle/tail buckets, computed with
+    the histogram+boundary-refinement operator (no global sort)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from topicrawler_ray.stages.ranking import exact_ntile
+
+    ds = _q_doc_perp(sf_dir)
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        q = np.floor(
+            np.asarray(batch.column("perp").to_pylist(), dtype=np.float64) * 1e6
+        ).astype(np.int64)
+        return batch.append_column("perp_e6", pa.array(q, pa.int64()))
+
+    # one row per url - small by construction; materialize so the
+    # three ntile passes don't re-run the LM scoring pipeline
+    ds = ds.map_batches(quantize, batch_format="pyarrow").materialize()
+    out = exact_ntile(ds, "perp_e6", "url", n_buckets=3)
+    return out.select_columns(["url", "perp_e6", "bucket"])
+
+
 def _q_langid(sf_dir: str):
     from topicrawler_ray.stages.textstats import LangId
 
@@ -961,6 +1050,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "token_counts": _q_token_counts,
         "text_quality": _q_quality,
+        "quality_gopher": _q_quality_gopher,
+        "pii_redact": _q_pii_redact,
+        "url_filter": _q_url_filter,
+        "perp_buckets": _q_perp_buckets,
         "langid": _q_langid,
         "langid_wordlist": _q_langid_wordlist,
         "pack_sequences": _q_pack_sequences,
@@ -1174,6 +1267,56 @@ def oracle_sql() -> dict[str, str]:
         # scoring, LSH, stub codecs), so each is checked against a
         # MATERIALISED sequential-oracle fixture: an independently
         # executed single-process python derivation written to parquet
+        "quality_gopher": (
+            "WITH d2 AS (SELECT doc_id, replace(replace(text, ' table ', chr(10)), "
+            "' key ', ' #... ') AS text FROM documents), "
+            "words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w, "
+            "generate_subscripts(string_split(text, ' '), 1) AS pos FROM d2), "
+            "bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS g, count(*) AS c "
+            "FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            "GROUP BY 1, 2), "
+            "top AS (SELECT doc_id, max(c) AS tb FROM bg GROUP BY 1) "
+            "SELECT d2.doc_id, "
+            "CAST(len(string_split(d2.text, chr(10))) AS BIGINT) AS n_lines, "
+            "CAST(len(list_distinct(string_split(d2.text, chr(10)))) AS BIGINT) "
+            "AS n_distinct_lines, "
+            "CAST(COALESCE(t.tb, 0) AS BIGINT) AS top_bigram_count, "
+            "CAST(GREATEST(len(string_split(d2.text, ' ')) - 1, 0) AS BIGINT) "
+            "AS n_word_pairs, "
+            "CAST(length(d2.text) - length(replace(d2.text, '#', '')) "
+            "+ len(regexp_extract_all(d2.text, '\\.\\.\\.')) AS BIGINT) AS n_symbols "
+            "FROM d2 LEFT JOIN top t ON d2.doc_id = t.doc_id"
+        ),
+        "pii_redact": (
+            "WITH d2 AS (SELECT doc_id, text || ' contact user' || doc_id || "
+            "'@example.com via 10.0.' || (doc_id % 256) || '.1 end' AS text "
+            "FROM documents), "
+            "r1 AS (SELECT doc_id, regexp_replace(text, "
+            "'[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+', '<EMAIL>', 'g') "
+            "AS t1, CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+')) AS BIGINT) "
+            "AS n_emails FROM d2) "
+            "SELECT doc_id, regexp_replace(t1, "
+            "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') "
+            "AS text_redacted, n_emails, "
+            "CAST(len(regexp_extract_all(t1, "
+            "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) "
+            "AS n_ipv4 FROM r1"
+        ),
+        "url_filter": (
+            "SELECT url, regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) "
+            "AS host FROM read_parquet('%s') "
+            "WHERE url NOT LIKE '%%/robots.txt' AND url NOT LIKE '%%?%%' "
+            "AND NOT regexp_matches(regexp_extract(url, "
+            "'^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), "
+            "'^host[0-9]*[05]\\.example$')" % _PAGES_SF001
+        ),
+        "perp_buckets": (
+            "SELECT url, CAST(floor(perp * 1e6) AS BIGINT) AS perp_e6, "
+            "CAST(ntile(3) OVER (ORDER BY CAST(floor(perp * 1e6) AS BIGINT), url) "
+            "AS BIGINT) AS bucket FROM read_parquet('%s')"
+            % _ORACLES_SF001["doc_perp"]
+        ),
         # at import time (topicrawler_ray/oracles.py).  The driver's
         # DuckDB compare then certifies the distributed execution.
         **{

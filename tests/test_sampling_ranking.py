@@ -238,3 +238,66 @@ class TestSequencePacking:
         )
         assert list(out.seq_id) == [0, 1, 2]  # the giant doc sits alone
         assert list(out.seq_offset) == [0, 0, 0]
+
+
+class TestExactNtile:
+    def _oracle(self, pairs, n):
+        """Sequential ntile: first N%n buckets one row larger."""
+        pairs = sorted(pairs)
+        total = len(pairs)
+        base, rem = divmod(total, n)
+        out, i = {}, 0
+        for j in range(1, n + 1):
+            size = base + (1 if j <= rem else 0)
+            for _ in range(size):
+                out[pairs[i][1]] = j
+                i += 1
+        return out
+
+    def test_matches_sequential_ntile_with_ties(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from topicrawler_ray.stages.ranking import exact_ntile
+
+        rng = np.random.default_rng(3)
+        vals = rng.integers(0, 50, size=400).tolist()  # heavy ties
+        rows = [{"v": int(v), "id": "k%04d" % i} for i, v in enumerate(vals)]
+        for n in (2, 3, 7):
+            ds = ray.data.from_items(rows).repartition(8)
+            got = exact_ntile(ds, "v", "id", n_buckets=n).to_pandas()
+            want = self._oracle([(r["v"], r["id"]) for r in rows], n)
+            assert dict(zip(got["id"], got["bucket"])) == want
+
+    def test_single_value_all_ties(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.ranking import exact_ntile
+
+        rows = [{"v": 5, "id": "k%02d" % i} for i in range(10)]
+        got = exact_ntile(ray.data.from_items(rows), "v", "id", 3).to_pandas()
+        want = self._oracle([(5, r["id"]) for r in rows], 3)
+        assert dict(zip(got["id"], got["bucket"])) == want
+
+
+class TestUrlFilter:
+    def test_rules(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.urlfilter import url_filter
+
+        rows = [
+            {"url": "http://host1.example/p1"},
+            {"url": "http://host5.example/p2"},      # blocked host (N%5==0)
+            {"url": "http://host2.example/robots.txt"},  # robots
+            {"url": "http://host3.example/p?q=1"},   # query string
+            {"url": "not a url"},                    # unparseable
+            {"url": "http://host10.example/p3"},     # blocked host
+            {"url": "http://host11.example/p4"},
+        ]
+        out = url_filter(ray.data.from_items(rows)).to_pandas()
+        assert sorted(out.url) == [
+            "http://host1.example/p1",
+            "http://host11.example/p4",
+        ]
+        assert sorted(out.host) == ["host1.example", "host11.example"]

@@ -232,3 +232,47 @@ class TestHtmlText:
 
     def test_plaintext_crlf(self):
         assert get_plaintext("<p>a</p>\r\n<p>b</p>") == "a\n b"
+
+
+class TestGopherRepetition:
+    def test_counts(self):
+        import pyarrow as pa
+
+        from topicrawler_ray.stages.textstats import gopher_repetition_batch
+
+        t = pa.table({"text": ["a b\na b\nc d", "x y x y x y", "", "### ...."]})
+        out = gopher_repetition_batch(t)
+        assert out.column("n_lines").to_pylist() == [3, 1, 1, 1]
+        assert out.column("n_distinct_lines").to_pylist() == [2, 1, 1, 1]
+        # words split on SPACE only (newline-joined tokens stay fused,
+        # matching the SQL oracle): "a b\na b\nc d" has 3 distinct pairs
+        # "x y x y x y": pairs (x,y)(y,x)(x,y)(y,x)(x,y) -> top (x,y)=3
+        assert out.column("top_bigram_count").to_pylist() == [1, 3, 0, 1]
+        assert out.column("n_word_pairs").to_pylist() == [3, 5, 0, 1]
+        # '####' would be 4 symbols; '....' = one non-overlapping '...'
+        assert out.column("n_symbols").to_pylist() == [0, 0, 0, 4]
+
+
+class TestPiiRedact:
+    def test_masks_and_counts(self):
+        import pyarrow as pa
+
+        from topicrawler_ray.stages.textstats import pii_redact_batch
+
+        t = pa.table(
+            {
+                "text": [
+                    "mail bob.smith+x@mail-host.org now",
+                    "from 192.168.0.1 to 10.0.0.2",
+                    "clean",
+                ]
+            }
+        )
+        out = pii_redact_batch(t)
+        assert out.column("text_redacted").to_pylist() == [
+            "mail <EMAIL> now",
+            "from <IP> to <IP>",
+            "clean",
+        ]
+        assert out.column("n_emails").to_pylist() == [1, 0, 0]
+        assert out.column("n_ipv4").to_pylist() == [0, 2, 0]

@@ -24,6 +24,121 @@ from collections import Counter, defaultdict
 import pyarrow as pa
 
 
+def exact_ntile(ds, value_column: str, tie_column: str, n_buckets: int = 3,
+                coarse_shift: int = 8):
+    """Exact ``ntile(n)`` over ``(value ASC, tie ASC)`` without a global
+    sort - CCNet-style perplexity bucketing (head/middle/tail) at
+    corpus scale.
+
+    ``value_column`` must be integer (quantize floats first - see the
+    float-reduce rule) and ``tie_column`` unique, so the total order is
+    strict and every execution order yields the same buckets.
+
+    Three passes, none materializing the dataset:
+
+    1. histogram: per-batch partial counts on ``value >> coarse_shift``
+       -> one small ``groupby`` -> driver merges (size = distinct
+       coarse bins, controlled by ``coarse_shift``);
+    2. boundary refinement: only rows inside the <= n-1 coarse bins
+       that contain a bucket boundary are pulled and sorted - exact
+       boundary ``(value, tie)`` tuples at driver cost O(rows in
+       boundary bins);
+    3. assign: boundaries broadcast; each batch compares
+       lexicographically against the <= n-1 tuples (vectorized, one
+       pass per boundary).
+
+    DuckDB-equivalent semantics: ``ntile(n) OVER (ORDER BY value,
+    tie)`` - the first ``N % n`` buckets are one row larger.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    shift = np.int64(coarse_shift)
+
+    def partial_hist(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_column).to_numpy(zero_copy_only=False)
+        bins, cnts = np.unique(np.asarray(v, dtype=np.int64) >> shift,
+                               return_counts=True)
+        return pa.table(
+            {"coarse": pa.array(bins, pa.int64()),
+             "cnt": pa.array(cnts, pa.int64())}
+        )
+
+    hist_rows = (
+        ds.map_batches(partial_hist, batch_format="pyarrow")
+        .groupby("coarse")
+        .sum("cnt")
+        .take_all()
+    )
+    hist = sorted((r["coarse"], r["sum(cnt)"]) for r in hist_rows)
+    total = sum(c for _, c in hist)
+    if total == 0:
+        return ds.map_batches(
+            lambda t: t.append_column("bucket", pa.array([], pa.int64())),
+            batch_format="pyarrow",
+        )
+
+    base, rem = divmod(total, n_buckets)
+    cuts = []  # 1-indexed rank of the LAST row of buckets 1..n-1
+    run = 0
+    for j in range(1, n_buckets):
+        run += base + (1 if j <= rem else 0)
+        cuts.append(run)
+
+    # locate the coarse bin holding each cut rank
+    cum = 0
+    bin_of_cut = {}
+    it = iter(hist)
+    b, c = next(it)
+    for cut in cuts:
+        while cum + c < cut:
+            cum += c
+            b, c = next(it)
+        bin_of_cut[cut] = (b, cum)  # (bin id, ranks before this bin)
+
+    need_bins = sorted({b for b, _ in bin_of_cut.values()})
+    need_ref = ray.put(np.array(need_bins, dtype=np.int64))
+
+    def boundary_rows(batch: pa.Table) -> pa.Table:
+        nb = ray.get(need_ref)
+        v = np.asarray(
+            batch.column(value_column).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        mask = np.isin(v >> shift, nb)
+        return batch.filter(pa.array(mask)).select([value_column, tie_column])
+
+    picked = ds.map_batches(boundary_rows, batch_format="pyarrow").take_all()
+    by_bin: dict[int, list] = {}
+    for r in picked:
+        by_bin.setdefault(int(r[value_column]) >> int(shift), []).append(
+            (r[value_column], r[tie_column])
+        )
+    for rows in by_bin.values():
+        rows.sort()
+    boundaries = []
+    for cut in cuts:
+        b, before = bin_of_cut[cut]
+        boundaries.append(by_bin[b][cut - before - 1])
+    bound_ref = ray.put(boundaries)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        bounds = ray.get(bound_ref)
+        v = np.asarray(
+            batch.column(value_column).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        t = np.asarray(batch.column(tie_column).to_pylist(), dtype=object)
+        bucket = np.ones(len(v), dtype=np.int64)
+        for bv, bt in bounds:
+            above = (v > bv) | ((v == bv) & (t > bt))
+            bucket += above.astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def topk_per_group(ds, group_column: str, score_column: str,
                    tie_column: str, k: int,
                    num_partitions: int | None = None):

@@ -92,6 +92,73 @@ def quality_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     )
 
 
+def gopher_repetition_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Append Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", §A1.1 repetition filters) as SQL-exact
+    integer counts:
+
+    * ``n_lines`` / ``n_distinct_lines`` - duplicate-line fraction is
+      ``1 - distinct/lines``,
+    * ``top_bigram_count`` / ``n_word_pairs`` - top-2-gram coverage is
+      their ratio,
+    * ``n_symbols`` - '#' characters plus non-overlapping '...' runs
+      (symbol-to-word ratio numerator).
+    """
+    from collections import Counter
+
+    texts = batch.column(column).to_pylist()
+    n_lines_l, n_dist_lines_l, top_bg_l, n_pairs_l, n_sym_l = [], [], [], [], []
+    for t in texts:
+        t = t or ""
+        lines = t.split("\n")
+        n_lines_l.append(len(lines))
+        n_dist_lines_l.append(len(set(lines)))
+        words = t.split(" ")
+        pairs = [(words[i], words[i + 1]) for i in range(len(words) - 1)]
+        n_pairs_l.append(len(pairs))
+        top_bg_l.append(max(Counter(pairs).values()) if pairs else 0)
+        n_sym_l.append(t.count("#") + len(_ELLIPSIS_RE.findall(t)))
+    return (
+        batch.append_column("n_lines", pa.array(n_lines_l, pa.int64()))
+        .append_column("n_distinct_lines", pa.array(n_dist_lines_l, pa.int64()))
+        .append_column("top_bigram_count", pa.array(top_bg_l, pa.int64()))
+        .append_column("n_word_pairs", pa.array(n_pairs_l, pa.int64()))
+        .append_column("n_symbols", pa.array(n_sym_l, pa.int64()))
+    )
+
+
+_ELLIPSIS_RE = re.compile(r"\.\.\.")
+
+# PII patterns restricted to the RE2-compatible subset so the DuckDB
+# oracle (`regexp_replace(..., 'g')`) and Python `re` agree exactly.
+_EMAIL_RE = re.compile(r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+")
+_IPV4_RE = re.compile(r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b")
+PII_EMAIL_PATTERN = _EMAIL_RE.pattern
+PII_IPV4_PATTERN = _IPV4_RE.pattern
+
+
+def pii_redact_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Mask emails and IPv4 addresses; append redacted text + counts.
+
+    The large-scale privacy-scrub stage of a training-data pipeline:
+    stateless, order-preserving, safe to run at any batch size.
+    """
+    texts = batch.column(column).to_pylist()
+    red, n_em, n_ip = [], [], []
+    for t in texts:
+        t = t or ""
+        t2, k_em = _EMAIL_RE.subn("<EMAIL>", t)
+        t3, k_ip = _IPV4_RE.subn("<IP>", t2)
+        red.append(t3)
+        n_em.append(k_em)
+        n_ip.append(k_ip)
+    return (
+        batch.append_column("text_redacted", pa.array(red, pa.string()))
+        .append_column("n_emails", pa.array(n_em, pa.int64()))
+        .append_column("n_ipv4", pa.array(n_ip, pa.int64()))
+    )
+
+
 # --------------------------------------------------------------------------
 # language ID: char-trigram profiles
 
