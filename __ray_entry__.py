@@ -460,6 +460,24 @@ def _q_perp_buckets(sf_dir: str):
     return out.select_columns(["url", "perp_e6", "bucket"])
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 37 == 0 play the
+    eval benchmark; every corpus doc sharing a word 3-gram with it is
+    flagged.  Small-side broadcast (ray.put once), corpus streams."""
+    import pyarrow as pa
+
+    from topicrawler_ray.stages.decontam import decontaminate
+
+    def bench_only(batch):
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 37 == 0))
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    bench = ds.map_batches(bench_only, batch_format="pyarrow")
+    out = decontaminate(ds, bench, n=3, concurrency=2)
+    return out.select_columns(["doc_id", "n_contaminated", "contaminated"])
+
+
 def _q_langid(sf_dir: str):
     from topicrawler_ray.stages.textstats import LangId
 
@@ -1054,6 +1072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "url_filter": _q_url_filter,
         "perp_buckets": _q_perp_buckets,
+        "decontaminate": _q_decontaminate,
         "langid": _q_langid,
         "langid_wordlist": _q_langid_wordlist,
         "pack_sequences": _q_pack_sequences,
@@ -1267,6 +1286,22 @@ def oracle_sql() -> dict[str, str]:
         # scoring, LSH, stub codecs), so each is checked against a
         # MATERIALISED sequential-oracle fixture: an independently
         # executed single-process python derivation written to parquet
+        "decontaminate": (
+            "WITH doc AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "w AS (SELECT doc_id, unnest(ws) AS w, "
+            "generate_subscripts(ws, 1) AS pos FROM doc), "
+            "g AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g "
+            "FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2), "
+            "bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 37 = 0), "
+            "dg AS (SELECT DISTINCT doc_id, g FROM g), "
+            "hits AS (SELECT dg.doc_id, count(*) AS n FROM dg "
+            "JOIN bg ON dg.g = bg.g GROUP BY 1) "
+            "SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated, "
+            "COALESCE(h.n, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"
+        ),
         "quality_gopher": (
             "WITH d2 AS (SELECT doc_id, replace(replace(text, ' table ', chr(10)), "
             "' key ', ' #... ') AS text FROM documents), "

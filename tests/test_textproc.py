@@ -276,3 +276,41 @@ class TestPiiRedact:
         ]
         assert out.column("n_emails").to_pylist() == [1, 0, 0]
         assert out.column("n_ipv4").to_pylist() == [0, 2, 0]
+
+
+class TestDecontamination:
+    def test_word_ngrams_matches_sql_split(self):
+        from topicrawler_ray.stages.decontam import word_ngrams
+
+        assert word_ngrams("a b c d", 3) == ["a b c", "b c d"]
+        assert word_ngrams("a b", 3) == []
+        # double space yields an empty token, same as string_split(text,' ')
+        assert word_ngrams("a  b c", 3) == ["a  b", " b c"]
+
+    def test_flags_only_overlapping_docs(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.decontam import decontaminate
+
+        bench = ray.data.from_items(
+            [{"doc_id": 0, "text": "the quick brown fox jumps"}]
+        )
+        corpus = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": "xx the quick brown fox yy"},  # 2 shared 3-grams
+                {"doc_id": 2, "text": "totally different words here"},
+                {"doc_id": 3, "text": "quick brown fox jumps again"},  # 2 shared
+                {"doc_id": 4, "text": "quick brown"},  # too short for a 3-gram
+            ]
+        )
+        out = (
+            decontaminate(corpus, bench, n=3, concurrency=1)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert out.loc[1, "n_contaminated"] == 2
+        assert out.loc[2, "n_contaminated"] == 0
+        assert out.loc[3, "n_contaminated"] == 2
+        assert out.loc[4, "n_contaminated"] == 0
+        assert list(out["contaminated"]) == [True, False, True, False]
