@@ -478,6 +478,58 @@ def _q_decontaminate(sf_dir: str):
     return out.select_columns(["doc_id", "n_contaminated", "contaminated"])
 
 
+def _q_dup_spans(sf_dir: str):
+    """Lee-et-al-style duplicate-span stats: word 8-gram windows
+    occurring >= 2 times corpus-wide (incl. within one doc) are dup
+    spans; a doc keeps only if dup coverage <= 20% of its tokens."""
+    from topicrawler_ray.stages.spans import dup_span_stats
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return dup_span_stats(ds, n=8, min_count=2, max_dup_pct=20)
+
+
+def _q_near_dup_clusters(sf_dir: str):
+    """Transitive near-dup clusters: docs sharing any word 8-gram are
+    linked (star-reduced per gram - no d^2 pair explosion), components
+    found by distributed min-label propagation, decorated with cluster
+    size + canonical-member flag."""
+    import numpy as np
+    import pyarrow as pa
+
+    from topicrawler_ray.stages.components import (
+        component_summary,
+        connected_components,
+        star_edges_from_keys,
+    )
+    from topicrawler_ray.stages.spans import gram_pos_hashes
+
+    src = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def membership(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id: list[int] = []
+        out_gh: list[np.ndarray] = []
+        for i, t in zip(ids, texts):
+            gh = np.unique(gram_pos_hashes(t, 8))
+            out_id.extend([i] * len(gh))
+            out_gh.append(gh)
+        gh_all = (
+            np.concatenate(out_gh) if out_gh else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {
+                "gh": pa.array(gh_all),
+                "doc_id": pa.array(out_id, pa.int64()),
+            }
+        )
+
+    mem = src.map_batches(membership, batch_format="pyarrow")
+    edges = star_edges_from_keys(mem, "gh", "doc_id")
+    cc = connected_components(edges, src.select_columns(["doc_id"]))
+    return component_summary(cc)
+
+
 def _q_langid(sf_dir: str):
     from topicrawler_ray.stages.textstats import LangId
 
@@ -1073,6 +1125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_filter": _q_url_filter,
         "perp_buckets": _q_perp_buckets,
         "decontaminate": _q_decontaminate,
+        "dup_spans": _q_dup_spans,
+        "near_dup_clusters": _q_near_dup_clusters,
         "langid": _q_langid,
         "langid_wordlist": _q_langid_wordlist,
         "pack_sequences": _q_pack_sequences,
@@ -1301,6 +1355,54 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated, "
             "COALESCE(h.n, 0) > 0 AS contaminated "
             "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"
+        ),
+        "dup_spans": (
+            "WITH doc AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "base AS (SELECT doc_id, len(ws) AS n_tokens, "
+            "greatest(len(ws) - 7, 0) AS n_spans FROM doc), "
+            "w AS (SELECT doc_id, unnest(ws) AS w, "
+            "generate_subscripts(ws, 1) AS pos FROM doc), "
+            "g AS (SELECT doc_id, pos, string_agg(w2, ' ' ORDER BY pos2) AS gram "
+            "FROM (SELECT a.doc_id, a.pos, b.pos AS pos2, b.w AS w2 "
+            "FROM w a JOIN w b ON b.doc_id = a.doc_id "
+            "AND b.pos BETWEEN a.pos AND a.pos + 7) "
+            "GROUP BY doc_id, pos HAVING count(*) = 8), "
+            "d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2), "
+            "o AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)), "
+            "nd AS (SELECT doc_id, count(*) AS n_dup_spans FROM o GROUP BY 1), "
+            "cov AS (SELECT doc_id, count(DISTINCT o.pos + t.r) AS covered_tokens "
+            "FROM o CROSS JOIN range(8) t(r) GROUP BY doc_id) "
+            "SELECT b.doc_id, b.n_tokens, CAST(b.n_spans AS BIGINT) AS n_spans, "
+            "CAST(COALESCE(nd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans, "
+            "CAST(COALESCE(cov.covered_tokens, 0) AS BIGINT) AS covered_tokens, "
+            "COALESCE(cov.covered_tokens, 0) * 100 <= b.n_tokens * 20 AS keep "
+            "FROM base b LEFT JOIN nd USING (doc_id) "
+            "LEFT JOIN cov USING (doc_id)"
+        ),
+        "near_dup_clusters": (
+            "WITH RECURSIVE doc AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "w AS (SELECT doc_id, unnest(ws) AS w, "
+            "generate_subscripts(ws, 1) AS pos FROM doc), "
+            "g AS (SELECT doc_id, pos, string_agg(w2, ' ' ORDER BY pos2) AS gram "
+            "FROM (SELECT a.doc_id, a.pos, b.pos AS pos2, b.w AS w2 "
+            "FROM w a JOIN w b ON b.doc_id = a.doc_id "
+            "AND b.pos BETWEEN a.pos AND a.pos + 7) "
+            "GROUP BY doc_id, pos HAVING count(*) = 8), "
+            "m AS (SELECT DISTINCT doc_id, gram FROM g), "
+            "e AS (SELECT doc_id AS src, "
+            "min(doc_id) OVER (PARTITION BY gram) AS dst FROM m), "
+            "ed AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst), "
+            "bi AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed), "
+            "cc(v, l) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT b.dst, cc.l FROM cc JOIN bi b ON b.src = cc.v), "
+            "lab AS (SELECT v AS doc_id, min(l) AS component FROM cc GROUP BY v), "
+            "sz AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size "
+            "FROM lab GROUP BY 1) "
+            "SELECT lab.doc_id, lab.component, sz.cluster_size, "
+            "lab.doc_id = lab.component AS is_canonical "
+            "FROM lab JOIN sz USING (component)"
         ),
         "quality_gopher": (
             "WITH d2 AS (SELECT doc_id, replace(replace(text, ' table ', chr(10)), "
