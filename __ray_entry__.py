@@ -860,6 +860,36 @@ def _q_events_windowed(sf_dir: str):
     return out.map_batches(to_us, batch_format="pyarrow")
 
 
+def _q_events_range_join(sf_dir: str):
+    """Self range join (custom operator): per event, the count of the
+    same user's events in the strictly-earlier 5-minute window.
+    time_buckets engages the giant-key path (2x context replication) -
+    exact, so the SQL range-join oracle certifies it."""
+    import ray.data
+
+    from topicrawler_ray.stages.timeseries import range_join_count
+
+    ev = ray.data.read_parquet(
+        sf_dir + "/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return range_join_count(
+        ev, by="user_id", on="ts", window_seconds=300, time_buckets=8
+    )
+
+
+def _q_events_sessions(sf_dir: str):
+    """Gap-and-island sessionization (streaming-window custom
+    operator): per-user sessions with a 30-minute inactivity gap."""
+    import ray.data
+
+    from topicrawler_ray.stages.timeseries import sessionize
+
+    ev = ray.data.read_parquet(
+        sf_dir + "/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return sessionize(ev, by="user_id", on="ts", gap_seconds=1800)
+
+
 def _q_events_asof_click(sf_dir: str):
     """As-of join (custom operator Ray Data lacks): every non-click
     event joined to the user's latest click at-or-before it.  Checked
@@ -1152,6 +1182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": _q_events_windowed,
         "events_props_k": _q_events_props_k,
         "events_asof_click": _q_events_asof_click,
+        "events_range_join": _q_events_range_join,
+        "events_sessions": _q_events_sessions,
         "filtered_sentences": _q_filtered_sentences,
         "corpus_truncate": _q_corpus_truncate,
         "distinct_sentences": _q_distinct_sentences,
@@ -1275,6 +1307,27 @@ def oracle_sql() -> dict[str, str]:
             "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts "
             "ORDER BY l.event_id"
+        ),
+        "events_range_join": (
+            "SELECT a.event_id, CAST(count(b.event_id) AS BIGINT) AS n_prior "
+            "FROM events a LEFT JOIN events b ON b.user_id = a.user_id "
+            "AND b.ts >= a.ts - INTERVAL 300 SECOND AND b.ts < a.ts "
+            "GROUP BY a.event_id"
+        ),
+        "events_sessions": (
+            "WITH o AS (SELECT user_id, event_id, ts, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts "
+            "FROM events), "
+            "f AS (SELECT user_id, event_id, ts, "
+            "CASE WHEN pts IS NULL OR ts - pts > INTERVAL 1800 SECOND "
+            "THEN 1 ELSE 0 END AS ns FROM o), "
+            "s AS (SELECT user_id, ts, sum(ns) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_id FROM f) "
+            "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+            "min(ts) AS session_start, max(ts) AS session_end, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM s GROUP BY 1, 2"
         ),
         # pure-SQL window-function oracle over the same deterministic
         # frontier derivation (host formula from sources/pages.py:

@@ -752,6 +752,72 @@ class TestTimeSeries:
         assert out.n_events.tolist() == [2, 1, 1]
         assert out.sum_value_e2.tolist() == [375, 400, 75]
 
+    def test_range_join_count_default_and_bucketed(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from topicrawler_ray.stages.timeseries import range_join_count
+
+        base = 1_700_000_000_000_000  # us
+        secs = [0, 100, 250, 400, 401, 401, 1000]
+        t = pa.table(
+            {
+                "event_id": pa.array(range(7), pa.int64()),
+                "user_id": pa.array([1] * 6 + [2], pa.int64()),
+                "ts": pa.array(
+                    [base + s * 1_000_000 for s in secs], pa.timestamp("us")
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        # window 300s, strictly earlier, >= ts-300:
+        # id0: none; id1: {0}; id2: {0,1}; id3 at 400: [100,400) =
+        # {1,2}; id4/5 at 401: [101,401) = {2,3} (ties at 401 exclude
+        # each other and 100 falls out); id6 (user2): none
+        expected = {0: 0, 1: 1, 2: 2, 3: 2, 4: 2, 5: 2, 6: 0}
+        for buckets in (None, 3):
+            out = (
+                range_join_count(
+                    ds, window_seconds=300, time_buckets=buckets
+                )
+                .to_pandas()
+                .set_index("event_id")["n_prior"]
+                .to_dict()
+            )
+            assert out == expected, buckets
+
+    def test_sessionize_gap_boundaries(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from topicrawler_ray.stages.timeseries import sessionize
+
+        base = 1_700_000_000_000_000
+        # user 1: gaps 1800s (same session: NOT strictly greater) then
+        # 1801s (new session); user 2: single event
+        secs = [0, 1800, 3601, 0]
+        t = pa.table(
+            {
+                "event_id": pa.array(range(4), pa.int64()),
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts": pa.array(
+                    [base + s * 1_000_000 for s in secs], pa.timestamp("us")
+                ),
+            }
+        )
+        out = (
+            sessionize(ray.data.from_arrow(t), gap_seconds=1800)
+            .to_pandas()
+            .sort_values(["user_id", "session_id"])
+            .reset_index(drop=True)
+        )
+        assert out["user_id"].tolist() == [1, 1, 2]
+        assert out["session_id"].tolist() == [1, 2, 1]
+        assert out["n_events"].tolist() == [2, 1, 1]
+        assert (
+            out["session_end"] - out["session_start"]
+        ).dt.total_seconds().tolist() == [1800.0, 0.0, 0.0]
+
     def test_asof_join_backward_inclusive(self, ray_session):
         import pandas as pd
         import pyarrow as pa

@@ -257,3 +257,202 @@ def asof_join(
     return final.groupby([by, "__bucket"]).map_groups(
         join_bucket_group, batch_format="pandas"
     )
+
+
+# --------------------------------------------------------------------------
+# range join (prompt "custom operators" bullet: as-of join, RANGE JOIN)
+
+
+def range_join_count(
+    ds,
+    by: str = "user_id",
+    on: str = "ts",
+    window_seconds: int = 300,
+    id_column: str = "event_id",
+    time_buckets: int | None = None,
+):
+    """Self range join: for each row, the count of same-``by`` rows
+    whose ``on`` falls in ``[row.on - window, row.on)`` (the strictly-
+    earlier half-open window - the row itself and exact-tie rows are
+    excluded, matching ``b.on >= a.on - W AND b.on < a.on`` in SQL).
+
+    Returns ``(id_column, n_prior)``.
+
+    Ray shape, default path: ONE ``groupby(by)`` shuffle; inside each
+    group the timestamps are sorted once and both window edges are
+    vectorized ``np.searchsorted`` probes - O(k log k) per key, no
+    pairwise expansion.
+
+    Giant-key path (``time_buckets=W > 1``): rows are range-
+    partitioned into W time buckets of width >= the window, and every
+    row is ALSO replicated as a context row into the next bucket; a
+    window reaching back ``window`` can then only span the group's own
+    bucket and the carried context, so each task is bounded by one
+    key's rows within two buckets (2x replication, exact result).
+    """
+    import pyarrow.compute as pc
+
+    win_us = int(window_seconds) * 1_000_000
+
+    def group_counts(ids, ts_us, targets_mask=None):
+        order = np.argsort(ts_us, kind="stable")
+        st = ts_us[order]
+        if targets_mask is None:
+            tgt_ids, tgt_ts = ids, ts_us
+        else:
+            tgt_ids, tgt_ts = ids[targets_mask], ts_us[targets_mask]
+        hi = np.searchsorted(st, tgt_ts, side="left")
+        lo = np.searchsorted(st, tgt_ts - win_us, side="left")
+        return tgt_ids, (hi - lo).astype(np.int64)
+
+    if not time_buckets or time_buckets <= 1:
+
+        def per_key(group: pd.DataFrame) -> pd.DataFrame:
+            ids = group[id_column].to_numpy()
+            ts_us = (
+                group[on].to_numpy().astype("datetime64[us]").astype(np.int64)
+            )
+            out_ids, n = group_counts(ids, ts_us)
+            return pd.DataFrame({id_column: out_ids, "n_prior": n})
+
+        return (
+            ds.select_columns([id_column, by, on])
+            .groupby(by)
+            .map_groups(per_key, batch_format="pandas")
+        )
+
+    # -- giant-key path -----------------------------------------------------
+    from ray.data.aggregate import Max, Min
+
+    src = ds.select_columns([id_column, by, on]).materialize()
+    bounds = src.aggregate(Min(on), Max(on))
+
+    def _i64(v):
+        if isinstance(v, (int, np.integer)):
+            return int(v)
+        return pa.scalar(v).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
+
+    lo_i = _i64(bounds["min(%s)" % on])
+    hi_i = _i64(bounds["max(%s)" % on])
+    width = max(win_us, (hi_i - lo_i) // int(time_buckets) + 1)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        keys = batch.column(by).to_numpy(zero_copy_only=False)
+        ts_us = np.asarray(
+            batch.column(on).cast(pa.int64()), dtype=np.int64
+        )
+        b = (ts_us - lo_i) // width
+        return pa.table(
+            {
+                id_column: pa.array(np.concatenate([ids, ids])),
+                by: pa.array(np.concatenate([keys, keys])),
+                "__ts": pa.array(np.concatenate([ts_us, ts_us])),
+                "__bucket": pa.array(
+                    np.concatenate([b, b + 1]).astype(np.int32)
+                ),
+                "__tgt": pa.array(
+                    np.concatenate(
+                        [np.ones(len(b), bool), np.zeros(len(b), bool)]
+                    )
+                ),
+            }
+        )
+
+    exploded = src.map_batches(explode, batch_format="pyarrow")
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_column].to_numpy()
+        ts_us = group["__ts"].to_numpy()
+        tgt = group["__tgt"].to_numpy()
+        if not tgt.any():
+            return pd.DataFrame({id_column: [], "n_prior": []}).astype(
+                {id_column: np.int64, "n_prior": np.int64}
+            )
+        out_ids, n = group_counts(ids, ts_us, targets_mask=tgt)
+        return pd.DataFrame({id_column: out_ids, "n_prior": n})
+
+    return exploded.groupby([by, "__bucket"]).map_groups(
+        per_bucket, batch_format="pandas"
+    )
+
+
+# --------------------------------------------------------------------------
+# session windows (gap-and-island sessionization - the prompt's
+# "streaming window" custom operator, keyed by user)
+
+
+def sessionize(
+    ds,
+    by: str = "user_id",
+    on: str = "ts",
+    gap_seconds: int = 1800,
+    order_column: str = "event_id",
+):
+    """Group each key's events into sessions: a new session starts
+    when the gap to the previous event (by ``on``) exceeds
+    ``gap_seconds`` STRICTLY.  Returns one row per session:
+    ``(by, session_id, session_start, session_end, n_events)`` with
+    1-based ``session_id`` per key in time order (SQL gap-and-island
+    ``sum(new_session) OVER (...)`` numbering).
+
+    Ray shape: ONE ``groupby(by)`` shuffle + a vectorized in-group
+    diff/cumsum - no window-function engine needed.  Partitioning
+    assumption: one key's events fit a task (same contract as the
+    as-of join's default path).  The scale escape hatch for a
+    pathological key is compositional: bucket by time and link
+    boundary events with ``stages.components.connected_components``
+    (events within ``gap`` of each other are edges; sessions ARE the
+    components, since any cross-boundary pair within the gap implies
+    the sorted-consecutive gap is within the gap too).
+    """
+
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values([on, order_column], kind="mergesort")
+        ts_us = group[on].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_s = np.ones(len(ts_us), dtype=np.int64)
+        if len(ts_us) > 1:
+            new_s[1:] = (np.diff(ts_us) > gap_us).astype(np.int64)
+        sid = np.cumsum(new_s)
+        df = pd.DataFrame(
+            {"sid": sid, "ts_us": ts_us, by: group[by].to_numpy()}
+        )
+        agg = df.groupby("sid", sort=True).agg(
+            session_start_us=("ts_us", "min"),
+            session_end_us=("ts_us", "max"),
+            n_events=("ts_us", "size"),
+            key=(by, "first"),
+        )
+        agg = agg.reset_index()
+        return pd.DataFrame(
+            {
+                by: agg["key"],
+                "session_id": agg["sid"].astype(np.int64),
+                "session_start_us": agg["session_start_us"],
+                "session_end_us": agg["session_end_us"],
+                "n_events": agg["n_events"].astype(np.int64),
+            }
+        )
+
+    out = (
+        ds.select_columns([by, on, order_column])
+        .groupby(by)
+        .map_groups(per_key, batch_format="pandas")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        start = batch.column("session_start_us").cast(pa.timestamp("us"))
+        end = batch.column("session_end_us").cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                by: batch.column(by),
+                "session_id": batch.column("session_id"),
+                "session_start": start,
+                "session_end": end,
+                "n_events": batch.column("n_events"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
