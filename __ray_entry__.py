@@ -478,6 +478,20 @@ def _q_decontaminate(sf_dir: str):
     return out.select_columns(["doc_id", "n_contaminated", "contaminated"])
 
 
+def _q_doc_quantiles(sf_dir: str):
+    """Distributed exact quantiles by histogram-refinement selection
+    (no global sort): quantile_disc semantics over documents.n_chars.
+    bins=16 deliberately forces multiple refinement rounds."""
+    import ray.data
+
+    from topicrawler_ray.stages.quantiles import exact_quantiles
+
+    ds = ray.data.read_parquet(
+        sf_dir + "/documents.parquet", columns=["n_chars"]
+    )
+    return exact_quantiles(ds, "n_chars", bins=16)
+
+
 def _q_dup_spans(sf_dir: str):
     """Lee-et-al-style duplicate-span stats: word 8-gram windows
     occurring >= 2 times corpus-wide (incl. within one doc) are dup
@@ -1155,6 +1169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_filter": _q_url_filter,
         "perp_buckets": _q_perp_buckets,
         "decontaminate": _q_decontaminate,
+        "doc_quantiles": _q_doc_quantiles,
         "dup_spans": _q_dup_spans,
         "near_dup_clusters": _q_near_dup_clusters,
         "langid": _q_langid,
@@ -1408,6 +1423,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated, "
             "COALESCE(h.n, 0) > 0 AS contaminated "
             "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"
+        ),
+        "doc_quantiles": (
+            "SELECT CAST(10 AS BIGINT) AS q_e2, "
+            "quantile_disc(n_chars, 0.10) AS value FROM documents "
+            "UNION ALL SELECT 25, quantile_disc(n_chars, 0.25) FROM documents "
+            "UNION ALL SELECT 50, quantile_disc(n_chars, 0.50) FROM documents "
+            "UNION ALL SELECT 75, quantile_disc(n_chars, 0.75) FROM documents "
+            "UNION ALL SELECT 90, quantile_disc(n_chars, 0.90) FROM documents "
+            "UNION ALL SELECT 99, quantile_disc(n_chars, 0.99) FROM documents"
         ),
         "dup_spans": (
             "WITH doc AS (SELECT doc_id, string_split(text, ' ') AS ws "
