@@ -478,6 +478,25 @@ def _q_decontaminate(sf_dir: str):
     return out.select_columns(["doc_id", "n_contaminated", "contaminated"])
 
 
+def _q_mixture_sample(sf_dir: str):
+    """Token-budget data mixing: per source, keep docs in deterministic
+    hash order until that source's token budget is met.  Runs the
+    THRESHOLD mode (weighted histogram refinement, no data shuffle) -
+    the SQL window-cumsum oracle certifies the scale path exactly."""
+    import ray.data
+
+    from topicrawler_ray.stages.sampling import mixture_sample
+
+    ds = ray.data.read_parquet(
+        sf_dir + "/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    # budgets: deterministic per-source formula mirrored in the oracle
+    # (64 covers any sf's source count; extra keys are inert)
+    budgets = {f"src{i}": 1500 + 400 * (i % 5) for i in range(64)}
+    return mixture_sample(ds, budgets, mode="threshold")
+
+
 def _q_doc_quantiles(sf_dir: str):
     """Distributed exact quantiles by histogram-refinement selection
     (no global sort): quantile_disc semantics over documents.n_chars.
@@ -1170,6 +1189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perp_buckets": _q_perp_buckets,
         "decontaminate": _q_decontaminate,
         "doc_quantiles": _q_doc_quantiles,
+        "mixture_sample": _q_mixture_sample,
         "dup_spans": _q_dup_spans,
         "near_dup_clusters": _q_near_dup_clusters,
         "langid": _q_langid,
@@ -1423,6 +1443,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated, "
             "COALESCE(h.n, 0) > 0 AS contaminated "
             "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"
+        ),
+        "mixture_sample": (
+            "WITH h AS (SELECT doc_id, source, n_chars, "
+            "substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx "
+            "FROM documents), "
+            "c AS (SELECT doc_id, source, sum(n_chars) OVER "
+            "(PARTITION BY source ORDER BY hx, doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS cum FROM h) "
+            "SELECT doc_id, source, "
+            "cum <= 1500 + 400 * (CAST(substr(source, 4) AS BIGINT) % 5) "
+            "AS keep FROM c"
         ),
         "doc_quantiles": (
             "SELECT CAST(10 AS BIGINT) AS q_e2, "

@@ -301,3 +301,82 @@ class TestUrlFilter:
             "http://host11.example/p4",
         ]
         assert sorted(out.host) == ["host1.example", "host11.example"]
+
+
+class TestMixtureSample:
+    def _ds(self, ray):
+        import pyarrow as pa
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(40), pa.int64()),
+                    "source": pa.array(
+                        ["a"] * 20 + ["b"] * 15 + ["c"] * 5
+                    ),
+                    "n_chars": pa.array(
+                        [100 + 7 * i for i in range(40)], pa.int64()
+                    ),
+                }
+            )
+        )
+
+    def test_group_and_threshold_agree(self, ray_session):
+        import ray
+
+        from topicrawler_ray.stages.sampling import mixture_sample
+
+        ds = self._ds(ray)
+        budgets = {"a": 800, "b": 10**9, "c": 1}  # mid / all / none
+        g = (
+            mixture_sample(ds, budgets, mode="group")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        t = (
+            mixture_sample(ds, budgets, mode="threshold", bins=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert g.equals(t)
+        by_src = g.groupby("source")["keep"].sum()
+        assert by_src["b"] == 15  # budget covers everything
+        assert by_src["c"] == 0  # budget below the smallest doc
+        assert 0 < by_src["a"] < 20
+
+    def test_inclusive_cumsum_semantics(self, ray_session):
+        import ray
+
+        from topicrawler_ray.stages.sampling import (
+            _bucket32,
+            mixture_sample,
+        )
+
+        ds = self._ds(ray)
+        # compute the sequential truth for source 'a'
+        rows = [(i, 100 + 7 * i) for i in range(20)]
+        rows.sort(key=lambda r: (_bucket32("0", str(r[0])), r[0]))
+        cum, expect = 0, {}
+        for i, tok in rows:
+            cum += tok
+            expect[i] = cum <= 800
+        out = (
+            mixture_sample(ds, {"a": 800}, mode="threshold")
+            .to_pandas()
+            .set_index("doc_id")["keep"]
+        )
+        for i, want in expect.items():
+            assert out[i] == want, i
+
+    def test_unbudgeted_source_drops(self, ray_session):
+        import ray
+
+        from topicrawler_ray.stages.sampling import mixture_sample
+
+        ds = self._ds(ray)
+        out = mixture_sample(ds, {"a": 10**9}, mode="group").to_pandas()
+        assert not out[out.source != "a"]["keep"].any()
+        assert out[out.source == "a"]["keep"].all()

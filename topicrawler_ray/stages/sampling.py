@@ -109,3 +109,282 @@ def stratified_sample(ds, id_column: str, strata_column: str,
         return batch.filter(mask)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# token-budget mixture sampling (data mixing)
+
+
+def mixture_sample(
+    ds,
+    budgets: dict,
+    source_column: str = "source",
+    token_column: str = "n_chars",
+    id_column: str = "doc_id",
+    seed: str = "0",
+    mode: str = "group",
+    bins: int = 256,
+    max_pull: int = 65536,
+):
+    """Token-budget data mixing: per source, keep documents in
+    deterministic hash order until the source's token budget is
+    reached (the mixture-weighting step of LLM corpus assembly).
+
+    Semantics (exactly the SQL window cumsum): rows of source ``s``
+    are ordered by ``(hash32(seed, id), id)``; a row is kept iff its
+    INCLUSIVE running ``token_column`` sum is ``<= budgets[s]``.
+    Sources missing from ``budgets`` keep nothing.  Returns
+    ``(id_column, source_column, keep)`` for every input row.
+
+    Two exact implementations:
+
+    * ``mode="group"``: ONE ``groupby(source)`` shuffle, vectorized
+      sort + cumsum per group.  Assumes one source's rows fit a task -
+      fine for few/medium sources, wrong for a source holding half the
+      corpus.
+    * ``mode="threshold"`` (the scale path): NO shuffle of the data at
+      all.  The keep set is ``hash < T_s`` (plus an exact boundary-row
+      tie rule), and each source's threshold is found by weighted
+      histogram refinement over the 32-bit hash space - the same
+      selection machinery as ``stages.quantiles`` with token sums as
+      weights.  Per pass, only (sources x bins) counter rows cross the
+      wire; the final bracket (<= ``max_pull`` rows) is pulled to
+      resolve the boundary exactly, then membership is a row-local
+      ``map_batches`` filter against the broadcast threshold table.
+      Scales to any skew: a source with 10^9 docs costs the same
+      counters as one with 10^2.
+    """
+    if mode == "group":
+        return _mixture_sample_group(
+            ds, budgets, source_column, token_column, id_column, seed
+        )
+    if mode != "threshold":
+        raise ValueError("mode must be 'group' or 'threshold'")
+    return _mixture_sample_threshold(
+        ds,
+        budgets,
+        source_column,
+        token_column,
+        id_column,
+        seed,
+        bins,
+        max_pull,
+    )
+
+
+def _hash_ids(ids, seed: str):
+    import numpy as np
+
+    return np.asarray(
+        [_bucket32(seed, str(i)) for i in ids], dtype=np.int64
+    )
+
+
+def _mixture_sample_group(
+    ds, budgets, source_column, token_column, id_column, seed
+):
+    import numpy as np
+    import pandas as pd
+
+    def per_source(group: pd.DataFrame) -> pd.DataFrame:
+        src = group[source_column].iloc[0]
+        budget = budgets.get(src)
+        if budget is None:
+            return pd.DataFrame(
+                {
+                    id_column: group[id_column],
+                    source_column: group[source_column],
+                    "keep": np.zeros(len(group), dtype=bool),
+                }
+            )
+        h = _hash_ids(group[id_column].tolist(), seed)
+        order = np.lexsort((group[id_column].to_numpy(), h))
+        toks = group[token_column].to_numpy()[order]
+        keep_sorted = np.cumsum(toks) <= budget
+        keep = np.empty(len(group), dtype=bool)
+        keep[order] = keep_sorted
+        return pd.DataFrame(
+            {
+                id_column: group[id_column],
+                source_column: group[source_column],
+                "keep": keep,
+            }
+        )
+
+    return (
+        ds.select_columns([id_column, source_column, token_column])
+        .groupby(source_column)
+        .map_groups(per_source, batch_format="pandas")
+    )
+
+
+def _mixture_sample_threshold(
+    ds, budgets, source_column, token_column, id_column, seed, bins, max_pull
+):
+    import numpy as np
+
+    proj = ds.select_columns(
+        [id_column, source_column, token_column]
+    ).materialize()
+
+    # state per source: bracket [lo, hi] over hash space, tokens/rows
+    # already accounted below lo, and the resolved boundary
+    state = {
+        s: {
+            "lo": 0,
+            "hi": (1 << 32) - 1,
+            "tok_before": 0,
+            "resolved": False,
+            # boundary: (hash, id) of the LAST kept row; None while
+            # unresolved; (-1, -1) = keep nothing
+            "boundary": None,
+        }
+        for s in budgets
+    }
+
+    for _ in range(16):  # 32-bit domain / 256 bins -> <= 4 real rounds
+        active = {s: st for s, st in state.items() if not st["resolved"]}
+        if not active:
+            break
+        plans = {
+            s: (st["lo"], st["hi"], max(1, (st["hi"] - st["lo"] + 1 + bins - 1) // bins))
+            for s, st in active.items()
+        }
+
+        import pyarrow as pa
+
+        def weigh(batch: pa.Table, plans=dict(plans)) -> pa.Table:
+            srcs = batch.column(source_column).to_pylist()
+            ids = batch.column(id_column).to_pylist()
+            toks = np.asarray(
+                batch.column(token_column).to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            h = _hash_ids(ids, seed)
+            out_s, out_b, out_t, out_r = [], [], [], []
+            srcs_arr = np.asarray(srcs, dtype=object)
+            for s, (lo, hi, width) in plans.items():
+                m = (srcs_arr == s) & (h >= lo) & (h <= hi)
+                if not m.any():
+                    continue
+                b = (h[m] - lo) // width
+                for bb in np.unique(b):
+                    sel = b == bb
+                    out_s.append(s)
+                    out_b.append(int(bb))
+                    out_t.append(int(toks[m][sel].sum()))
+                    out_r.append(int(sel.sum()))
+            return pa.table(
+                {
+                    "s": pa.array(out_s, pa.string()),
+                    "bin": pa.array(out_b, pa.int64()),
+                    "tok": pa.array(out_t, pa.int64()),
+                    "rows": pa.array(out_r, pa.int64()),
+                }
+            )
+
+        hist = (
+            proj.map_batches(weigh, batch_format="pyarrow")
+            .groupby(["s", "bin"])
+            .sum(["tok", "rows"])
+            .to_pandas()
+        )
+        for s, st in active.items():
+            lo, hi, width = plans[s]
+            budget_left = budgets[s] - st["tok_before"]
+            rows = hist[hist["s"] == s].sort_values("bin")
+            cum_tok = 0
+            placed = False
+            for _, r in rows.iterrows():
+                b, btok, brows = int(r["bin"]), int(r["sum(tok)"]), int(r["sum(rows)"])
+                if cum_tok + btok > budget_left:
+                    # boundary falls inside this bin
+                    st["tok_before"] += cum_tok
+                    st["lo"] = lo + b * width
+                    st["hi"] = min(lo + (b + 1) * width - 1, hi)
+                    if brows <= max_pull:
+                        _resolve_boundary(
+                            proj,
+                            st,
+                            s,
+                            budgets[s],
+                            source_column,
+                            token_column,
+                            id_column,
+                            seed,
+                        )
+                    placed = True
+                    break
+                cum_tok += btok
+            if not placed:
+                # whole bracket fits in budget: keep everything
+                st["resolved"] = True
+                st["boundary"] = ((1 << 32), 0)
+
+    if any(not st["resolved"] for st in state.values()):
+        raise RuntimeError("mixture threshold refinement did not resolve")
+
+    import pyarrow as pa
+
+    bounds = {s: st["boundary"] for s, st in state.items()}
+
+    def flag(batch: pa.Table) -> pa.Table:
+        srcs = batch.column(source_column).to_pylist()
+        ids = batch.column(id_column).to_pylist()
+        h = _hash_ids(ids, seed)
+        keep = np.zeros(len(ids), dtype=bool)
+        for i, (s, hid, rid) in enumerate(zip(srcs, h, ids)):
+            bnd = bounds.get(s)
+            if bnd is None:
+                continue
+            bh, bid = bnd
+            keep[i] = hid < bh or (hid == bh and rid <= bid)
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                source_column: batch.column(source_column),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return proj.map_batches(flag, batch_format="pyarrow")
+
+
+def _resolve_boundary(
+    proj, st, s, budget, source_column, token_column, id_column, seed
+):
+    """Pull the (bounded) bracket rows for one source and fix the exact
+    boundary (hash, id) of the last kept row."""
+    import numpy as np
+    import pyarrow as pa
+
+    lo, hi = st["lo"], st["hi"]
+
+    def in_bracket(batch: pa.Table) -> pa.Table:
+        srcs = np.asarray(batch.column(source_column).to_pylist(), object)
+        ids = batch.column(id_column).to_pylist()
+        h = _hash_ids(ids, seed)
+        m = (srcs == s) & (h >= lo) & (h <= hi)
+        return batch.filter(pa.array(m))
+
+    rows = []
+    for b in proj.map_batches(
+        in_bracket, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        ids = b.column(id_column).to_pylist()
+        toks = b.column(token_column).to_pylist()
+        h = _hash_ids(ids, seed)
+        rows.extend(zip(h.tolist(), ids, toks))
+    rows.sort()
+    cum = st["tok_before"]
+    # even when nothing in the bracket fits, every row strictly below
+    # the bracket is kept (it is already accounted in tok_before):
+    # hash < lo, expressed as boundary (lo-1, max-id)
+    boundary = (lo - 1, (1 << 63) - 1)
+    for hh, rid, tok in rows:
+        if cum + tok > budget:
+            break
+        cum += tok
+        boundary = (hh, rid)
+    st["boundary"] = boundary
+    st["resolved"] = True
