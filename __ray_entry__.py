@@ -511,6 +511,20 @@ def _q_doc_quantiles(sf_dir: str):
     return exact_quantiles(ds, "n_chars", bins=16)
 
 
+def _q_link_pagerank(sf_dir: str):
+    """Iterative integer PageRank over the page link graph: S3 link
+    extraction -> distinct-edge groupby -> 5 rank iterations, each one
+    edges-join-ranks exchange + one groupby (the seed-row trick in
+    stages/graph.py keeps no-inbound nodes without a second join).
+    All-integer updates make the distributed result bit-identical to
+    the sequential dict-loop oracle."""
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.graph import page_edges, pagerank
+
+    edges = page_edges(read_pages(sf_dir, num_blocks=16))
+    return pagerank(edges, iterations=5)
+
+
 def _q_dup_spans(sf_dir: str):
     """Lee-et-al-style duplicate-span stats: word 8-gram windows
     occurring >= 2 times corpus-wide (incl. within one doc) are dup
@@ -1192,6 +1206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _q_mixture_sample,
         "dup_spans": _q_dup_spans,
         "near_dup_clusters": _q_near_dup_clusters,
+        "link_pagerank": _q_link_pagerank,
         "langid": _q_langid,
         "langid_wordlist": _q_langid_wordlist,
         "pack_sequences": _q_pack_sequences,

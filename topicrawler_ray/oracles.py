@@ -671,9 +671,55 @@ def _b_ngram_stats_seg(sf_dir: str) -> pa.Table:
     return pa.table({n: arrays[n] for n in names})
 
 
+# -- link-graph PageRank -----------------------------------------------------
+
+
+def _b_link_pagerank(sf_dir: str) -> pa.Table:
+    """Sequential integer PageRank over the fixture link graph.
+
+    Shares only the S3 link-extraction primitives with the engine (the
+    same standard as the crawl simulator); the rank iteration itself is
+    re-derived here as plain dict loops — nothing imported from
+    stages/graph.py.  Integer semantics per stages/graph.py docstring.
+    """
+    from .functions.urls import extract_outlinks
+    from .stages.extract import decode_page_bytes, is_robots_url
+
+    edges: set[tuple[str, str]] = set()
+    for url, _ts, html in _pages_rows(sf_dir):
+        if is_robots_url(url) or not html:
+            continue
+        for dst in extract_outlinks(decode_page_bytes(url, html), url):
+            edges.add((url, dst))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg: dict[str, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    scale, alpha_num, alpha_den, iterations = 10**12, 85, 100, 5
+    init = scale // n
+    base = ((alpha_den - alpha_num) * init) // alpha_den
+    rank = {u: init for u in nodes}
+    for _ in range(iterations):
+        share = sum(r for u, r in rank.items() if outdeg.get(u, 0) == 0) // n
+        ins = dict.fromkeys(nodes, 0)
+        for s, d in edges:
+            ins[d] += rank[s] // outdeg[s]
+        rank = {
+            u: base + (alpha_num * (ins[u] + share)) // alpha_den for u in nodes
+        }
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.string()),
+            "rank": pa.array([rank[u] for u in nodes], pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 
 BUILDERS = {
+    "link_pagerank": _b_link_pagerank,
     "scored_pages": _b_scored_pages,
     "scored_pages_kn": _b_scored_pages_kn,
     # disk-backed serving must score bit-identically to the in-memory
