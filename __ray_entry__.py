@@ -525,6 +525,57 @@ def _q_link_pagerank(sf_dir: str):
     return pagerank(edges, iterations=5)
 
 
+def _q_anchor_texts(sf_dir: str):
+    """Inbound anchor-text aggregation per link target (the classic
+    external relevance signal): one groupby(dst) over anchor rows."""
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.graph import anchor_text_agg
+
+    return anchor_text_agg(read_pages(sf_dir, num_blocks=16))
+
+
+def _q_host_rollup(sf_dir: str):
+    """Per-host page stats (n_pages, n_robots, html_bytes): per-batch
+    partial aggregation before one small groupby(host).sum — the
+    combiner discipline.  Pure-SQL oracle over the pages fixture."""
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.politeness import host_rollup
+
+    return host_rollup(read_pages(sf_dir, num_blocks=16))
+
+
+def _q_dedup_segments(sf_dir: str):
+    """CCNet-style segment-level exact dedup: 10-word segments, first
+    corpus occurrence (doc_id, seg_idx order) kept.  The shuffle moves
+    128-bit fingerprints, not text.  Pure-SQL window oracle."""
+    from topicrawler_ray.stages.dedup import segment_dedup
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return segment_dedup(ds, words_per_seg=10)
+
+
+def _q_events_hopping(sf_dir: str):
+    """Hopping-window aggregate (10-min windows, 5-min hop): vectorized
+    2x shifted-copy assignment + ONE groupby; quantized exact sums."""
+    import pyarrow as pa
+    import ray.data
+
+    from topicrawler_ray.stages.timeseries import hopping_window_agg
+
+    ds = ray.data.read_parquet(
+        sf_dir + "/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    out = hopping_window_agg(ds, width_seconds=600, hop_seconds=300)
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        ws = batch.column("window_start").cast(pa.int64())
+        return batch.drop_columns(["window_start"]).add_column(
+            0, "window_start_us", ws
+        )
+
+    return out.map_batches(to_us, batch_format="pyarrow")
+
+
 def _q_dup_spans(sf_dir: str):
     """Lee-et-al-style duplicate-span stats: word 8-gram windows
     occurring >= 2 times corpus-wide (incl. within one doc) are dup
@@ -1207,6 +1258,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "near_dup_clusters": _q_near_dup_clusters,
         "link_pagerank": _q_link_pagerank,
+        "anchor_texts": _q_anchor_texts,
+        "host_rollup": _q_host_rollup,
+        "dedup_segments": _q_dedup_segments,
+        "events_hopping": _q_events_hopping,
         "langid": _q_langid,
         "langid_wordlist": _q_langid_wordlist,
         "pack_sequences": _q_pack_sequences,
@@ -1570,6 +1625,34 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT regexp_matches(regexp_extract(url, "
             "'^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), "
             "'^host[0-9]*[05]\\.example$')" % _PAGES_SF001
+        ),
+        "host_rollup": (
+            "SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) "
+            "AS host, CAST(count(*) AS BIGINT) AS n_pages, "
+            "CAST(sum(CASE WHEN regexp_matches(url, "
+            "'^[a-z][a-z0-9+.-]*://[^/?#]+/robots\\.txt$') THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_robots, "
+            "CAST(sum(octet_length(html)) AS BIGINT) AS html_bytes "
+            "FROM read_parquet('%s') GROUP BY 1" % _PAGES_SF001
+        ),
+        "dedup_segments": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "s AS (SELECT doc_id, CAST(j AS BIGINT) AS seg_idx, "
+            "array_to_string(ws[j * 10 + 1 : j * 10 + 10], ' ') AS seg "
+            "FROM w, generate_series(0, 4095) t(j) "
+            "WHERE j <= CAST(ceil(len(ws) / 10.0) AS BIGINT) - 1) "
+            "SELECT doc_id, seg_idx, "
+            "row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1 "
+            "AS keep FROM s"
+        ),
+        "events_hopping": (
+            "SELECT CAST(((epoch_us(ts) // 300000000) - j) * 300000000 "
+            "AS BIGINT) AS window_start_us, event_type, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_e2 "
+            "FROM events, generate_series(0, 1) t(j) GROUP BY 1, 2"
         ),
         "perp_buckets": (
             "SELECT url, CAST(floor(perp * 1e6) AS BIGINT) AS perp_e6, "

@@ -1,0 +1,163 @@
+"""Webtext curation operators added in round 3: segment-level dedup,
+hopping windows, host rollup, anchor-text aggregation."""
+
+import pyarrow as pa
+import pytest
+
+
+class TestSegmentDedup:
+    def test_first_occurrence_kept(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.dedup import segment_dedup
+
+        # doc 0 seg0 == doc 1 seg1 == doc 1 seg2 ("a b"); doc1 seg0 unique
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 0, "text": "a b"},
+                {"doc_id": 1, "text": "x y a b a b"},
+            ]
+        )
+        out = {
+            (r["doc_id"], r["seg_idx"]): r["keep"]
+            for r in segment_dedup(docs, words_per_seg=2).take_all()
+        }
+        assert out == {
+            (0, 0): True,   # first "a b"
+            (1, 0): True,   # "x y"
+            (1, 1): False,  # dup "a b"
+            (1, 2): False,  # dup "a b" (within-doc)
+        }
+
+    def test_empty_text_single_segment(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.dedup import segment_dedup
+
+        docs = ray.data.from_items(
+            [{"doc_id": 0, "text": ""}, {"doc_id": 1, "text": ""}]
+        )
+        out = {
+            (r["doc_id"], r["seg_idx"]): r["keep"]
+            for r in segment_dedup(docs, words_per_seg=3).take_all()
+        }
+        # ''.split(' ') == [''] -> one (empty) segment per doc; doc 0 first
+        assert out == {(0, 0): True, (1, 0): False}
+
+
+class TestHoppingWindow:
+    def test_each_event_in_two_windows(self, ray_session):
+        import datetime
+
+        import ray.data
+
+        from topicrawler_ray.stages.timeseries import hopping_window_agg
+
+        def ts(sec):
+            return datetime.datetime(2024, 1, 1, 0, 0, sec)
+
+        # explicit timestamp[us] (the parquet fixture dtype; from_items
+        # would store ns and break the µs window math)
+        events = ray.data.from_arrow(
+            pa.table(
+                {
+                    "ts": pa.array([ts(10), ts(20), ts(40)], pa.timestamp("us")),
+                    "event_type": ["a", "a", "b"],
+                    "value": [1.0, 2.0, 0.5],
+                }
+            )
+        )
+        out = hopping_window_agg(
+            events, width_seconds=60, hop_seconds=30
+        ).take_all()
+        # every event lands in exactly width/hop = 2 windows
+        assert sum(r["n_events"] for r in out) == 6
+        rows = {
+            (r["window_start"].isoformat(), r["event_type"]): (
+                r["n_events"],
+                r["sum_value_e2"],
+            )
+            for r in out
+        }
+        base = datetime.datetime(2024, 1, 1).isoformat()
+        prev = datetime.datetime(2023, 12, 31, 23, 59, 30).isoformat()
+        assert rows[(base, "a")] == (2, 300)
+        assert rows[(prev, "a")] == (2, 300)
+        assert rows[(base + "", "b")] == (1, 50)
+
+    def test_width_must_divide(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.timeseries import hopping_window_agg
+
+        with pytest.raises(ValueError):
+            hopping_window_agg(
+                ray.data.from_items([{"ts": 0, "event_type": "a", "value": 0.0}]),
+                width_seconds=500,
+                hop_seconds=300,
+            )
+
+
+class TestHostRollup:
+    def test_partial_then_sum(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.politeness import host_rollup
+
+        pages = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": [
+                        "http://h1.example/",
+                        "http://h1.example/p2",
+                        "http://h1.example/robots.txt",
+                        "http://h2.example/x",
+                    ],
+                    "html": [b"abc", b"defgh", b"ua", None],
+                }
+            )
+        ).repartition(3)
+        rows = {r["host"]: r for r in host_rollup(pages).take_all()}
+        assert rows["h1.example"]["n_pages"] == 3
+        assert rows["h1.example"]["n_robots"] == 1
+        assert rows["h1.example"]["html_bytes"] == 10
+        assert rows["h2.example"]["n_pages"] == 1
+        assert rows["h2.example"]["html_bytes"] == 0
+
+
+class TestAnchors:
+    def test_extract_anchors_filters_and_cleans(self):
+        from topicrawler_ray.functions.urls import extract_anchors
+
+        html = (
+            '<a href="/x">Hello <b>World</b></a>'
+            '<a href="#frag">skip</a>'
+            '<a href="javascript:f()">skip</a>'
+            '<a href="http://a.example/p">  A\n  B </a>'
+        )
+        got = extract_anchors(html, "http://h.example/base")
+        assert got == [
+            ("http://h.example/x", "Hello World"),
+            ("http://a.example/p", "A B"),
+        ]
+
+    def test_agg_caps_text_variety_not_counts(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.graph import anchor_text_agg
+
+        html = "".join(
+            '<a href="http://t.example/">t%02d</a>' % i for i in range(25)
+        ) + '<a href="http://t.example/"></a>'  # empty text: counted, not listed
+        pages = ray.data.from_arrow(
+            pa.table(
+                {"url": ["http://h.example/"], "html": [html.encode("utf-8")]}
+            )
+        )
+        rows = anchor_text_agg(pages, max_texts=20).take_all()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["n_anchors"] == 26
+        assert r["n_texts"] == 25
+        texts = r["texts"].split("|")
+        assert texts == ["t%02d" % i for i in range(20)]

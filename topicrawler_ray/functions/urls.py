@@ -72,3 +72,32 @@ def extract_outlinks(html: str, base_url: str) -> list[str]:
             continue
         out.append(canonicalize(absu))
     return out
+
+
+_ANCHOR_RE = re.compile(
+    r"""<a\s[^>]*?href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))[^>]*>(.*?)</a\s*>""",
+    re.IGNORECASE | re.DOTALL,
+)
+_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_anchors(html: str, base_url: str) -> list[tuple[str, str]]:
+    """(canonical target URL, cleaned anchor text) pairs in document
+    order - same link filtering as :func:`extract_outlinks`
+    (ExtractorHTML subset); the anchor text has inner tags stripped and
+    whitespace collapsed (``a > b`` nesting keeps the inner text)."""
+    out: list[tuple[str, str]] = []
+    for m in _ANCHOR_RE.finditer(html):
+        href = (m.group(2) or m.group(3) or m.group(4) or "").strip()
+        if not href or href.startswith("#"):
+            continue
+        low = href.lower()
+        if low.startswith(("javascript:", "mailto:", "data:")):
+            continue
+        absu = urljoin(base_url, href)
+        if not absu.lower().startswith(("http://", "https://")):
+            continue
+        text = _WS_RE.sub(" ", _TAG_RE.sub(" ", m.group(5))).strip()
+        out.append((canonicalize(absu), text))
+    return out

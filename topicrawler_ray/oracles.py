@@ -716,10 +716,41 @@ def _b_link_pagerank(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_anchor_texts(sf_dir: str) -> pa.Table:
+    """Sequential inbound anchor-text aggregation (shares only the
+    extract_anchors parsing primitive with the engine — the
+    aggregation itself is re-derived as dict loops)."""
+    from .functions.urls import extract_anchors
+    from .stages.extract import decode_page_bytes, is_robots_url
+
+    per_dst: dict[str, list[str]] = {}
+    for url, _ts, html in _pages_rows(sf_dir):
+        if is_robots_url(url) or not html:
+            continue
+        for dst, text in extract_anchors(decode_page_bytes(url, html), url):
+            per_dst.setdefault(dst, []).append(text)
+    dsts = sorted(per_dst)
+    n_anchors, n_texts, texts = [], [], []
+    for d in dsts:
+        distinct = sorted({t for t in per_dst[d] if t})
+        n_anchors.append(len(per_dst[d]))
+        n_texts.append(len(distinct))
+        texts.append("|".join(distinct[:20]))
+    return pa.table(
+        {
+            "dst": pa.array(dsts, pa.string()),
+            "n_anchors": pa.array(n_anchors, pa.int64()),
+            "n_texts": pa.array(n_texts, pa.int64()),
+            "texts": pa.array(texts, pa.string()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 
 BUILDERS = {
     "link_pagerank": _b_link_pagerank,
+    "anchor_texts": _b_anchor_texts,
     "scored_pages": _b_scored_pages,
     "scored_pages_kn": _b_scored_pages_kn,
     # disk-backed serving must score bit-identically to the in-memory

@@ -652,3 +652,71 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.4, id_column: str = "vec_i
         .groupby("lsh_bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
+
+
+def segment_dedup(
+    ds,
+    id_column: str = "doc_id",
+    column: str = "text",
+    words_per_seg: int = 10,
+    num_partitions: int | None = None,
+):
+    """CCNet-style line/segment-level exact dedup: split every doc into
+    fixed ``words_per_seg``-word segments, keep only the FIRST corpus
+    occurrence of each distinct segment (ordered by ``(doc_id,
+    seg_idx)``), mark the rest as drops.
+
+    -> (doc_id, seg_idx, keep: bool), one row per segment.
+
+    Scale shape: the shuffle moves ``(h1, h2, doc_id, seg_idx)`` —
+    the 128-bit murmur fingerprint of the segment, NOT its text
+    (~32 bytes/row no matter how wide segments are).  First-occurrence
+    selection is computed inside ``groupby(h1, h2).map_groups``; with a
+    128-bit key, hash collisions are negligible (documented semantic:
+    dedup is by fingerprint).  One exchange total.
+    """
+    import pandas as pd
+
+    from ..functions.hashing import murmur3_x64_128
+
+    num_partitions = _default_partitions(num_partitions)
+
+    def segs(batch: pa.Table) -> pa.Table:
+        ids_out, idx_out, h1_out, h2_out = [], [], [], []
+        for did, text in zip(
+            batch.column(id_column).to_pylist(), batch.column(column).to_pylist()
+        ):
+            words = (text or "").split(" ")
+            nseg = (len(words) + words_per_seg - 1) // words_per_seg
+            for j in range(nseg):
+                seg = " ".join(words[j * words_per_seg : (j + 1) * words_per_seg])
+                h1, h2 = murmur3_x64_128(seg.encode("utf-8"))
+                ids_out.append(did)
+                idx_out.append(j)
+                h1_out.append(h1 - (1 << 63))  # signed int64 storage
+                h2_out.append(h2 - (1 << 63))
+        return pa.table(
+            {
+                id_column: pa.array(ids_out, pa.int64()),
+                "seg_idx": pa.array(idx_out, pa.int64()),
+                "h1": pa.array(h1_out, pa.int64()),
+                "h2": pa.array(h2_out, pa.int64()),
+            }
+        )
+
+    def mark_first(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.sort_values([id_column, "seg_idx"]).iloc[0]
+        keep = (g[id_column] == first[id_column]) & (g["seg_idx"] == first["seg_idx"])
+        return pd.DataFrame(
+            {
+                id_column: g[id_column],
+                "seg_idx": g["seg_idx"],
+                "keep": keep.to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(segs, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .map_groups(mark_first, batch_format="pandas")
+    )

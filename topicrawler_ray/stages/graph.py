@@ -278,3 +278,57 @@ def pagerank(
         )
 
     return ranks.select_columns(["node", "rank"])
+
+
+def anchor_text_agg(pages_ds, max_texts: int = 20, num_partitions: int | None = None):
+    """Inbound anchor-text aggregation per link target: (dst,
+    n_anchors, n_texts, texts).
+
+    Anchor text is the classic external relevance signal for a crawl
+    target (what OTHER pages call it) — the batch analog of Heritrix's
+    via information, and a standard webtext ranking feature.  One
+    ``groupby(dst)`` exchange of (dst, text) anchor rows; per group:
+    ``n_anchors`` counts every inbound anchor, ``n_texts`` counts
+    distinct non-empty texts, ``texts`` joins the lexicographically
+    first ``max_texts`` distinct non-empty texts with "|" — the
+    deterministic skew guard for mega-popular targets (a homepage with
+    10^7 inbound links still emits one bounded row; the cap drops text
+    VARIETY, never counts).
+    """
+    import pandas as pd
+
+    from .dedup import _default_partitions
+
+    def anchors(batch: pa.Table) -> pa.Table:
+        from ..functions.urls import extract_anchors
+        from ..stages.extract import decode_page_bytes, is_robots_url
+
+        dsts, texts = [], []
+        for url, html in zip(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            if is_robots_url(url) or not html:
+                continue
+            for dst, text in extract_anchors(decode_page_bytes(url, html), url):
+                dsts.append(dst)
+                texts.append(text)
+        return pa.table(
+            {"dst": pa.array(dsts, pa.string()), "text": pa.array(texts, pa.string())}
+        )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        distinct = sorted({t for t in g["text"] if t})
+        return pd.DataFrame(
+            {
+                "dst": [g["dst"].iloc[0]],
+                "n_anchors": [len(g)],
+                "n_texts": [len(distinct)],
+                "texts": ["|".join(distinct[:max_texts])],
+            }
+        )
+
+    return (
+        pages_ds.map_batches(anchors, batch_format="pyarrow")
+        .groupby("dst")
+        .map_groups(agg, batch_format="pandas")
+    )

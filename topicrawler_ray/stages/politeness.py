@@ -54,3 +54,56 @@ def assign_politeness_slots(
         lambda b: add_host_column(b, url_column), batch_format="pyarrow"
     )
     return with_host.groupby("host").map_groups(rank_group, batch_format="pandas")
+
+
+def host_rollup(pages_ds, num_partitions: int | None = None):
+    """Per-host page statistics over the raw pages table: (host,
+    n_pages, n_robots, html_bytes).
+
+    The domain/host rollup every webtext curation run needs (host
+    reputation lists, robots coverage, per-host byte budgets).  Shape:
+    per-BATCH partial aggregation (host granularity inside the batch)
+    BEFORE one small ``groupby(host).sum`` - the combiner discipline;
+    the shuffle moves one row per (batch, host), never per page.
+    """
+    import pyarrow as pa
+
+    from ..stages.dedup import _default_partitions
+    from ..stages.extract import is_robots_url
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, list[int]] = {}
+        for url, html in zip(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            c = counts.setdefault(host_of_url(url), [0, 0, 0])
+            c[0] += 1
+            c[1] += 1 if is_robots_url(url) else 0
+            c[2] += len(html) if html else 0
+        hosts = sorted(counts)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "n_pages": pa.array([counts[h][0] for h in hosts], pa.int64()),
+                "n_robots": pa.array([counts[h][1] for h in hosts], pa.int64()),
+                "html_bytes": pa.array([counts[h][2] for h in hosts], pa.int64()),
+            }
+        )
+
+    out = (
+        pages_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .sum(["n_pages", "n_robots", "html_bytes"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_pages": batch.column("sum(n_pages)").cast(pa.int64()),
+                "n_robots": batch.column("sum(n_robots)").cast(pa.int64()),
+                "html_bytes": batch.column("sum(html_bytes)").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -44,7 +44,10 @@ def tumbling_window_agg(
     width_us = width_seconds * 1_000_000
 
     def assign(batch: pa.Table) -> pa.Table:
-        ts = np.asarray(batch.column(ts_column).cast(pa.int64()), dtype=np.int64)
+        ts = np.asarray(
+            batch.column(ts_column).cast(pa.timestamp("us")).cast(pa.int64()),
+            dtype=np.int64,
+        )
         win = (ts // width_us) * width_us
         e2 = np.rint(
             np.asarray(batch.column(value_column), dtype=np.float64) * 100
@@ -53,6 +56,70 @@ def tumbling_window_agg(
             batch.append_column("window_start_us", pa.array(win, pa.int64()))
             .append_column("value_e2", pa.array(e2, pa.int64()))
         )
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["window_start_us", *keys])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_e2", alias_name="sum_value_e2"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ws = batch.column("window_start_us").cast(pa.timestamp("us"))
+        batch = batch.drop_columns(["window_start_us"])
+        return batch.add_column(0, "window_start", ws)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def hopping_window_agg(
+    ds,
+    ts_column: str = "ts",
+    width_seconds: int = 600,
+    hop_seconds: int = 300,
+    keys: tuple = ("event_type",),
+    value_column: str = "value",
+):
+    """Hopping (sliding) window aggregate: every event lands in the
+    ``width/hop`` overlapping windows that contain it.
+
+    -> (window_start ts, *keys, n_events, sum_value_e2) per window.
+
+    Same exact-reduce discipline as :func:`tumbling_window_agg` (the
+    value sum is micro-quantized to int64 per ROW before the shuffle).
+    The replication factor is ``width // hop`` (must divide evenly) —
+    assignment is a vectorized k-fold shifted copy per batch, then ONE
+    groupby; no self-join, no range join.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    if width_seconds % hop_seconds:
+        raise ValueError("width_seconds must be a multiple of hop_seconds")
+    reps = width_seconds // hop_seconds
+    hop_us = hop_seconds * 1_000_000
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(
+            batch.column(ts_column).cast(pa.timestamp("us")).cast(pa.int64()),
+            dtype=np.int64,
+        )
+        base = (ts // hop_us) * hop_us
+        e2 = np.rint(
+            np.asarray(batch.column(value_column), dtype=np.float64) * 100
+        ).astype(np.int64)
+        parts = []
+        for j in range(reps):
+            t = pa.table(
+                {
+                    "window_start_us": pa.array(base - j * hop_us, pa.int64()),
+                    **{k: batch.column(k) for k in keys},
+                    "value_e2": pa.array(e2, pa.int64()),
+                }
+            )
+            parts.append(t)
+        return pa.concat_tables(parts)
 
     out = (
         ds.map_batches(assign, batch_format="pyarrow")
