@@ -525,6 +525,18 @@ def _q_link_pagerank(sf_dir: str):
     return pagerank(edges, iterations=5)
 
 
+def _q_bm25_topk(sf_dir: str):
+    """Distributed BM25 top-k lexical retrieval: corpus-stats combiner
+    pass (tiny groupby) -> broadcast idf -> per-batch partial top-k ->
+    k-bounded driver merge (knn_bruteforce pattern).  The fixed query
+    list is mirrored by the sequential oracle."""
+    from topicrawler_ray.stages.retrieval import bm25_topk
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    queries = [(0, "fast table scan"), (1, "window agg value"), (2, "slow batch merge")]
+    return bm25_topk(ds, queries, k=10)
+
+
 def _q_anchor_texts(sf_dir: str):
     """Inbound anchor-text aggregation per link target (the classic
     external relevance signal): one groupby(dst) over anchor rows."""
@@ -1259,6 +1271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "link_pagerank": _q_link_pagerank,
         "anchor_texts": _q_anchor_texts,
+        "bm25_topk": _q_bm25_topk,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,

@@ -161,3 +161,60 @@ class TestAnchors:
         assert r["n_texts"] == 25
         texts = r["texts"].split("|")
         assert texts == ["t%02d" % i for i in range(20)]
+
+
+class TestBM25:
+    def test_topk_matches_bruteforce(self, ray_session):
+        import math
+
+        import ray.data
+
+        from topicrawler_ray.stages.retrieval import bm25_topk
+
+        docs = [
+            (0, "fast table scan over table"),
+            (1, "fast fast fast"),
+            (2, "slow merge"),
+            (3, "table"),
+            (4, "nothing relevant here"),
+        ]
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in docs]
+        ).repartition(3)
+        out = bm25_topk(ds, [(7, "fast table")], k=3).take_all()
+        assert [r["query_id"] for r in out] == [7, 7, 7]
+        assert [r["rank"] for r in out] == [0, 1, 2]
+        # independent brute-force check of the ORDER (scores re-derived)
+        K1, B = 1.5, 0.75
+        n = len(docs)
+        avgdl = sum(len(t.split(" ")) for _, t in docs) / n
+        df = {"fast": 2, "table": 2}
+        idf = {
+            t: math.log(1.0 + (n - d + 0.5) / (d + 0.5)) for t, d in df.items()
+        }
+        def score(text):
+            words = text.split(" ")
+            dl = len(words)
+            s = 0.0
+            for t in ("fast", "table"):
+                f = words.count(t)
+                if f:
+                    s += idf[t] * (f * (K1 + 1.0)) / (
+                        f + K1 * (1.0 - B + B * dl / avgdl)
+                    )
+            return s
+        order = sorted(
+            ((score(t), i) for i, t in docs if score(t) > 0),
+            key=lambda p: (-p[0], p[1]),
+        )[:3]
+        assert [r["doc_id"] for r in out] == [i for _, i in order]
+
+    def test_zero_overlap_docs_never_rank(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.retrieval import bm25_topk
+
+        ds = ray.data.from_items(
+            [{"doc_id": 0, "text": "x y"}, {"doc_id": 1, "text": "z"}]
+        )
+        assert bm25_topk(ds, [(0, "missing term")], k=5).count() == 0

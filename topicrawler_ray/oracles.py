@@ -716,6 +716,78 @@ def _b_link_pagerank(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_bm25_topk(sf_dir: str) -> pa.Table:
+    """Sequential BM25 top-k (re-derived scalar formula — nothing
+    imported from stages/retrieval.py; identical float op order makes
+    it bit-equal to the distributed scorer)."""
+    import numpy as np
+
+    K1, B = 1.5, 0.75
+    queries = [
+        (0, "fast table scan"),
+        (1, "window agg value"),
+        (2, "slow batch merge"),
+    ]
+    k = 10
+    tq = []
+    for qid, qtext in queries:
+        seen: dict[str, None] = {}
+        for t in qtext.split(" "):
+            if t and t not in seen:
+                seen[t] = None
+        tq.append((qid, list(seen)))
+    vocab = {t for _, ts in tq for t in ts}
+
+    docs = list(
+        zip(
+            _docs_table(sf_dir).column("doc_id").to_pylist(),
+            _docs_table(sf_dir).column("text").to_pylist(),
+        )
+    )
+    df: dict[str, int] = {}
+    total_len = 0
+    for _, text in docs:
+        words = (text or "").split(" ")
+        total_len += len(words)
+        for t in set(words) & vocab:
+            df[t] = df.get(t, 0) + 1
+    n_docs = len(docs)
+    avgdl = total_len / n_docs if n_docs else 1.0
+    idf = {
+        t: float(np.log(1.0 + (n_docs - df.get(t, 0) + 0.5) / (df.get(t, 0) + 0.5)))
+        for t in vocab
+    }
+
+    rows = []
+    for qid, terms in tq:
+        scored = []
+        for did, text in docs:
+            words = (text or "").split(" ")
+            dl = len(words)
+            tf: dict[str, int] = {}
+            for w in words:
+                tf[w] = tf.get(w, 0) + 1
+            score = 0.0
+            norm = K1 * (1.0 - B + B * (dl / avgdl))
+            for t in terms:
+                f = tf.get(t, 0)
+                if f:
+                    score += idf[t] * (f * (K1 + 1.0)) / (f + norm)
+            if score > 0.0:
+                scored.append((score, did))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (s, did) in enumerate(scored[:k]):
+            rows.append((qid, rank, did, int(np.floor(s * 1e6))))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+            "score_e6": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
 def _b_anchor_texts(sf_dir: str) -> pa.Table:
     """Sequential inbound anchor-text aggregation (shares only the
     extract_anchors parsing primitive with the engine — the
@@ -751,6 +823,7 @@ def _b_anchor_texts(sf_dir: str) -> pa.Table:
 BUILDERS = {
     "link_pagerank": _b_link_pagerank,
     "anchor_texts": _b_anchor_texts,
+    "bm25_topk": _b_bm25_topk,
     "scored_pages": _b_scored_pages,
     "scored_pages_kn": _b_scored_pages_kn,
     # disk-backed serving must score bit-identically to the in-memory
