@@ -5,6 +5,9 @@ with ``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)``:
 
 * ``scored_pages`` - the data plane: pages -> extract -> LM-score
   (zero-copy Arrow batches through an actor pool), consumed streaming.
+* ``curation`` - the webtext curation chain: documents -> quality +
+  gopher signals -> langid actor pool -> gates -> exact dedup (one
+  hash shuffle) -> token counts, consumed streaming.
 * ``crawl`` - the crawl scheduler: wave loop over sharded frontier /
   seen / robots / page-store actors, seeded on every host, capped wave
   count (the uncapped tail is a single mega-host fetching one page per
@@ -137,6 +140,45 @@ def bench_crawl_full(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
+def _curation_pipeline(sf_dir: str, num_cpus: int, replicate: int):
+    """documents (replicated xR - every doc becomes an R-way duplicate,
+    so the exact-dedup shuffle does representative work) -> quality +
+    gopher + langid -> gates -> exact dedup -> token counts."""
+    import ray.data
+
+    from topicrawler_ray.pipelines.curation import curated_docs
+
+    concurrency = max(1, min(num_cpus - 1, int(num_cpus * 0.5)))
+    ds = ray.data.read_parquet(
+        [os.path.join(sf_dir, "documents.parquet")] * replicate,
+        columns=["doc_id", "text"],
+        override_num_blocks=max(16, num_cpus * 2),
+    )
+    return curated_docs(ds, langid_concurrency=concurrency)
+
+
+def bench_curation(sf_dir: str, num_cpus: int) -> dict:
+    """Webtext curation headline: docs/sec through the composite
+    quality->langid->dedup->tokens chain (input docs counted, i.e.
+    rows BEFORE gating/dedup)."""
+    for _ in _curation_pipeline(sf_dir, num_cpus, 1).iter_batches(batch_size=4096):
+        pass
+    import pyarrow.parquet as pq
+
+    n_in = (
+        pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+        * REPLICATE
+    )
+    t0 = time.time()
+    n_out = 0
+    for batch in _curation_pipeline(sf_dir, num_cpus, REPLICATE).iter_batches(
+        batch_size=4096, batch_format="pyarrow"
+    ):
+        n_out += batch.num_rows
+    dt = time.time() - t0
+    return {"sec": dt, "rows": n_out, "docs_per_s": n_in / dt}
+
+
 def bench_frontier_ops(num_cpus: int, n_ops: int = 200_000) -> dict:
     """Push/pop/seen throughput on the sharded actor state plane."""
     import ray
@@ -205,27 +247,33 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
 
         pages_path(sf_dir)  # warm page-cache / materialise input once
         r_scored = median_of(bench_scored_pages, sf_dir, num_cpus)
+        r_cur = median_of(bench_curation, sf_dir, num_cpus)
         r_crawl = median_of(bench_crawl, sf_dir, num_cpus)
         r_full = median_of(bench_crawl_full, sf_dir, num_cpus)
         r_ops = median_of(bench_frontier_ops, num_cpus)
     finally:
         ray.shutdown()
-    total = r_scored["sec"] + r_crawl["sec"] + r_full["sec"] + r_ops["sec"]
+    total = (
+        r_scored["sec"] + r_cur["sec"] + r_crawl["sec"] + r_full["sec"] + r_ops["sec"]
+    )
     return {
         "metric": (
             "headline pipelines wall time "
-            "(scored_pages + crawl + crawl_full + frontier_ops)"
+            "(scored_pages + curation + crawl + crawl_full + frontier_ops)"
         ),
         "value": round(total, 3),
         "unit": "sec",
         "queries": {
             "scored_pages": round(r_scored["sec"], 3),
+            "curation": round(r_cur["sec"], 3),
             "crawl": round(r_crawl["sec"], 3),
             "crawl_full": round(r_full["sec"], 3),
             "frontier_ops": round(r_ops["sec"], 3),
         },
         "rates": {
             "scored_pages_per_s": round(r_scored["pages_per_s"], 1),
+            "curation_docs_per_s": round(r_cur["docs_per_s"], 1),
+            "curation_rows_out": r_cur["rows"],
             "crawl_pages_per_s": round(r_crawl["pages_per_s"], 1),
             "crawl_fetches": r_crawl["fetches"],
             "crawl_waves": r_crawl["waves"],
@@ -237,6 +285,7 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
         },
         "runs_sec": {
             "scored_pages": r_scored["runs_sec"],
+            "curation": r_cur["runs_sec"],
             "crawl": r_crawl["runs_sec"],
             "crawl_full": r_full["runs_sec"],
             "frontier_ops": r_ops["runs_sec"],

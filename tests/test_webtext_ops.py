@@ -218,3 +218,69 @@ class TestBM25:
             [{"doc_id": 0, "text": "x y"}, {"doc_id": 1, "text": "z"}]
         )
         assert bm25_topk(ds, [(0, "missing term")], k=5).count() == 0
+
+
+class TestExactDedupByHash:
+    def test_min_id_per_text_and_replica_collapse(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.dedup import exact_dedup_by_hash
+
+        rows = [
+            {"doc_id": 5, "text": "alpha"},
+            {"doc_id": 2, "text": "alpha"},   # same text, smaller id wins
+            {"doc_id": 3, "text": "beta"},
+            {"doc_id": 3, "text": "beta"},    # exact replica (same id)
+            {"doc_id": 9, "text": "gamma"},
+        ]
+        ds = ray.data.from_items(rows).repartition(3)
+        out = sorted(
+            (r["doc_id"], r["text"])
+            for r in exact_dedup_by_hash(ds).take_all()
+        )
+        assert out == [(2, "alpha"), (3, "beta"), (9, "gamma")]
+
+
+class TestCurationPipeline:
+    def test_composite_matches_sequential_kernels(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.pipelines.curation import curated_docs
+        from topicrawler_ray.stages.textstats import (
+            LangId,
+            gopher_repetition_batch,
+            quality_batch,
+        )
+
+        base = (
+            "the quick brown fox jumps over the lazy dog and then "
+            "the dog was not amused by this at all it ran away fast "
+        ) * 4
+        docs = [
+            {"doc_id": 0, "text": base + "zero"},
+            {"doc_id": 1, "text": base + "one"},
+            {"doc_id": 2, "text": base + "zero"},  # dup of 0
+            {"doc_id": 3, "text": "short"},        # fails min_words
+        ]
+        ds = ray.data.from_items(docs).repartition(2)
+        got = sorted(r["doc_id"] for r in curated_docs(ds, langid_concurrency=1).take_all())
+
+        # sequential: same kernels, dedup + gates by hand
+        seen_texts = {}
+        survivors = []
+        for d in sorted(docs, key=lambda d: d["doc_id"]):
+            if d["text"] not in seen_texts:
+                seen_texts[d["text"]] = d["doc_id"]
+                survivors.append(d)
+        lid = LangId()
+        exp = []
+        for d in survivors:
+            t = pa.table({"doc_id": [d["doc_id"]], "text": [d["text"]]})
+            t = quality_batch(t)
+            t = gopher_repetition_batch(t)
+            q = t.column("quality_score").to_pylist()[0]
+            nw = t.column("n_words").to_pylist()[0]
+            if nw >= 10 and q >= 0.1 and lid.classify(d["text"]) == "en":
+                exp.append(d["doc_id"])
+        assert got == sorted(exp)
+        assert 0 in got and 1 in got and 2 not in got and 3 not in got

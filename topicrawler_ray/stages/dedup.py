@@ -720,3 +720,82 @@ def segment_dedup(
         .groupby(["h1", "h2"])
         .map_groups(mark_first, batch_format="pandas")
     )
+
+
+def exact_dedup_by_hash(
+    ds,
+    column: str = "text",
+    id_column: str = "doc_id",
+    num_partitions: int | None = None,
+):
+    """Scale-path exact dedup: keep the min-``id_column`` row per
+    distinct 64-bit content hash — NO sort anywhere.
+
+    :func:`exact_dedup` is the reference-exact flavour (collisions
+    resolved on the real key inside ``map_groups``), but Ray implements
+    ``map_groups`` via a global SORT whose fixed overhead dominates
+    small-row aggregates and whose exchange carries the full rows.
+    This flavour is the industry-standard corpus-scale shape (hash
+    equality IS the dedup key; a 64-bit collision mis-dropping a row is
+    accepted and ~2e-12 probable at 10^5 docs/group):
+
+    1. winners: ``groupby(content_hash).min(id)`` over slim
+       (hash, id) rows — a HASH-shuffled aggregate, 16 bytes/row;
+    2. inner join winners back against the hashed rows on
+       ``(content_hash, id)`` — only winner rows survive;
+    3. per-block drop of exact (hash, id) copies: the hash join
+       co-locates equal keys in one partition block, so identical
+       replicas of the winner row collapse locally.
+
+    NOTE: ``ds`` is consumed twice (lazy re-execution) — pass a
+    cheap-to-recompute chain (read + light maps), or ``materialize()``
+    first if upstream is expensive.
+    """
+    num_partitions = _default_partitions(num_partitions)
+
+    def add_fast_hash(batch: pa.Table) -> pa.Table:
+        # C-speed keyed hash (hashlib.blake2b is ~10x the pure-python
+        # murmur used by the fingerprint oracle; any stable 64-bit hash
+        # works here because the hash IS the dedup key)
+        import hashlib
+
+        hs = [
+            int.from_bytes(
+                hashlib.blake2b(
+                    (t or "").encode("utf-8"), digest_size=8
+                ).digest(),
+                "little",
+                signed=True,
+            )
+            for t in batch.column(column).to_pylist()
+        ]
+        return batch.append_column("content_hash", pa.array(hs, pa.int64()))
+
+    def hashed():
+        return ds.map_batches(add_fast_hash, batch_format="pyarrow")
+
+    winners = (
+        hashed()
+        .select_columns(["content_hash", id_column])
+        .groupby("content_hash")
+        .min(id_column)
+        .rename_columns({"min(%s)" % id_column: id_column})
+        .repartition(num_partitions)  # ray-2.49 empty-aggregate-block quirk
+    )
+    joined = hashed().join(
+        winners,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("content_hash", id_column),
+    )
+
+    def drop_copies(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        df = df.drop_duplicates(subset=["content_hash", id_column], keep="first")
+        return pa.Table.from_pandas(
+            df.drop(columns=["content_hash"]), preserve_index=False
+        )
+
+    return joined.map_batches(drop_copies, batch_format="pyarrow")
