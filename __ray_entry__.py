@@ -525,6 +525,17 @@ def _q_link_pagerank(sf_dir: str):
     return pagerank(edges, iterations=5)
 
 
+def _q_link_hits(sf_dir: str):
+    """HITS hubs & authorities over the page link graph: two seed-row
+    aggregates per iteration (no join back onto the universe), exact
+    int64 L1-normalized updates mirrored by the dict-loop oracle."""
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.graph import hits, page_edges
+
+    edges = page_edges(read_pages(sf_dir, num_blocks=16))
+    return hits(edges, iterations=5)
+
+
 def _q_bm25_topk(sf_dir: str):
     """Distributed BM25 top-k lexical retrieval: corpus-stats combiner
     pass (tiny groupby) -> broadcast idf -> per-batch partial top-k ->
@@ -1272,6 +1283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pagerank": _q_link_pagerank,
         "anchor_texts": _q_anchor_texts,
         "bm25_topk": _q_bm25_topk,
+        "link_hits": _q_link_hits,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,

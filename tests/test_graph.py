@@ -106,3 +106,40 @@ class TestPageEdges:
                 exp.add((url, dst))
         assert got == exp
         assert len(got) > 0
+
+
+class TestHits:
+    def test_matches_sequential_reference(self, ray_session):
+        from topicrawler_ray.stages.graph import hits
+
+        def seq_hits(edges, iterations=4, scale=10**6):
+            edges = sorted(set(edges))
+            nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+            n = len(nodes)
+            init = scale // n
+            hub = {u: init for u in nodes}
+            auth = {u: 0 for u in nodes}
+            for _ in range(iterations):
+                raw = dict.fromkeys(nodes, 0)
+                for s, d in edges:
+                    raw[d] += hub[s]
+                tot = sum(raw.values())
+                auth = {
+                    u: (raw[u] * scale // tot if tot > 0 else raw[u])
+                    for u in nodes
+                }
+                raw = dict.fromkeys(nodes, 0)
+                for s, d in edges:
+                    raw[s] += auth[d]
+                tot = sum(raw.values())
+                hub = {
+                    u: (raw[u] * scale // tot if tot > 0 else raw[u])
+                    for u in nodes
+                }
+            return {u: (hub[u], auth[u]) for u in nodes}
+
+        out = hits(_edges_ds(EDGES), iterations=4)
+        got = {r["node"]: (r["hub"], r["auth"]) for r in out.take_all()}
+        assert got == seq_hits(EDGES)
+        # structural sanity: 'c' has 3 in-links -> top authority
+        assert max(got, key=lambda u: got[u][1]) == "c"

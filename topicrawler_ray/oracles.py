@@ -716,6 +716,45 @@ def _b_link_pagerank(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_link_hits(sf_dir: str) -> pa.Table:
+    """Sequential integer HITS over the fixture link graph (same
+    shared-primitive standard as _b_link_pagerank; the hub/authority
+    iteration is re-derived as dict loops, no stages/graph import)."""
+    from .functions.urls import extract_outlinks
+    from .stages.extract import decode_page_bytes, is_robots_url
+
+    edges: set[tuple[str, str]] = set()
+    for url, _ts, html in _pages_rows(sf_dir):
+        if is_robots_url(url) or not html:
+            continue
+        for dst in extract_outlinks(decode_page_bytes(url, html), url):
+            edges.add((url, dst))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    scale, iterations = 10**6, 5
+    init = scale // n
+    hub = {u: init for u in nodes}
+    auth = {u: 0 for u in nodes}
+    for _ in range(iterations):
+        raw = dict.fromkeys(nodes, 0)
+        for s, d in edges:
+            raw[d] += hub[s]
+        tot = sum(raw.values())
+        auth = {u: (raw[u] * scale // tot if tot > 0 else raw[u]) for u in nodes}
+        raw = dict.fromkeys(nodes, 0)
+        for s, d in edges:
+            raw[s] += auth[d]
+        tot = sum(raw.values())
+        hub = {u: (raw[u] * scale // tot if tot > 0 else raw[u]) for u in nodes}
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.string()),
+            "hub": pa.array([hub[u] for u in nodes], pa.int64()),
+            "auth": pa.array([auth[u] for u in nodes], pa.int64()),
+        }
+    )
+
+
 def _b_bm25_topk(sf_dir: str) -> pa.Table:
     """Sequential BM25 top-k (re-derived scalar formula — nothing
     imported from stages/retrieval.py; identical float op order makes
@@ -824,6 +863,7 @@ BUILDERS = {
     "link_pagerank": _b_link_pagerank,
     "anchor_texts": _b_anchor_texts,
     "bm25_topk": _b_bm25_topk,
+    "link_hits": _b_link_hits,
     "scored_pages": _b_scored_pages,
     "scored_pages_kn": _b_scored_pages_kn,
     # disk-backed serving must score bit-identically to the in-memory
