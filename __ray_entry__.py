@@ -525,6 +525,72 @@ def _q_link_pagerank(sf_dir: str):
     return pagerank(edges, iterations=5)
 
 
+def _q_word_cooc(sf_dir: str):
+    """Distributional-semantics co-occurrence counts (window 2):
+    per-batch Counter combiner -> one groupby(w1, w2) sum.  Pure-SQL
+    oracle."""
+    from topicrawler_ray.stages.cooc import word_cooc
+
+    return word_cooc(_docs(sf_dir).select_columns(["text"]), window=2)
+
+
+def _q_events_lag(sf_dir: str):
+    """LAG window function per user (previous event's ts + type with
+    concrete sentinels): one groupby(user) exchange, per-group
+    vectorized shift.  Pure-SQL LAG-OVER oracle."""
+    import pyarrow as pa
+    import ray.data
+
+    from topicrawler_ray.stages.timeseries import per_key_lag
+
+    ds = ray.data.read_parquet(
+        sf_dir + "/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    out = per_key_lag(ds, by="user_id", on="ts", tie="event_id",
+                      lag_columns=("ts", "event_type"))
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return batch.drop_columns(["ts"]).add_column(1, "ts_us", ts)
+
+    return out.map_batches(to_us, batch_format="pyarrow")
+
+
+def _q_docs_embeddings(sf_dir: str):
+    """Feature join: documents ⋈ embeddings on the id key (hash join,
+    both sides streamed); emits the embedding dimensionality per doc.
+    Pure-SQL oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from topicrawler_ray.stages.dedup import _default_partitions
+
+    docs = ray.data.read_parquet(
+        sf_dir + "/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    embs = ray.data.read_parquet(
+        sf_dir + "/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        # project the list payload to its scalar feature BEFORE the
+        # join: acero cannot carry list<float> as a join payload, and
+        # the shuffle should move 8 bytes/row, not the vector
+        dim = pc.cast(pc.list_value_length(batch.column("embedding")), pa.int64())
+        return pa.table({"vec_id": batch.column("vec_id"), "dim": dim})
+
+    joined = docs.join(
+        embs.map_batches(project, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=_default_partitions(None),
+        on=("doc_id",),
+        right_on=("vec_id",),
+    )
+    return joined.select_columns(["doc_id", "n_chars", "dim"])
+
+
 def _q_link_hits(sf_dir: str):
     """HITS hubs & authorities over the page link graph: two seed-row
     aggregates per iteration (no join back onto the universe), exact
@@ -1284,6 +1350,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": _q_anchor_texts,
         "bm25_topk": _q_bm25_topk,
         "link_hits": _q_link_hits,
+        "word_cooc": _q_word_cooc,
+        "events_lag": _q_events_lag,
+        "docs_embeddings": _q_docs_embeddings,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,
@@ -1678,6 +1747,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
             "AS sum_value_e2 "
             "FROM events, generate_series(0, 1) t(j) GROUP BY 1, 2"
+        ),
+        "word_cooc": (
+            "WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents), "
+            "p AS (SELECT ws[i + 1] AS w1, ws[i + 1 + d] AS w2 "
+            "FROM w, generate_series(0, 4095) t(i), generate_series(1, 2) dd(d) "
+            "WHERE i + 1 + d <= len(ws)) "
+            "SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2"
+        ),
+        "events_lag": (
+            "SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+            "user_id, event_type, "
+            "COALESCE(CAST(epoch_us(LAG(ts) OVER w) AS BIGINT), -1) "
+            "AS lag_ts_us, "
+            "COALESCE(LAG(event_type) OVER w, '') AS lag_event_type "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "docs_embeddings": (
+            "SELECT d.doc_id, d.n_chars, CAST(len(e.embedding) AS BIGINT) AS dim "
+            "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id"
         ),
         "perp_buckets": (
             "SELECT url, CAST(floor(perp * 1e6) AS BIGINT) AS perp_e6, "

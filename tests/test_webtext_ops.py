@@ -284,3 +284,68 @@ class TestCurationPipeline:
                 exp.append(d["doc_id"])
         assert got == sorted(exp)
         assert 0 in got and 1 in got and 2 not in got and 3 not in got
+
+
+class TestCooc:
+    def test_window_pairs(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.cooc import word_cooc
+
+        ds = ray.data.from_items(
+            [{"text": "a b a b"}, {"text": "a b"}]
+        ).repartition(2)
+        got = {(r["w1"], r["w2"]): r["n"] for r in word_cooc(ds, window=2).take_all()}
+        # doc1 "a b a b": d=1 -> (a,b),(b,a),(a,b); d=2 -> (a,a),(b,b)
+        # doc2 "a b":     d=1 -> (a,b)
+        assert got == {
+            ("a", "b"): 3,
+            ("b", "a"): 1,
+            ("a", "a"): 1,
+            ("b", "b"): 1,
+        }
+
+    def test_min_count_filters_after_global_sum(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.cooc import word_cooc
+
+        # 'a b' appears once per doc (per-batch partials each below the
+        # threshold); the filter must apply AFTER the corpus-wide sum
+        ds = ray.data.from_items([{"text": "a b"}] * 4).repartition(4)
+        got = {(r["w1"], r["w2"]): r["n"] for r in word_cooc(ds, min_count=3).take_all()}
+        assert got == {("a", "b"): 4}
+
+
+class TestPerKeyLag:
+    def test_lag_matches_window_semantics(self, ray_session):
+        import datetime
+
+        import ray.data
+
+        from topicrawler_ray.stages.timeseries import per_key_lag
+
+        def ts(sec):
+            return datetime.datetime(2024, 1, 1, 0, 0, sec)
+
+        t = pa.table(
+            {
+                "event_id": [1, 2, 3, 4],
+                "ts": pa.array(
+                    [ts(10), ts(5), ts(10), ts(7)], pa.timestamp("us")
+                ),
+                "user_id": [1, 1, 1, 2],
+                "event_type": ["b", "a", "c", "x"],
+            }
+        )
+        out = per_key_lag(
+            ray.data.from_arrow(t).repartition(2),
+            lag_columns=("ts", "event_type"),
+        ).take_all()
+        rows = {r["event_id"]: r for r in out}
+        base = int(ts(5).timestamp() * 1e6)
+        # user 1 order: (ts5,e2) -> (ts10,e1) -> (ts10,e3) [tie by id]
+        assert rows[2]["lag_ts_us"] == -1 and rows[2]["lag_event_type"] == ""
+        assert rows[1]["lag_ts_us"] == base and rows[1]["lag_event_type"] == "a"
+        assert rows[3]["lag_event_type"] == "b"
+        assert rows[4]["lag_ts_us"] == -1  # sole event of user 2

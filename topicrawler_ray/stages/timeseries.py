@@ -523,3 +523,48 @@ def sessionize(
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def per_key_lag(
+    ds,
+    by: str = "user_id",
+    on: str = "ts",
+    tie: str = "event_id",
+    lag_columns: tuple = ("ts", "event_type"),
+):
+    """SQL ``LAG(col) OVER (PARTITION BY by ORDER BY on, tie)`` as a
+    Dataset operator: each row gains ``lag_<col>`` from the previous
+    row of its key (first row per key: -1 for numeric/timestamp
+    columns, "" for strings - concrete sentinels keep the output
+    hash-comparable, no NaN columns).
+
+    One ``groupby(by)`` exchange; ordering + shift are per-group
+    vectorized pandas.  Giant-key note: a single key's history must fit
+    one task - the same time-bucket carry-forward used by
+    :func:`asof_join` applies if it does not (carry each bucket's tail
+    row forward), not implemented here.
+    """
+    import pandas as pd
+
+    def shift_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([on, tie]).reset_index(drop=True)
+        for col in lag_columns:
+            s = g[col].shift(1)
+            name = "lag_%s" % col
+            if pd.api.types.is_datetime64_any_dtype(g[col]):
+                vals = (
+                    g[col]
+                    .astype("datetime64[us]")  # explicit µs, any input unit
+                    .astype("int64")
+                    .shift(1)
+                    .fillna(-1)
+                    .astype("int64")
+                )
+                g[name + "_us"] = vals
+            elif pd.api.types.is_numeric_dtype(g[col]):
+                g[name] = s.fillna(-1).astype(g[col].dtype)
+            else:
+                g[name] = s.fillna("")
+        return g
+
+    return ds.groupby(by).map_groups(shift_group, batch_format="pandas")
