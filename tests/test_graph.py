@@ -143,3 +143,21 @@ class TestHits:
         assert got == seq_hits(EDGES)
         # structural sanity: 'c' has 3 in-links -> top authority
         assert max(got, key=lambda u: got[u][1]) == "c"
+
+
+class TestEmptyGraph:
+    def test_pagerank_and_hits_empty_edges(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.graph import hits, pagerank
+
+        empty = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([], pa.string()),
+                    "dst": pa.array([], pa.string()),
+                }
+            )
+        )
+        assert pagerank(empty, iterations=2).count() == 0
+        assert hits(empty, iterations=2).count() == 0
