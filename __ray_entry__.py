@@ -525,6 +525,29 @@ def _q_link_pagerank(sf_dir: str):
     return pagerank(edges, iterations=5)
 
 
+def _q_dt_features(sf_dir: str):
+    """JoBimText-style distributional features: window-2 co-occurrence
+    counts -> LMI scoring (marginal joins over the slim count table)
+    -> top-5 features per word.  LMI floats follow the same-float-path
+    rule (one fixed numpy expression, floor-quantized e6)."""
+    from topicrawler_ray.stages.cooc import word_cooc
+    from topicrawler_ray.stages.dt import lmi_features
+
+    cooc = word_cooc(_docs(sf_dir).select_columns(["text"]), window=2)
+    return lmi_features(cooc, k=5)
+
+
+def _q_dt_similarity(sf_dir: str):
+    """Distributional thesaurus: top-5 neighbours per word by shared
+    top-5-LMI-feature count (pure integers; feature self-join with the
+    promiscuous-feature d^2 guard)."""
+    from topicrawler_ray.stages.cooc import word_cooc
+    from topicrawler_ray.stages.dt import dt_similarity, lmi_features
+
+    cooc = word_cooc(_docs(sf_dir).select_columns(["text"]), window=2)
+    return dt_similarity(lmi_features(cooc, k=5), k=5)
+
+
 def _q_word_cooc(sf_dir: str):
     """Distributional-semantics co-occurrence counts (window 2):
     per-batch Counter combiner -> one groupby(w1, w2) sum.  Pure-SQL
@@ -1351,6 +1374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "link_hits": _q_link_hits,
         "word_cooc": _q_word_cooc,
+        "dt_features": _q_dt_features,
+        "dt_similarity": _q_dt_similarity,
         "events_lag": _q_events_lag,
         "docs_embeddings": _q_docs_embeddings,
         "host_rollup": _q_host_rollup,

@@ -716,6 +716,92 @@ def _b_link_pagerank(sf_dir: str) -> pa.Table:
     )
 
 
+def _dt_seq(sf_dir: str, window: int = 2, k: int = 5):
+    """Sequential cooc -> LMI top-k features -> shared-feature top-k
+    neighbours (dict loops + the fixed numpy LMI expression; nothing
+    imported from stages/cooc.py or stages/dt.py)."""
+    from collections import Counter, defaultdict
+
+    c: Counter[tuple[str, str]] = Counter()
+    for text in _docs_table(sf_dir).column("text").to_pylist():
+        words = (text or "").split(" ")
+        n = len(words)
+        for i in range(n):
+            for d in range(1, window + 1):
+                if i + d < n:
+                    c[(words[i], words[i + d])] += 1
+    total = sum(c.values())
+    r: Counter[str] = Counter()
+    cc: Counter[str] = Counter()
+    for (a, b), num in c.items():
+        r[a] += num
+        cc[b] += num
+    by_word: dict[str, list] = defaultdict(list)
+    for (a, b), num in c.items():
+        lmi = num * (
+            np.log(num * float(total)) - np.log(float(r[a]) * float(cc[b]))
+        )
+        by_word[a].append((int(np.floor(lmi * 1e6)), b, num))
+    feats: dict[str, list] = {}
+    for a, lst in by_word.items():
+        feats[a] = [
+            (b, rank, e6, num)
+            for rank, (e6, b, num) in enumerate(
+                sorted(lst, key=lambda t: (-t[0], t[1]))[:k]
+            )
+        ]
+    fsets = {a: {x[0] for x in v} for a, v in feats.items()}
+    pairs: Counter[tuple[str, str]] = Counter()
+    for a in fsets:
+        for b in fsets:
+            if a != b:
+                s = len(fsets[a] & fsets[b])
+                if s:
+                    pairs[(a, b)] = s
+    sims: dict[str, list] = {}
+    for a in fsets:
+        cand = sorted(
+            ((num, b) for (x, b), num in pairs.items() if x == a),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        if cand:
+            sims[a] = [(b, rank, num) for rank, (num, b) in enumerate(cand)]
+    return feats, sims
+
+
+def _b_dt_features(sf_dir: str) -> pa.Table:
+    feats, _ = _dt_seq(sf_dir)
+    rows = []
+    for a in sorted(feats):
+        for b, rank, e6, num in feats[a]:
+            rows.append((a, b, num, e6, rank))
+    return pa.table(
+        {
+            "word": pa.array([x[0] for x in rows], pa.string()),
+            "feature": pa.array([x[1] for x in rows], pa.string()),
+            "n": pa.array([x[2] for x in rows], pa.int64()),
+            "lmi_e6": pa.array([x[3] for x in rows], pa.int64()),
+            "rank": pa.array([x[4] for x in rows], pa.int64()),
+        }
+    )
+
+
+def _b_dt_similarity(sf_dir: str) -> pa.Table:
+    _, sims = _dt_seq(sf_dir)
+    rows = []
+    for a in sorted(sims):
+        for b, rank, num in sims[a]:
+            rows.append((a, b, num, rank))
+    return pa.table(
+        {
+            "word": pa.array([x[0] for x in rows], pa.string()),
+            "neighbor": pa.array([x[1] for x in rows], pa.string()),
+            "n_shared": pa.array([x[2] for x in rows], pa.int64()),
+            "rank": pa.array([x[3] for x in rows], pa.int64()),
+        }
+    )
+
+
 def _b_link_hits(sf_dir: str) -> pa.Table:
     """Sequential integer HITS over the fixture link graph (same
     shared-primitive standard as _b_link_pagerank; the hub/authority
@@ -864,6 +950,8 @@ BUILDERS = {
     "anchor_texts": _b_anchor_texts,
     "bm25_topk": _b_bm25_topk,
     "link_hits": _b_link_hits,
+    "dt_features": _b_dt_features,
+    "dt_similarity": _b_dt_similarity,
     "scored_pages": _b_scored_pages,
     "scored_pages_kn": _b_scored_pages_kn,
     # disk-backed serving must score bit-identically to the in-memory
