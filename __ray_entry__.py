@@ -525,6 +525,31 @@ def _q_link_pagerank(sf_dir: str):
     return pagerank(edges, iterations=5)
 
 
+def _q_doc_compress(sf_dir: str):
+    """Compressibility quality signal (RefinedWeb-style): utf-8 and
+    zlib-compressed byte lengths per doc, stateless Arrow map."""
+    import pyarrow as pa
+
+    from topicrawler_ray.stages.textstats import compression_signals_batch
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return ds.map_batches(
+        compression_signals_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_bytes", "n_zlib"])
+
+
+def _q_normalize_text(sf_dir: str):
+    """Dedup text normalization (lowercase, strip non-[a-z0-9 ],
+    collapse spaces); RE2-subset regexes so the DuckDB oracle is
+    byte-equal."""
+    from topicrawler_ray.stages.textstats import normalize_text_batch
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return ds.map_batches(
+        normalize_text_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "norm_text"])
+
+
 def _q_dt_features(sf_dir: str):
     """JoBimText-style distributional features: window-2 co-occurrence
     counts -> LMI scoring (marginal joins over the slim count table)
@@ -1374,6 +1399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "link_hits": _q_link_hits,
         "word_cooc": _q_word_cooc,
+        "doc_compress": _q_doc_compress,
+        "normalize_text": _q_normalize_text,
         "dt_features": _q_dt_features,
         "dt_similarity": _q_dt_similarity,
         "events_lag": _q_events_lag,
@@ -1772,6 +1799,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
             "AS sum_value_e2 "
             "FROM events, generate_series(0, 1) t(j) GROUP BY 1, 2"
+        ),
+        "normalize_text": (
+            "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text "
+            "FROM documents"
         ),
         "word_cooc": (
             "WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents), "

@@ -167,3 +167,25 @@ class TestNgramIndexCli:
             assert glob.glob(os.path.join(out_dir, "ngram_index", "*.parquet"))
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
+
+
+class TestCurateCLI:
+    def test_curate_writes_parquet(self, sf_dir):
+        import json
+        import subprocess
+        import sys
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="cli_curate_")
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "topicrawler_ray.cli", "curate",
+                "--input", sf_dir + "/documents.parquet",
+                "--out", out, "--num-cpus", "4", "--concurrency", "1",
+            ],
+            capture_output=True, text=True, timeout=280,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        summary = json.loads(r.stdout.strip().splitlines()[-1])
+        assert summary["rows_curated"] > 0
+        assert summary["rows_curated"] <= summary["rows_in"]

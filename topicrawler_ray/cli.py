@@ -155,6 +155,36 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Webtext curation chain over a parquet documents table: exact
+    dedup (hash-aggregate) -> quality + gopher -> langid -> gates ->
+    token counts; writes curated parquet + prints a JSON summary."""
+    _init_ray(args.num_cpus)
+    import json as _json
+
+    import ray
+    import ray.data
+
+    from .pipelines.curation import curated_docs
+
+    ds = ray.data.read_parquet(
+        args.input, columns=[args.id_column, args.column]
+    )
+    n_in = ds.count()
+    out = curated_docs(
+        ds,
+        lang=args.lang,
+        min_words=args.min_words,
+        min_quality=args.min_quality,
+        langid_concurrency=args.concurrency,
+    )
+    out.write_parquet(args.out)
+    n_out = ray.data.read_parquet(args.out).count()
+    print(_json.dumps({"rows_in": n_in, "rows_curated": n_out, "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_ngram_index(args) -> int:
     """J4: build the unified per-ngram index + __sum_ngrams__ artifact."""
     _init_ray(args.num_cpus)
@@ -291,6 +321,18 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--out", default=None)
     d.add_argument("--num-cpus", type=int, default=None)
     d.set_defaults(fn=cmd_dedup)
+
+    u = sub.add_parser("curate", help="dedup+quality+langid curation chain")
+    u.add_argument("--input", required=True)
+    u.add_argument("--out", required=True)
+    u.add_argument("--column", default="text")
+    u.add_argument("--id-column", default="doc_id")
+    u.add_argument("--lang", default="en")
+    u.add_argument("--min-words", type=int, default=10)
+    u.add_argument("--min-quality", type=float, default=0.1)
+    u.add_argument("--concurrency", type=int, default=4)
+    u.add_argument("--num-cpus", type=int, default=None)
+    u.set_defaults(fn=cmd_curate)
 
     n = sub.add_parser("ngram-index", help="build the J4 ngram index + stats")
     n.add_argument("--input", required=True)

@@ -716,6 +716,28 @@ def _b_link_pagerank(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_doc_compress(sf_dir: str) -> pa.Table:
+    """Sequential zlib signal (stdlib zlib called directly - the stage
+    kernel is not imported; zlib level-6 output is deterministic)."""
+    import zlib
+
+    t = _docs_table(sf_dir)
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    n_b, n_z = [], []
+    for txt in texts:
+        raw = (txt or "").encode("utf-8")
+        n_b.append(len(raw))
+        n_z.append(len(zlib.compress(raw, 6)))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bytes": pa.array(n_b, pa.int64()),
+            "n_zlib": pa.array(n_z, pa.int64()),
+        }
+    )
+
+
 def _dt_seq(sf_dir: str, window: int = 2, k: int = 5):
     """Sequential cooc -> LMI top-k features -> shared-feature top-k
     neighbours (dict loops + the fixed numpy LMI expression; nothing
@@ -950,6 +972,7 @@ BUILDERS = {
     "anchor_texts": _b_anchor_texts,
     "bm25_topk": _b_bm25_topk,
     "link_hits": _b_link_hits,
+    "doc_compress": _b_doc_compress,
     "dt_features": _b_dt_features,
     "dt_similarity": _b_dt_similarity,
     "scored_pages": _b_scored_pages,

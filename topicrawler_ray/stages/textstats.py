@@ -400,3 +400,40 @@ def fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Table:
         .append_column("content_md5", pa.array(md5s, pa.string()))
         .append_column("rolling_fps", pa.array(rolls, pa.list_(pa.int64())))
     )
+
+
+def compression_signals_batch(batch: pa.Table, column: str = "text", level: int = 6) -> pa.Table:
+    """RefinedWeb/Gopher-style compressibility signal: highly
+    compressible text is boilerplate/repetition, incompressible text is
+    noise/binary junk.  Appends ``n_bytes`` (utf-8 length) and
+    ``n_zlib`` (zlib level-``level`` compressed length) - integers, so
+    downstream ratio thresholds are exact and the oracle (stdlib zlib
+    is deterministic for a fixed level) hash-matches."""
+    import zlib
+
+    texts = batch.column(column).to_pylist()
+    n_b, n_z = [], []
+    for t in texts:
+        raw = (t or "").encode("utf-8")
+        n_b.append(len(raw))
+        n_z.append(len(zlib.compress(raw, level)))
+    return batch.append_column(
+        "n_bytes", pa.array(n_b, pa.int64())
+    ).append_column("n_zlib", pa.array(n_z, pa.int64()))
+
+
+_NORM_DROP_RE = re.compile(r"[^a-z0-9 ]")
+_NORM_WS_RE = re.compile(r" +")
+
+
+def normalize_text_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Dedup-normalization: lowercase, strip everything outside
+    [a-z0-9 ], collapse runs of spaces, trim.  The RE2-compatible
+    pattern subset keeps the DuckDB ``regexp_replace(..., 'g')`` oracle
+    exactly equal (same rule as the PII patterns above)."""
+    texts = batch.column(column).to_pylist()
+    out = [
+        _NORM_WS_RE.sub(" ", _NORM_DROP_RE.sub("", (t or "").lower())).strip()
+        for t in texts
+    ]
+    return batch.append_column("norm_text", pa.array(out, pa.string()))
