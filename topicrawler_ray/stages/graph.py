@@ -128,6 +128,12 @@ def pagerank(
 
     num_partitions = _default_partitions(num_partitions)
 
+    # the edge table is consumed once per iteration (plus the degree
+    # pass): materialize it ONCE so the upstream chain (e.g. html link
+    # extraction) never re-executes — the edge list is the canonical
+    # compact artifact every graph system persists before iterating
+    edges = edges.materialize()
+
     # --- node universe + out-degrees in ONE aggregate (no join): every
     # src contributes od=1 per distinct out-edge, every dst od=0.
     def deg_rows(batch: pa.Table) -> pa.Table:
@@ -365,6 +371,9 @@ def hits(
     import ray
 
     num_partitions = _default_partitions(num_partitions)
+
+    # see pagerank: one materialization, consumed 2x per iteration
+    edges = edges.materialize()
 
     nodes = (
         edges.map_batches(
