@@ -605,6 +605,26 @@ def _q_events_lag(sf_dir: str):
     return out.map_batches(to_us, batch_format="pyarrow")
 
 
+def _q_events_cumsum(sf_dir: str):
+    """Running SUM + ROW_NUMBER per user via the distributed prefix-sum
+    giant-key path (time_buckets=4): within-bucket cumsum, per-key
+    exclusive prefix of bucket totals, offset join - the driver check
+    certifies the multi-task decomposition against a single SQL window.
+    Values micro-quantized to e2 int64 per row -> exact integer sums."""
+    import ray.data
+
+    from topicrawler_ray.stages.timeseries import per_key_cumsum
+
+    ds = ray.data.read_parquet(
+        sf_dir + "/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return per_key_cumsum(
+        ds, by="user_id", on="ts", tie="event_id",
+        value_column="value", time_buckets=4,
+    )
+
+
 def _q_docs_embeddings(sf_dir: str):
     """Feature join: documents ⋈ embeddings on the id key (hash join,
     both sides streamed); emits the embedding dimensionality per doc.
@@ -1404,6 +1424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dt_features": _q_dt_features,
         "dt_similarity": _q_dt_similarity,
         "events_lag": _q_events_lag,
+        "events_cumsum": _q_events_cumsum,
         "docs_embeddings": _q_docs_embeddings,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
@@ -1823,6 +1844,15 @@ def oracle_sql() -> dict[str, str]:
         "docs_embeddings": (
             "SELECT d.doc_id, d.n_chars, CAST(len(e.embedding) AS BIGINT) AS dim "
             "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id"
+        ),
+        "events_cumsum": (
+            "SELECT event_id, user_id, "
+            "CAST(row_number() OVER w AS BIGINT) AS row_rank, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS cum_value_e2 FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
         "perp_buckets": (
             "SELECT url, CAST(floor(perp * 1e6) AS BIGINT) AS perp_e6, "

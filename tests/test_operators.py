@@ -905,6 +905,82 @@ class TestTimeSeries:
         assert bucketed[bucketed.k == 7]["v_asof"].notna().sum() > 390
         assert bucketed[bucketed.k == 9]["v_asof"].isna().all()
 
+    def _events_ds(self, n=2500, n_keys=4, seed=11):
+        import pyarrow as pa
+        import ray.data
+
+        rng = np.random.default_rng(seed)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array(np.arange(n), pa.int64()),
+                    "ts": pa.array(
+                        (
+                            np.int64(1_700_000_000_000_000)
+                            + rng.integers(0, 10**9, n)
+                        ).astype("datetime64[us]")
+                    ),
+                    "user_id": pa.array(rng.integers(0, n_keys, n), pa.int64()),
+                    "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+                    "value": pa.array(
+                        np.round(rng.uniform(0, 100, n), 2), pa.float64()
+                    ),
+                }
+            )
+        )
+
+    def test_lag_giant_key_time_buckets_exact(self, ray_session):
+        """per_key_lag giant-key path (VERDICT r2/NOTES open item): a
+        key's history split across 13 time buckets with tail
+        carry-forward must equal the single-group path row for row -
+        every bucket's first row sees its true cross-bucket
+        predecessor."""
+        import pandas as pd
+
+        from topicrawler_ray.stages.timeseries import per_key_lag
+
+        ds = self._events_ds()
+
+        def run(buckets):
+            out = per_key_lag(ds, time_buckets=buckets).to_pandas()
+            out = out.sort_values(["user_id", "ts", "event_id"])
+            return out[sorted(out.columns)].reset_index(drop=True)
+
+        single, bucketed = run(None), run(13)
+        # ~625 rows per key vs ~48 per (key, bucket): carries engaged
+        pd.testing.assert_frame_equal(single, bucketed)
+        assert (bucketed["lag_ts_us"] == -1).sum() == 4  # one head per key
+
+    def test_cumsum_giant_key_prefix_sum_exact(self, ray_session):
+        """per_key_cumsum distributed prefix sum: within-bucket cumsum
+        + exclusive bucket-total offsets must equal both the
+        single-group path and a sequential pandas window."""
+        import pandas as pd
+
+        from topicrawler_ray.stages.timeseries import per_key_cumsum
+
+        ds = self._events_ds(seed=29)
+
+        def run(buckets):
+            out = per_key_cumsum(ds, time_buckets=buckets).to_pandas()
+            return (
+                out[sorted(out.columns)]
+                .sort_values("event_id")
+                .reset_index(drop=True)
+            )
+
+        single, bucketed = run(None), run(11)
+        pd.testing.assert_frame_equal(single, bucketed)
+
+        pdf = ds.to_pandas()
+        pdf["e2"] = np.rint(pdf["value"] * 100).astype(np.int64)
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        pdf["cum"] = pdf.groupby("user_id")["e2"].cumsum()
+        pdf["rank"] = pdf.groupby("user_id").cumcount() + 1
+        m = bucketed.merge(pdf[["event_id", "cum", "rank"]], on="event_id")
+        assert (m["cum_value_e2"] == m["cum"]).all()
+        assert (m["row_rank"] == m["rank"]).all()
+
 
 class TestEmbeddingLshRecall:
     def test_lsh_path_recall_vs_exact(self, ray_session):

@@ -531,6 +531,7 @@ def per_key_lag(
     on: str = "ts",
     tie: str = "event_id",
     lag_columns: tuple = ("ts", "event_type"),
+    time_buckets: int | None = None,
 ):
     """SQL ``LAG(col) OVER (PARTITION BY by ORDER BY on, tie)`` as a
     Dataset operator: each row gains ``lag_<col>`` from the previous
@@ -538,11 +539,18 @@ def per_key_lag(
     columns, "" for strings - concrete sentinels keep the output
     hash-comparable, no NaN columns).
 
-    One ``groupby(by)`` exchange; ordering + shift are per-group
-    vectorized pandas.  Giant-key note: a single key's history must fit
-    one task - the same time-bucket carry-forward used by
-    :func:`asof_join` applies if it does not (carry each bucket's tail
-    row forward), not implemented here.
+    Default path: one ``groupby(by)`` exchange; ordering + shift are
+    per-group vectorized pandas (a key's history must fit one task).
+
+    Giant-key path (``time_buckets=W > 1``): rows are range-partitioned
+    into W time buckets; each ``(by, bucket)`` group shifts locally and
+    the LAST row of each key's latest earlier non-empty bucket is
+    carried in as a context row (dropped after the shift), so the first
+    row of every bucket still sees its true predecessor.  A bucket
+    boundary cannot split equal ``on`` values across buckets (buckets
+    are value ranges), so the carried row is exactly the global
+    predecessor - the result is EXACT while bounding any task at one
+    key's rows within one bucket (+<=1 context row).
     """
     import pandas as pd
 
@@ -567,4 +575,222 @@ def per_key_lag(
                 g[name] = s.fillna("")
         return g
 
-    return ds.groupby(by).map_groups(shift_group, batch_format="pandas")
+    if not time_buckets or time_buckets <= 1:
+        return ds.groupby(by).map_groups(shift_group, batch_format="pandas")
+
+    # -- giant-key path ------------------------------------------------------
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    W = int(time_buckets)
+    src = ds.materialize()  # bucketed twice below (rows + tails)
+    schema = src.schema()
+    types = dict(zip(schema.names, schema.types))
+
+    bounds = src.aggregate(Min(on), Max(on))
+
+    def _i64(v):
+        if isinstance(v, (int, np.integer)):
+            return int(v)
+        return pa.scalar(v).cast(types[on]).cast(pa.int64()).as_py()
+
+    lo_i = _i64(bounds["min(%s)" % on])
+    hi_i = _i64(bounds["max(%s)" % on])
+    width = max(1, (hi_i - lo_i) // W + 1)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        vals = batch.column(on).cast(pa.int64())
+        b = pc.cast(pc.divide(pc.subtract(vals, lo_i), width), pa.int32())
+        return batch.append_column("__bucket", b).append_column(
+            "__carry", pa.array(np.zeros(batch.num_rows, dtype=bool))
+        )
+
+    bucketed = src.map_batches(bucketize, batch_format="pyarrow")
+
+    # last row per (key, bucket) - one bounded row per pair
+    def bucket_tail(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values([on, tie], kind="mergesort").tail(1)
+
+    tails = bucketed.groupby([by, "__bucket"]).map_groups(
+        bucket_tail, batch_format="pandas"
+    )
+
+    # per key: project each tail into every later bucket up to the next
+    # non-empty one (<= W context rows per key)
+    def carry_forward(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__bucket", kind="mergesort")
+        out = []
+        last = None
+        for _, row in g.iterrows():
+            b = int(row["__bucket"])
+            if last is not None:
+                for fill in range(int(last["__bucket"]) + 1, b + 1):
+                    r = last.copy()
+                    r["__bucket"] = fill
+                    r["__carry"] = True
+                    out.append(r)
+            last = row
+        if not out:
+            return g.iloc[0:0]
+        return pd.DataFrame(out)
+
+    carried = tails.groupby(by).map_groups(carry_forward, batch_format="pandas")
+
+    def cast_like(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c).cast(types[c]) for c in schema.names}
+        t = pa.table(cols)
+        t = t.append_column("__bucket", batch.column("__bucket").cast(pa.int32()))
+        return t.append_column("__carry", batch.column("__carry").cast(pa.bool_()))
+
+    final = bucketed.union(carried.map_batches(cast_like, batch_format="pyarrow"))
+
+    def shift_bucket_group(g: pd.DataFrame) -> pd.DataFrame:
+        shifted = shift_group(g)
+        shifted = shifted[~shifted["__carry"]]
+        return shifted.drop(columns=["__bucket", "__carry"])
+
+    return final.groupby([by, "__bucket"]).map_groups(
+        shift_bucket_group, batch_format="pandas"
+    )
+
+
+def per_key_cumsum(
+    ds,
+    by: str = "user_id",
+    on: str = "ts",
+    tie: str = "event_id",
+    value_column: str = "value",
+    time_buckets: int | None = None,
+):
+    """SQL ``SUM(v) OVER (PARTITION BY by ORDER BY on, tie ROWS
+    UNBOUNDED PRECEDING)`` + ``ROW_NUMBER() OVER (...)`` as a Dataset
+    operator.  The float value is micro-quantized to e2 int64 per ROW
+    first (same exact-reduce rule as :func:`tumbling_window_agg`), so
+    the running sum is order-independent integer math and the
+    distributed result hashes identically to the SQL window oracle.
+
+    Returns ``(tie, by, row_rank, cum_value_e2)`` - ``row_rank`` is the
+    1-based position of the row within its key's ``(on, tie)`` order.
+
+    Default path: one ``groupby(by)`` exchange, per-group vectorized
+    sort + ``cumsum`` (one key's history per task).
+
+    Giant-key path (``time_buckets=W > 1``): a textbook distributed
+    prefix sum.  Rows are range-partitioned into W time buckets;
+    each ``(by, bucket)`` group computes its LOCAL cumsum/rank; bucket
+    totals (one slim row per ``(by, bucket)``) are prefix-summed per
+    key into exclusive offsets; offsets join back on the combined
+    ``key*W + bucket`` id and are added.  Any task is bounded by one
+    key's rows within one bucket; the offset table is ``keys x W``
+    rows.  Exact by construction - integer sums commute.
+    """
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        e2 = np.rint(
+            np.asarray(batch.column(value_column), dtype=np.float64) * 100
+        ).astype(np.int64)
+        on_us = batch.column(on)
+        if pa.types.is_timestamp(on_us.type):
+            on_us = on_us.cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                tie: batch.column(tie),
+                by: batch.column(by),
+                "__on": on_us.cast(pa.int64()),
+                "value_e2": pa.array(e2, pa.int64()),
+            }
+        )
+
+    slim = ds.select_columns([tie, by, on, value_column]).map_batches(
+        quantize, batch_format="pyarrow"
+    )
+
+    def local_cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__on", tie], kind="mergesort").reset_index(drop=True)
+        out = pd.DataFrame(
+            {
+                tie: g[tie],
+                by: g[by],
+                "row_rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "cum_value_e2": g["value_e2"].to_numpy(np.int64).cumsum(),
+            }
+        )
+        if "__kb" in g.columns:
+            out["__kb"] = g["__kb"]
+        return out
+
+    if not time_buckets or time_buckets <= 1:
+        return slim.groupby(by).map_groups(local_cumsum, batch_format="pandas")
+
+    # -- giant-key path: distributed prefix sum ------------------------------
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    W = int(time_buckets)
+    slim = slim.materialize()  # consumed twice (locals + totals)
+    bounds = slim.aggregate(Min("__on"), Max("__on"))
+    lo_i, hi_i = int(bounds["min(__on)"]), int(bounds["max(__on)"])
+    width = max(1, (hi_i - lo_i) // W + 1)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = pc.divide(pc.subtract(batch.column("__on"), lo_i), width)
+        kb = pc.add(pc.multiply(batch.column(by), W + 1), b)
+        return batch.append_column("__kb", pc.cast(kb, pa.int64()))
+
+    bucketed = slim.map_batches(bucketize, batch_format="pyarrow")
+
+    locals_ = bucketed.groupby("__kb").map_groups(
+        local_cumsum, batch_format="pandas"
+    )
+
+    totals = bucketed.groupby("__kb").aggregate(
+        Sum("value_e2", alias_name="bucket_sum_e2"),
+        Count(alias_name="bucket_n"),
+    )
+
+    # exclusive prefix over each key's <=W bucket totals (tiny groups)
+    def exclusive_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__kb", kind="mergesort").reset_index(drop=True)
+        s = g["bucket_sum_e2"].to_numpy(np.int64).cumsum()
+        n = g["bucket_n"].to_numpy(np.int64).cumsum()
+        return pd.DataFrame(
+            {
+                "__kb": g["__kb"],
+                "offset_e2": np.concatenate(([0], s[:-1])),
+                "offset_n": np.concatenate(([0], n[:-1])),
+            }
+        )
+
+    def key_of(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__key", pc.divide(batch.column("__kb"), W + 1)
+        )
+
+    offsets = (
+        totals.map_batches(key_of, batch_format="pyarrow")
+        .groupby("__key")
+        .map_groups(exclusive_prefix, batch_format="pandas")
+    )
+
+    joined = locals_.join(
+        offsets,
+        join_type="inner",
+        num_partitions=max(8, W),
+        on=("__kb",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                tie: batch.column(tie),
+                by: batch.column(by),
+                "row_rank": pc.add(
+                    batch.column("row_rank"), batch.column("offset_n")
+                ),
+                "cum_value_e2": pc.add(
+                    batch.column("cum_value_e2"), batch.column("offset_e2")
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
