@@ -353,6 +353,30 @@ def _q_knn_lsh(sf_dir: str):
     return df
 
 
+def _q_knn_int8(sf_dir: str):
+    """int8-quantized exact-scan top-10 (4x smaller vectors, pure
+    integer ranking math -> bit-identical to the sequential oracle's
+    dict loop whatever the batch decomposition)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from topicrawler_ray.stages.similarity import int8_topk
+
+    qt = pq.read_table(sf_dir + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrows = sorted(
+        (
+            (i, e)
+            for i, e in zip(qt["vec_id"].to_pylist(), qt["embedding"].to_pylist())
+            if i < 5
+        )
+    )
+    queries = np.array([e for _, e in qrows], dtype=np.float32)
+    df = int8_topk(_embs(sf_dir), queries, k=10).to_pandas()
+    df["query_id"] = df["query_id"].astype("int64")
+    df["rank"] = df["rank"].astype("int64")
+    return df
+
+
 def _q_token_counts(sf_dir: str):
     from topicrawler_ray.stages.textstats import token_count_batch
 
@@ -1403,6 +1427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_ivf": _q_knn_ivf,
         "knn_lsh": _q_knn_lsh,
+        "knn_int8": _q_knn_int8,
         "token_counts": _q_token_counts,
         "text_quality": _q_quality,
         "quality_gopher": _q_quality_gopher,

@@ -1009,3 +1009,49 @@ class TestEmbeddingLshRecall:
         assert got_pairs <= true_pairs  # no false positives (exact verify)
         recall = len(got_pairs & true_pairs) / len(true_pairs)
         assert recall >= 0.5, recall
+
+
+class TestInt8Topk:
+    def test_int8_matches_sequential_and_tracks_cosine(self, ray_session):
+        """int8_topk: (a) bit-identical to a sequential dict-loop scan
+        with the same quantization spec (integer scores commute);
+        (b) high rank agreement with exact float cosine (quantization
+        error ~1/127, not a different ordering)."""
+        import ray.data
+
+        from topicrawler_ray.stages.similarity import (
+            brute_force_topk,
+            int8_topk,
+            quantize_int8,
+        )
+
+        rng = np.random.default_rng(41)
+        vecs = rng.standard_normal((300, 32)).astype(np.float32)
+        ds = ray.data.from_items(
+            [
+                {"vec_id": i, "embedding": vecs[i].tolist()}
+                for i in range(len(vecs))
+            ]
+        ).repartition(7)  # force multi-batch partials
+        queries = vecs[:4]
+
+        got = int8_topk(ds, queries, k=10).to_pandas()
+
+        # sequential scan, same spec, own loop
+        q8 = quantize_int8(queries).astype(np.int32)
+        m8 = quantize_int8(vecs).astype(np.int32)
+        for qi in range(4):
+            dots = q8[qi] @ m8.T
+            order = sorted(range(len(vecs)), key=lambda v: (-dots[v], v))[:10]
+            sub = got[got.query_id == qi].sort_values("rank")
+            assert sub["vec_id"].tolist() == order
+            assert sub["qdot"].tolist() == [int(dots[v]) for v in order]
+
+        # rank agreement vs exact float cosine top-10
+        exact = brute_force_topk(ds, queries, k=10).to_pandas()
+        agree = 0
+        for qi in range(4):
+            a = set(got[got.query_id == qi]["vec_id"])
+            b = set(exact[exact.query_id == qi]["vec_id"])
+            agree += len(a & b)
+        assert agree >= 32  # >=80% overlap across 40 slots

@@ -622,6 +622,43 @@ def _b_knn_lsh(sf_dir: str) -> pa.Table:
     hyperplane-bucket results, no lsh_planes/lsh_signatures import."""
     return _golden(sf_dir, "knn_lsh")
 
+
+def _b_knn_int8(sf_dir: str) -> pa.Table:
+    """Sequential int8-quantized scan - re-derives the documented
+    quantization SPEC (L2-normalize, *127, round-half-even, clip) with
+    its own code and ranks by plain integer dot products in a dict
+    loop; imports nothing from stages/.  The integer scores make the
+    comparison exact regardless of the engine's batch decomposition."""
+    t = pq.read_table(
+        sf_dir + "/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t.column("vec_id").to_pylist()
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True).astype(np.float32)
+    norms[norms == 0] = 1.0
+    q8 = np.clip(np.rint((mat / norms) * 127.0), -127, 127).astype(np.int32)
+    by_id = dict(zip(ids, q8))
+    qids = sorted(i for i in ids if i < 5)
+    o_q, o_rank, o_id, o_d = [], [], [], []
+    for qi, qid in enumerate(qids):
+        scored = sorted(
+            ((int(by_id[qid] @ by_id[v]), v) for v in ids),
+            key=lambda t: (-t[0], t[1]),
+        )[:10]
+        for rank, (d, v) in enumerate(scored):
+            o_q.append(qi)
+            o_rank.append(rank)
+            o_id.append(v)
+            o_d.append(d)
+    return pa.table(
+        {
+            "query_id": pa.array(o_q, pa.int32()),
+            "rank": pa.array(o_rank, pa.int32()),
+            "vec_id": pa.array(o_id, pa.int64()),
+            "qdot": pa.array(o_d, pa.int64()),
+        }
+    )
+
 # -- n-gram index ------------------------------------------------------------
 
 
@@ -1004,6 +1041,7 @@ BUILDERS = {
     "dedup_ngram_jaccard": _b_dedup_ngram_jaccard,
     "knn_ivf": _b_knn_ivf,
     "knn_lsh": _b_knn_lsh,
+    "knn_int8": _b_knn_int8,
     "ngram_stats_seg": _b_ngram_stats_seg,
 }
 
