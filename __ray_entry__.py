@@ -353,6 +353,17 @@ def _q_knn_lsh(sf_dir: str):
     return df
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540): k-means clusters + within-cluster
+    cosine>=0.9 near-dup pruning, keeping the member farthest from its
+    centroid.  Assignment and pairwise scores are int8-quantized
+    integer math; the oracle re-derives everything from the frozen
+    centroid golden with dict loops."""
+    from topicrawler_ray.stages.dedup import semantic_dedup
+
+    return semantic_dedup(_embs(sf_dir), n_clusters=8, threshold_e4=9000)
+
+
 def _q_knn_int8(sf_dir: str):
     """int8-quantized exact-scan top-10 (4x smaller vectors, pure
     integer ranking math -> bit-identical to the sequential oracle's
@@ -1428,6 +1439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "knn_lsh": _q_knn_lsh,
         "knn_int8": _q_knn_int8,
+        "semantic_dedup": _q_semantic_dedup,
         "token_counts": _q_token_counts,
         "text_quality": _q_quality,
         "quality_gopher": _q_quality_gopher,

@@ -278,8 +278,38 @@ def freeze_langid_wordlist(sf_dir) -> pa.Table:
     )
 
 
+def freeze_semantic_centroids(sf_dir) -> pa.Table:
+    """Centroid matrix for semantic_dedup (n_clusters=8): the ONLY
+    float-trained artifact of that query.  The oracle reads these rows
+    and re-derives quantization, assignment, pairwise scores, and the
+    keep rule with its own dict loops."""
+    from topicrawler_ray.stages.similarity import kmeans_lite
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    total = len(ids)
+    stride = max(1, (total + 4096 - 1) // 4096)
+    mask = (ids % stride) == 0
+    sorder = np.argsort(ids[mask])
+    sample = vecs[mask][sorder][:4096]
+    cent = kmeans_lite(sample, 8)
+    return pa.table(
+        {
+            "cluster_id": pa.array(np.arange(len(cent)), pa.int64()),
+            "centroid": pa.array(
+                [row.astype(np.float32).tolist() for row in cent],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+
+
 FREEZERS = {
     "langid": freeze_langid,
+    "semantic_centroids": freeze_semantic_centroids,
     "langid_wordlist": freeze_langid_wordlist,
     "media_features": freeze_media_features,
     "media_frames": freeze_media_frames,

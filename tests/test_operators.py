@@ -1011,6 +1011,44 @@ class TestEmbeddingLshRecall:
         assert recall >= 0.5, recall
 
 
+class TestSemanticDedup:
+    def test_duplicate_groups_collapse_to_one_keeper(self, ray_session):
+        """Near-identical vectors (cos >= 0.9) collapse to one kept_id;
+        well-separated vectors keep themselves; keeper is the
+        farthest-from-centroid member (SemDeDup rule)."""
+        import ray.data
+
+        from topicrawler_ray.stages.dedup import semantic_dedup
+
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal((10, 16)).astype(np.float32)
+        rows = []
+        vid = 0
+        expect_groups = []
+        for b in range(10):
+            group = []
+            for j in range(3):  # 3 near-copies of each base vector
+                v = base[b] + 0.01 * rng.standard_normal(16).astype(np.float32)
+                rows.append({"vec_id": vid, "embedding": v.tolist()})
+                group.append(vid)
+                vid += 1
+            expect_groups.append(group)
+        ds = ray.data.from_items(rows).repartition(4)
+
+        out = semantic_dedup(ds, n_clusters=4, threshold_e4=9000).to_pandas()
+        assert len(out) == 30
+        kept_of = dict(zip(out.vec_id, out.kept_id))
+        cl_of = dict(zip(out.vec_id, out.cluster_id))
+        for group in expect_groups:
+            # near-copies land in the same cluster and share one keeper
+            assert len({cl_of[v] for v in group}) == 1
+            keepers = {kept_of[v] for v in group}
+            assert len(keepers) == 1
+            assert keepers.pop() in group
+        # survivors overall: exactly one per near-dup group
+        assert (out.vec_id == out.kept_id).sum() == 10
+
+
 class TestInt8Topk:
     def test_int8_matches_sequential_and_tracks_cosine(self, ray_session):
         """int8_topk: (a) bit-identical to a sequential dict-loop scan

@@ -623,6 +623,85 @@ def _b_knn_lsh(sf_dir: str) -> pa.Table:
     return _golden(sf_dir, "knn_lsh")
 
 
+def _b_semantic_dedup(sf_dir: str) -> pa.Table:
+    """Sequential SemDeDup over the frozen centroid golden: own
+    quantization (the documented spec), own argmax assignment, own
+    pairwise cosines and union-find keep rule - dict loops, no
+    stages/ imports.  Only the float k-means training is frozen data
+    (scripts/freeze_goldens.py:freeze_semantic_centroids)."""
+    cent_t = _golden(sf_dir, "semantic_centroids")
+    cents = np.array(cent_t.column("centroid").to_pylist(), dtype=np.float32)
+
+    def q8_of(mat):
+        norms = np.linalg.norm(mat, axis=1, keepdims=True).astype(np.float32)
+        norms[norms == 0] = 1.0
+        return np.clip(np.rint((mat / norms) * 127.0), -127, 127).astype(np.int32)
+
+    c8 = q8_of(cents)
+    t = pq.read_table(
+        sf_dir + "/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)[order]
+    v8 = q8_of(vecs)
+
+    clusters: dict[int, list[int]] = {}
+    cos2cent: dict[int, int] = {}
+    for i in range(len(ids)):
+        dots = [int(v8[i] @ c8[c]) for c in range(len(c8))]
+        best = max(range(len(dots)), key=lambda c: (dots[c], -c))
+        vn2 = int(v8[i] @ v8[i])
+        cn2 = int(c8[best] @ c8[best])
+        denom = math.sqrt(float(vn2 * cn2)) or 1.0
+        cos2cent[int(ids[i])] = int(
+            np.floor(np.float64(dots[best]) / denom * 10000.0)
+        )
+        clusters.setdefault(best, []).append(i)
+
+    o_id, o_cl, o_kept, o_c2c = [], [], [], []
+    for cl in sorted(clusters):
+        members = clusters[cl]
+        parent = {i: i for i in members}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                a, b = members[ai], members[bi]
+                d = int(v8[a] @ v8[b])
+                na2, nb2 = int(v8[a] @ v8[a]), int(v8[b] @ v8[b])
+                denom = math.sqrt(float(na2 * nb2)) or 1.0
+                e4 = int(np.floor(np.float64(d) / denom * 10000.0))
+                if e4 >= 9000:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        comps: dict[int, list[int]] = {}
+        for i in members:
+            comps.setdefault(find(i), []).append(i)
+        for root, comp in comps.items():
+            keeper = min(comp, key=lambda i: (cos2cent[int(ids[i])], int(ids[i])))
+            for i in comp:
+                o_id.append(int(ids[i]))
+                o_cl.append(cl)
+                o_kept.append(int(ids[keeper]))
+                o_c2c.append(cos2cent[int(ids[i])])
+    return pa.table(
+        {
+            "vec_id": pa.array(o_id, pa.int64()),
+            "cluster_id": pa.array(o_cl, pa.int64()),
+            "kept_id": pa.array(o_kept, pa.int64()),
+            "cos2cent_e4": pa.array(o_c2c, pa.int64()),
+        }
+    )
+
+
 def _b_knn_int8(sf_dir: str) -> pa.Table:
     """Sequential int8-quantized scan - re-derives the documented
     quantization SPEC (L2-normalize, *127, round-half-even, clip) with
@@ -1042,6 +1121,7 @@ BUILDERS = {
     "knn_ivf": _b_knn_ivf,
     "knn_lsh": _b_knn_lsh,
     "knn_int8": _b_knn_int8,
+    "semantic_dedup": _b_semantic_dedup,
     "ngram_stats_seg": _b_ngram_stats_seg,
 }
 

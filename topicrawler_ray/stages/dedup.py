@@ -799,3 +799,140 @@ def exact_dedup_by_hash(
         )
 
     return joined.map_batches(drop_copies, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+# cluster embeddings, prune near-identical pairs WITHIN each cluster.
+
+
+def semantic_dedup(
+    ds,
+    n_clusters: int = 8,
+    threshold_e4: int = 9000,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+):
+    """Semantic deduplication: k-means-cluster the embedding space,
+    then within each cluster connect pairs whose cosine >= threshold
+    and keep ONE representative per connected near-dup set - the
+    member FARTHEST from its centroid (lowest centroid similarity,
+    the SemDeDup keep rule; ties to the smaller id).
+
+    Returns one row per input vector:
+    ``(vec_id, cluster_id, kept_id, cos2cent_e4)`` - ``kept_id`` is
+    the surviving representative of the row's near-dup component
+    (``kept_id == vec_id`` for survivors), ``cos2cent_e4`` the
+    floor-e4 cosine to the assigned centroid.
+
+    Determinism discipline: centroids come from the deterministic
+    sampled k-means (:func:`~topicrawler_ray.stages.similarity.train_centroids`);
+    vectors AND centroids are then int8-quantized
+    (:func:`~topicrawler_ray.stages.similarity.quantize_int8`), so
+    cluster assignment (argmax integer dot, ties to the smaller
+    cluster id) and every pairwise score are integer math; the only
+    floats after training are fixed elementwise expressions
+    (``dot / sqrt(na2 * nb2)``, floor-e4) that a sequential oracle
+    reproduces bit-for-bit from the frozen centroid golden.
+
+    Ray shape: centroid matrix broadcast once (``ray.put``); ONE
+    row-local assignment ``map_batches``; ONE ``groupby(cluster)``
+    shuffle whose groups run a vectorized pairwise tile + union-find.
+    Partitioning assumption: one cluster's rows fit a task - at scale
+    raise ``n_clusters`` (SemDeDup uses ~100k clusters for LAION) so
+    clusters stay small; cross-cluster near-dups are unseen by design
+    (documented recall trade of the method).
+    """
+    import ray
+
+    from .similarity import quantize_int8, train_centroids
+
+    cents = train_centroids(
+        ds, n_lists=n_clusters, vec_column=vec_column, id_column=id_column
+    )
+    c8 = quantize_int8(cents).astype(np.int32)
+    c_ref = ray.put(c8)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = ray.get(c_ref)
+        ids = np.asarray(batch.column(id_column).to_pylist(), dtype=np.int64)
+        q8 = quantize_int8(
+            np.array(batch.column(vec_column).to_pylist(), dtype=np.float32)
+        ).astype(np.int32)
+        dots = q8 @ cm.T  # (B, C) int32 exact
+        cluster = np.argmax(dots, axis=1).astype(np.int64)  # first max wins
+        cdot = dots[np.arange(len(ids)), cluster]
+        cnorm2 = (cm * cm).sum(axis=1, dtype=np.int64)[cluster]
+        vnorm2 = (q8 * q8).sum(axis=1, dtype=np.int64)
+        denom = np.sqrt((vnorm2 * cnorm2).astype(np.float64))
+        denom[denom == 0] = 1.0
+        cos2cent_e4 = np.floor(cdot / denom * 10000.0).astype(np.int64)
+        out = pa.table(
+            {
+                id_column: pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(cluster, pa.int64()),
+                "cos2cent_e4": pa.array(cos2cent_e4, pa.int64()),
+                "vnorm2": pa.array(vnorm2.astype(np.int64), pa.int64()),
+                "__q8": pa.array(
+                    [q8[i].astype(np.int8).tobytes() for i in range(len(ids))],
+                    pa.binary(),
+                ),
+            }
+        )
+        return out
+
+    assigned = ds.select_columns([id_column, vec_column]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+    thr = int(threshold_e4)
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_column, kind="mergesort").reset_index(drop=True)
+        m = len(g)
+        dim = len(g["__q8"].iloc[0]) if m else 0
+        q8 = (
+            np.frombuffer(b"".join(g["__q8"]), dtype=np.int8)
+            .reshape(m, dim)
+            .astype(np.int32)
+        )
+        n2 = g["vnorm2"].to_numpy(np.int64)
+        dots = q8 @ q8.T  # (m, m) int32 exact
+        denom = np.sqrt((n2[:, None] * n2[None, :]).astype(np.float64))
+        denom[denom == 0] = 1.0
+        e4 = np.floor(dots / denom * 10000.0).astype(np.int64)
+        # union-find over thresholded pairs (upper triangle)
+        parent = np.arange(m)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ii, jj = np.nonzero(np.triu(e4 >= thr, k=1))
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(m)])
+        ids = g[id_column].to_numpy(np.int64)
+        c2c = g["cos2cent_e4"].to_numpy(np.int64)
+        kept = np.empty(m, dtype=np.int64)
+        for r in np.unique(roots):
+            members = np.nonzero(roots == r)[0]
+            # SemDeDup keep rule: farthest from centroid, ties smaller id
+            order = members[np.lexsort((ids[members], c2c[members]))]
+            kept[members] = ids[order[0]]
+        return pd.DataFrame(
+            {
+                id_column: ids,
+                "cluster_id": g["cluster_id"].to_numpy(np.int64),
+                "kept_id": kept,
+                "cos2cent_e4": c2c,
+            }
+        )
+
+    return assigned.groupby("cluster_id").map_groups(
+        dedup_cluster, batch_format="pandas"
+    )
