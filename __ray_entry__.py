@@ -833,6 +833,16 @@ _SAMPLE_DEFAULT = 0.1
 _SAMPLE_SEED = "42"
 
 
+def _q_sample_weighted(sf_dir: str):
+    """Efraimidis-Spirakis A-ES weighted sampling without replacement
+    (k=50 by n_chars): row-local integer-quantized keys, per-batch
+    partial top-k, k*partitions rows to the driver merge - no shuffle."""
+    from topicrawler_ray.stages.sampling import weighted_sample
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+    return weighted_sample(ds, "doc_id", "n_chars", k=50, seed="42")
+
+
 def _q_sample_stratified(sf_dir: str):
     """Deterministic stratified hash sampling (training-mix curation):
     per-lang keep fractions keyed on md5(seed:doc_id) - a stateless
@@ -1470,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_wordlist": _q_langid_wordlist,
         "pack_sequences": _q_pack_sequences,
         "sample_stratified": _q_sample_stratified,
+        "sample_weighted": _q_sample_weighted,
         "shuffle_shards": _q_shuffle_shards,
         "events_topk_type": _q_events_topk_type,
         "word_df": _q_word_df,

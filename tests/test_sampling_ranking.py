@@ -60,6 +60,59 @@ class TestHashSampling:
         assert "fr" not in counts  # default 0 drops the stratum
 
 
+class TestWeightedSample:
+    def test_partitioning_invariance_and_weight_bias(self, ray_session):
+        """A-ES top-k is a pure function of (ids, weights, seed) - the
+        same rows whatever the block layout - and across seeds the
+        inclusion frequency must track the weights (heavy rows sampled
+        far more often than light ones)."""
+        import ray.data
+
+        from topicrawler_ray.stages.sampling import weighted_sample
+
+        n = 400
+        ids = np.arange(n, dtype=np.int64)
+        # weights: first half light (1), second half heavy (50)
+        w = np.where(ids < n // 2, 1, 50).astype(np.int64)
+        tbl = pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(w)})
+
+        def run(parts, seed):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            out = weighted_sample(ds, "doc_id", "n_chars", k=40, seed=seed)
+            return out.to_pandas()
+
+        a = run(1, "s1")
+        b = run(13, "s1")
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        assert a["score_e9"].tolist() == b["score_e9"].tolist()
+        # scores are sorted descending, k respected
+        assert len(a) == 40
+        assert a["score_e9"].is_monotonic_decreasing
+
+        heavy = 0
+        for seed in ("s1", "s2", "s3", "s4", "s5"):
+            out = run(5, seed)
+            heavy += (out["doc_id"] >= n // 2).sum()
+        # 50x weight -> heavy rows should dominate the samples
+        assert heavy / (5 * 40) > 0.8
+
+    def test_nonpositive_weights_excluded(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.sampling import weighted_sample
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "n_chars": pa.array([0, -5, 10, 10], pa.int64()),
+            }
+        )
+        out = weighted_sample(
+            ray.data.from_arrow(tbl), "doc_id", "n_chars", k=10, seed="z"
+        ).to_pandas()
+        assert set(out["doc_id"]) == {3, 4}
+
+
 class TestShuffleShards:
     def test_permutation_and_determinism(self, ray_session):
         import ray.data

@@ -623,6 +623,41 @@ def _b_knn_lsh(sf_dir: str) -> pa.Table:
     return _golden(sf_dir, "knn_lsh")
 
 
+def _b_sample_weighted(sf_dir: str) -> pa.Table:
+    """Sequential Efraimidis-Spirakis A-ES: own md5/u/log derivation
+    (one vectorized np.log, the documented spec), rank the quantized
+    integer keys, take the top 50.  No stages/ imports."""
+    import hashlib
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    ids = t.column("doc_id").to_pylist()
+    w = np.asarray(t.column("n_chars"), dtype=np.float64)
+    h = np.array(
+        [
+            int(hashlib.md5(("42:%s" % i).encode()).hexdigest()[:16], 16)
+            for i in ids
+        ],
+        dtype=np.float64,
+    )
+    u = (h + 0.5) / float(1 << 64)
+    score = np.log(u) / w
+    score_e9 = np.floor(score * 1e9).astype(np.int64)
+    ranked = sorted(
+        (i for i in range(len(ids)) if w[i] > 0),
+        key=lambda i: (-score_e9[i], ids[i]),
+    )[:50]
+    return pa.table(
+        {
+            "doc_id": pa.array([ids[i] for i in ranked], pa.int64()),
+            "n_chars": pa.array([int(w[i]) for i in ranked], pa.int64()),
+            "score_e9": pa.array([int(score_e9[i]) for i in ranked], pa.int64()),
+        }
+    )
+
+
 def _b_semantic_dedup(sf_dir: str) -> pa.Table:
     """Sequential SemDeDup over the frozen centroid golden: own
     quantization (the documented spec), own argmax assignment, own
@@ -1122,6 +1157,7 @@ BUILDERS = {
     "knn_lsh": _b_knn_lsh,
     "knn_int8": _b_knn_int8,
     "semantic_dedup": _b_semantic_dedup,
+    "sample_weighted": _b_sample_weighted,
     "ngram_stats_seg": _b_ngram_stats_seg,
 }
 

@@ -111,6 +111,91 @@ def stratified_sample(ds, id_column: str, strata_column: str,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def weighted_sample(
+    ds,
+    id_column: str,
+    weight_column: str,
+    k: int,
+    seed: str = "0",
+):
+    """Weighted sampling WITHOUT replacement, Efraimidis-Spirakis A-ES
+    (Inf. Proc. Letters 97(5), 2006): each row gets the key
+    ``ln(u) / w`` with ``u`` uniform in (0,1); the k LARGEST keys are a
+    weighted sample without replacement.
+
+    Determinism discipline: ``u = (h64 + 0.5) / 2^64`` from
+    ``md5("<seed>:<id>")`` - a pure function of the id, same standard
+    as the other sampling ops (reproducible, resumable, auditable).
+    Keys are floor-quantized to ``score_e9`` int64 BEFORE ranking, so
+    engine and oracle rank identical integers (ties to the smaller
+    id); the only float is one fixed elementwise ``np.log`` expression.
+
+    Ray shape: row-local scoring + per-batch partial top-k (combiner);
+    only ``k x partitions`` slim rows reach the driver merge - no
+    shuffle, linear at any scale.  Rows with weight <= 0 are excluded
+    (they cannot be sampled under A-ES).
+
+    Returns (id_column, weight_column, score_e9), score descending.
+    """
+    import heapq
+
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_pylist()
+        w = np.asarray(batch.column(weight_column), dtype=np.float64)
+        h = np.array(
+            [
+                int(
+                    hashlib.md5(
+                        ("%s:%s" % (seed, i)).encode("utf-8")
+                    ).hexdigest()[:16],
+                    16,
+                )
+                for i in ids
+            ],
+            dtype=np.float64,
+        )
+        u = (h + 0.5) / float(1 << 64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = np.log(u) / w
+        ok = np.nonzero(w > 0)[0]
+        score_e9 = np.floor(score[ok] * 1e9).astype(np.int64)
+        ids_ok = [ids[i] for i in ok]
+        sel = np.lexsort((ids_ok, -score_e9))[: min(k, len(ok))]
+        order = ok[sel]
+        score_e9 = score_e9[sel]
+        return pa.table(
+            {
+                id_column: pa.array([ids[i] for i in order]),
+                weight_column: batch.column(weight_column).take(
+                    pa.array(order, pa.int64())
+                ),
+                "score_e9": pa.array(score_e9, pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    top = heapq.nlargest(
+        k, rows, key=lambda r: (r["score_e9"], _neg_id(r[id_column]))
+    )
+    return pa.table(
+        {
+            id_column: pa.array([r[id_column] for r in top]),
+            weight_column: pa.array([r[weight_column] for r in top]),
+            "score_e9": pa.array([r["score_e9"] for r in top], pa.int64()),
+        }
+    )
+
+
+def _neg_id(v):
+    """Ordering helper: ties on score prefer the SMALLER id for both
+    int and string ids (max-heap key needs the inverse)."""
+    if isinstance(v, (int,)):
+        return -v
+    return tuple(-b for b in str(v).encode("utf-8"))
+
+
 # --------------------------------------------------------------------------
 # token-budget mixture sampling (data mixing)
 
