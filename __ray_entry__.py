@@ -1037,6 +1037,26 @@ def _q_doc_perp(sf_dir: str):
     return doc_perplexity(ds, topic_lm_ref(sf_dir))
 
 
+def _q_scored_pages_jm(sf_dir: str):
+    """Jelinek-Mercer interpolated scorer through the driver (the
+    fixed-weight linear-interpolation smoothing variant; same
+    actor-pool shape as the stupid-backoff/KN flagships)."""
+    from topicrawler_ray.lm.train import topic_lm_ref
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.extract import extract_batch
+    from topicrawler_ray.stages.score import PerplexityScorer
+
+    ds = read_pages(sf_dir, num_blocks=8)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow")
+    ds = ds.map_batches(
+        PerplexityScorer,
+        fn_constructor_kwargs={"lm_ref": topic_lm_ref(sf_dir, 3, "jelinek_mercer")},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return ds.select_columns(["url", "perp", "perp_str"])
+
+
 def _q_scored_pages_kn(sf_dir: str):
     """F16 through the driver: extraction + Kneser-Ney LM scoring (the
     alternate scorer variant, same actor-pool shape)."""
@@ -1496,6 +1516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_perp": _q_doc_perp,
         "doc_perp_oovref": _q_doc_perp_oovref,
         "scored_pages_kn": _q_scored_pages_kn,
+        "scored_pages_jm": _q_scored_pages_jm,
         "scored_pages_disk": _q_scored_pages_disk,
         "media_frames": _q_media_frames,
         "politeness_slots": _q_politeness_slots,

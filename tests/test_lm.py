@@ -216,3 +216,51 @@ class TestNgramIndex:
             ["unknownword"],
         ):
             assert lm_mem.ngram_log10_prob(g) == lm_idx.ngram_log10_prob(g)
+
+
+class TestJelinekMercer:
+    def _counts(self, seqs):
+        from topicrawler_ray.lm.backoff import NgramCounts
+
+        c = NgramCounts(2)
+        for s in seqs:
+            c.add_sequence(s)
+        return c
+
+    def test_hand_computed_interpolation(self):
+        """Corpus 'a b': V=2, base=1/3, t1=2.
+        P(a)   = .7*(1/2) + .3*(1/3) = 0.45
+        P(b|a) = .7*(c(ab)/c(a)=1) + .3*P(b)= .7 + .3*.45 = 0.835"""
+        from topicrawler_ray.lm.jm import JelinekMercerLM
+
+        lm = JelinekMercerLM(self._counts([["a", "b"]]), lam=0.7)
+        assert abs(lm.score(["a"]) - 0.45) < 1e-12
+        assert abs(lm.score(["a", "b"]) - 0.835) < 1e-12
+        # OOV floor: (1-lam)^2 * base for a bigram ending OOV after OOV
+        assert abs(lm.score(["x", "y"]) - 0.3 * 0.3 / 3) < 1e-12
+        assert lm.ngram_ends_with_oov(["a", "y"])
+        assert not lm.ngram_ends_with_oov(["y", "a"])
+
+    def test_proper_distribution_over_vocab_plus_oov(self):
+        """For a history whose continuations are complete in the corpus,
+        sum_w P(w|h) over V + one OOV class must be exactly 1."""
+        from topicrawler_ray.lm.jm import JelinekMercerLM
+
+        lm = JelinekMercerLM(
+            self._counts([["a", "b", "a", "b", "a", "c"]]), lam=0.7
+        )
+        total = sum(lm.score(["a", w]) for w in ("a", "b", "c"))
+        total += lm.score(["a", "UNSEEN"])  # the single reserved OOV class
+        assert abs(total - 1.0) < 1e-12
+
+    def test_freeze_parity_and_pickle(self):
+        import pickle
+
+        from topicrawler_ray.lm.jm import build_jelinek_mercer
+
+        c = self._counts([["the", "cat", "sat"], ["the", "dog", "ran"]])
+        a = build_jelinek_mercer(c, freeze=False)
+        b = build_jelinek_mercer(c, freeze=True)
+        b = pickle.loads(pickle.dumps(b))
+        for g in (["the"], ["the", "cat"], ["cat", "sat"], ["x"], ["the", "x"]):
+            assert a.ngram_log10_prob(g) == b.ngram_log10_prob(g)

@@ -155,6 +155,14 @@ def build_topic_lm_kn(sf_dir: str, order: int = DEFAULT_ORDER):
     return build_kneser_ney(build_topic_counts(sf_dir, order))
 
 
+@lru_cache(maxsize=4)
+def build_topic_lm_jm(sf_dir: str, order: int = DEFAULT_ORDER):
+    """Jelinek-Mercer interpolated variant of the topic LM."""
+    from .jm import build_jelinek_mercer
+
+    return build_jelinek_mercer(build_topic_counts(sf_dir, order))
+
+
 def disk_lm_artifact(sf_dir: str, order: int = DEFAULT_ORDER,
                      num_buckets: int = 64) -> str:
     """Build (once per sf_dir/order) the sharded disk LM artifact for
@@ -217,6 +225,8 @@ def build_scorer_lm(sf_dir: str, order: int = DEFAULT_ORDER, scorer: str = "stup
         )
     if scorer == "laplace":
         return build_topic_lm_laplace(sf_dir, order)
+    if scorer == "jelinek_mercer":
+        return build_topic_lm_jm(sf_dir, order)
     if scorer == "arpa":
         # the disk-artifact path the reference takes (readFromArpa,
         # LanguageModelHelper.java:190-205): export the topic LM as

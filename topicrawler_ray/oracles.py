@@ -163,6 +163,10 @@ def _b_scored_pages_kn(sf_dir: str) -> pa.Table:
     return _b_scored_pages(sf_dir, "kneser_ney")
 
 
+def _b_scored_pages_jm(sf_dir: str) -> pa.Table:
+    return _b_scored_pages(sf_dir, "jelinek_mercer")
+
+
 def _b_extract_boilerpipe(sf_dir: str) -> pa.Table:
     """Frozen golden (scripts/freeze_goldens.py) - imports nothing from
     the boilerpipe kernel it certifies."""
@@ -1128,6 +1132,7 @@ BUILDERS = {
     "dt_similarity": _b_dt_similarity,
     "scored_pages": _b_scored_pages,
     "scored_pages_kn": _b_scored_pages_kn,
+    "scored_pages_jm": _b_scored_pages_jm,
     # disk-backed serving must score bit-identically to the in-memory
     # KN path; the fixture is the same sequential derivation (which
     # imports nothing from lm/diskserve.py - non-circular)
