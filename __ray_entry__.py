@@ -833,6 +833,18 @@ _SAMPLE_DEFAULT = 0.1
 _SAMPLE_SEED = "42"
 
 
+def _q_hashed_vectors(sf_dir: str):
+    """Feature-hashing vectorizer (hashing trick): text -> fixed-dim
+    signed n-gram count vectors with no vocabulary pass; stateless
+    row-local map, sparse (doc_id, idx, value) output."""
+    from topicrawler_ray.stages.vectorize import hashed_ngram_vectors
+
+    return hashed_ngram_vectors(
+        _docs(sf_dir), text_column="text", id_column="doc_id",
+        dim=64, ngram_range=(1, 2),
+    )
+
+
 def _q_sample_weighted(sf_dir: str):
     """Efraimidis-Spirakis A-ES weighted sampling without replacement
     (k=50 by n_chars): row-local integer-quantized keys, per-batch
@@ -1501,6 +1513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "sample_stratified": _q_sample_stratified,
         "sample_weighted": _q_sample_weighted,
+        "hashed_vectors": _q_hashed_vectors,
         "shuffle_shards": _q_shuffle_shards,
         "events_topk_type": _q_events_topk_type,
         "word_df": _q_word_df,

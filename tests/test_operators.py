@@ -1011,6 +1011,48 @@ class TestEmbeddingLshRecall:
         assert recall >= 0.5, recall
 
 
+class TestHashedVectors:
+    def test_sparse_form_and_ann_composition(self, ray_session):
+        """Hashing-trick vectors: deterministic sparse triplets across
+        any partitioning; densified vectors feed int8_topk and near-
+        identical texts rank as each other's nearest neighbours."""
+        import ray.data
+
+        from topicrawler_ray.stages.similarity import int8_topk
+        from topicrawler_ray.stages.vectorize import (
+            densify,
+            hashed_ngram_vectors,
+        )
+
+        texts = {
+            0: "the quick brown fox jumps over the lazy dog",
+            1: "the quick brown fox jumps over the lazy dog today",
+            2: "completely different subject matter entirely here",
+            3: "another unrelated sentence about fish and chips",
+        }
+        rows = [{"doc_id": i, "text": t} for i, t in texts.items()]
+        ds1 = ray.data.from_items(rows)
+        ds4 = ray.data.from_items(rows).repartition(4)
+
+        a = hashed_ngram_vectors(ds1).to_pandas().sort_values(["doc_id", "idx"])
+        b = hashed_ngram_vectors(ds4).to_pandas().sort_values(["doc_id", "idx"])
+        assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+        assert (a["idx"] < 64).all() and (a["idx"] >= 0).all()
+        assert (a["value"] != 0).all()
+
+        import pyarrow as pa
+
+        dense = densify(hashed_ngram_vectors(ds4), dim=64)
+        dense = dense.map_batches(
+            lambda t: t.rename_columns(["vec_id", "embedding"]),
+            batch_format="pyarrow",
+        )
+        qvec = dense.to_pandas().set_index("vec_id").loc[0, "embedding"]
+        top = int8_topk(dense, np.array([qvec]), k=2).to_pandas()
+        # doc 0's neighbours: itself then its near-copy doc 1
+        assert top.sort_values("rank")["vec_id"].tolist() == [0, 1]
+
+
 class TestSemanticDedup:
     def test_duplicate_groups_collapse_to_one_keeper(self, ray_session):
         """Near-identical vectors (cos >= 0.9) collapse to one kept_id;

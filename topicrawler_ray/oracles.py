@@ -627,6 +627,39 @@ def _b_knn_lsh(sf_dir: str) -> pa.Table:
     return _golden(sf_dir, "knn_lsh")
 
 
+def _b_hashed_vectors(sf_dir: str) -> pa.Table:
+    """Sequential feature hashing per the documented spec (lowercase
+    whitespace tokens, 1-2-gram murmur3-64, (h>>1)%dim index, low-bit
+    sign) - own dict loop; murmur3 is a shared reference-golden-tested
+    scalar kernel (module-docstring standard)."""
+    from .functions.hashing import murmur3_x64_128
+
+    t = _docs_table(sf_dir)
+    o_id, o_idx, o_val = [], [], []
+    for doc_id, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        toks = (text or "").lower().split()
+        acc: dict[int, int] = {}
+        for n in (1, 2):
+            for i in range(len(toks) - n + 1):
+                h = murmur3_x64_128(" ".join(toks[i : i + n]).encode())[0]
+                acc[(h >> 1) % 64] = acc.get((h >> 1) % 64, 0) + (
+                    1 if (h & 1) == 0 else -1
+                )
+        for idx in sorted(k for k, v in acc.items() if v != 0):
+            o_id.append(doc_id)
+            o_idx.append(idx)
+            o_val.append(acc[idx])
+    return pa.table(
+        {
+            "doc_id": pa.array(o_id, pa.int64()),
+            "idx": pa.array(o_idx, pa.int64()),
+            "value": pa.array(o_val, pa.int64()),
+        }
+    )
+
+
 def _b_sample_weighted(sf_dir: str) -> pa.Table:
     """Sequential Efraimidis-Spirakis A-ES: own md5/u/log derivation
     (one vectorized np.log, the documented spec), rank the quantized
@@ -1163,6 +1196,7 @@ BUILDERS = {
     "knn_int8": _b_knn_int8,
     "semantic_dedup": _b_semantic_dedup,
     "sample_weighted": _b_sample_weighted,
+    "hashed_vectors": _b_hashed_vectors,
     "ngram_stats_seg": _b_ngram_stats_seg,
 }
 
