@@ -1460,6 +1460,35 @@ def _q_export_manifest(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _q_bloom_semijoin(sf_dir: str):
+    """Runtime-filter semi-join: lineitem rows whose order is URGENT,
+    via a broadcast Bloom bitmap over the urgent o_orderkey set + exact
+    hash-set verification - the big side never shuffles.  Pure-SQL
+    IN-subquery oracle."""
+    import ray.data
+
+    from topicrawler_ray.stages.joins import bloom_semijoin
+
+    big = ray.data.read_parquet(
+        sf_dir + "/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey"],
+    )
+    small = ray.data.read_parquet(
+        sf_dir + "/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+    out = bloom_semijoin(big, small, key="l_orderkey", right_key="o_orderkey")
+
+    def widen(batch):
+        import pyarrow as pa
+
+        ln = batch.column("l_linenumber").cast(pa.int64())
+        return batch.drop_columns(["l_linenumber"]).add_column(
+            1, "l_linenumber", ln
+        )
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1505,6 +1534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag": _q_events_lag,
         "events_cumsum": _q_events_cumsum,
         "docs_embeddings": _q_docs_embeddings,
+        "bloom_semijoin": _q_bloom_semijoin,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,
@@ -1572,6 +1602,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
+        ),
+        "bloom_semijoin": (
+            "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+            "l_partkey FROM lineitem WHERE l_orderkey IN "
+            "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')"
         ),
         "embedding_near_dup": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
