@@ -1489,6 +1489,16 @@ def _q_bloom_semijoin(sf_dir: str):
     return out.map_batches(widen, batch_format="pyarrow")
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Exact top-20 words without a token shuffle: per-block frequent-
+    items compression -> broadcast candidate vocabulary -> vectorized
+    exact recount, with a top-k exactness certificate.  Pure-SQL
+    unnest/count oracle."""
+    from topicrawler_ray.stages.heavyhitters import heavy_hitters
+
+    return heavy_hitters(_docs(sf_dir), column="text", k=20, capacity=2048)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1535,6 +1545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumsum": _q_events_cumsum,
         "docs_embeddings": _q_docs_embeddings,
         "bloom_semijoin": _q_bloom_semijoin,
+        "heavy_hitters": _q_heavy_hitters,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,
@@ -1607,6 +1618,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
             "l_partkey FROM lineitem WHERE l_orderkey IN "
             "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+        ),
+        "heavy_hitters": (
+            "SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM "
+            "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
+            "GROUP BY word ORDER BY cnt DESC, word LIMIT 20"
         ),
         "embedding_near_dup": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

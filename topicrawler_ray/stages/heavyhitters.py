@@ -1,0 +1,160 @@
+"""Exact distributed top-k heavy hitters in two streaming passes.
+
+The naive plan - ``flat_map`` every token then ``groupby(word).count``
+- shuffles one row per TOKEN: at 100 TB of text that exchange is larger
+than the corpus.  This operator never shuffles tokens:
+
+* **Pass 1 (candidates)**: each block computes exact local counts
+  (``np.unique`` - vectorized, the block fits a task by construction)
+  and keeps only words with local count > ``N_block/(capacity+1)`` -
+  the Misra-Gries retention rule applied to exact block counts.  At
+  most ``capacity`` words survive per block.  Averaging argument: if a
+  word's GLOBAL count exceeds ``N_total/(capacity+1)`` it must exceed
+  the per-block threshold somewhere, so the union of the block
+  summaries is a SUPERSET of every global heavy hitter.
+* **Pass 2 (exact counts)**: the (bounded) candidate vocabulary is
+  broadcast as a sorted array; one more streaming pass counts ONLY the
+  candidates per block (vectorized ``searchsorted``), emitting a
+  fixed-length count vector per block that the driver sums.
+* **Certificate**: the exact top-k is provably correct iff the k-th
+  candidate count > ``N_total/(capacity+1)`` (no non-candidate can
+  beat it).  ``heavy_hitters`` checks this and raises with the minimal
+  sufficient capacity, instead of silently returning a maybe-wrong
+  tail - size ``capacity ≈ several × N/count_k`` for your corpus.
+
+Driver memory is ``capacity × num_blocks`` candidate strings worst
+case and one ``len(candidates)`` int64 vector - independent of corpus
+size.  Reference context: remstef/topicrawler has no frequent-items
+operator; this extends the corpus-analysis surface next to word_df /
+word_cooc (stages/ranking.py, stages/cooc.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _block_tokens(batch: pa.Table, column: str) -> np.ndarray:
+    toks: list[str] = []
+    for t in batch.column(column).to_pylist():
+        toks.extend((t or "").split(" "))
+    return np.asarray(toks, dtype=object)
+
+
+def candidate_summaries(ds, column: str, capacity: int):
+    """Pass 1: per-block frequent-word summaries.  Emits rows
+    ``(word, cnt)`` for local heavies plus one ``(None, n_tokens)``
+    accounting row per block."""
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        toks = _block_tokens(batch, column)
+        n = len(toks)
+        if n == 0:
+            return pa.table(
+                {"word": pa.array([None], pa.string()),
+                 "cnt": pa.array([0], pa.int64())}
+            )
+        words, counts = np.unique(toks, return_counts=True)
+        keep = counts > n / (capacity + 1)
+        return pa.table(
+            {
+                "word": pa.array(list(words[keep]) + [None], pa.string()),
+                "cnt": pa.array(list(counts[keep]) + [n], pa.int64()),
+            }
+        )
+
+    return ds.select_columns([column]).map_batches(
+        summarize, batch_format="pyarrow"
+    )
+
+
+class CandidateCounter:
+    """Pass-2 actor: exact per-block counts of the broadcast candidate
+    vocabulary (sorted-array ``searchsorted`` membership - no Python
+    loop, no token shuffle)."""
+
+    def __init__(self, cand_ref, column: str):
+        import ray
+
+        self.cand = ray.get(cand_ref)  # sorted object ndarray
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = _block_tokens(batch, self.column)
+        out = np.zeros(len(self.cand), dtype=np.int64)
+        if len(toks) and len(self.cand):
+            idx = np.searchsorted(self.cand, toks)
+            idx[idx >= len(self.cand)] = 0
+            hit = self.cand[idx] == toks
+            np.add.at(out, idx[hit], 1)
+        return pa.table({"counts": pa.array([out.tobytes()], pa.large_binary())})
+
+
+def heavy_hitters(
+    ds,
+    column: str = "text",
+    k: int = 20,
+    capacity: int = 2048,
+    concurrency: int | None = None,
+):
+    """Exact global top-``k`` words of ``ds[column]`` by count
+    (ties broken by word ascending), as a pyarrow Table
+    ``(word, cnt)`` sorted by (-cnt, word).
+
+    Raises ``ValueError`` when ``capacity`` is too small to certify
+    exactness (see module docstring)."""
+    import ray
+
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(1, min(8, cpus // 2))
+
+    cand_counts: dict[str, int] = {}
+    n_total = 0
+    for b in candidate_summaries(ds, column, capacity).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for w, c in zip(b.column("word").to_pylist(), b.column("cnt").to_pylist()):
+            if w is None:
+                n_total += c
+            else:
+                cand_counts[w] = cand_counts.get(w, 0) + c
+    if not cand_counts:
+        if n_total > 0:
+            raise ValueError(
+                "top-%d not certifiable: no word cleared the per-block "
+                "retention threshold at capacity=%d; raise capacity"
+                % (k, capacity)
+            )
+        return pa.table(
+            {"word": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+
+    cand = np.asarray(sorted(cand_counts), dtype=object)
+    cand_ref = ray.put(cand)
+    exact = np.zeros(len(cand), dtype=np.int64)
+    for b in ds.select_columns([column]).map_batches(
+        CandidateCounter,
+        fn_constructor_kwargs={"cand_ref": cand_ref, "column": column},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).iter_batches(batch_format="pyarrow"):
+        for buf in b.column("counts").to_pylist():
+            exact += np.frombuffer(buf, dtype=np.int64)
+
+    order = np.lexsort((cand, -exact))[:k]
+    kth = int(exact[order[-1]])
+    bound = n_total / (capacity + 1)
+    if kth <= bound:
+        need = int(np.ceil(n_total / max(kth, 1))) + 1
+        raise ValueError(
+            "top-%d not certifiable: k-th count %d <= N/(capacity+1)=%.1f; "
+            "re-run with capacity >= %d" % (k, kth, bound, need)
+        )
+    return pa.table(
+        {
+            "word": pa.array([cand[i] for i in order], pa.string()),
+            "cnt": pa.array(exact[order], pa.int64()),
+        }
+    )
