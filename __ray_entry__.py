@@ -1499,6 +1499,22 @@ def _q_heavy_hitters(sf_dir: str):
     return heavy_hitters(_docs(sf_dir), column="text", k=20, capacity=2048)
 
 
+def _q_distinct_users_hll(sf_dir: str):
+    """Approximate distinct users per event type via a mergeable
+    HyperLogLog sketch (fixed 4 KiB register row per group per block;
+    no (group,value) shuffle).  Oracle: independent sequential HLL
+    (plain-python register loop) - certifies the distributed register
+    build + MAX-merge is bit-identical."""
+    import ray.data
+
+    from topicrawler_ray.stages.sketches import hll_distinct
+
+    ev = ray.data.read_parquet(
+        sf_dir + "/events.parquet", columns=["event_type", "user_id"]
+    )
+    return hll_distinct(ev, column="user_id", group_by="event_type", p=12)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1546,6 +1562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_embeddings": _q_docs_embeddings,
         "bloom_semijoin": _q_bloom_semijoin,
         "heavy_hitters": _q_heavy_hitters,
+        "distinct_users_hll": _q_distinct_users_hll,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,

@@ -1153,9 +1153,54 @@ def _b_anchor_texts(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_distinct_users_hll(sf_dir: str) -> pa.Table:
+    """Sequential HyperLogLog per event_type over events.user_id -
+    plain-python register loop (int.bit_length) + the published FFGM
+    estimator.  Re-derives the algorithm; imports nothing from
+    stages/sketches.py.  Hashing is pandas hash_array (a library
+    primitive, shared by construction so both sides see the same
+    64-bit hash space)."""
+    import pandas as _pd
+
+    P = 12
+    M = 1 << P
+    tab = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    etypes = tab.column("event_type").to_pylist()
+    users = tab.column("user_id").to_numpy()
+    hashes = _pd.util.hash_array(np.ascontiguousarray(users))
+    regs: dict[str, list[int]] = {}
+    for et, h in zip(etypes, hashes.tolist()):
+        r = regs.setdefault(et, [0] * M)
+        idx = h >> (64 - P)
+        w = (h << P) & ((1 << 64) - 1)
+        rank = min(64 - w.bit_length() + 1, 64 - P + 1)
+        if rank > r[idx]:
+            r[idx] = rank
+    keys = sorted(regs)
+    ests = []
+    for k in keys:
+        arr = np.asarray(regs[k], dtype=np.uint8)
+        alpha = 0.7213 / (1.0 + 1.079 / M)
+        e = alpha * M * M / np.sum(np.exp2(-arr.astype(np.float64)))
+        if e <= 2.5 * M:
+            v = int(np.count_nonzero(arr == 0))
+            if v:
+                e = M * np.log(M / v)
+        ests.append(int(np.floor(e)))
+    return pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "n_distinct_hll": pa.array(ests, pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 
 BUILDERS = {
+    "distinct_users_hll": _b_distinct_users_hll,
     "link_pagerank": _b_link_pagerank,
     "anchor_texts": _b_anchor_texts,
     "bm25_topk": _b_bm25_topk,
