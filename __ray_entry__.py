@@ -1515,6 +1515,18 @@ def _q_distinct_users_hll(sf_dir: str):
     return hll_distinct(ev, column="user_id", group_by="event_type", p=12)
 
 
+def _q_dsir_select(sf_dir: str):
+    """DSIR importance selection: top-100 docs most like the German
+    target subset, via broadcast quantized hashed-n-gram log-ratios +
+    one streaming integer scoring pass.  Oracle: independent
+    sequential per-doc derivation."""
+    from topicrawler_ray.stages.dsir import dsir_select
+
+    corpus = _docs(sf_dir)
+    target = _docs(sf_dir).filter(expr="lang == 'de'")
+    return dsir_select(corpus, target, n=100, dim=8192)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1563,6 +1575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin": _q_bloom_semijoin,
         "heavy_hitters": _q_heavy_hitters,
         "distinct_users_hll": _q_distinct_users_hll,
+        "dsir_select": _q_dsir_select,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,

@@ -1153,6 +1153,55 @@ def _b_anchor_texts(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_dsir_select(sf_dir: str) -> pa.Table:
+    """Sequential DSIR importance selection (Xie et al. 2023): plain
+    per-doc loops over hashed unigram+bigram buckets, integer
+    fixed-point log-ratio scores.  Re-derives the algorithm end to
+    end; imports nothing from stages/dsir.py."""
+    import pandas as _pd
+
+    DIM, N, Q = 8192, 100, 1_000_000
+    tab = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    ids = tab.column("doc_id").to_pylist()
+    texts = tab.column("text").to_pylist()
+    langs = tab.column("lang").to_pylist()
+
+    def doc_buckets(t: str) -> np.ndarray:
+        words = (t or "").split(" ")
+        feats = words + [
+            words[j] + " " + words[j + 1] for j in range(len(words) - 1)
+        ]
+        if not feats:
+            return np.empty(0, dtype=np.int64)
+        h = _pd.util.hash_array(np.asarray(feats, dtype=object))
+        return (h % np.uint64(DIM)).astype(np.int64)
+
+    tgt = np.zeros(DIM, dtype=np.int64)
+    raw = np.zeros(DIM, dtype=np.int64)
+    per_doc = []
+    for t, lg in zip(texts, langs):
+        b = doc_buckets(t)
+        per_doc.append(b)
+        np.add.at(raw, b, 1)
+        if lg == "de":
+            np.add.at(tgt, b, 1)
+    lt = np.log(tgt + 1.0) - np.log(float(tgt.sum() + DIM))
+    lr = np.log(raw + 1.0) - np.log(float(raw.sum() + DIM))
+    ratio_q = np.floor((lt - lr) * Q).astype(np.int64)
+    scores = np.array([int(ratio_q[b].sum()) for b in per_doc], dtype=np.int64)
+    id_arr = np.asarray(ids, dtype=np.int64)
+    order = np.lexsort((id_arr, -scores))[:N]
+    return pa.table(
+        {
+            "doc_id": pa.array(id_arr[order], pa.int64()),
+            "dsir_score_q": pa.array(scores[order], pa.int64()),
+        }
+    )
+
+
 def _b_distinct_users_hll(sf_dir: str) -> pa.Table:
     """Sequential HyperLogLog per event_type over events.user_id -
     plain-python register loop (int.bit_length) + the published FFGM
@@ -1201,6 +1250,7 @@ def _b_distinct_users_hll(sf_dir: str) -> pa.Table:
 
 BUILDERS = {
     "distinct_users_hll": _b_distinct_users_hll,
+    "dsir_select": _b_dsir_select,
     "link_pagerank": _b_link_pagerank,
     "anchor_texts": _b_anchor_texts,
     "bm25_topk": _b_bm25_topk,
