@@ -1527,6 +1527,21 @@ def _q_dsir_select(sf_dir: str):
     return dsir_select(corpus, target, n=100, dim=8192)
 
 
+def _q_nb_lang(sf_dir: str):
+    """Distributed multinomial Naive Bayes: train per-lang hashed-token
+    count vectors in one streaming pass, classify with the broadcast
+    quantized model.  Oracle: independent sequential derivation."""
+    from topicrawler_ray.stages.classify import (
+        naive_bayes_classify,
+        train_naive_bayes,
+    )
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang"])
+    model = train_naive_bayes(docs, "text", "lang", dim=4096)
+    out = naive_bayes_classify(docs, model, text_column="text")
+    return out.select_columns(["doc_id", "pred_label", "nb_score_q"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1576,6 +1591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "distinct_users_hll": _q_distinct_users_hll,
         "dsir_select": _q_dsir_select,
+        "nb_lang": _q_nb_lang,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,

@@ -1202,6 +1202,65 @@ def _b_dsir_select(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_nb_lang(sf_dir: str) -> pa.Table:
+    """Sequential multinomial Naive Bayes (train on documents.lang,
+    classify the same corpus): plain per-doc loops, integer fixed-point
+    log scores.  Imports nothing from stages/classify.py."""
+    import pandas as _pd
+
+    DIM, Q = 4096, 1_000_000
+    tab = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    ids = tab.column("doc_id").to_pylist()
+    texts = tab.column("text").to_pylist()
+    langs = tab.column("lang").to_pylist()
+
+    def buckets(t: str) -> np.ndarray:
+        toks = (t or "").split(" ")
+        h = _pd.util.hash_array(np.asarray(toks, dtype=object))
+        return (h % np.uint64(DIM)).astype(np.int64)
+
+    counts: dict[str, np.ndarray] = {}
+    n_docs: dict[str, int] = {}
+    per_doc = []
+    for t, lg in zip(texts, langs):
+        b = buckets(t)
+        per_doc.append(b)
+        vec = counts.setdefault(lg, np.zeros(DIM, dtype=np.int64))
+        np.add.at(vec, b, 1)
+        n_docs[lg] = n_docs.get(lg, 0) + 1
+    labels = sorted(counts)
+    total = float(sum(n_docs.values()))
+    prior_q = np.array(
+        [int(np.floor(np.log(n_docs[l] / total) * Q)) for l in labels],
+        dtype=np.int64,
+    )
+    like_q = np.zeros((len(labels), DIM), dtype=np.int64)
+    for i, l in enumerate(labels):
+        c = counts[l]
+        ll = np.log(c + 1.0) - np.log(float(c.sum() + DIM))
+        like_q[i] = np.floor(ll * Q).astype(np.int64)
+
+    preds, scores = [], []
+    for b in per_doc:
+        sc = prior_q + np.array(
+            [int(like_q[i][b].sum()) for i in range(len(labels))],
+            dtype=np.int64,
+        )
+        best = int(np.argmax(sc))
+        preds.append(labels[best])
+        scores.append(int(sc[best]))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "pred_label": pa.array(preds, pa.string()),
+            "nb_score_q": pa.array(scores, pa.int64()),
+        }
+    )
+
+
 def _b_distinct_users_hll(sf_dir: str) -> pa.Table:
     """Sequential HyperLogLog per event_type over events.user_id -
     plain-python register loop (int.bit_length) + the published FFGM
@@ -1251,6 +1310,7 @@ def _b_distinct_users_hll(sf_dir: str) -> pa.Table:
 BUILDERS = {
     "distinct_users_hll": _b_distinct_users_hll,
     "dsir_select": _b_dsir_select,
+    "nb_lang": _b_nb_lang,
     "link_pagerank": _b_link_pagerank,
     "anchor_texts": _b_anchor_texts,
     "bm25_topk": _b_bm25_topk,
