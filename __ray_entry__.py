@@ -1542,6 +1542,100 @@ def _q_nb_lang(sf_dir: str):
     return out.select_columns(["doc_id", "pred_label", "nb_score_q"])
 
 
+def _q_revenue_by_nation(sf_dir: str):
+    """Star-schema analytics: orders ⋈ customer via a hash-partitioned
+    Dataset.join, then the tiny nation dimension applied map-side via
+    the broadcast lookup join (no shuffle for the dim).  Revenue is
+    micro-quantized to int64 cents before the sum so the distributed
+    reduce is associative/exact.  Pure-SQL join-chain oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from topicrawler_ray.stages.relational import broadcast_lookup_join
+
+    orders = ray.data.read_parquet(
+        sf_dir + "/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        sf_dir + "/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = ray.data.read_parquet(
+        sf_dir + "/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(batch.column("o_totalprice"), 100.0)),
+            pa.int64(),
+        )
+        nk = pc.cast(batch.column("c_nationkey"), pa.int64())
+        return pa.table({"revenue_e2": cents, "n_nationkey": nk})
+
+    q = joined.map_batches(quantize, batch_format="pyarrow")
+
+    def widen_nation(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("n_nationkey"),
+            "n_nationkey",
+            pc.cast(batch.column("n_nationkey"), pa.int64()),
+        )
+
+    nation64 = nation.map_batches(widen_nation, batch_format="pyarrow")
+    with_name = broadcast_lookup_join(
+        q, nation64, fact_key="n_nationkey", dim_key="n_nationkey",
+        value_columns=["n_name"],
+    )
+    return (
+        with_name.groupby("n_name")
+        .aggregate(
+            Sum("revenue_e2", alias_name="revenue_e2"),
+            Count(alias_name="n_orders"),
+        )
+    )
+
+
+def _q_events_rollup(sf_dir: str):
+    """GROUPING SETS rollup (event_type, day) -> (event_type) -> ():
+    one fact shuffle at the finest grain, subtotals re-aggregated from
+    the small fine table.  Pure-SQL ROLLUP oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from topicrawler_ray.stages.relational import rollup_aggregate
+
+    ev = ray.data.read_parquet(
+        sf_dir + "/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch.column("ts").cast(pa.timestamp("us")), "%Y-%m-%d")
+        v = pc.cast(pc.floor(pc.multiply(batch.column("value"), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": day,
+                "value_e2": v,
+            }
+        )
+
+    return rollup_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "day"],
+        "value_e2",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1592,6 +1686,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": _q_distinct_users_hll,
         "dsir_select": _q_dsir_select,
         "nb_lang": _q_nb_lang,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "events_rollup": _q_events_rollup,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,
@@ -1669,6 +1765,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM "
             "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
             "GROUP BY word ORDER BY cnt DESC, word LIMIT 20"
+        ),
+        "revenue_by_nation": (
+            "SELECT n.n_name, "
+            "CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS revenue_e2, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1"
+        ),
+        "events_rollup": (
+            "SELECT coalesce(event_type, '__all__') AS event_type, "
+            "coalesce(day, '__all__') AS day, "
+            "CAST(sum(value_e2) AS BIGINT) AS value_e2, "
+            "CAST(count(*) AS BIGINT) AS n_rows FROM "
+            "(SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+            "CAST(floor(value * 100) AS BIGINT) AS value_e2 FROM events) "
+            "GROUP BY ROLLUP(event_type, day)"
         ),
         "embedding_near_dup": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

@@ -1,0 +1,160 @@
+"""General relational building blocks: broadcast dimension join and
+grouping-sets rollup - the star-schema analytics surface.
+
+``broadcast_lookup_join`` is the map-side ("replicated") join: when
+one side is a dimension table (nations, hosts, configs - small by
+contract), shuffling the fact table to meet it is wasted exchange.
+The dimension is reduced to sorted key + value arrays ONCE, ``ray.put``
+into the object store, and every fact block gathers its columns with a
+vectorized ``searchsorted`` - zero shuffle, zero-copy broadcast reads.
+
+``rollup_aggregate`` computes GROUPING SETS ``(a, b), (a), ()`` the
+scale-correct way: ONE shuffle at the finest granularity, then the
+(small) aggregate table is re-aggregated per coarser set - subtotals
+never touch the fact table again.  Float measures must be quantized to
+int64 upstream so the re-aggregation is associative/exact (same
+micro-quantization discipline as stages/timeseries.py windows).
+
+Reference context: remstef/topicrawler has no relational star joins;
+this rounds out the join surface next to bloom_semijoin
+(stages/joins.py) and the fetch-sim join (state/pagestore.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _dim_arrays(dim_ds, key: str, value_columns: list[str]):
+    """Materialize the (small) dimension to sorted numpy arrays."""
+    tabs = [b for b in dim_ds.select_columns([key] + value_columns)
+            .iter_batches(batch_format="pyarrow")]
+    if not tabs:
+        raise ValueError("empty dimension table")
+    tab = pa.concat_tables(tabs)
+    keys = tab.column(key).to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    vals = {
+        c: tab.column(c).to_numpy(zero_copy_only=False)[order]
+        for c in value_columns
+    }
+    return keys[order], vals
+
+
+class DimLookup:
+    """Actor-pool map-side join stage: appends the dimension's value
+    columns; inner semantics (rows without a dimension match are
+    dropped) or left semantics with nulls, per ``how``."""
+
+    def __init__(self, dim_ref, fact_key: str, how: str):
+        import ray
+
+        self.keys, self.vals = ray.get(dim_ref)
+        self.fact_key = fact_key
+        self.how = how
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fk = batch.column(self.fact_key).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(self.keys, fk)
+        idx_c = np.minimum(idx, len(self.keys) - 1)
+        hit = self.keys[idx_c] == fk
+        if self.how == "inner":
+            batch = batch.filter(pa.array(hit))
+            idx_c = idx_c[hit]
+            for c, v in self.vals.items():
+                batch = batch.append_column(c, pa.array(v[idx_c]))
+            return batch
+        for c, v in self.vals.items():
+            gathered = pa.array(v[idx_c])
+            if not hit.all():
+                gathered = pc.if_else(
+                    pa.array(hit), gathered, pa.scalar(None, gathered.type)
+                )
+            batch = batch.append_column(c, gathered)
+        return batch
+
+
+def broadcast_lookup_join(
+    fact_ds,
+    dim_ds,
+    fact_key: str,
+    dim_key: str,
+    value_columns: list[str],
+    how: str = "inner",
+    concurrency: int | None = None,
+):
+    """Join ``fact_ds`` against a small ``dim_ds`` without a shuffle.
+    ``dim_key`` must be unique in the dimension."""
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError("how must be inner|left")
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(1, min(8, cpus // 2))
+    keys, vals = _dim_arrays(dim_ds, dim_key, value_columns)
+    if len(np.unique(keys)) != len(keys):
+        raise ValueError("dimension key %r is not unique" % dim_key)
+    dim_ref = ray.put((keys, vals))
+    return fact_ds.map_batches(
+        DimLookup,
+        fn_constructor_kwargs={
+            "dim_ref": dim_ref,
+            "fact_key": fact_key,
+            "how": how,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def rollup_aggregate(ds, group_columns: list[str], sum_column: str,
+                     total_label: str = "__all__"):
+    """GROUPING SETS rollup of an int64 measure: one fact-table shuffle
+    at the finest grain, coarser levels re-aggregated from the (small)
+    result.  Returns a Dataset with the full rollup; coarser levels
+    carry ``total_label`` in the rolled-up string columns.
+
+    Output columns: ``group_columns + [sum_column, n_rows]``.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    fine = (
+        ds.groupby(group_columns)
+        .aggregate(
+            Sum(sum_column, alias_name=sum_column),
+            Count(alias_name="n_rows"),
+        )
+    )
+
+    levels = [fine]
+    prev = fine
+    for depth in range(len(group_columns) - 1, -1, -1):
+        keep = group_columns[:depth]
+        rolled = group_columns[depth]
+
+        def collapse(batch: pa.Table, rolled=rolled) -> pa.Table:
+            i = batch.schema.get_field_index(rolled)
+            return batch.set_column(
+                i,
+                rolled,
+                pa.array([total_label] * batch.num_rows, pa.string()),
+            )
+
+        coarse_input = prev.map_batches(collapse, batch_format="pyarrow")
+        # n_rows is re-aggregated as a SUM of the finer level's counts
+        # (a Count here would count groups, not fact rows); grouping by
+        # the full column list keeps the collapsed (constant) columns
+        # in the output schema
+        prev = coarse_input.groupby(list(group_columns)).aggregate(
+            Sum(sum_column, alias_name=sum_column),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+        levels.append(prev)
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
