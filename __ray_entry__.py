@@ -1636,6 +1636,19 @@ def _q_events_rollup(sf_dir: str):
     )
 
 
+def _q_bpe_tokens(sf_dir: str):
+    """BPE subword vocabulary: distributed word-type frequency table
+    (one slim shuffle) -> driver merge loop (corpus-size independent)
+    -> broadcast-ranks streaming tokenization with per-actor word
+    memoization.  Oracle: independent sequential BPE."""
+    from topicrawler_ray.stages.bpe import bpe_tokenize, train_bpe
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    merges = train_bpe(docs, num_merges=200, min_count=2)
+    out = bpe_tokenize(docs, merges)
+    return out.select_columns(["doc_id", "n_bpe_tokens", "bpe_head"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1688,6 +1701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang": _q_nb_lang,
         "revenue_by_nation": _q_revenue_by_nation,
         "events_rollup": _q_events_rollup,
+        "bpe_tokens": _q_bpe_tokens,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,

@@ -1261,6 +1261,87 @@ def _b_nb_lang(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_bpe_tokens(sf_dir: str) -> pa.Table:
+    """Sequential BPE (Sennrich 2016): word-frequency dict -> merge
+    loop (ties lexicographic) -> greedy lowest-rank encode.  Plain
+    loops; imports nothing from stages/bpe.py."""
+    NUM_MERGES, MIN_COUNT, HEAD, END_ = 200, 2, 30, "</w>"
+    tab = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = tab.column("doc_id").to_pylist()
+    texts = tab.column("text").to_pylist()
+
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in (t or "").split(" "):
+            freqs[w] = freqs.get(w, 0) + 1
+    freqs = {w: c for w, c in freqs.items() if c >= MIN_COUNT}
+
+    splits = {w: list(w) + [END_] for w in freqs if w}
+    merges: list[tuple[str, str]] = []
+    for _ in range(NUM_MERGES):
+        pc_: dict[tuple[str, str], int] = {}
+        for w, sym in splits.items():
+            f = freqs[w]
+            for j in range(len(sym) - 1):
+                p = (sym[j], sym[j + 1])
+                pc_[p] = pc_.get(p, 0) + f
+        if not pc_:
+            break
+        best = min(pc_, key=lambda p: (-pc_[p], p))
+        if pc_[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        for w in splits:
+            sym = splits[w]
+            j = 0
+            out = []
+            while j < len(sym):
+                if j + 1 < len(sym) and sym[j] == a and sym[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(sym[j])
+                    j += 1
+            splits[w] = out
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    memo: dict[str, list[str]] = {}
+
+    def enc(w: str) -> list[str]:
+        if w in memo:
+            return memo[w]
+        sym = list(w) + [END_]
+        while len(sym) > 1:
+            br, bi = None, -1
+            for j in range(len(sym) - 1):
+                r = ranks.get((sym[j], sym[j + 1]))
+                if r is not None and (br is None or r < br):
+                    br, bi = r, j
+            if br is None:
+                break
+            sym[bi : bi + 2] = [sym[bi] + sym[bi + 1]]
+        memo[w] = sym
+        return sym
+
+    n_toks, heads = [], []
+    for t in texts:
+        toks: list[str] = []
+        for w in (t or "").split(" "):
+            toks.extend(enc(w))
+        n_toks.append(len(toks))
+        heads.append("|".join(toks[:HEAD]))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bpe_tokens": pa.array(n_toks, pa.int64()),
+            "bpe_head": pa.array(heads, pa.string()),
+        }
+    )
+
+
 def _b_distinct_users_hll(sf_dir: str) -> pa.Table:
     """Sequential HyperLogLog per event_type over events.user_id -
     plain-python register loop (int.bit_length) + the published FFGM
@@ -1311,6 +1392,7 @@ BUILDERS = {
     "distinct_users_hll": _b_distinct_users_hll,
     "dsir_select": _b_dsir_select,
     "nb_lang": _b_nb_lang,
+    "bpe_tokens": _b_bpe_tokens,
     "link_pagerank": _b_link_pagerank,
     "anchor_texts": _b_anchor_texts,
     "bm25_topk": _b_bm25_topk,
