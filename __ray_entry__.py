@@ -1649,6 +1649,15 @@ def _q_bpe_tokens(sf_dir: str):
     return out.select_columns(["doc_id", "n_bpe_tokens", "bpe_head"])
 
 
+def _q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking dedup: vectorized gear rolling-hash
+    boundaries, slim (chunk_hash, owner) shuffle, winner join.
+    Oracle: independent sequential per-byte rolling hash."""
+    from topicrawler_ray.stages.cdc import cdc_dedup
+
+    return cdc_dedup(_docs(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1702,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "events_rollup": _q_events_rollup,
         "bpe_tokens": _q_bpe_tokens,
+        "cdc_chunks": _q_cdc_chunks,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,

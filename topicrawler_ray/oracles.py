@@ -1342,6 +1342,61 @@ def _b_bpe_tokens(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_cdc_chunks(sf_dir: str) -> pa.Table:
+    """Sequential CDC dedup: plain per-byte rolling gear hash
+    (h = (h<<1) + gear[b] mod 2^64), same min/max boundary walk,
+    first-occurrence keep in (doc_id, chunk_idx) order.  Imports
+    nothing from stages/cdc.py."""
+    import pandas as _pd
+
+    MASK, MIN, MAX = 0x3F, 16, 256
+    gear = _pd.util.hash_array(np.arange(256, dtype=np.int64)).tolist()
+    tab = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows = []
+    for doc_id, text in zip(
+        tab.column("doc_id").to_pylist(), tab.column("text").to_pylist()
+    ):
+        data = (text or "").encode("utf-8")
+        n = len(data)
+        h = 0
+        hits = []
+        for i, byte in enumerate(data):
+            h = ((h << 1) + gear[byte]) & 0xFFFFFFFFFFFFFFFF
+            if (h & MASK) == 0:
+                hits.append(i)
+        prev = 0
+        idx = 0
+        hi = 0
+        while prev < n:
+            lo_pos = prev + MIN - 1
+            hard = prev + MAX
+            cut = min(hard, n)
+            while hi < len(hits) and hits[hi] < lo_pos:
+                hi += 1
+            if hi < len(hits) and hits[hi] < min(hard, n) - 1:
+                cut = hits[hi] + 1
+            cut = min(cut, n)
+            rows.append((doc_id, idx, data[prev:cut]))
+            idx += 1
+            prev = cut
+    first: dict[bytes, tuple[int, int]] = {}
+    for doc_id, idx, chunk in rows:
+        if chunk not in first:
+            first[chunk] = (doc_id, idx)
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "chunk_idx": pa.array([r[1] for r in rows], pa.int64()),
+            "chunk_len": pa.array([len(r[2]) for r in rows], pa.int64()),
+            "keep": pa.array(
+                [first[r[2]] == (r[0], r[1]) for r in rows], pa.bool_()
+            ),
+        }
+    )
+
+
 def _b_distinct_users_hll(sf_dir: str) -> pa.Table:
     """Sequential HyperLogLog per event_type over events.user_id -
     plain-python register loop (int.bit_length) + the published FFGM
@@ -1393,6 +1448,7 @@ BUILDERS = {
     "dsir_select": _b_dsir_select,
     "nb_lang": _b_nb_lang,
     "bpe_tokens": _b_bpe_tokens,
+    "cdc_chunks": _b_cdc_chunks,
     "link_pagerank": _b_link_pagerank,
     "anchor_texts": _b_anchor_texts,
     "bm25_topk": _b_bm25_topk,
