@@ -1658,6 +1658,16 @@ def _q_cdc_chunks(sf_dir: str):
     return cdc_dedup(_docs(sf_dir))
 
 
+def _q_cooc_pmi(sf_dir: str):
+    """PMI + Dunning LLR collocation significance over the distributed
+    co-occurrence counts (marginals re-aggregated and joined back, all
+    int64 fixed-point).  Oracle: independent sequential derivation."""
+    from topicrawler_ray.stages.cooc import cooc_significance, word_cooc
+
+    pairs = word_cooc(_docs(sf_dir), window=2, min_count=5)
+    return cooc_significance(pairs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1712,6 +1722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _q_events_rollup,
         "bpe_tokens": _q_bpe_tokens,
         "cdc_chunks": _q_cdc_chunks,
+        "cooc_pmi": _q_cooc_pmi,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,

@@ -1397,6 +1397,63 @@ def _b_cdc_chunks(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_cooc_pmi(sf_dir: str) -> pa.Table:
+    """Sequential PMI/LLR collocation significance: dict-loop pair
+    counts (window 2, ordered), marginals, then per-pair scalar
+    evaluation of the SAME fixed-order expressions as the engine's
+    vectorized kernel.  Imports nothing from stages/cooc.py."""
+    WINDOW, MIN_COUNT = 2, 5
+    tab = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    counts: dict[tuple[str, str], int] = {}
+    for t in tab.column("text").to_pylist():
+        words = (t or "").split(" ")
+        n = len(words)
+        for i in range(n):
+            for d in range(1, WINDOW + 1):
+                if i + d < n:
+                    p = (words[i], words[i + d])
+                    counts[p] = counts.get(p, 0) + 1
+    counts = {p: c for p, c in counts.items() if c >= MIN_COUNT}
+    n1: dict[str, int] = {}
+    n2: dict[str, int] = {}
+    for (a, b), c in counts.items():
+        n1[a] = n1.get(a, 0) + c
+        n2[b] = n2.get(b, 0) + c
+    N = float(sum(counts.values()))
+
+    def xlogx(k: float) -> float:
+        k = np.float64(k)
+        return float(k * np.log(k)) if k > 0 else 0.0
+
+    pairs = sorted(counts)
+    pmi_l, llr_l = [], []
+    for a, b in pairs:
+        cn = np.float64(counts[(a, b)])
+        c1 = np.float64(n1[a])
+        c2 = np.float64(n2[b])
+        pmi = np.log(cn) + np.log(N) - np.log(c1) - np.log(c2)
+        k11, k12, k21 = cn, c1 - cn, c2 - cn
+        k22 = N - c1 - c2 + cn
+        llr = 2.0 * (
+            xlogx(k11) + xlogx(k12) + xlogx(k21) + xlogx(k22) + xlogx(N)
+            - xlogx(k11 + k12) - xlogx(k21 + k22)
+            - xlogx(k11 + k21) - xlogx(k12 + k22)
+        )
+        pmi_l.append(int(np.floor(pmi * 1e6)))
+        llr_l.append(int(np.floor(llr * 1e6)))
+    return pa.table(
+        {
+            "w1": pa.array([p[0] for p in pairs], pa.string()),
+            "w2": pa.array([p[1] for p in pairs], pa.string()),
+            "n": pa.array([counts[p] for p in pairs], pa.int64()),
+            "pmi_e6": pa.array(pmi_l, pa.int64()),
+            "llr_e6": pa.array(llr_l, pa.int64()),
+        }
+    )
+
+
 def _b_distinct_users_hll(sf_dir: str) -> pa.Table:
     """Sequential HyperLogLog per event_type over events.user_id -
     plain-python register loop (int.bit_length) + the published FFGM
@@ -1449,6 +1506,7 @@ BUILDERS = {
     "nb_lang": _b_nb_lang,
     "bpe_tokens": _b_bpe_tokens,
     "cdc_chunks": _b_cdc_chunks,
+    "cooc_pmi": _b_cooc_pmi,
     "link_pagerank": _b_link_pagerank,
     "anchor_texts": _b_anchor_texts,
     "bm25_topk": _b_bm25_topk,
