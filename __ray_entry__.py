@@ -1668,6 +1668,88 @@ def _q_cooc_pmi(sf_dir: str):
     return cooc_significance(pairs)
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_events_pivot(sf_dir: str):
+    """Pivot events to one row per user (per-type counts + total
+    value cents): per-batch vectorized pivot combiner -> ONE slim
+    groupby(user).sum - no per-(user,type) exchange, no map_groups
+    sort.  Pure-SQL CASE-pivot oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(
+        sf_dir + "/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+
+    def pivot(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        uniq, ginv = np.unique(users, return_inverse=True)
+        cols = {"user_id": pa.array(uniq, pa.int64())}
+        for t in _EVENT_TYPES:
+            cnt = np.zeros(len(uniq), dtype=np.int64)
+            sel = types == t
+            np.add.at(cnt, ginv[sel], 1)
+            cols["n_" + t] = pa.array(cnt, pa.int64())
+        val = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(val, ginv, cents)
+        cols["value_e2_sum"] = pa.array(val, pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum("n_" + t, alias_name="n_" + t) for t in _EVENT_TYPES]
+    aggs.append(Sum("value_e2_sum", alias_name="value_e2_sum"))
+    return (
+        ev.map_batches(pivot, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*aggs)
+    )
+
+
+def _q_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining: top-5 most-similar vectors
+    with a DIFFERENT label per query (queries = vec_id < 10).
+    Pure-SQL cosine oracle."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from topicrawler_ray.stages.similarity import hard_negatives
+
+    qt = pq.read_table(
+        sf_dir + "/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    qrows = sorted(
+        (i, e, l)
+        for i, e, l in zip(
+            qt["vec_id"].to_pylist(),
+            qt["embedding"].to_pylist(),
+            qt["label"].to_pylist(),
+        )
+        if i < 10
+    )
+    t = hard_negatives(
+        _embs(sf_dir),
+        queries=np.array([e for _, e, _ in qrows], dtype=np.float64),
+        query_labels=np.array([l for _, _, l in qrows]),
+        query_ids=np.array([i for i, _, _ in qrows], dtype=np.int64),
+        k=5,
+    )
+    df = t.to_pandas()
+    qid_map = {qi: qrows[qi][0] for qi in range(len(qrows))}
+    df["query_id"] = df["query_id"].map(qid_map).astype("int64")
+    df["cosine_e4"] = np.floor(df["cosine"] * 10000).astype("int64")
+    df = df.drop(columns=["cosine"])
+    df["rank"] = df["rank"].astype("int64")
+    return df
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1723,6 +1805,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": _q_bpe_tokens,
         "cdc_chunks": _q_cdc_chunks,
         "cooc_pmi": _q_cooc_pmi,
+        "events_pivot": _q_events_pivot,
+        "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,
@@ -1807,6 +1891,31 @@ def oracle_sql() -> dict[str, str]:
             "AS revenue_e2, CAST(count(*) AS BIGINT) AS n_orders "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1"
+        ),
+        "events_pivot": (
+            "SELECT user_id, "
+            + ", ".join(
+                "CAST(sum(CASE WHEN event_type = '%s' THEN 1 ELSE 0 END) "
+                "AS BIGINT) AS n_%s" % (t, t)
+                for t in _EVENT_TYPES
+            )
+            + ", CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS value_e2_sum FROM events GROUP BY user_id"
+        ),
+        "hard_negatives": (
+            "WITH q AS (SELECT vec_id AS qid, label AS qlab, "
+            "CAST(embedding AS DOUBLE[]) AS qe FROM embeddings "
+            "WHERE vec_id < 10), "
+            "s AS (SELECT q.qid, e.vec_id, "
+            "list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS c "
+            "FROM q JOIN embeddings e "
+            "ON e.label <> q.qlab AND e.vec_id <> q.qid) "
+            "SELECT CAST(qid AS BIGINT) AS query_id, "
+            "CAST(row_number() OVER (PARTITION BY qid ORDER BY c DESC, "
+            "vec_id ASC) - 1 AS BIGINT) AS rank, vec_id, "
+            "CAST(floor(c * 10000) AS BIGINT) AS cosine_e4 FROM s "
+            "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY c DESC, "
+            "vec_id ASC) <= 5"
         ),
         "events_rollup": (
             "SELECT coalesce(event_type, '__all__') AS event_type, "

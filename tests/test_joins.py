@@ -105,3 +105,36 @@ class TestBloomSemijoin:
         big, small, _ = _fixture_tables()
         with pytest.raises(ValueError):
             bloom_semijoin(big, small, key="k", right_key="sk", verify="fuzzy")
+
+
+class TestHardNegatives:
+    def test_excludes_same_label_and_self(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from topicrawler_ray.stages.similarity import hard_negatives
+
+        vecs = {
+            0: ([1.0, 0.0], "a"),
+            1: ([0.99, 0.1], "a"),   # same label as query - excluded
+            2: ([0.9, 0.2], "b"),    # closest different-label
+            3: ([0.0, 1.0], "b"),
+            4: ([-1.0, 0.0], "c"),
+        }
+        ds = ray.data.from_items(
+            [
+                {"vec_id": i, "embedding": v, "label": l}
+                for i, (v, l) in vecs.items()
+            ]
+        ).repartition(2)
+        out = hard_negatives(
+            ds,
+            queries=np.array([vecs[0][0]]),
+            query_labels=np.array(["a"]),
+            query_ids=np.array([0]),
+            k=3,
+        )
+        got = out.column("vec_id").to_pylist()
+        assert 0 not in got and 1 not in got
+        assert got[0] == 2  # rank 0 = nearest different-label
+        assert set(got) == {2, 3, 4}

@@ -430,3 +430,90 @@ def ivf_topk(
             "cosine": pa.array(o_c, pa.float64()),
         }
     )
+
+
+def hard_negatives(
+    ds,
+    queries: np.ndarray,
+    query_labels: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    label_column: str = "label",
+):
+    """Contrastive hard-negative mining: for each query vector, the
+    top-``k`` most-cosine-similar corpus vectors with a DIFFERENT
+    label (and a different id) - the standard retrieval-training
+    negatives pass (e.g. DPR, Karpukhin et al. 2020).
+
+    Same scale shape as :func:`brute_force_topk`: queries broadcast
+    once, per-batch vectorized matmul + label mask + partial top-k
+    combiner, driver merges only ``k x Q x num_blocks`` slim rows.
+    Returns (query_id, rank, vec_id, cosine); ties prefer smaller
+    vec_id.
+    """
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q_labels = np.asarray(query_labels)
+    q_ids = np.asarray(query_ids, dtype=np.int64)
+    q_ref = ray.put((q, q_labels, q_ids))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm, ql, qi_ids = ray.get(q_ref)
+        ids = np.asarray(batch.column(id_column).to_pylist(), dtype=np.int64)
+        labels = batch.column(label_column).to_numpy(zero_copy_only=False)
+        mat = _normalize(
+            np.array(batch.column(vec_column).to_pylist(), dtype=np.float32)
+        )
+        sims = qm @ mat.T  # (Q, B)
+        # mask same-label columns and the query row itself
+        same_label = ql[:, None] == labels[None, :]
+        same_id = qi_ids[:, None] == ids[None, :]
+        sims = np.where(same_label | same_id, -np.inf, sims)
+        o_q, o_id, o_c = [], [], []
+        for qi in range(sims.shape[0]):
+            valid = np.isfinite(sims[qi])
+            nv = int(valid.sum())
+            if nv == 0:
+                continue
+            kk = min(k, nv)
+            cand = np.nonzero(valid)[0]
+            idx = cand[np.argpartition(-sims[qi][cand], kk - 1)[:kk]]
+            for j in idx:
+                o_q.append(qi)
+                o_id.append(int(ids[j]))
+                o_c.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(o_q, pa.int32()),
+                "vec_id": pa.array(o_id, pa.int64()),
+                "cosine": pa.array(o_c, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    heaps: dict[int, list] = {}
+    for r in partials:
+        heapq.heappush(
+            heaps.setdefault(r["query_id"], []), (r["cosine"], -r["vec_id"])
+        )
+        if len(heaps[r["query_id"]]) > k:
+            heapq.heappop(heaps[r["query_id"]])
+    o_q, o_rank, o_id, o_c = [], [], [], []
+    for qi in sorted(heaps):
+        best = sorted(heaps[qi], key=lambda t: (-t[0], -t[1]))
+        for rank, (c, nid) in enumerate(best):
+            o_q.append(qi)
+            o_rank.append(rank)
+            o_id.append(-nid)
+            o_c.append(c)
+    return pa.table(
+        {
+            "query_id": pa.array(o_q, pa.int32()),
+            "rank": pa.array(o_rank, pa.int32()),
+            "vec_id": pa.array(o_id, pa.int64()),
+            "cosine": pa.array(o_c, pa.float64()),
+        }
+    )
