@@ -1750,6 +1750,67 @@ def _q_hard_negatives(sf_dir: str):
     return df
 
 
+def _q_link_components(sf_dir: str):
+    """Weakly-connected components of the page link graph: S3 link
+    extraction -> distinct edges -> iterative label-propagation
+    (join + groupby-min per round) over murmur3 url ids.  Oracle:
+    independent sequential union-find."""
+    import pyarrow as pa
+    import ray.data
+
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.components import connected_components
+    from topicrawler_ray.stages.graph import page_edges
+
+    edges_s = page_edges(read_pages(sf_dir, num_blocks=16)).materialize()
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        from topicrawler_ray.functions.hashing import url_hash64
+
+        import numpy as np
+
+        src = [np.int64(np.uint64(url_hash64(u)) >> np.uint64(1))
+               for u in batch.column("src").to_pylist()]
+        dst = [np.int64(np.uint64(url_hash64(u)) >> np.uint64(1))
+               for u in batch.column("dst").to_pylist()]
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = edges_s.map_batches(to_ids, batch_format="pyarrow")
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        from topicrawler_ray.functions.hashing import url_hash64
+
+        import numpy as np
+
+        urls = sorted(
+            set(batch.column("src").to_pylist())
+            | set(batch.column("dst").to_pylist())
+        )
+        ids = [np.int64(np.uint64(url_hash64(u)) >> np.uint64(1)) for u in urls]
+        return pa.table(
+            {"url": pa.array(urls, pa.string()),
+             "node_id": pa.array(ids, pa.int64())}
+        )
+
+    nodes = (
+        edges_s.map_batches(node_rows, batch_format="pyarrow")
+        .groupby(["url", "node_id"])
+        .count()
+        .select_columns(["url", "node_id"])
+        .repartition(8)
+    )
+    labels = connected_components(edges, nodes, node_column="node_id")
+    joined = nodes.join(
+        labels.repartition(8),
+        join_type="inner",
+        num_partitions=8,
+        on=("node_id",),
+    )
+    return joined.select_columns(["url", "component"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1806,6 +1867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": _q_cdc_chunks,
         "cooc_pmi": _q_cooc_pmi,
         "events_pivot": _q_events_pivot,
+        "link_components": _q_link_components,
         "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,

@@ -1454,6 +1454,49 @@ def _b_cooc_pmi(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_link_components(sf_dir: str) -> pa.Table:
+    """Sequential union-find over the extracted link edges (shares
+    only the S3 parsing primitives with the engine, like the
+    anchor-text oracle); component label = min murmur3-id, matching
+    the engine's groupby-min label propagation."""
+    from .functions.hashing import url_hash64
+    from .functions.urls import extract_outlinks
+    from .stages.extract import decode_page_bytes, is_robots_url
+
+    edges: set[tuple[str, str]] = set()
+    for url, _ts, html in _pages_rows(sf_dir):
+        if is_robots_url(url) or not html:
+            continue
+        for dst in extract_outlinks(decode_page_bytes(url, html), url):
+            edges.add((url, dst))
+    urls = sorted({u for e in edges for u in e})
+    parent = {u: u for u in urls}
+
+    def find(u: str) -> str:
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    ids = {u: int(np.int64(np.uint64(url_hash64(u)) >> np.uint64(1))) for u in urls}
+    comp_min: dict[str, int] = {}
+    for u in urls:
+        r = find(u)
+        comp_min[r] = min(comp_min.get(r, ids[u]), ids[u])
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "component": pa.array(
+                [comp_min[find(u)] for u in urls], pa.int64()
+            ),
+        }
+    )
+
+
 def _b_distinct_users_hll(sf_dir: str) -> pa.Table:
     """Sequential HyperLogLog per event_type over events.user_id -
     plain-python register loop (int.bit_length) + the published FFGM
@@ -1507,6 +1550,7 @@ BUILDERS = {
     "bpe_tokens": _b_bpe_tokens,
     "cdc_chunks": _b_cdc_chunks,
     "cooc_pmi": _b_cooc_pmi,
+    "link_components": _b_link_components,
     "link_pagerank": _b_link_pagerank,
     "anchor_texts": _b_anchor_texts,
     "bm25_topk": _b_bm25_topk,
