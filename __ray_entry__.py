@@ -1811,6 +1811,16 @@ def _q_link_components(sf_dir: str):
     return joined.select_columns(["url", "component"])
 
 
+def _q_salted_lang_stats(sf_dir: str):
+    """Explicit skew handling: salted two-phase sum over the Zipf-
+    skewed lang column (one language dominates the corpus).  Pure-SQL
+    GROUP BY oracle - salting must be exactly lossless."""
+    from topicrawler_ray.stages.skew import salted_groupby_sum
+
+    docs = _docs(sf_dir).select_columns(["lang", "n_chars"])
+    return salted_groupby_sum(docs, key="lang", value="n_chars", num_salts=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1868,6 +1878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooc_pmi": _q_cooc_pmi,
         "events_pivot": _q_events_pivot,
         "link_components": _q_link_components,
+        "salted_lang_stats": _q_salted_lang_stats,
         "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
@@ -1953,6 +1964,10 @@ def oracle_sql() -> dict[str, str]:
             "AS revenue_e2, CAST(count(*) AS BIGINT) AS n_orders "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1"
+        ),
+        "salted_lang_stats": (
+            "SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_chars, "
+            "CAST(count(*) AS BIGINT) AS n_rows FROM documents GROUP BY lang"
         ),
         "events_pivot": (
             "SELECT user_id, "
