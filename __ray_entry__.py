@@ -1821,6 +1821,36 @@ def _q_salted_lang_stats(sf_dir: str):
     return salted_groupby_sum(docs, key="lang", value="n_chars", num_salts=16)
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Cross-run incremental dedup: register the first half of the
+    corpus in a persistent content-hash registry (distributed sharded
+    write), then curate the second half against the registry (lazy
+    LRU shard probes) plus within-run exact dedup.  Pure-SQL
+    NOT-IN + group-min oracle."""
+    import shutil
+    import tempfile
+
+    from topicrawler_ray.stages.dedup import exact_dedup_by_hash
+    from topicrawler_ray.state.dedupstore import filter_unseen, register_hashes
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    n_total = docs.count()
+    half = n_total // 2
+    run1 = docs.filter(expr="doc_id < %d" % half)
+    run2 = docs.filter(expr="doc_id >= %d" % half)
+
+    registry = tempfile.mkdtemp(prefix="topicrawler_q_registry_")
+    try:
+        register_hashes(run1, "text", registry, generation="run1",
+                        num_shards=16)
+        fresh = filter_unseen(run2, "text", registry)
+        return exact_dedup_by_hash(
+            fresh.materialize(), column="text", id_column="doc_id"
+        ).select_columns(["doc_id"])
+    finally:
+        shutil.rmtree(registry, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1879,6 +1909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "link_components": _q_link_components,
         "salted_lang_stats": _q_salted_lang_stats,
+        "incremental_dedup": _q_incremental_dedup,
         "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
@@ -1964,6 +1995,15 @@ def oracle_sql() -> dict[str, str]:
             "AS revenue_e2, CAST(count(*) AS BIGINT) AS n_orders "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1"
+        ),
+        "incremental_dedup": (
+            "WITH c AS (SELECT CAST(count(*) AS BIGINT) // 2 AS h "
+            "FROM documents), "
+            "r1 AS (SELECT text FROM documents, c WHERE doc_id < c.h), "
+            "r2 AS (SELECT doc_id, text FROM documents, c "
+            "WHERE doc_id >= c.h) "
+            "SELECT min(doc_id) AS doc_id FROM r2 "
+            "WHERE text NOT IN (SELECT text FROM r1) GROUP BY text"
         ),
         "salted_lang_stats": (
             "SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_chars, "

@@ -1,0 +1,55 @@
+"""Persistent content-hash registry: register/probe round trip,
+multi-generation accumulation, manifest invariants."""
+
+import pytest
+import ray.data
+
+from topicrawler_ray.state.dedupstore import (
+    filter_unseen,
+    read_manifest,
+    register_hashes,
+)
+
+
+def _docs(texts, start=0):
+    return ray.data.from_items(
+        [{"doc_id": start + i, "text": t} for i, t in enumerate(texts)]
+    ).repartition(2)
+
+
+class TestRegistry:
+    def test_round_trip(self, ray_session, tmp_path):
+        reg = str(tmp_path / "reg")
+        register_hashes(_docs(["a", "b", "c"]), "text", reg, "g0", num_shards=4)
+        man = read_manifest(reg)
+        assert man["num_shards"] == 4
+        assert man["generations"][0]["n_hashes"] == 3
+
+        out = filter_unseen(
+            _docs(["b", "x", "c", "y"], start=10), "text", reg
+        ).take_all()
+        assert sorted(r["text"] for r in out) == ["x", "y"]
+
+    def test_multiple_generations_accumulate(self, ray_session, tmp_path):
+        reg = str(tmp_path / "reg")
+        register_hashes(_docs(["a"]), "text", reg, "g0", num_shards=4)
+        register_hashes(_docs(["b"]), "text", reg, "g1", num_shards=4)
+        out = filter_unseen(_docs(["a", "b", "c"]), "text", reg).take_all()
+        assert [r["text"] for r in out] == ["c"]
+
+    def test_duplicate_generation_rejected(self, ray_session, tmp_path):
+        reg = str(tmp_path / "reg")
+        register_hashes(_docs(["a"]), "text", reg, "g0", num_shards=4)
+        with pytest.raises(ValueError, match="already registered"):
+            register_hashes(_docs(["b"]), "text", reg, "g0", num_shards=4)
+
+    def test_shard_count_must_match(self, ray_session, tmp_path):
+        reg = str(tmp_path / "reg")
+        register_hashes(_docs(["a"]), "text", reg, "g0", num_shards=4)
+        with pytest.raises(ValueError, match="num_shards"):
+            register_hashes(_docs(["b"]), "text", reg, "g1", num_shards=8)
+
+    def test_empty_registry_keeps_everything(self, ray_session, tmp_path):
+        reg = str(tmp_path / "empty")
+        out = filter_unseen(_docs(["a", "b"]), "text", reg).take_all()
+        assert len(out) == 2

@@ -1,0 +1,190 @@
+"""Persistent content-hash registry for INCREMENTAL dedup across runs.
+
+A 100-TB corpus is never curated in one shot: new crawl shards arrive
+and must be deduplicated against everything already accepted WITHOUT
+re-reading the old corpus.  The registry is the disk-backed URL-seen
+idea (reference: persistent cuckoo URL-seen, `state/seen.py`;
+BerkeleyDB in remstef/topicrawler's Heritrix stack) applied to content
+hashes:
+
+    <dir>/manifest.json                 {"num_shards": S, "generations": [...]}
+    <dir>/gen-<name>/shard=NNNN.parquet sorted uint64 content hashes,
+                                        hash % S == NNNN
+
+* **register** is a distributed write: one slim (hash, shard) shuffle,
+  each shard file written inside its own ``map_groups`` task (sorted,
+  deduplicated) - resumable per shard, append-only per generation,
+  atomic via directory rename.  The driver only appends a manifest
+  entry.
+* **probe** is an actor-pool ``map_batches`` stage: each actor lazily
+  loads (gen, shard) hash arrays through a bounded LRU and answers
+  membership with vectorized ``searchsorted`` - actor RSS is
+  O(cached shards), never O(registry).  New batches only touch the
+  shards their hashes map to, so a small update probes a small
+  fraction of a huge registry.
+
+Hashes are pandas ``hash_array`` (SipHash64, fixed key) of the raw
+column value; a cross-run false positive needs a 64-bit collision
+(~n_old * n_new / 2**64 - negligible, and conservative: it can only
+drop a new doc, never admit a duplicate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_SHARD_FMT = "shard=%04d.parquet"
+
+
+def content_hashes(values: list) -> np.ndarray:
+    return pd.util.hash_array(np.asarray(values, dtype=object))
+
+
+def _manifest_path(d: str) -> str:
+    return os.path.join(d, "manifest.json")
+
+
+def read_manifest(registry_dir: str) -> dict:
+    p = _manifest_path(registry_dir)
+    if not os.path.exists(p):
+        return {"num_shards": 0, "generations": []}
+    with open(p) as f:
+        return json.load(f)
+
+
+def register_hashes(
+    ds,
+    column: str,
+    registry_dir: str,
+    generation: str,
+    num_shards: int = 64,
+):
+    """Add ``ds[column]``'s content hashes to the registry as one new
+    generation.  Distributed: per-shard files are each written by
+    their own task; the driver only rewrites the manifest."""
+    os.makedirs(registry_dir, exist_ok=True)
+    man = read_manifest(registry_dir)
+    if man["generations"] and man["num_shards"] != num_shards:
+        raise ValueError(
+            "registry has num_shards=%d; cannot register with %d"
+            % (man["num_shards"], num_shards)
+        )
+    gen_dir = os.path.join(registry_dir, "gen-%s" % generation)
+    if os.path.exists(gen_dir):
+        raise ValueError("generation %r already registered" % generation)
+
+    def to_hash_rows(batch: pa.Table) -> pa.Table:
+        h = np.unique(content_hashes(batch.column(column).to_pylist()))
+        return pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                "shard": pa.array(
+                    (h % np.uint64(num_shards)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def write_shard(group: pd.DataFrame) -> pd.DataFrame:
+        shard = int(group["shard"].iloc[0])
+        h = np.unique(group["h"].to_numpy(dtype=np.uint64))
+        os.makedirs(gen_tmp, exist_ok=True)
+        pq.write_table(
+            pa.table({"h": pa.array(h, pa.uint64())}),
+            os.path.join(gen_tmp, _SHARD_FMT % shard),
+        )
+        return pd.DataFrame({"shard": [shard], "n": [len(h)]})
+
+    gen_tmp = tempfile.mkdtemp(
+        prefix=".gen-%s-" % generation, dir=registry_dir
+    )
+    stats = (
+        ds.select_columns([column])
+        .map_batches(to_hash_rows, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pandas")
+        .take_all()
+    )
+    os.rename(gen_tmp, gen_dir)
+    man["num_shards"] = num_shards
+    man["generations"].append(
+        {"name": generation, "n_hashes": int(sum(s["n"] for s in stats))}
+    )
+    with open(_manifest_path(registry_dir), "w") as f:
+        json.dump(man, f)
+    return man
+
+
+class RegistryProbe:
+    """Actor-pool stage: appends ``seen_before`` (bool) - whether the
+    row's content hash exists in ANY registered generation.  Shard
+    arrays load lazily through a bounded LRU."""
+
+    def __init__(self, registry_dir: str, column: str, max_cached: int = 128):
+        from collections import OrderedDict
+
+        self.registry_dir = registry_dir
+        self.column = column
+        self.man = read_manifest(registry_dir)
+        self.cache: "OrderedDict[tuple[str, int], np.ndarray]" = OrderedDict()
+        self.max_cached = max_cached
+
+    def _shard(self, gen: str, shard: int) -> np.ndarray:
+        key = (gen, shard)
+        got = self.cache.get(key)
+        if got is not None:
+            self.cache.move_to_end(key)
+            return got
+        p = os.path.join(self.registry_dir, "gen-%s" % gen, _SHARD_FMT % shard)
+        arr = (
+            pq.read_table(p).column("h").to_numpy(zero_copy_only=False)
+            if os.path.exists(p)
+            else np.empty(0, dtype=np.uint64)
+        )
+        self.cache[key] = arr
+        if len(self.cache) > self.max_cached:
+            self.cache.popitem(last=False)
+        return arr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = content_hashes(batch.column(self.column).to_pylist())
+        seen = np.zeros(len(h), dtype=bool)
+        ns = self.man["num_shards"]
+        if ns:
+            shards = (h % np.uint64(ns)).astype(np.int64)
+            for shard in np.unique(shards):
+                m = shards == shard
+                hs = h[m]
+                for gen in self.man["generations"]:
+                    arr = self._shard(gen["name"], int(shard))
+                    if not len(arr):
+                        continue
+                    idx = np.searchsorted(arr, hs)
+                    idx[idx >= len(arr)] = 0
+                    seen[m] |= arr[idx] == hs
+        return batch.append_column("seen_before", pa.array(seen))
+
+
+def filter_unseen(ds, column: str, registry_dir: str,
+                  concurrency: int | None = None):
+    """Drop rows whose content hash is already registered."""
+    import ray
+
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(1, min(8, cpus // 2))
+    probed = ds.map_batches(
+        RegistryProbe,
+        fn_constructor_kwargs={"registry_dir": registry_dir, "column": column},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    return probed.filter(expr="seen_before == False").drop_columns(
+        ["seen_before"]
+    )
