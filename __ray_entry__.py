@@ -1851,6 +1851,18 @@ def _q_incremental_dedup(sf_dir: str):
         shutil.rmtree(registry, ignore_errors=True)
 
 
+def _q_url_templates(sf_dir: str):
+    """Crawl-trap detection: digit-collapsed URL templates counted per
+    host (one slim shuffle).  Pure-SQL regexp oracle."""
+    import ray.data
+
+    from topicrawler_ray.sources.pages import pages_path
+    from topicrawler_ray.stages.urlfilter import url_templates
+
+    ds = ray.data.read_parquet(pages_path(sf_dir), columns=["url"])
+    return url_templates(ds, trap_threshold=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1910,6 +1922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_components": _q_link_components,
         "salted_lang_stats": _q_salted_lang_stats,
         "incremental_dedup": _q_incremental_dedup,
+        "url_templates": _q_url_templates,
         "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
@@ -1995,6 +2008,14 @@ def oracle_sql() -> dict[str, str]:
             "AS revenue_e2, CAST(count(*) AS BIGINT) AS n_orders "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1"
+        ),
+        "url_templates": (
+            "SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) "
+            "AS host, regexp_replace(regexp_extract(url, "
+            "'^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '[0-9]+', 'N', 'g') "
+            "AS template, CAST(count(*) AS BIGINT) AS n_urls, "
+            "count(*) >= 10 AS is_trap "
+            "FROM read_parquet('%s') GROUP BY 1, 2" % _PAGES_SF001
         ),
         "incremental_dedup": (
             "WITH c AS (SELECT CAST(count(*) AS BIGINT) // 2 AS h "

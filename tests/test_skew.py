@@ -29,3 +29,23 @@ class TestSaltedGroupbySum:
         ds = ray.data.from_items([{"k": "a", "v": 1}, {"k": "a", "v": 2}])
         got = salted_groupby_sum(ds, "k", "v", num_salts=1).take_all()
         assert got == [{"k": "a", "v": 3, "n_rows": 2}]
+
+
+class TestUrlTemplates:
+    def test_trap_flagging(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.urlfilter import url_templates
+
+        urls = ["http://t.example/cal/2020/%02d" % i for i in range(60)] + [
+            "http://t.example/about",
+            "http://other.example/p/1",
+        ]
+        ds = ray.data.from_items([{"url": u} for u in urls]).repartition(3)
+        rows = {
+            (r["host"], r["template"]): (r["n_urls"], r["is_trap"])
+            for r in url_templates(ds, trap_threshold=50).take_all()
+        }
+        assert rows[("t.example", "/cal/N/N")] == (60, True)
+        assert rows[("t.example", "/about")] == (1, False)
+        assert rows[("other.example", "/p/N")] == (1, False)

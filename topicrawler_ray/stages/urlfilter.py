@@ -59,3 +59,55 @@ def url_filter(ds, **kwargs):
     return ds.map_batches(
         lambda b: url_filter_batch(b, **kwargs), batch_format="pyarrow"
     )
+
+
+def url_templates(ds, url_column: str = "url", trap_threshold: int = 50):
+    """Crawl-trap detection by URL-template explosion: collapse every
+    digit run in the URL path to ``N`` and count URLs per
+    (host, template).  A template carrying hundreds of URLs on one
+    host is the classic calendar/pagination/session-id trap (Heritrix
+    ships a hand-tuned TooManyPathSegments/pathological-path DecideRule
+    family for the same failure).
+
+    One slim (host, template) shuffle after a stateless vectorized
+    parse - counts, never URLs, cross the exchange.  Returns
+    ``(host, template, n_urls, is_trap)``.
+    """
+    import re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    host_re = re.compile(r"^[a-z][a-z0-9+.-]*://([^/?#]+)")
+    path_re = re.compile(r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)")
+    digits = re.compile(r"[0-9]+")
+
+    def parse(batch: pa.Table) -> pa.Table:
+        hosts, templates = [], []
+        for u in batch.column(url_column).to_pylist():
+            m = host_re.match(u or "")
+            hosts.append(m.group(1) if m else "")
+            p = path_re.match(u or "")
+            templates.append(digits.sub("N", p.group(1) if p else ""))
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "template": pa.array(templates, pa.string()),
+            }
+        )
+
+    counted = (
+        ds.select_columns([url_column])
+        .map_batches(parse, batch_format="pyarrow")
+        .groupby(["host", "template"])
+        .aggregate(Count(alias_name="n_urls"))
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "is_trap",
+            pc.greater_equal(batch.column("n_urls"), trap_threshold),
+        )
+
+    return counted.map_batches(flag, batch_format="pyarrow")
