@@ -1863,6 +1863,33 @@ def _q_url_templates(sf_dir: str):
     return url_templates(ds, trap_threshold=10)
 
 
+def _q_incremental_neardup(sf_dir: str):
+    """Cross-run NEAR-dup candidates: run-1 MinHash band keys go into
+    the persistent registry; run-2 docs are LSH-flagged against it
+    without re-reading run 1.  Oracle: independent sequential set
+    lookup over the same band keys."""
+    import shutil
+    import tempfile
+
+    from topicrawler_ray.state.dedupstore import (
+        flag_near_dups,
+        register_minhash_bands,
+    )
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    half = docs.count() // 2
+    run1 = docs.filter(expr="doc_id < %d" % half)
+    run2 = docs.filter(expr="doc_id >= %d" % half)
+
+    registry = tempfile.mkdtemp(prefix="topicrawler_q_ndregistry_")
+    try:
+        register_minhash_bands(run1, registry, generation="run1",
+                               num_shards=16)
+        return flag_near_dups(run2, registry).materialize()
+    finally:
+        shutil.rmtree(registry, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1923,6 +1950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_lang_stats": _q_salted_lang_stats,
         "incremental_dedup": _q_incremental_dedup,
         "url_templates": _q_url_templates,
+        "incremental_neardup": _q_incremental_neardup,
         "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,

@@ -53,3 +53,29 @@ class TestRegistry:
         reg = str(tmp_path / "empty")
         out = filter_unseen(_docs(["a", "b"]), "text", reg).take_all()
         assert len(out) == 2
+
+
+class TestNearDupRegistry:
+    def test_cross_run_candidates(self, ray_session, tmp_path):
+        from topicrawler_ray.state.dedupstore import (
+            flag_near_dups,
+            register_minhash_bands,
+        )
+
+        # long doc so a one-word edit keeps Jaccard ~0.97 and the
+        # 16x8 LSH bands collide with near-certainty
+        base = " ".join("word%03d" % i for i in range(100)) + " lazy end"
+        run1 = _docs([base, "completely different content here entirely"])
+        reg = str(tmp_path / "nd")
+        register_minhash_bands(run1, reg, "g0", num_shards=8)
+
+        # near-dup of base (one word changed) + a fresh doc
+        near = base.replace("lazy", "sleepy")
+        run2 = _docs([near, "unrelated new words nothing shared at all"],
+                     start=100)
+        got = {
+            r["doc_id"]: r["is_candidate"]
+            for r in flag_near_dups(run2, reg).take_all()
+        }
+        assert got[100] is True
+        assert got[101] is False

@@ -1497,6 +1497,52 @@ def _b_link_components(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_incremental_neardup(sf_dir: str) -> pa.Table:
+    """Sequential cross-run LSH candidate flags: run-1 band keys into a
+    plain set, run-2 docs flagged on any-band membership.  Shares only
+    the scalar minhash/murmur primitives with the engine (same
+    convention as the dedup_minhash oracle); the registry sharding /
+    probing machinery is re-derived as a set lookup."""
+    from .functions.hashing import murmur3_x64_128
+    from .stages.dedup import minhash_signature, word_shingles
+
+    NUM_PERM, BANDS = 128, 16
+    GAMMA = 0x9E3779B97F4A7C15
+    rows_per_band = NUM_PERM // BANDS
+    tab = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = tab.column("doc_id").to_pylist()
+    texts = tab.column("text").to_pylist()
+    half = len(ids) // 2
+
+    def keys_of(t: str) -> list[int]:
+        sig = minhash_signature(word_shingles(t or ""), NUM_PERM)
+        out = []
+        for b in range(BANDS):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            h = murmur3_x64_128(chunk.tobytes())[0] - (1 << 63)
+            bh = h & 0xFFFFFFFFFFFFFFFF  # int64 -> uint64 view
+            out.append(bh ^ (((b + 1) * GAMMA) & 0xFFFFFFFFFFFFFFFF))
+        return out
+
+    registered: set[int] = set()
+    for i, t in zip(ids, texts):
+        if i < half:
+            registered.update(keys_of(t))
+    o_id, o_flag = [], []
+    for i, t in zip(ids, texts):
+        if i >= half:
+            o_id.append(i)
+            o_flag.append(any(k in registered for k in keys_of(t)))
+    return pa.table(
+        {
+            "doc_id": pa.array(o_id, pa.int64()),
+            "is_candidate": pa.array(o_flag, pa.bool_()),
+        }
+    )
+
+
 def _b_distinct_users_hll(sf_dir: str) -> pa.Table:
     """Sequential HyperLogLog per event_type over events.user_id -
     plain-python register loop (int.bit_length) + the published FFGM
@@ -1551,6 +1597,7 @@ BUILDERS = {
     "cdc_chunks": _b_cdc_chunks,
     "cooc_pmi": _b_cooc_pmi,
     "link_components": _b_link_components,
+    "incremental_neardup": _b_incremental_neardup,
     "link_pagerank": _b_link_pagerank,
     "anchor_texts": _b_anchor_texts,
     "bm25_topk": _b_bm25_topk,

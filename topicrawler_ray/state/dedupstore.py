@@ -188,3 +188,214 @@ def filter_unseen(ds, column: str, registry_dir: str,
     return probed.filter(expr="seen_before == False").drop_columns(
         ["seen_before"]
     )
+
+
+# --------------------------------------------------------------------------
+# precomputed-hash variants: incremental NEAR-dup via MinHash band keys
+
+_BAND_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+
+
+def band_key(band_id, band_hash) -> np.ndarray:
+    """Fold (band_id, band_hash) rows into one uint64 registry key
+    (band_hash xor a band-id-dependent odd constant - bijective per
+    band, deterministic everywhere)."""
+    bid = np.asarray(band_id, dtype=np.uint64)
+    bh = np.asarray(band_hash, dtype=np.int64).view(np.uint64)
+    return bh ^ ((bid + np.uint64(1)) * _BAND_GAMMA)
+
+
+def register_hash_column(
+    ds,
+    hash_column: str,
+    registry_dir: str,
+    generation: str,
+    num_shards: int = 64,
+):
+    """Like :func:`register_hashes` but the column already holds uint64
+    keys (e.g. MinHash band keys) - no re-hashing."""
+    os.makedirs(registry_dir, exist_ok=True)
+    man = read_manifest(registry_dir)
+    if man["generations"] and man["num_shards"] != num_shards:
+        raise ValueError(
+            "registry has num_shards=%d; cannot register with %d"
+            % (man["num_shards"], num_shards)
+        )
+    gen_dir = os.path.join(registry_dir, "gen-%s" % generation)
+    if os.path.exists(gen_dir):
+        raise ValueError("generation %r already registered" % generation)
+
+    def to_hash_rows(batch: pa.Table) -> pa.Table:
+        h = np.unique(
+            batch.column(hash_column).to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                "shard": pa.array(
+                    (h % np.uint64(num_shards)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    gen_tmp = tempfile.mkdtemp(prefix=".gen-%s-" % generation, dir=registry_dir)
+
+    def write_shard(group: pd.DataFrame) -> pd.DataFrame:
+        shard = int(group["shard"].iloc[0])
+        h = np.unique(group["h"].to_numpy(dtype=np.uint64))
+        pq.write_table(
+            pa.table({"h": pa.array(h, pa.uint64())}),
+            os.path.join(gen_tmp, _SHARD_FMT % shard),
+        )
+        return pd.DataFrame({"shard": [shard], "n": [len(h)]})
+
+    stats = (
+        ds.select_columns([hash_column])
+        .map_batches(to_hash_rows, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pandas")
+        .take_all()
+    )
+    os.rename(gen_tmp, gen_dir)
+    man["num_shards"] = num_shards
+    man["generations"].append(
+        {"name": generation, "n_hashes": int(sum(s["n"] for s in stats))}
+    )
+    with open(_manifest_path(registry_dir), "w") as f:
+        json.dump(man, f)
+    return man
+
+
+class HashColumnProbe(RegistryProbe):
+    """RegistryProbe over a column that already holds uint64 keys."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        h = (
+            batch.column(self.column)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        seen = np.zeros(len(h), dtype=bool)
+        ns = self.man["num_shards"]
+        if ns:
+            shards = (h % np.uint64(ns)).astype(np.int64)
+            for shard in np.unique(shards):
+                m = shards == shard
+                hs = h[m]
+                for gen in self.man["generations"]:
+                    arr = self._shard(gen["name"], int(shard))
+                    if not len(arr):
+                        continue
+                    idx = np.searchsorted(arr, hs)
+                    idx[idx >= len(arr)] = 0
+                    seen[m] |= arr[idx] == hs
+        return batch.append_column("seen_before", pa.array(seen))
+
+
+def register_minhash_bands(
+    ds,
+    registry_dir: str,
+    generation: str,
+    column: str = "text",
+    id_column: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 16,
+    num_shards: int = 64,
+):
+    """Register a corpus's MinHash band keys (the LSH bucket ids) so a
+    LATER run can find near-duplicates against it without re-reading
+    this corpus."""
+    from ..stages.dedup import minhash_bands_batch
+
+    def to_keys(batch: pa.Table) -> pa.Table:
+        b = minhash_bands_batch(batch, column, id_column, num_perm, bands)
+        keys = band_key(
+            b.column("band_id").to_numpy(zero_copy_only=False),
+            b.column("band_hash").to_numpy(zero_copy_only=False),
+        )
+        return pa.table({"band_key": pa.array(keys, pa.uint64())})
+
+    keyed = ds.select_columns([id_column, column]).map_batches(
+        to_keys, batch_format="pyarrow"
+    )
+    return register_hash_column(
+        keyed, "band_key", registry_dir, generation, num_shards
+    )
+
+
+def flag_near_dups(
+    ds,
+    registry_dir: str,
+    column: str = "text",
+    id_column: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 16,
+    concurrency: int | None = None,
+):
+    """Per-doc LSH candidate flag against the registry: ``is_candidate``
+    iff ANY of the doc's band keys is registered.  The standard
+    use: drop/route candidates to an exact-verify pass that point-reads
+    only the candidate docs from the old corpus."""
+    import ray
+    from ray.data.aggregate import Max
+
+    from ..stages.dedup import minhash_bands_batch
+
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(1, min(8, cpus // 2))
+
+    def to_keys(batch: pa.Table) -> pa.Table:
+        b = minhash_bands_batch(batch, column, id_column, num_perm, bands)
+        keys = band_key(
+            b.column("band_id").to_numpy(zero_copy_only=False),
+            b.column("band_hash").to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                id_column: b.column(id_column),
+                "band_key": pa.array(keys, pa.uint64()),
+            }
+        )
+
+    keyed = ds.select_columns([id_column, column]).map_batches(
+        to_keys, batch_format="pyarrow"
+    )
+    probed = keyed.map_batches(
+        HashColumnProbe,
+        fn_constructor_kwargs={
+            "registry_dir": registry_dir,
+            "column": "band_key",
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                "hit": batch.column("seen_before").cast(pa.int64()),
+            }
+        )
+
+    flags = (
+        probed.map_batches(to_int, batch_format="pyarrow")
+        .groupby(id_column)
+        .aggregate(Max("hit", alias_name="hit"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                "is_candidate": pc.equal(
+                    batch.column("hit").cast(pa.int64()), 1
+                ),
+            }
+        )
+
+    return flags.map_batches(finish, batch_format="pyarrow")
