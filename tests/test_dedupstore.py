@@ -79,3 +79,29 @@ class TestNearDupRegistry:
         }
         assert got[100] is True
         assert got[101] is False
+
+
+class TestCompaction:
+    def test_compact_preserves_membership(self, ray_session, tmp_path):
+        from topicrawler_ray.state.dedupstore import (
+            compact_registry,
+            read_manifest,
+        )
+
+        reg = str(tmp_path / "creg")
+        register_hashes(_docs(["a", "b"]), "text", reg, "g0", num_shards=4)
+        register_hashes(_docs(["c"]), "text", reg, "g1", num_shards=4)
+        man = compact_registry(reg)
+        assert [g["name"] for g in man["generations"]] == ["compacted"]
+        assert man["generations"][0]["n_hashes"] == 3
+        assert [g["name"] for g in read_manifest(reg)["generations"]] == [
+            "compacted"
+        ]
+        out = filter_unseen(_docs(["a", "b", "c", "d"]), "text", reg).take_all()
+        assert [r["text"] for r in out] == ["d"]
+
+    def test_compact_empty_registry_noop(self, ray_session, tmp_path):
+        from topicrawler_ray.state.dedupstore import compact_registry
+
+        man = compact_registry(str(tmp_path / "none"))
+        assert man["generations"] == []

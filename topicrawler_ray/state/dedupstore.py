@@ -399,3 +399,57 @@ def flag_near_dups(
         )
 
     return flags.map_batches(finish, batch_format="pyarrow")
+
+
+def compact_registry(registry_dir: str, compacted_name: str = "compacted"):
+    """Merge every generation's shard files into ONE generation -
+    bounds probe cost (generations x shards file opens) after many
+    incremental runs.  Distributed: one Ray task per shard merges that
+    shard's per-generation sorted arrays (np.union1d); the driver only
+    rewrites the manifest.  Atomic via directory rename; the old
+    generation dirs are removed only after the new manifest is
+    durable."""
+    import ray
+
+    man = read_manifest(registry_dir)
+    if not man["generations"]:
+        return man
+    gens = [g["name"] for g in man["generations"]]
+    gen_tmp = tempfile.mkdtemp(
+        prefix=".gen-%s-" % compacted_name, dir=registry_dir
+    )
+
+    @ray.remote
+    def merge_shard(shard: int) -> int:
+        parts = []
+        for g in gens:
+            p = os.path.join(registry_dir, "gen-%s" % g, _SHARD_FMT % shard)
+            if os.path.exists(p):
+                parts.append(
+                    pq.read_table(p).column("h").to_numpy(zero_copy_only=False)
+                )
+        if not parts:
+            return 0
+        merged = np.unique(np.concatenate(parts))
+        pq.write_table(
+            pa.table({"h": pa.array(merged, pa.uint64())}),
+            os.path.join(gen_tmp, _SHARD_FMT % shard),
+        )
+        return len(merged)
+
+    counts = ray.get(
+        [merge_shard.remote(s) for s in range(man["num_shards"])]
+    )
+    gen_dir = os.path.join(registry_dir, "gen-%s" % compacted_name)
+    os.rename(gen_tmp, gen_dir)
+    man["generations"] = [
+        {"name": compacted_name, "n_hashes": int(sum(counts))}
+    ]
+    with open(_manifest_path(registry_dir), "w") as f:
+        json.dump(man, f)
+    for g in gens:
+        import shutil
+
+        shutil.rmtree(os.path.join(registry_dir, "gen-%s" % g),
+                      ignore_errors=True)
+    return man
