@@ -1890,6 +1890,15 @@ def _q_incremental_neardup(sf_dir: str):
         shutil.rmtree(registry, ignore_errors=True)
 
 
+def _q_embedding_pca(sf_dir: str):
+    """Distributed PCA: exact int64 Gram/sum partials per block ->
+    driver eigh -> broadcast quantized axes -> integer projection.
+    Oracle: independent sequential derivation."""
+    from topicrawler_ray.stages.pca import pca_project
+
+    return pca_project(_embs(sf_dir), k=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1951,6 +1960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "url_templates": _q_url_templates,
         "incremental_neardup": _q_incremental_neardup,
+        "embedding_pca": _q_embedding_pca,
         "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,

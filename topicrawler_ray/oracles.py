@@ -1543,6 +1543,38 @@ def _b_incremental_neardup(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_embedding_pca(sf_dir: str) -> pa.Table:
+    """Sequential PCA: one-process exact integer sufficient statistics
+    over the full embedding table, same centered scatter, same
+    ``np.linalg.eigh`` + sign canonicalization + integer projection.
+    Imports nothing from stages/pca.py."""
+    K, Q_IN, Q_VEC = 2, 1 << 10, 1 << 20
+    tab = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = tab.column("vec_id").to_pylist()
+    x = np.array(tab.column("embedding").to_pylist(), dtype=np.float64)
+    q = np.floor(x * Q_IN).astype(np.int64)
+    n = len(q)
+    G = q.T @ q
+    S = q.sum(axis=0)
+    scatter = (n * G - np.outer(S, S)).astype(np.float64)
+    w, v = np.linalg.eigh(scatter)
+    top = v[:, ::-1][:, :K].T
+    axes = np.zeros_like(top)
+    for i, vec in enumerate(top):
+        j = int(np.argmax(np.abs(vec)))
+        axes[i] = -vec if vec[j] < 0 else vec
+    axes_q = np.floor(axes * Q_VEC).astype(np.int64)
+    centered = n * q - S[None, :]
+    scores = centered @ axes_q.T
+    cols = {"vec_id": pa.array(ids, pa.int64())}
+    for i in range(K):
+        cols["pc%d_q" % i] = pa.array(scores[:, i], pa.int64())
+    return pa.table(cols)
+
+
 def _b_distinct_users_hll(sf_dir: str) -> pa.Table:
     """Sequential HyperLogLog per event_type over events.user_id -
     plain-python register loop (int.bit_length) + the published FFGM
@@ -1598,6 +1630,7 @@ BUILDERS = {
     "cooc_pmi": _b_cooc_pmi,
     "link_components": _b_link_components,
     "incremental_neardup": _b_incremental_neardup,
+    "embedding_pca": _b_embedding_pca,
     "link_pagerank": _b_link_pagerank,
     "anchor_texts": _b_anchor_texts,
     "bm25_topk": _b_bm25_topk,
