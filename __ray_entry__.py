@@ -1899,6 +1899,74 @@ def _q_embedding_pca(sf_dir: str):
     return pca_project(_embs(sf_dir), k=2)
 
 
+def _q_orders_antijoin(sf_dir: str):
+    """Anti-join: lineitem rows whose order is NOT urgent - broadcast
+    exact-hash-set probe, big side never shuffles.  Pure-SQL NOT-IN
+    oracle."""
+    import pyarrow as pa
+    import ray.data
+
+    from topicrawler_ray.stages.joins import bloom_antijoin
+
+    big = ray.data.read_parquet(
+        sf_dir + "/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+    small = ray.data.read_parquet(
+        sf_dir + "/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+    out = bloom_antijoin(big, small, key="l_orderkey", right_key="o_orderkey")
+
+    def widen(batch: pa.Table) -> pa.Table:
+        ln = batch.column("l_linenumber").cast(pa.int64())
+        return batch.drop_columns(["l_linenumber"]).add_column(
+            1, "l_linenumber", ln
+        )
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
+def _q_events_latest(sf_dir: str):
+    """Argmax-per-group (each user's latest event, ties -> larger
+    event_id): groupby.max(ts) -> hash join back on (user, ts) ->
+    groupby.max(event_id) over the handful of tied rows.  No sort, no
+    map_groups; a 64-bit pack would overflow (µs epochs need 51 bits).
+    Pure-SQL row_number oracle."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Max
+
+    ev = ray.data.read_parquet(
+        sf_dir + "/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_us": ts,
+                "event_id": batch.column("event_id"),
+            }
+        )
+
+    ev_us = ev.map_batches(to_us, batch_format="pyarrow").materialize()
+    latest_ts = (
+        ev_us.groupby("user_id")
+        .aggregate(Max("ts_us", alias_name="ts_us"))
+        .repartition(8)
+    )
+    tied = ev_us.join(
+        latest_ts,
+        join_type="inner",
+        num_partitions=8,
+        on=("user_id", "ts_us"),
+    )
+    return (
+        tied.groupby(["user_id", "ts_us"])
+        .aggregate(Max("event_id", alias_name="event_id"))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1961,6 +2029,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_templates": _q_url_templates,
         "incremental_neardup": _q_incremental_neardup,
         "embedding_pca": _q_embedding_pca,
+        "orders_antijoin": _q_orders_antijoin,
+        "events_latest": _q_events_latest,
         "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
@@ -2046,6 +2116,17 @@ def oracle_sql() -> dict[str, str]:
             "AS revenue_e2, CAST(count(*) AS BIGINT) AS n_orders "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1"
+        ),
+        "orders_antijoin": (
+            "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber "
+            "FROM lineitem WHERE l_orderkey NOT IN "
+            "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+        ),
+        "events_latest": (
+            "SELECT user_id, event_id, "
+            "CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) = 1"
         ),
         "url_templates": (
             "SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) "

@@ -138,3 +138,20 @@ class TestHardNegatives:
         assert 0 not in got and 1 not in got
         assert got[0] == 2  # rank 0 = nearest different-label
         assert set(got) == {2, 3, 4}
+
+
+class TestBloomAntijoin:
+    def test_complement_of_semijoin(self, ray_session):
+        from topicrawler_ray.stages.joins import bloom_antijoin
+
+        big, small, expected = _fixture_tables()
+        out = bloom_antijoin(big, small, key="k", right_key="sk")
+        got = {r["payload"] for r in out.take_all()}
+        assert got == set(range(5000)) - expected
+
+    def test_empty_small_side_keeps_all(self, ray_session):
+        from topicrawler_ray.stages.joins import bloom_antijoin
+
+        big, small, _ = _fixture_tables()
+        out = bloom_antijoin(big, small.filter(expr="sk < 0"), "k", "sk")
+        assert out.count() == 5000

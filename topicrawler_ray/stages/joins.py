@@ -254,3 +254,49 @@ def bloom_semijoin(
     drop = right_key + "_r" if right_key == key else right_key
     cols = [c for c in joined.schema().names if c != drop]
     return joined.select_columns(cols)
+
+
+def bloom_antijoin(
+    big_ds,
+    small_ds,
+    key: str,
+    right_key: str | None = None,
+    concurrency: int | None = None,
+):
+    """``big_ds ▷ small_ds`` (anti-join): keep big-side rows whose key
+    does NOT appear in the small side.  A Bloom bitmap alone cannot
+    answer this exactly (its false positives would DROP valid rows), so
+    the probe goes straight to the broadcast exact hash set
+    (searchsorted, same shape as the semi-join's verify side) - still
+    zero shuffle of the big side.  Exact up to 64-bit hash collisions
+    (negligible; conservative direction: a collision drops a row, never
+    admits a duplicate)."""
+    import ray
+
+    if right_key is None:
+        right_key = key
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(1, min(8, cpus // 2))
+    exact_ref = ray.put(distinct_key_hashes(small_ds, right_key))
+
+    class AntiProbe:
+        def __init__(self, exact_ref, key):
+            self.exact = ray.get(exact_ref)
+            self.key = key
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or not len(self.exact):
+                return batch
+            h = _hash_keys(batch.column(self.key))
+            idx = np.searchsorted(self.exact, h)
+            idx[idx >= len(self.exact)] = 0
+            member = self.exact[idx] == h
+            return batch.filter(pa.array(~member))
+
+    return big_ds.map_batches(
+        AntiProbe,
+        fn_constructor_kwargs={"exact_ref": exact_ref, "key": key},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
