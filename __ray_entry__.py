@@ -1967,6 +1967,26 @@ def _q_events_latest(sf_dir: str):
     )
 
 
+def _q_jsonl_roundtrip(sf_dir: str):
+    """JSONL source/sink coverage: documents -> partitioned .jsonl
+    shard files (one per block, resumable) -> ray.data.read_json back.
+    The oracle is the original table - the round trip must be the
+    identity."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    out = tempfile.mkdtemp(prefix="topicrawler_q_jsonl_")
+    try:
+        docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang"])
+        docs.repartition(8).write_json(out)
+        back = ray.data.read_json(out)
+        return back.select_columns(["doc_id", "text", "lang"]).materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2031,6 +2051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": _q_embedding_pca,
         "orders_antijoin": _q_orders_antijoin,
         "events_latest": _q_events_latest,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
@@ -2116,6 +2137,9 @@ def oracle_sql() -> dict[str, str]:
             "AS revenue_e2, CAST(count(*) AS BIGINT) AS n_orders "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1"
+        ),
+        "jsonl_roundtrip": (
+            "SELECT doc_id, text, lang FROM documents"
         ),
         "orders_antijoin": (
             "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber "
