@@ -1987,6 +1987,30 @@ def _q_jsonl_roundtrip(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _q_bm25_disk(sf_dir: str):
+    """Disk-backed BM25 serving: bucketed inverted-index artifact
+    (built distributed, one task per bucket) -> queries load only
+    their terms' postings.  Must be bit-identical to the scan-based
+    ``bm25_topk`` - shares that sequential oracle."""
+    import shutil
+    import tempfile
+
+    from topicrawler_ray.stages.retrieval import (
+        bm25_disk_topk,
+        build_bm25_index,
+    )
+
+    out = tempfile.mkdtemp(prefix="topicrawler_q_bm25idx_")
+    try:
+        docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+        idx = build_bm25_index(docs, out, num_buckets=16)
+        queries = [(0, "fast table scan"), (1, "window agg value"),
+                   (2, "slow batch merge")]
+        return bm25_disk_topk(idx, queries, k=10)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2052,6 +2076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_antijoin": _q_orders_antijoin,
         "events_latest": _q_events_latest,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "bm25_disk": _q_bm25_disk,
         "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,

@@ -1634,6 +1634,9 @@ BUILDERS = {
     "link_pagerank": _b_link_pagerank,
     "anchor_texts": _b_anchor_texts,
     "bm25_topk": _b_bm25_topk,
+    # disk-backed serving must rank bit-identically to the scan path;
+    # same sequential derivation (imports nothing from the index code)
+    "bm25_disk": _b_bm25_topk,
     "link_hits": _b_link_hits,
     "doc_compress": _b_doc_compress,
     "dt_features": _b_dt_features,

@@ -195,3 +195,198 @@ def bm25_topk(
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# disk-backed inverted index (build once, serve queries without a corpus scan)
+
+
+def build_bm25_index(ds, out_dir: str, num_buckets: int = 32,
+                     id_column: str = "doc_id", text_column: str = "text"):
+    """Write a bucketed inverted-index artifact::
+
+        <dir>/meta.json              {"num_buckets": B, "n_docs": N,
+                                      "total_len": L}
+        <dir>/bucket=NNNN.parquet    postings (term, doc_id, tf, dl)
+                                     sorted by (term, doc_id),
+                                     siphash(term) % B == NNNN
+
+    The scan-based :func:`bm25_topk` re-reads the corpus per query
+    set; the index is built ONCE (each bucket file written inside its
+    own ``map_groups`` task - distributed, resumable per bucket) and
+    every later query touches only its terms' buckets - the Lucene
+    cost model, same shape as the disk LM artifact (lm/diskserve.py).
+
+    Caveat (documented, standard): stop-term postings are Zipf-huge;
+    production rankers skip them via WAND/max-score bounds.  Here the
+    serve path loads whole per-term postings, so cap the query
+    vocabulary or prefilter stop terms upstream (ranking.word_df).
+    """
+    import json
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=".bm25-", dir=out_dir)
+
+    def postings(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        o_t, o_d, o_tf, o_dl, o_b = [], [], [], [], []
+        n = 0
+        total = 0
+        for did, text in zip(
+            batch.column(id_column).to_pylist(),
+            batch.column(text_column).to_pylist(),
+        ):
+            words = (text or "").split(" ")
+            n += 1
+            total += len(words)
+            for t, tf in Counter(words).items():
+                o_t.append(t)
+                o_d.append(did)
+                o_tf.append(tf)
+                o_dl.append(len(words))
+                o_b.append(_term_bucket(t, num_buckets))
+        # one stats row per block (bucket -1, folded on the driver)
+        o_t.append(None)
+        o_d.append(n)
+        o_tf.append(total)
+        o_dl.append(0)
+        o_b.append(-1)
+        return pa.table(
+            {
+                "term": pa.array(o_t, pa.string()),
+                "doc_id": pa.array(o_d, pa.int64()),
+                "tf": pa.array(o_tf, pa.int64()),
+                "dl": pa.array(o_dl, pa.int64()),
+                "bucket": pa.array(o_b, pa.int64()),
+            }
+        )
+
+    def write_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        b = int(group["bucket"].iloc[0])
+        if b < 0:
+            return pd.DataFrame(
+                {
+                    "bucket": [-1],
+                    "n_docs": [int(group["doc_id"].sum())],
+                    "total_len": [int(group["tf"].sum())],
+                }
+            )
+        g = group.sort_values(["term", "doc_id"], kind="mergesort")
+        import pyarrow.parquet as _pq
+
+        _pq.write_table(
+            pa.Table.from_pandas(
+                g[["term", "doc_id", "tf", "dl"]], preserve_index=False
+            ),
+            os.path.join(tmp, "bucket=%04d.parquet" % b),
+        )
+        return pd.DataFrame(
+            {"bucket": [b], "n_docs": [0], "total_len": [0]}
+        )
+
+    stats = (
+        ds.select_columns([id_column, text_column])
+        .map_batches(postings, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(write_bucket, batch_format="pandas")
+        .take_all()
+    )
+    n_docs = sum(s["n_docs"] for s in stats if s["bucket"] == -1)
+    total_len = sum(s["total_len"] for s in stats if s["bucket"] == -1)
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(
+            {"num_buckets": num_buckets, "n_docs": int(n_docs),
+             "total_len": int(total_len)}, f
+        )
+    final = os.path.join(out_dir, "index")
+    os.rename(tmp, final)
+    return final
+
+
+def _term_bucket(term: str, num_buckets: int) -> int:
+    import pandas as pd
+
+    return int(
+        pd.util.hash_array(np.asarray([term], dtype=object))[0]
+        % np.uint64(num_buckets)
+    )
+
+
+def bm25_disk_topk(index_dir: str, queries: list[tuple[int, str]], k: int = 10):
+    """Serve BM25 queries from the index artifact: one Ray task per
+    touched bucket loads ONLY the query terms' postings (parquet
+    predicate pushdown), the driver accumulates doc scores in fixed
+    query-term order - bit-identical to :func:`bm25_topk` on the same
+    corpus."""
+    import json
+    import os
+
+    import ray
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    n_docs, total_len = meta["n_docs"], meta["total_len"]
+    avgdl = total_len / n_docs if n_docs else 1.0
+
+    terms_by_q = [(qid, query_terms(qtext)) for qid, qtext in queries]
+    vocab = sorted({t for _, ts in terms_by_q for t in ts})
+    by_bucket: dict[int, list[str]] = {}
+    for t in vocab:
+        by_bucket.setdefault(_term_bucket(t, meta["num_buckets"]), []).append(t)
+
+    @ray.remote
+    def load_postings(bucket: int, terms: list[str]):
+        import pyarrow.parquet as _pq
+
+        p = os.path.join(index_dir, "bucket=%04d.parquet" % bucket)
+        if not os.path.exists(p):
+            return {}
+        tab = _pq.read_table(p, filters=[("term", "in", terms)])
+        out: dict[str, list[tuple[int, int, int]]] = {}
+        for t, d, tf, dl in zip(
+            tab.column("term").to_pylist(),
+            tab.column("doc_id").to_pylist(),
+            tab.column("tf").to_pylist(),
+            tab.column("dl").to_pylist(),
+        ):
+            out.setdefault(t, []).append((d, tf, dl))
+        return out
+
+    postings: dict[str, list[tuple[int, int, int]]] = {}
+    for part in ray.get(
+        [load_postings.remote(b, ts) for b, ts in sorted(by_bucket.items())]
+    ):
+        postings.update(part)
+
+    idf = {t: bm25_idf(len(postings.get(t, ())), n_docs) for t in vocab}
+
+    o_q, o_rank, o_id, o_s = [], [], [], []
+    for qid, terms in terms_by_q:
+        scores: dict[int, float] = {}
+        for t in terms:  # FIXED term order = the scalar loop's order
+            w = idf[t]
+            for d, tf, dl in postings.get(t, ()):
+                norm = K1 * (1.0 - B + B * (dl / avgdl))
+                contrib = w * (tf * (K1 + 1.0)) / (tf + norm)
+                scores[d] = scores.get(d, 0.0) + contrib
+        best = sorted(
+            ((s, -d) for d, s in scores.items() if s > 0.0), reverse=True
+        )[:k]
+        for rank, (s, nd) in enumerate(best):
+            o_q.append(qid)
+            o_rank.append(rank)
+            o_id.append(-nd)
+            o_s.append(int(np.floor(s * 1e6)))
+    return pa.table(
+        {
+            "query_id": pa.array(o_q, pa.int64()),
+            "rank": pa.array(o_rank, pa.int64()),
+            "doc_id": pa.array(o_id, pa.int64()),
+            "score_e6": pa.array(o_s, pa.int64()),
+        }
+    )
