@@ -2011,6 +2011,37 @@ def _q_bm25_disk(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _q_events_outliers(sf_dir: str):
+    """3-sigma outliers per event_type via exact integer sufficient
+    statistics (n, S, Sxx) + a broadcast flag pass - the fact table
+    never shuffles.  Pure-SQL oracle evaluates the SAME fixed float64
+    expression from the same integer sums."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from topicrawler_ray.stages.stats import flag_outliers
+
+    ev = ray.data.read_parquet(
+        sf_dir + "/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.multiply(batch.column("value"), 100.0)),
+                    pa.int64())
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "v_e2": v,
+            }
+        )
+
+    q = ev.map_batches(quantize, batch_format="pyarrow").materialize()
+    out = flag_outliers(q, key="event_type", value="v_e2", k_sigma=3.0)
+    return out.select_columns(["event_id", "is_outlier"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2077,6 +2108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest": _q_events_latest,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "bm25_disk": _q_bm25_disk,
+        "events_outliers": _q_events_outliers,
         "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
@@ -2165,6 +2197,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "jsonl_roundtrip": (
             "SELECT doc_id, text, lang FROM documents"
+        ),
+        "events_outliers": (
+            "WITH q AS (SELECT event_id, event_type, "
+            "CAST(floor(value * 100) AS BIGINT) AS v FROM events), "
+            "g AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS nf, "
+            "CAST(sum(v) AS DOUBLE) AS sf, "
+            "CAST(sum(v * v) AS DOUBLE) AS sxxf FROM q GROUP BY 1) "
+            "SELECT e.event_id, "
+            "(g.nf * CAST(e.v AS DOUBLE) - g.sf) * "
+            "(g.nf * CAST(e.v AS DOUBLE) - g.sf) > "
+            "9.0 * (g.nf * g.sxxf - g.sf * g.sf) AS is_outlier "
+            "FROM q e JOIN g ON e.event_type = g.event_type"
         ),
         "orders_antijoin": (
             "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber "
