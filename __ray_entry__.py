@@ -2042,6 +2042,85 @@ def _q_events_outliers(sf_dir: str):
     return out.select_columns(["event_id", "is_outlier"])
 
 
+def _q_top_suppliers(sf_dir: str):
+    """Top-3 suppliers per nation by account balance (cents-quantized;
+    per-batch partial head-k combiner before the group exchange).
+    Pure-SQL row_number oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from topicrawler_ray.stages.ranking import topk_per_group
+
+    sup = ray.data.read_parquet(
+        sf_dir + "/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        bal = pc.cast(pc.floor(pc.multiply(batch.column("s_acctbal"), 100.0)),
+                      pa.int64())
+        return pa.table(
+            {
+                "s_suppkey": batch.column("s_suppkey"),
+                "s_nationkey": pc.cast(batch.column("s_nationkey"), pa.int64()),
+                "bal_e2": bal,
+            }
+        )
+
+    out = topk_per_group(
+        sup.map_batches(prep, batch_format="pyarrow"),
+        group_column="s_nationkey",
+        score_column="bal_e2",
+        tie_column="s_suppkey",
+        k=3,
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("rank")
+        return batch.set_column(
+            i, "rank", batch.column("rank").cast(pa.int64())
+        )
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
+def _q_parts_by_brand(sf_dir: str):
+    """Per-brand part stats (counts, size sum, retail cents sum) - the
+    part table through the combiner-first groupby.  Pure-SQL oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    part = ray.data.read_parquet(
+        sf_dir + "/part.parquet", columns=["p_brand", "p_size", "p_retailprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        price = pc.cast(
+            pc.floor(pc.multiply(batch.column("p_retailprice"), 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "p_brand": batch.column("p_brand"),
+                "p_size": pc.cast(batch.column("p_size"), pa.int64()),
+                "price_e2": price,
+            }
+        )
+
+    return (
+        part.map_batches(prep, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Sum("p_size", alias_name="size_sum"),
+            Sum("price_e2", alias_name="price_e2_sum"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2109,6 +2188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "bm25_disk": _q_bm25_disk,
         "events_outliers": _q_events_outliers,
+        "top_suppliers": _q_top_suppliers,
+        "parts_by_brand": _q_parts_by_brand,
         "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
@@ -2197,6 +2278,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "jsonl_roundtrip": (
             "SELECT doc_id, text, lang FROM documents"
+        ),
+        "top_suppliers": (
+            "WITH q AS (SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS "
+            "s_nationkey, CAST(floor(s_acctbal * 100) AS BIGINT) AS bal_e2 "
+            "FROM supplier) "
+            "SELECT s_suppkey, s_nationkey, bal_e2, "
+            "CAST(row_number() OVER (PARTITION BY s_nationkey "
+            "ORDER BY bal_e2 DESC, s_suppkey ASC) - 1 AS BIGINT) AS rank "
+            "FROM q QUALIFY row_number() OVER (PARTITION BY s_nationkey "
+            "ORDER BY bal_e2 DESC, s_suppkey ASC) <= 3"
+        ),
+        "parts_by_brand": (
+            "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts, "
+            "CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS size_sum, "
+            "CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS price_e2_sum FROM part GROUP BY 1"
         ),
         "events_outliers": (
             "WITH q AS (SELECT event_id, event_type, "
