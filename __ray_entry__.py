@@ -2121,6 +2121,56 @@ def _q_parts_by_brand(sf_dir: str):
     )
 
 
+def _q_events_trend(sf_dir: str):
+    """Per-type OLS value trend from exact integer sufficient
+    statistics (x = hours since corpus-min ts, y = value cents).
+    Pure-SQL oracle evaluates the SAME fixed float expression from the
+    same integer sums."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from topicrawler_ray.stages.stats import grouped_regression
+
+    ev = ray.data.read_parquet(
+        sf_dir + "/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def ts_us(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"ts_us": t})
+
+    mn = min(
+        int(b.column("ts_us").to_numpy().min())
+        for b in ev.select_columns(["ts"])
+        .map_batches(ts_us, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        x = (t - np.int64(mn)) // np.int64(3_600_000_000)
+        y = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+            }
+        )
+
+    return grouped_regression(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key="event_type", x="x", y="y",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2190,6 +2240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outliers": _q_events_outliers,
         "top_suppliers": _q_top_suppliers,
         "parts_by_brand": _q_parts_by_brand,
+        "events_trend": _q_events_trend,
         "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
@@ -2294,6 +2345,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS size_sum, "
             "CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) "
             "AS price_e2_sum FROM part GROUP BY 1"
+        ),
+        "events_trend": (
+            "WITH m AS (SELECT min(epoch_us(ts)) AS mn FROM events), "
+            "q AS (SELECT event_type, "
+            "CAST((epoch_us(ts) - m.mn) // 3600000000 AS BIGINT) AS x, "
+            "CAST(floor(value * 100) AS BIGINT) AS y FROM events, m), "
+            "g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+            "CAST(sum(x * y) AS BIGINT) AS sxy, "
+            "CAST(sum(x * x) AS BIGINT) AS sxx FROM q GROUP BY 1), "
+            "s AS (SELECT event_type, n, "
+            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - "
+            "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+            "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - "
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope, "
+            "CAST(sx AS DOUBLE) AS sxf, CAST(sy AS DOUBLE) AS syf, "
+            "CAST(n AS DOUBLE) AS nf, "
+            "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - "
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denom FROM g) "
+            "SELECT event_type, n, "
+            "CASE WHEN n < 2 OR denom <= 0.0 THEN 0 ELSE "
+            "CAST(floor(slope * 1000000000.0) AS BIGINT) END AS slope_e9, "
+            "CASE WHEN n < 2 OR denom <= 0.0 THEN 0 ELSE "
+            "CAST(floor((syf - slope * sxf) / nf * 100.0) AS BIGINT) END "
+            "AS intercept_e2 FROM s"
         ),
         "events_outliers": (
             "WITH q AS (SELECT event_id, event_type, "

@@ -38,3 +38,30 @@ class TestOutliers:
         ds = ray.data.from_items([{"id": i, "g": "c", "v": 7} for i in range(9)])
         got = flag_outliers(ds, "g", "v").take_all()
         assert not any(r["is_outlier"] for r in got)
+
+
+class TestGroupedRegression:
+    def test_known_line(self, ray_session):
+        from topicrawler_ray.stages.stats import grouped_regression
+
+        # y = 3x + 7 exactly
+        rows = [{"g": "l", "x": i, "y": 3 * i + 7} for i in range(20)]
+        rows += [{"g": "flat", "x": i, "y": 5} for i in range(10)]
+        rows += [{"g": "single", "x": 1, "y": 9}]
+        ds = ray.data.from_items(rows).repartition(4)
+        out = {r["g"]: r for r in grouped_regression(ds, "g", "x", "y").to_pylist()}
+        assert out["l"]["slope_e9"] == 3_000_000_000
+        assert out["l"]["intercept_e2"] == 700
+        assert out["flat"]["slope_e9"] == 0
+        assert out["single"]["slope_e9"] == 0  # degenerate: constant x
+        assert out["single"]["n"] == 1
+
+    def test_partition_invariant(self, ray_session):
+        from topicrawler_ray.stages.stats import grouped_regression
+
+        rows = [{"g": "a", "x": i % 17, "y": (i * 13) % 101} for i in range(200)]
+        outs = []
+        for parts in (1, 6):
+            ds = ray.data.from_items(rows).repartition(parts)
+            outs.append(grouped_regression(ds, "g", "x", "y").to_pylist())
+        assert outs[0] == outs[1]

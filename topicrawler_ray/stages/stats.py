@@ -120,3 +120,76 @@ def flag_outliers(ds, key: str, value: str, k_sigma: float = 3.0,
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def grouped_regression(ds, key: str, x: str, y: str):
+    """Per-group OLS slope/intercept from exact integer sufficient
+    statistics ``(n, Sx, Sy, Sxy, Sxx)`` - one slim combiner exchange,
+    the fact table never shuffles, and the final float evaluation is a
+    FIXED expression over exact ints (same parity contract as
+    :func:`flag_outliers`).
+
+    ``x`` and ``y`` must be int64 columns pre-scaled so the products
+    fit int64 (e.g. hours-since-epoch-min, cents).  Returns a pyarrow
+    Table ``(key, n, slope_e9, intercept_e2)``; degenerate groups
+    (n < 2 or constant x) get slope_e9 = intercept_e2 = 0.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key).to_numpy(zero_copy_only=False)
+        xv = batch.column(x).to_numpy(zero_copy_only=False).astype(np.int64)
+        yv = batch.column(y).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, ginv = np.unique(keys, return_inverse=True)
+        agg = {
+            "n": np.zeros(len(uniq), dtype=np.int64),
+            "sx": np.zeros(len(uniq), dtype=np.int64),
+            "sy": np.zeros(len(uniq), dtype=np.int64),
+            "sxy": np.zeros(len(uniq), dtype=np.int64),
+            "sxx": np.zeros(len(uniq), dtype=np.int64),
+        }
+        np.add.at(agg["n"], ginv, 1)
+        np.add.at(agg["sx"], ginv, xv)
+        np.add.at(agg["sy"], ginv, yv)
+        np.add.at(agg["sxy"], ginv, xv * yv)
+        np.add.at(agg["sxx"], ginv, xv * xv)
+        cols = {key: pa.array(list(uniq))}
+        cols.update({c: pa.array(v, pa.int64()) for c, v in agg.items()})
+        return pa.table(cols)
+
+    stats: dict = {}
+    for b in (
+        ds.select_columns([key, x, y])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for row in b.to_pylist():
+            k_ = row[key]
+            prev = stats.get(k_, (0, 0, 0, 0, 0))
+            stats[k_] = tuple(
+                p + row[c] for p, c in zip(prev, ("n", "sx", "sy", "sxy", "sxx"))
+            )
+
+    keys_out = sorted(stats)
+    slopes, intercepts, ns = [], [], []
+    for k_ in keys_out:
+        n, sx, sy, sxy, sxx = stats[k_]
+        nf, sxf, syf = float(n), float(sx), float(sy)
+        sxyf, sxxf = float(sxy), float(sxx)
+        denom = nf * sxxf - sxf * sxf
+        if n < 2 or denom <= 0.0:
+            slopes.append(0)
+            intercepts.append(0)
+        else:
+            slope = (nf * sxyf - sxf * syf) / denom
+            intercept = (syf - slope * sxf) / nf
+            slopes.append(int(np.floor(slope * 1e9)))
+            intercepts.append(int(np.floor(intercept * 100.0)))
+        ns.append(n)
+    return pa.table(
+        {
+            key: pa.array(keys_out),
+            "n": pa.array(ns, pa.int64()),
+            "slope_e9": pa.array(slopes, pa.int64()),
+            "intercept_e2": pa.array(intercepts, pa.int64()),
+        }
+    )
