@@ -2171,6 +2171,33 @@ def _q_events_trend(sf_dir: str):
     )
 
 
+def _q_events_funnel(sf_dir: str):
+    """Ordered funnel view -> click -> purchase per user: chained
+    filter/join/groupby-min stages, no per-user sort.  Pure-SQL
+    chained-min oracle."""
+    import pyarrow as pa
+    import ray.data
+
+    from topicrawler_ray.stages.funnel import funnel_levels
+
+    ev = ray.data.read_parquet(
+        sf_dir + "/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+                "ts_us": batch.column("ts").cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+            }
+        )
+
+    ev_us = ev.map_batches(to_us, batch_format="pyarrow").materialize()
+    return funnel_levels(ev_us, ["view", "click", "purchase"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2241,6 +2268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_suppliers": _q_top_suppliers,
         "parts_by_brand": _q_parts_by_brand,
         "events_trend": _q_events_trend,
+        "events_funnel": _q_events_funnel,
         "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
@@ -2345,6 +2373,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS size_sum, "
             "CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) "
             "AS price_e2_sum FROM part GROUP BY 1"
+        ),
+        "events_funnel": (
+            "WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e "
+            "JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) > v.t1 "
+            "WHERE e.event_type = 'click' GROUP BY 1), "
+            "p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e "
+            "JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.t2 "
+            "WHERE e.event_type = 'purchase' GROUP BY 1), "
+            "lv AS (SELECT user_id, 1 AS l FROM v UNION ALL "
+            "SELECT user_id, 2 FROM c UNION ALL SELECT user_id, 3 FROM p) "
+            "SELECT user_id, CAST(max(l) AS BIGINT) AS funnel_level "
+            "FROM lv GROUP BY 1"
         ),
         "events_trend": (
             "WITH m AS (SELECT min(epoch_us(ts)) AS mn FROM events), "
