@@ -152,10 +152,14 @@ def lsh_candidate_pairs(ds, column: str = "text", id_column: str = "doc_id",
     import pyarrow.compute as pc
     from ray.data.aggregate import Count
 
+    # materialize once: the self-join consumes bands_ds TWICE (left and
+    # right branch each re-execute a lazy upstream), and the signature
+    # pass (128 perms x corpus) is the expensive part.  Band rows are
+    # slim (3 int columns); the object store spills if needed.
     bands_ds = ds.map_batches(
         lambda t: minhash_bands_batch(t, column, id_column, num_perm, bands),
         batch_format="pyarrow",
-    )
+    ).materialize()
     joined = bands_ds.join(
         bands_ds,
         join_type="inner",
@@ -337,9 +341,12 @@ def ngram_jaccard_pairs(
             }
         )
 
+    # materialize: the explode pass is consumed up to four times (df
+    # count, keep-join probe, self-join left + right) - pay the token-
+    # proportional store cost once instead of re-reading the corpus
     shingles = ds.select_columns([id_column, column]).map_batches(
         explode, batch_format="pyarrow"
-    )
+    ).materialize()
     if max_shingle_df is not None:
         # materialize the (small) df table once so the dropped-count
         # action and the keep-join don't re-execute the explode+groupby
@@ -365,9 +372,11 @@ def ngram_jaccard_pairs(
         keep = df_counts.filter(expr="df <= %d" % max_shingle_df).select_columns(
             ["shingle"]
         ).repartition(num_partitions)
+        # the filtered table feeds the self-join's two branches; without
+        # this the keep-join would run twice
         shingles = shingles.join(
             keep, join_type="inner", num_partitions=num_partitions, on=("shingle",)
-        )
+        ).materialize()
     joined = shingles.join(
         shingles,
         join_type="inner",
