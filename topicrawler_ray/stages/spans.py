@@ -137,8 +137,12 @@ def dup_span_stats(
         [{id_column: -1, "pos": 0, "gh": sentinel_gh}]
     )
 
-    occ = src.map_batches(to_occurrences, batch_format="pyarrow").union(
-        sentinel_occ
+    # materialize: occ feeds both the gram-count aggregate and the
+    # dup join (lazy re-execution would tokenize the corpus twice)
+    occ = (
+        src.map_batches(to_occurrences, batch_format="pyarrow")
+        .union(sentinel_occ)
+        .materialize()
     )
 
     counts = occ.groupby("gh").count()
@@ -157,9 +161,11 @@ def dup_span_stats(
         .repartition(nparts)
     )
 
+    # materialize: occ_dup feeds both the span-count and the coverage
+    # branches - without this the gh join itself runs twice
     occ_dup = occ.join(
         dup, join_type="inner", num_partitions=nparts, on=("gh",)
-    )
+    ).materialize()
 
     import ray.data
 
