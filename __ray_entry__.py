@@ -2198,6 +2198,43 @@ def _q_events_funnel(sf_dir: str):
     return funnel_levels(ev_us, ["view", "click", "purchase"])
 
 
+def _q_event_transitions(sf_dir: str):
+    """First-order event-type transition counts per user stream
+    (Markov matrix of the event log): the per-key LAG operator
+    supplies each event's predecessor type, then one slim
+    groupby(prev, cur) count.  Pure-SQL LAG oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from topicrawler_ray.stages.timeseries import per_key_lag
+
+    ds = ray.data.read_parquet(
+        sf_dir + "/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    lagged = per_key_lag(
+        ds, by="user_id", on="ts", tie="event_id",
+        lag_columns=("event_type",),
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        # stream starts carry the operator's '' sentinel as prev_type
+        return pa.table(
+            {
+                "prev_type": batch.column("lag_event_type"),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    return (
+        lagged.map_batches(prep, batch_format="pyarrow")
+        .groupby(["prev_type", "event_type"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2269,6 +2306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": _q_parts_by_brand,
         "events_trend": _q_events_trend,
         "events_funnel": _q_events_funnel,
+        "event_transitions": _q_event_transitions,
         "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
@@ -2373,6 +2411,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS size_sum, "
             "CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) "
             "AS price_e2_sum FROM part GROUP BY 1"
+        ),
+        "event_transitions": (
+            "WITH l AS (SELECT event_type, "
+            "COALESCE(LAG(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id), '') AS prev_type FROM events) "
+            "SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM l GROUP BY 1, 2"
         ),
         "events_funnel": (
             "WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events "
