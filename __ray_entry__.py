@@ -2235,6 +2235,37 @@ def _q_event_transitions(sf_dir: str):
     )
 
 
+def _q_corpus_divergence(sf_dir: str):
+    """Corpus-drift monitoring: KL / Jensen-Shannon divergence between
+    the German subset's and the full corpus's hashed n-gram
+    distributions (two streaming integer count passes).  Oracle:
+    independent sequential derivation."""
+    from topicrawler_ray.stages.dsir import corpus_divergence
+
+    docs = _docs(sf_dir)
+    return corpus_divergence(docs.filter(expr="lang == 'de'"), docs, dim=8192)
+
+
+def _q_doc_length_hist(sf_dir: str):
+    """Corpus length histogram (100-char integer bins): stateless bin
+    assign + one slim groupby.  Pure-SQL oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    docs = _docs(sf_dir).select_columns(["n_chars"])
+
+    def bin_assign(batch: pa.Table) -> pa.Table:
+        b = pc.divide(batch.column("n_chars"), 100)
+        return pa.table({"len_bin": pc.cast(b, pa.int64())})
+
+    return (
+        docs.map_batches(bin_assign, batch_format="pyarrow")
+        .groupby("len_bin")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2307,6 +2338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trend": _q_events_trend,
         "events_funnel": _q_events_funnel,
         "event_transitions": _q_event_transitions,
+        "corpus_divergence": _q_corpus_divergence,
+        "doc_length_hist": _q_doc_length_hist,
         "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
@@ -2411,6 +2444,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS size_sum, "
             "CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) "
             "AS price_e2_sum FROM part GROUP BY 1"
+        ),
+        "doc_length_hist": (
+            "SELECT n_chars // 100 AS len_bin, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1"
         ),
         "event_transitions": (
             "WITH l AS (SELECT event_type, "

@@ -58,3 +58,28 @@ class TestDsirSelect:
         top_ids = {i for i, _ in got[:8]}
         # the de docs and the de-looking en docs outrank the english ones
         assert {0, 1, 2, 3, 4, 200, 201, 202} == top_ids
+
+
+class TestCorpusDivergence:
+    def test_identical_corpora_zero(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.dsir import corpus_divergence
+
+        docs = ray.data.from_items(
+            [{"text": "the same words here"} for _ in range(10)]
+        ).repartition(3)
+        t = corpus_divergence(docs, docs, dim=256)
+        assert t.column("kl_ab_e9").to_pylist() == [0]
+        assert t.column("js_e9").to_pylist() == [0]
+
+    def test_divergent_corpora_positive(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.dsir import corpus_divergence
+
+        a = ray.data.from_items([{"text": "aaa bbb ccc"} for _ in range(8)])
+        b = ray.data.from_items([{"text": "xxx yyy zzz"} for _ in range(8)])
+        t = corpus_divergence(a, b, dim=256)
+        assert t.column("kl_ab_e9").to_pylist()[0] > 0
+        assert t.column("js_e9").to_pylist()[0] > 0

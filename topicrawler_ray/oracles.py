@@ -1575,6 +1575,55 @@ def _b_embedding_pca(sf_dir: str) -> pa.Table:
     return pa.table(cols)
 
 
+def _b_corpus_divergence(sf_dir: str) -> pa.Table:
+    """Sequential KL/JS divergence between the de-half and the full
+    corpus: plain per-doc bucket counting + the same fixed-order
+    numpy vector expressions.  Imports nothing from stages/dsir.py."""
+    import pandas as _pd
+
+    DIM = 8192
+    tab = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text", "lang"]
+    )
+    texts = tab.column("text").to_pylist()
+    langs = tab.column("lang").to_pylist()
+
+    def add_counts(vec: np.ndarray, t: str) -> None:
+        words = (t or "").split(" ")
+        feats = words + [
+            words[j] + " " + words[j + 1] for j in range(len(words) - 1)
+        ]
+        if not feats:
+            return
+        h = _pd.util.hash_array(np.asarray(feats, dtype=object))
+        np.add.at(vec, (h % np.uint64(DIM)).astype(np.int64), 1)
+
+    ca = np.zeros(DIM, dtype=np.int64)
+    cb = np.zeros(DIM, dtype=np.int64)
+    for t, lg in zip(texts, langs):
+        add_counts(cb, t)
+        if lg == "de":
+            add_counts(ca, t)
+    ca_f = ca.astype(np.float64)
+    cb_f = cb.astype(np.float64)
+    pa_ = (ca_f + 1.0) / (ca_f.sum() + DIM)
+    pb = (cb_f + 1.0) / (cb_f.sum() + DIM)
+    kl_ab = float(np.sum(pa_ * (np.log(pa_) - np.log(pb))))
+    kl_ba = float(np.sum(pb * (np.log(pb) - np.log(pa_))))
+    m = 0.5 * (pa_ + pb)
+    js = float(
+        0.5 * np.sum(pa_ * (np.log(pa_) - np.log(m)))
+        + 0.5 * np.sum(pb * (np.log(pb) - np.log(m)))
+    )
+    return pa.table(
+        {
+            "kl_ab_e9": pa.array([int(np.floor(kl_ab * 1e9))], pa.int64()),
+            "kl_ba_e9": pa.array([int(np.floor(kl_ba * 1e9))], pa.int64()),
+            "js_e9": pa.array([int(np.floor(js * 1e9))], pa.int64()),
+        }
+    )
+
+
 def _b_distinct_users_hll(sf_dir: str) -> pa.Table:
     """Sequential HyperLogLog per event_type over events.user_id -
     plain-python register loop (int.bit_length) + the published FFGM
@@ -1631,6 +1680,7 @@ BUILDERS = {
     "link_components": _b_link_components,
     "incremental_neardup": _b_incremental_neardup,
     "embedding_pca": _b_embedding_pca,
+    "corpus_divergence": _b_corpus_divergence,
     "link_pagerank": _b_link_pagerank,
     "anchor_texts": _b_anchor_texts,
     "bm25_topk": _b_bm25_topk,

@@ -183,3 +183,38 @@ def dsir_select(
             "dsir_score_q": pa.array(sc[order], pa.int64()),
         }
     )
+
+
+def corpus_divergence(ds_a, ds_b, column: str = "text", dim: int = 8192):
+    """Corpus-level distribution drift: KL(A||B), KL(B||A) and
+    Jensen-Shannon divergence between two corpora's hashed
+    unigram+bigram distributions (add-one smoothed over ``dim``
+    buckets).
+
+    Reuses :func:`bucket_marginals` - two streaming integer count
+    passes, no shuffle, driver math is one fixed-order float pass over
+    the D-length vectors (quantized 1e-9, so the distributed result is
+    hash-checkable against a sequential derivation).  The standard
+    "did the new crawl shift?" monitoring signal between incremental
+    corpus generations.
+    """
+    ca = bucket_marginals(ds_a, column, dim).astype(np.float64)
+    cb = bucket_marginals(ds_b, column, dim).astype(np.float64)
+    pa_ = (ca + 1.0) / (ca.sum() + dim)
+    pb = (cb + 1.0) / (cb.sum() + dim)
+    kl_ab = float(np.sum(pa_ * (np.log(pa_) - np.log(pb))))
+    kl_ba = float(np.sum(pb * (np.log(pb) - np.log(pa_))))
+    m = 0.5 * (pa_ + pb)
+    js = float(
+        0.5 * np.sum(pa_ * (np.log(pa_) - np.log(m)))
+        + 0.5 * np.sum(pb * (np.log(pb) - np.log(m)))
+    )
+    import pyarrow as _pa
+
+    return _pa.table(
+        {
+            "kl_ab_e9": _pa.array([int(np.floor(kl_ab * 1e9))], _pa.int64()),
+            "kl_ba_e9": _pa.array([int(np.floor(kl_ba * 1e9))], _pa.int64()),
+            "js_e9": _pa.array([int(np.floor(js * 1e9))], _pa.int64()),
+        }
+    )
