@@ -179,6 +179,32 @@ def bench_curation(sf_dir: str, num_cpus: int) -> dict:
     return {"sec": dt, "rows": n_out, "docs_per_s": n_in / dt}
 
 
+def bench_dedup(sf_dir: str, num_cpus: int) -> dict:
+    """Near-dup data plane: MinHash LSH candidate generation + exact-
+    Jaccard verify over the documents table (one signature pass, one
+    banded self-join, verify joins) - docs/sec of corpus in."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from topicrawler_ray.stages.dedup import minhash_near_dup_pairs
+
+    n_in = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    def run() -> int:
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+            override_num_blocks=max(16, num_cpus * 2),
+        )
+        return minhash_near_dup_pairs(ds, threshold=0.5).count()
+
+    run()  # warm-up
+    t0 = time.time()
+    n_pairs = run()
+    dt = time.time() - t0
+    return {"sec": dt, "pairs": n_pairs, "docs_per_s": n_in / dt}
+
+
 def bench_frontier_ops(num_cpus: int, n_ops: int = 200_000) -> dict:
     """Push/pop/seen throughput on the sharded actor state plane."""
     import ray
@@ -250,16 +276,18 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
         r_cur = median_of(bench_curation, sf_dir, num_cpus)
         r_crawl = median_of(bench_crawl, sf_dir, num_cpus)
         r_full = median_of(bench_crawl_full, sf_dir, num_cpus)
+        r_dedup = median_of(bench_dedup, sf_dir, num_cpus)
         r_ops = median_of(bench_frontier_ops, num_cpus)
     finally:
         ray.shutdown()
     total = (
-        r_scored["sec"] + r_cur["sec"] + r_crawl["sec"] + r_full["sec"] + r_ops["sec"]
+        r_scored["sec"] + r_cur["sec"] + r_crawl["sec"] + r_full["sec"]
+        + r_dedup["sec"] + r_ops["sec"]
     )
     return {
         "metric": (
-            "headline pipelines wall time "
-            "(scored_pages + curation + crawl + crawl_full + frontier_ops)"
+            "headline pipelines wall time (scored_pages + curation + "
+            "crawl + crawl_full + dedup + frontier_ops)"
         ),
         "value": round(total, 3),
         "unit": "sec",
@@ -268,6 +296,7 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
             "curation": round(r_cur["sec"], 3),
             "crawl": round(r_crawl["sec"], 3),
             "crawl_full": round(r_full["sec"], 3),
+            "dedup": round(r_dedup["sec"], 3),
             "frontier_ops": round(r_ops["sec"], 3),
         },
         "rates": {
@@ -281,6 +310,8 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
             "crawl_full_fetches": r_full["fetches"],
             "crawl_full_waves": r_full["waves"],
             "crawl_full_pages_per_s": round(r_full["pages_per_s"], 1),
+            "dedup_docs_per_s": round(r_dedup["docs_per_s"], 1),
+            "dedup_pairs": r_dedup["pairs"],
             "frontier_ops_per_s": round(r_ops["ops_per_s"], 1),
         },
         "runs_sec": {
@@ -288,6 +319,7 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
             "curation": r_cur["runs_sec"],
             "crawl": r_crawl["runs_sec"],
             "crawl_full": r_full["runs_sec"],
+            "dedup": r_dedup["runs_sec"],
             "frontier_ops": r_ops["runs_sec"],
         },
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
