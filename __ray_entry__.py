@@ -2266,6 +2266,15 @@ def _q_doc_length_hist(sf_dir: str):
     )
 
 
+def _q_doc_chunks(sf_dir: str):
+    """Context-length chunking at sentence boundaries (max 64 ws
+    tokens): stateless flat-map pass, no shuffle.  Oracle: sequential
+    greedy walk over the same splitter."""
+    from topicrawler_ray.stages.chunking import chunk_documents
+
+    return chunk_documents(_docs(sf_dir), max_tokens=64)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2340,6 +2349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "corpus_divergence": _q_corpus_divergence,
         "doc_length_hist": _q_doc_length_hist,
+        "doc_chunks": _q_doc_chunks,
         "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,

@@ -1624,6 +1624,50 @@ def _b_corpus_divergence(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_doc_chunks(sf_dir: str) -> pa.Table:
+    """Sequential sentence-boundary chunking (shares only the scalar
+    sentence splitter with the engine, like the sentences oracles; the
+    greedy budget walk is re-derived)."""
+    from .functions.sentences import split_sentences
+
+    MAX_TOKENS = 64
+    tab = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    o_id, o_idx, o_n, o_c = [], [], [], []
+    for did, t in zip(
+        tab.column("doc_id").to_pylist(), tab.column("text").to_pylist()
+    ):
+        chunks: list[tuple[int, str]] = []
+        cur: list[str] = []
+        cur_n = 0
+        for sent in split_sentences(t or ""):
+            n = len(sent.split(" "))
+            if cur and cur_n + n > MAX_TOKENS:
+                chunks.append((cur_n, " ".join(cur)))
+                cur, cur_n = [], 0
+            cur.append(sent)
+            cur_n += n
+            if cur_n > MAX_TOKENS:
+                chunks.append((cur_n, " ".join(cur)))
+                cur, cur_n = [], 0
+        if cur:
+            chunks.append((cur_n, " ".join(cur)))
+        for i, (n, c) in enumerate(chunks):
+            o_id.append(did)
+            o_idx.append(i)
+            o_n.append(n)
+            o_c.append(c)
+    return pa.table(
+        {
+            "doc_id": pa.array(o_id, pa.int64()),
+            "chunk_idx": pa.array(o_idx, pa.int64()),
+            "n_tokens": pa.array(o_n, pa.int64()),
+            "chunk": pa.array(o_c, pa.string()),
+        }
+    )
+
+
 def _b_distinct_users_hll(sf_dir: str) -> pa.Table:
     """Sequential HyperLogLog per event_type over events.user_id -
     plain-python register loop (int.bit_length) + the published FFGM
@@ -1681,6 +1725,7 @@ BUILDERS = {
     "incremental_neardup": _b_incremental_neardup,
     "embedding_pca": _b_embedding_pca,
     "corpus_divergence": _b_corpus_divergence,
+    "doc_chunks": _b_doc_chunks,
     "link_pagerank": _b_link_pagerank,
     "anchor_texts": _b_anchor_texts,
     "bm25_topk": _b_bm25_topk,
