@@ -274,6 +274,69 @@ def cmd_lm(args) -> int:
     return 0
 
 
+def cmd_registry(args) -> int:
+    """Incremental-dedup registry operations (the cross-run
+    curation-state analog of the crawl's persistent URL-seen):
+    register a table's content hashes as a generation, filter a table
+    against the registry, or compact generations."""
+    _init_ray(args.num_cpus)
+    import ray
+    import ray.data
+
+    from .state.dedupstore import (
+        compact_registry,
+        filter_unseen,
+        read_manifest,
+        register_hashes,
+    )
+
+    if args.action == "register":
+        ds = ray.data.read_parquet(args.input)
+        man = register_hashes(
+            ds, args.column, args.registry, generation=args.generation,
+            num_shards=args.num_shards,
+        )
+        print(json.dumps(man))
+    elif args.action == "filter":
+        ds = ray.data.read_parquet(args.input)
+        out = filter_unseen(ds, args.column, args.registry)
+        if args.out:
+            out.write_parquet(args.out)
+            print(json.dumps({"out": args.out}))
+        else:
+            print(json.dumps({"rows": out.count()}))
+    elif args.action == "compact":
+        print(json.dumps(compact_registry(args.registry)))
+    elif args.action == "stats":
+        print(json.dumps(read_manifest(args.registry)))
+    else:
+        raise SystemExit("unknown action %r" % args.action)
+    ray.shutdown()
+    return 0
+
+
+def cmd_chunk(args) -> int:
+    """Context-length chunking at sentence boundaries (training prep)."""
+    _init_ray(args.num_cpus)
+    import ray
+    import ray.data
+
+    from .stages.chunking import chunk_documents
+
+    ds = ray.data.read_parquet(args.input)
+    out = chunk_documents(
+        ds, max_tokens=args.max_tokens, column=args.column,
+        id_column=args.id_column,
+    )
+    if args.out:
+        out.write_parquet(args.out)
+        print(json.dumps({"out": args.out}))
+    else:
+        print(json.dumps({"rows": out.count()}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="topicrawler_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -342,6 +405,26 @@ def main(argv: list[str] | None = None) -> int:
     n.add_argument("--mincount", type=int, default=1)
     n.add_argument("--num-cpus", type=int, default=None)
     n.set_defaults(fn=cmd_ngram_index)
+
+    r = sub.add_parser("registry", help="incremental-dedup hash registry")
+    r.add_argument("action", choices=["register", "filter", "compact", "stats"])
+    r.add_argument("--registry", required=True)
+    r.add_argument("--input", default=None)
+    r.add_argument("--column", default="text")
+    r.add_argument("--generation", default="gen0")
+    r.add_argument("--num-shards", type=int, default=64)
+    r.add_argument("--out", default=None)
+    r.add_argument("--num-cpus", type=int, default=None)
+    r.set_defaults(fn=cmd_registry)
+
+    k = sub.add_parser("chunk", help="sentence-boundary context chunking")
+    k.add_argument("--input", required=True)
+    k.add_argument("--max-tokens", type=int, default=512)
+    k.add_argument("--column", default="text")
+    k.add_argument("--id-column", default="doc_id")
+    k.add_argument("--out", default=None)
+    k.add_argument("--num-cpus", type=int, default=None)
+    k.set_defaults(fn=cmd_chunk)
 
     m = sub.add_parser("lm", help="ngram probs + perplexity of a text")
     m.add_argument("--sf-dir", default="/root/testdata/sf0.01")
