@@ -2275,6 +2275,62 @@ def _q_doc_chunks(sf_dir: str):
     return chunk_documents(_docs(sf_dir), max_tokens=64)
 
 
+def _q_dedup_html(sf_dir: str):
+    """Exact dedup on the BINARY html column (byte-identical page
+    bodies): hash the bytes per block, one slim (hash, url) shuffle,
+    min-url winner per hash.  Pure-SQL GROUP BY html oracle."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from topicrawler_ray.sources.pages import pages_path
+
+    ds = ray.data.read_parquet(pages_path(sf_dir), columns=["url", "html"])
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(batch.column("html").to_pylist(), dtype=object)
+        ).astype(np.int64)
+        return pa.table(
+            {"h": pa.array(h, pa.int64()), "url": batch.column("url")}
+        )
+
+    return (
+        ds.map_batches(hash_rows, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("url", alias_name="url"))
+        .select_columns(["url"])
+    )
+
+
+def _q_daily_users_hll(sf_dir: str):
+    """Distinct users per DAY via the mergeable HLL sketch (window-id
+    assign + per-group register MAX-merge).  Oracle: independent
+    sequential HLL keyed the same way."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from topicrawler_ray.stages.sketches import hll_distinct
+
+    ev = ray.data.read_parquet(
+        sf_dir + "/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def day_assign(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(
+            batch.column("ts").cast(pa.timestamp("us")), "%Y-%m-%d"
+        )
+        return pa.table({"day": day, "user_id": batch.column("user_id")})
+
+    return hll_distinct(
+        ev.map_batches(day_assign, batch_format="pyarrow"),
+        column="user_id", group_by="day", p=12,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2350,6 +2406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_divergence": _q_corpus_divergence,
         "doc_length_hist": _q_doc_length_hist,
         "doc_chunks": _q_doc_chunks,
+        "dedup_html": _q_dedup_html,
+        "daily_users_hll": _q_daily_users_hll,
         "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
@@ -2454,6 +2512,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS size_sum, "
             "CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) "
             "AS price_e2_sum FROM part GROUP BY 1"
+        ),
+        "dedup_html": (
+            "SELECT min(url) AS url FROM read_parquet('%s') GROUP BY html"
+            % _PAGES_SF001
         ),
         "doc_length_hist": (
             "SELECT n_chars // 100 AS len_bin, "

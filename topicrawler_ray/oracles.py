@@ -1668,6 +1668,54 @@ def _b_doc_chunks(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_daily_users_hll(sf_dir: str) -> pa.Table:
+    """Sequential HLL keyed by UTC day string (same register loop as
+    the event-type variant)."""
+    import datetime
+
+    import pandas as _pd
+
+    P = 12
+    M = 1 << P
+    tab = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    )
+    ts_us = tab.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
+    users = tab.column("user_id").to_numpy()
+    days = [
+        datetime.datetime.fromtimestamp(
+            t / 1_000_000, tz=datetime.timezone.utc
+        ).strftime("%Y-%m-%d")
+        for t in ts_us
+    ]
+    hashes = _pd.util.hash_array(np.ascontiguousarray(users))
+    regs: dict[str, list[int]] = {}
+    for d, h in zip(days, hashes.tolist()):
+        r = regs.setdefault(d, [0] * M)
+        idx = h >> (64 - P)
+        w = (h << P) & ((1 << 64) - 1)
+        rank = min(64 - w.bit_length() + 1, 64 - P + 1)
+        if rank > r[idx]:
+            r[idx] = rank
+    keys = sorted(regs)
+    ests = []
+    for k in keys:
+        arr = np.asarray(regs[k], dtype=np.uint8)
+        alpha = 0.7213 / (1.0 + 1.079 / M)
+        e = alpha * M * M / np.sum(np.exp2(-arr.astype(np.float64)))
+        if e <= 2.5 * M:
+            v = int(np.count_nonzero(arr == 0))
+            if v:
+                e = M * np.log(M / v)
+        ests.append(int(np.floor(e)))
+    return pa.table(
+        {
+            "day": pa.array(keys, pa.string()),
+            "n_distinct_hll": pa.array(ests, pa.int64()),
+        }
+    )
+
+
 def _b_distinct_users_hll(sf_dir: str) -> pa.Table:
     """Sequential HyperLogLog per event_type over events.user_id -
     plain-python register loop (int.bit_length) + the published FFGM
@@ -1726,6 +1774,7 @@ BUILDERS = {
     "embedding_pca": _b_embedding_pca,
     "corpus_divergence": _b_corpus_divergence,
     "doc_chunks": _b_doc_chunks,
+    "daily_users_hll": _b_daily_users_hll,
     "link_pagerank": _b_link_pagerank,
     "anchor_texts": _b_anchor_texts,
     "bm25_topk": _b_bm25_topk,
