@@ -125,13 +125,17 @@ def cdc_dedup(
     mask: int = 0x3F,
     min_size: int = 16,
     max_size: int = 256,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ):
     """Chunk every document, mark each chunk ``keep`` iff it is the
     global first occurrence of its content (order: doc_id, chunk_idx).
     Returns ``(doc_id, chunk_idx, chunk_len, keep)``."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
+
+    from .dedup import _default_partitions
+
+    num_partitions = _default_partitions(num_partitions)
 
     chunks = ds.select_columns([id_column, column]).map_batches(
         lambda b: _chunk_rows(b, column, id_column, mask, min_size, max_size),

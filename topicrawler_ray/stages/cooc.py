@@ -64,7 +64,7 @@ def word_cooc(
     return out.map_batches(as_int64, batch_format="pyarrow")
 
 
-def cooc_significance(pairs_ds, num_partitions: int = 8):
+def cooc_significance(pairs_ds, num_partitions: int | None = None):
     """Collocation significance over a ``(w1, w2, n)`` pair table:
     pointwise mutual information and Dunning's (1993) log-likelihood
     ratio, both int64 fixed-point (1e-6 steps) so the distributed
@@ -79,6 +79,10 @@ def cooc_significance(pairs_ds, num_partitions: int = 8):
     """
     import numpy as np
     from ray.data.aggregate import Sum
+
+    from .dedup import _default_partitions
+
+    num_partitions = _default_partitions(num_partitions)
 
     # the pair table is consumed four times (N, two marginals, the
     # join probe); materialize once so the upstream corpus pass does

@@ -50,10 +50,13 @@ def _stage_times(ev, etype: str, prev_times, num_partitions: int):
     return out.repartition(num_partitions)
 
 
-def funnel_levels(ev, stages: list[str], num_partitions: int = 8):
+def funnel_levels(ev, stages: list[str], num_partitions: int | None = None):
     """``ev`` needs (user_id, event_type, ts_us).  Returns a Dataset
     ``(user_id, funnel_level)`` - the highest 1-based stage index the
     user reached in order; users who never reach stage 1 are absent."""
+    from .dedup import _default_partitions
+
+    num_partitions = _default_partitions(num_partitions)
     levels = []
     prev = None
     for i, etype in enumerate(stages):

@@ -188,7 +188,7 @@ def bloom_semijoin(
     num_hashes: int = 7,
     verify: str = "broadcast",
     concurrency: int | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ):
     """``big_ds ⋉ small_ds`` on ``key`` (= ``right_key`` on the small
     side).  Exact for ``verify in ("broadcast", "join")``; a Bloom
@@ -203,6 +203,9 @@ def bloom_semijoin(
     """
     import ray
 
+    from .dedup import _default_partitions
+
+    num_partitions = _default_partitions(num_partitions)
     if right_key is None:
         right_key = key
     if concurrency is None:
