@@ -2331,6 +2331,15 @@ def _q_daily_users_hll(sf_dir: str):
     )
 
 
+def _q_sample_diverse(sf_dir: str):
+    """Cluster-balanced diversity sampling over embeddings: broadcast
+    deterministic centroids, vectorized assignment, lowest-hash quota
+    per cluster.  Oracle: frozen golden."""
+    from topicrawler_ray.stages.sampling import diverse_sample
+
+    return diverse_sample(_embs(sf_dir), quota_per_cluster=8, n_lists=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2408,6 +2417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "dedup_html": _q_dedup_html,
         "daily_users_hll": _q_daily_users_hll,
+        "sample_diverse": _q_sample_diverse,
         "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,

@@ -331,5 +331,53 @@ def main(sf_dirs):
             print("%s/%s: %d rows -> %s" % (name, qname, table.num_rows, out))
 
 
+
+
+def freeze_diverse_sample(sf_dir) -> pa.Table:
+    """Sequential cluster-balanced sampling golden: replicates the
+    deterministic centroid training (id-decimated sample + seeded
+    kmeans_lite), nearest-centroid assignment, and lowest-hash
+    per-cluster quota."""
+    import pandas as pd
+
+    from topicrawler_ray.stages.similarity import _normalize, kmeans_lite
+
+    QUOTA, N_LISTS, MAX_SAMPLE = 8, 16, 4096
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    total = len(ids)
+    stride = max(1, (total + MAX_SAMPLE - 1) // MAX_SAMPLE)
+    order = np.argsort(ids, kind="stable")
+    sample_idx = [i for i in order if ids[i] % stride == 0][:MAX_SAMPLE]
+    cent = kmeans_lite(vecs[sample_idx], N_LISTS)
+    mat = _normalize(vecs)
+    cluster = np.argmax(mat @ cent.T, axis=1).astype(np.int64)
+    prio = pd.util.hash_array(np.ascontiguousarray(ids)).view(np.int64)
+    neg = -prio  # numpy int64 negation, exactly the engine's score
+    o_id, o_c, o_r = [], [], []
+    for c in np.unique(cluster):
+        members = np.nonzero(cluster == c)[0]
+        # engine ranks by (neg_priority DESC, id ASC)
+        ranked = sorted(members, key=lambda i: (-int(neg[i]), int(ids[i])))
+        for r, i in enumerate(ranked[:QUOTA]):
+            o_id.append(int(ids[i]))
+            o_c.append(int(c))
+            o_r.append(r)
+    return pa.table(
+        {
+            "vec_id": pa.array(o_id, pa.int64()),
+            "cluster": pa.array(o_c, pa.int64()),
+            "rank": pa.array(o_r, pa.int64()),
+        }
+    )
+
+
+FREEZERS["sample_diverse"] = freeze_diverse_sample
+
+
 if __name__ == "__main__":
     main(sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])

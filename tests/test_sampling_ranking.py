@@ -433,3 +433,45 @@ class TestMixtureSample:
         out = mixture_sample(ds, {"a": 10**9}, mode="group").to_pandas()
         assert not out[out.source != "a"]["keep"].any()
         assert out[out.source == "a"]["keep"].all()
+
+
+class TestDiverseSample:
+    def test_quota_and_partition_invariance(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from topicrawler_ray.stages.sampling import diverse_sample
+
+        rng = np.random.RandomState(9)
+        # two well-separated blobs
+        vecs = np.concatenate(
+            [rng.randn(60, 8) + 5.0, rng.randn(60, 8) - 5.0]
+        )
+        rows = [
+            {"vec_id": i, "embedding": vecs[i].tolist()}
+            for i in range(len(vecs))
+        ]
+        outs = []
+        for parts in (1, 5):
+            ds = ray.data.from_items(rows).repartition(parts)
+            got = sorted(
+                (r["cluster"], r["rank"], r["vec_id"])
+                for r in diverse_sample(
+                    ds, quota_per_cluster=4, n_lists=2
+                ).take_all()
+            )
+            outs.append(got)
+        assert outs[0] == outs[1]
+        by_cluster = {}
+        for c, r, i in outs[0]:
+            by_cluster.setdefault(c, []).append((r, i))
+        assert set(by_cluster) == {0, 1}
+        for members in by_cluster.values():
+            assert [r for r, _ in sorted(members)] == [0, 1, 2, 3]
+        # both blobs represented: each cluster's sample comes from one side
+        sides = {
+            c: {i < 60 for _, i in members}
+            for c, members in by_cluster.items()
+        }
+        assert all(len(s) == 1 for s in sides.values())
+        assert sides[0] != sides[1]

@@ -621,6 +621,12 @@ def _b_knn_ivf(sf_dir: str) -> pa.Table:
     return _golden(sf_dir, "knn_ivf")
 
 
+def _b_sample_diverse(sf_dir: str) -> pa.Table:
+    """Frozen golden (scripts/freeze_goldens.py) - precomputed
+    cluster-balanced sample; no kmeans_lite/_normalize import."""
+    return _golden(sf_dir, "sample_diverse")
+
+
 def _b_knn_lsh(sf_dir: str) -> pa.Table:
     """Frozen golden (scripts/freeze_goldens.py) - precomputed
     hyperplane-bucket results, no lsh_planes/lsh_signatures import."""
@@ -1775,6 +1781,7 @@ BUILDERS = {
     "corpus_divergence": _b_corpus_divergence,
     "doc_chunks": _b_doc_chunks,
     "daily_users_hll": _b_daily_users_hll,
+    "sample_diverse": _b_sample_diverse,
     "link_pagerank": _b_link_pagerank,
     "anchor_texts": _b_anchor_texts,
     "bm25_topk": _b_bm25_topk,

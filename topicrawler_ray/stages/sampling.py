@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 
 _SCALE = 1 << 32
@@ -473,3 +474,77 @@ def _resolve_boundary(
         boundary = (hh, rid)
     st["boundary"] = boundary
     st["resolved"] = True
+
+
+def diverse_sample(
+    ds,
+    quota_per_cluster: int = 8,
+    n_lists: int = 16,
+    vec_column: str = "embedding",
+    id_column: str = "vec_id",
+):
+    """Cluster-balanced (diversity) sampling over an embedding column:
+    deterministic mini k-means centroids (similarity.train_centroids -
+    id-decimated sample, seeded, oracle-replicable), then every vector
+    is assigned to its nearest centroid and each cluster contributes
+    its ``quota_per_cluster`` lowest-hash members - the embedding-space
+    analog of stratified sampling (cluster-balanced data selection,
+    cf. SemDeDup / DiverseEvol style curation).
+
+    Exchange shape: one broadcast of the (tiny) centroid matrix, one
+    vectorized assignment pass, then the per-group top-k exchange of
+    slim (id, cluster, priority) rows.  -> (vec_id, cluster, rank).
+    """
+    import pandas as pd
+    import ray
+
+    from .ranking import topk_per_group
+    from .similarity import _normalize, train_centroids
+
+    cent = train_centroids(
+        ds, n_lists=n_lists, vec_column=vec_column, id_column=id_column
+    )
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids = np.asarray(batch.column(id_column).to_pylist(), dtype=np.int64)
+        mat = _normalize(
+            np.array(batch.column(vec_column).to_pylist(), dtype=np.float32)
+        )
+        cluster = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        # deterministic sampling priority: SipHash of the id; negated so
+        # the DESC top-k picks the LOWEST hashes
+        prio = pd.util.hash_array(np.ascontiguousarray(ids))
+        neg_prio = -(prio.view(np.int64))
+        return pa.table(
+            {
+                id_column: pa.array(ids, pa.int64()),
+                "cluster": pa.array(cluster, pa.int64()),
+                "neg_priority": pa.array(neg_prio, pa.int64()),
+            }
+        )
+
+    assigned = ds.select_columns([id_column, vec_column]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+    out = topk_per_group(
+        assigned,
+        group_column="cluster",
+        score_column="neg_priority",
+        tie_column=id_column,
+        k=quota_per_cluster,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                "cluster": batch.column("cluster"),
+                "rank": pc.cast(batch.column("rank"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
