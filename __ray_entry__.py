@@ -2340,6 +2340,59 @@ def _q_sample_diverse(sf_dir: str):
     return diverse_sample(_embs(sf_dir), quota_per_cluster=8, n_lists=16)
 
 
+def _q_source_lang_mix(sf_dir: str):
+    """Language-mix entropy per source: per-(source,lang) counts (one
+    slim shuffle), each term's -p*ln(p) quantized to int64 BEFORE the
+    per-source sum so the reduce is associative - engine and SQL
+    evaluate the same fixed expression.  Pure-SQL oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    docs = ray.data.read_parquet(
+        sf_dir + "/documents.parquet", columns=["source", "lang"]
+    )
+    pairs = (
+        docs.groupby(["source", "lang"])
+        .aggregate(Count(alias_name="c"))
+        .repartition(8)
+        .materialize()
+    )
+    totals = (
+        pairs.groupby("source")
+        .aggregate(Sum("c", alias_name="total"))
+        .repartition(8)
+    )
+    j = pairs.join(
+        totals, join_type="inner", num_partitions=8, on=("source",)
+    )
+
+    def term(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        t = batch.column("total").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        p = c / t
+        e = np.floor(-(p * np.log(p)) * 1e12).astype(np.int64)
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "term_e12": pa.array(e, pa.int64()),
+                "one": pa.array(np.ones(len(c), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        j.map_batches(term, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("term_e12", alias_name="entropy_e12"),
+            Sum("one", alias_name="n_langs"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2418,6 +2471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_html": _q_dedup_html,
         "daily_users_hll": _q_daily_users_hll,
         "sample_diverse": _q_sample_diverse,
+        "source_lang_mix": _q_source_lang_mix,
         "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,
@@ -2522,6 +2576,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS size_sum, "
             "CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) "
             "AS price_e2_sum FROM part GROUP BY 1"
+        ),
+        "source_lang_mix": (
+            "WITH p AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c "
+            "FROM documents GROUP BY 1, 2), "
+            "t AS (SELECT source, CAST(sum(c) AS BIGINT) AS total FROM p "
+            "GROUP BY 1) "
+            "SELECT p.source, CAST(sum(CAST(floor(-((CAST(p.c AS DOUBLE) / "
+            "CAST(t.total AS DOUBLE)) * ln(CAST(p.c AS DOUBLE) / "
+            "CAST(t.total AS DOUBLE))) * 1000000000000.0) AS BIGINT)) "
+            "AS BIGINT) AS entropy_e12, "
+            "CAST(count(*) AS BIGINT) AS n_langs "
+            "FROM p JOIN t ON p.source = t.source GROUP BY 1"
         ),
         "dedup_html": (
             "SELECT min(url) AS url FROM read_parquet('%s') GROUP BY html"
