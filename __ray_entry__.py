@@ -2393,6 +2393,32 @@ def _q_source_lang_mix(sf_dir: str):
     )
 
 
+def _q_doc_novelty(sf_dir: str):
+    """Per-doc n-gram novelty vs the persistent registry (first half
+    registered, second half scored): explode -> LRU shard probes ->
+    one slim groupby.  Oracle: independent sequential set lookup."""
+    import shutil
+    import tempfile
+
+    from topicrawler_ray.state.dedupstore import (
+        ngram_novelty,
+        register_ngram_hashes,
+    )
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    half = docs.count() // 2
+    run1 = docs.filter(expr="doc_id < %d" % half)
+    run2 = docs.filter(expr="doc_id >= %d" % half)
+
+    registry = tempfile.mkdtemp(prefix="topicrawler_q_novregistry_")
+    try:
+        register_ngram_hashes(run1, registry, generation="run1",
+                              num_shards=16)
+        return ngram_novelty(run2, registry).materialize()
+    finally:
+        shutil.rmtree(registry, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2472,6 +2498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_users_hll": _q_daily_users_hll,
         "sample_diverse": _q_sample_diverse,
         "source_lang_mix": _q_source_lang_mix,
+        "doc_novelty": _q_doc_novelty,
         "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
         "dedup_segments": _q_dedup_segments,

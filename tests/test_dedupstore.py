@@ -105,3 +105,37 @@ class TestCompaction:
 
         man = compact_registry(str(tmp_path / "none"))
         assert man["generations"] == []
+
+
+class TestNgramNovelty:
+    def test_novelty_fractions(self, ray_session, tmp_path):
+        from topicrawler_ray.state.dedupstore import (
+            ngram_novelty,
+            register_ngram_hashes,
+        )
+
+        reg = str(tmp_path / "nov")
+        register_ngram_hashes(
+            _docs(["a b c d e"]), reg, "g0", n=3, num_shards=4
+        )
+        # doc 100: same text -> novelty 0; doc 101: fresh -> 1e6;
+        # doc 102: "a b c d x" shares 2 of 3 grams -> ~1/3
+        run2 = _docs(["a b c d e", "x y z w v", "a b c d x"], start=100)
+        got = {
+            r["doc_id"]: r["novelty_e6"]
+            for r in ngram_novelty(run2, reg, n=3).take_all()
+        }
+        assert got[100] == 0
+        assert got[101] == 1_000_000
+        assert got[102] == 333_333  # floor((1 - 2/3) * 1e6)
+
+    def test_short_doc_scores_full_novelty(self, ray_session, tmp_path):
+        from topicrawler_ray.state.dedupstore import (
+            ngram_novelty,
+            register_ngram_hashes,
+        )
+
+        reg = str(tmp_path / "nov2")
+        register_ngram_hashes(_docs(["a b c"]), reg, "g0", n=3, num_shards=4)
+        got = ngram_novelty(_docs(["xy"], start=5), reg, n=3).take_all()
+        assert got == [{"doc_id": 5, "novelty_e6": 1_000_000}]

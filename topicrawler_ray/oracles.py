@@ -1722,6 +1722,54 @@ def _b_daily_users_hll(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_doc_novelty(sf_dir: str) -> pa.Table:
+    """Sequential n-gram novelty: run-1 distinct gram hashes into a
+    set, run-2 docs scored by unseen fraction (same quantized float
+    expression).  Imports nothing from state/dedupstore.py."""
+    import pandas as _pd
+
+    N = 3
+    tab = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = tab.column("doc_id").to_pylist()
+    texts = tab.column("text").to_pylist()
+    half = len(ids) // 2
+
+    def grams_of(t: str) -> np.ndarray:
+        words = (t or "").split(" ")
+        grams = [
+            " ".join(words[i : i + N])
+            for i in range(max(0, len(words) - N + 1))
+        ]
+        if not grams:
+            return np.asarray([0], dtype=np.uint64)  # len<n sentinel
+        return np.unique(
+            _pd.util.hash_array(np.asarray(grams, dtype=object))
+        )
+
+    registered: set[int] = set()
+    for i, t in zip(ids, texts):
+        if i < half:
+            g = grams_of(t)
+            if not (len(g) == 1 and g[0] == 0):
+                registered.update(g.tolist())
+    o_id, o_nov = [], []
+    for i, t in zip(ids, texts):
+        if i >= half:
+            g = grams_of(t)
+            seen = float(sum(1 for k in g.tolist() if k in registered))
+            tot = float(len(g))
+            o_id.append(i)
+            o_nov.append(int(np.floor((1.0 - seen / tot) * 1e6)))
+    return pa.table(
+        {
+            "doc_id": pa.array(o_id, pa.int64()),
+            "novelty_e6": pa.array(o_nov, pa.int64()),
+        }
+    )
+
+
 def _b_distinct_users_hll(sf_dir: str) -> pa.Table:
     """Sequential HyperLogLog per event_type over events.user_id -
     plain-python register loop (int.bit_length) + the published FFGM
@@ -1782,6 +1830,7 @@ BUILDERS = {
     "doc_chunks": _b_doc_chunks,
     "daily_users_hll": _b_daily_users_hll,
     "sample_diverse": _b_sample_diverse,
+    "doc_novelty": _b_doc_novelty,
     "link_pagerank": _b_link_pagerank,
     "anchor_texts": _b_anchor_texts,
     "bm25_topk": _b_bm25_topk,

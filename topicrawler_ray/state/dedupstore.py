@@ -453,3 +453,144 @@ def compact_registry(registry_dir: str, compacted_name: str = "compacted"):
         shutil.rmtree(os.path.join(registry_dir, "gen-%s" % g),
                       ignore_errors=True)
     return man
+
+
+def register_ngram_hashes(
+    ds,
+    registry_dir: str,
+    generation: str,
+    column: str = "text",
+    n: int = 3,
+    num_shards: int = 64,
+):
+    """Register a corpus's word n-gram hashes - the novelty-scoring
+    side of the registry (cf. stages/decontam.py, which broadcasts a
+    small benchmark; here the REFERENCE side is the big one, so it
+    lives sharded on disk instead)."""
+
+    def to_keys(batch: pa.Table) -> pa.Table:
+        acc: list[np.ndarray] = []
+        for t in batch.column(column).to_pylist():
+            words = (t or "").split(" ")
+            grams = [
+                " ".join(words[i : i + n])
+                for i in range(max(0, len(words) - n + 1))
+            ]
+            if grams:
+                acc.append(
+                    pd.util.hash_array(np.asarray(grams, dtype=object))
+                )
+        h = (
+            np.unique(np.concatenate(acc))
+            if acc
+            else np.empty(0, dtype=np.uint64)
+        )
+        return pa.table({"gram_key": pa.array(h, pa.uint64())})
+
+    keyed = ds.select_columns([column]).map_batches(
+        to_keys, batch_format="pyarrow"
+    )
+    return register_hash_column(
+        keyed, "gram_key", registry_dir, generation, num_shards
+    )
+
+
+def ngram_novelty(
+    ds,
+    registry_dir: str,
+    column: str = "text",
+    id_column: str = "doc_id",
+    n: int = 3,
+    concurrency: int | None = None,
+):
+    """Per-doc novelty vs the registry: the fraction of the doc's
+    DISTINCT word n-grams not yet registered, as int64 ppm
+    (``novelty_e6 = floor((1 - seen/total) * 1e6)``; docs shorter than
+    ``n`` words score 1e6).  One explode pass + LRU shard probes + one
+    slim groupby - the streaming "how much of this shard is new
+    content" curation signal."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(1, min(8, cpus // 2))
+
+    def to_keys(batch: pa.Table) -> pa.Table:
+        o_id, o_k = [], []
+        for did, t in zip(
+            batch.column(id_column).to_pylist(),
+            batch.column(column).to_pylist(),
+        ):
+            words = (t or "").split(" ")
+            grams = [
+                " ".join(words[i : i + n])
+                for i in range(max(0, len(words) - n + 1))
+            ]
+            if grams:
+                h = np.unique(
+                    pd.util.hash_array(np.asarray(grams, dtype=object))
+                )
+            else:
+                h = np.asarray([0], dtype=np.uint64)  # sentinel, len<n doc
+            o_id.extend([did] * len(h))
+            o_k.extend(h.tolist())
+        return pa.table(
+            {
+                id_column: pa.array(o_id, pa.int64()),
+                "gram_key": pa.array(o_k, pa.uint64()),
+            }
+        )
+
+    keyed = ds.select_columns([id_column, column]).map_batches(
+        to_keys, batch_format="pyarrow"
+    )
+    probed = keyed.map_batches(
+        HashColumnProbe,
+        fn_constructor_kwargs={
+            "registry_dir": registry_dir,
+            "column": "gram_key",
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def to_counts(batch: pa.Table) -> pa.Table:
+        seen = batch.column("seen_before").cast(pa.int64())
+        ones = pa.array(np.ones(batch.num_rows, dtype=np.int64), pa.int64())
+        # the len<n sentinel counts as one never-registered gram (key 0
+        # is never registered: registered keys are real hashes with
+        # ~2^-64 collision odds) -> novelty 1e6, as documented
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                "n_seen": seen,
+                "n_total": ones,
+            }
+        )
+
+    agg = (
+        probed.map_batches(to_counts, batch_format="pyarrow")
+        .groupby(id_column)
+        .aggregate(
+            Sum("n_seen", alias_name="n_seen"),
+            Sum("n_total", alias_name="n_total"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        seen = batch.column("n_seen").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        tot = batch.column("n_total").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        nov = np.floor((1.0 - seen / tot) * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                "novelty_e6": pa.array(nov, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
