@@ -1059,8 +1059,11 @@ def _b_link_hits(sf_dir: str) -> pa.Table:
 
 def _b_bm25_topk(sf_dir: str) -> pa.Table:
     """Sequential BM25 top-k (re-derived scalar formula — nothing
-    imported from stages/retrieval.py; identical float op order makes
-    it bit-equal to the distributed scorer)."""
+    imported from stages/retrieval.py).  Mirrors the engine's integer
+    contribution algebra: each per-term contribution is one fixed
+    float64 expression floor-quantized to int64 at 1e9, summed as
+    integers (associative — any distributed partitioning agrees),
+    final score_e6 = sum_e9 // 1000."""
     import numpy as np
 
     K1, B = 1.5, 0.75
@@ -1108,17 +1111,18 @@ def _b_bm25_topk(sf_dir: str) -> pa.Table:
             tf: dict[str, int] = {}
             for w in words:
                 tf[w] = tf.get(w, 0) + 1
-            score = 0.0
+            score_e9 = 0
             norm = K1 * (1.0 - B + B * (dl / avgdl))
             for t in terms:
                 f = tf.get(t, 0)
                 if f:
-                    score += idf[t] * (f * (K1 + 1.0)) / (f + norm)
-            if score > 0.0:
-                scored.append((score, did))
+                    c = idf[t] * (float(f) * (K1 + 1.0)) / (float(f) + norm)
+                    score_e9 += int(np.floor(c * 1e9))
+            if score_e9 > 0:
+                scored.append((score_e9, did))
         scored.sort(key=lambda t: (-t[0], t[1]))
         for rank, (s, did) in enumerate(scored[:k]):
-            rows.append((qid, rank, did, int(np.floor(s * 1e6))))
+            rows.append((qid, rank, did, s // 1000))
     return pa.table(
         {
             "query_id": pa.array([r[0] for r in rows], pa.int64()),

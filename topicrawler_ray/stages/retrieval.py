@@ -21,10 +21,23 @@ Shape (two streaming passes, no shuffle of documents):
    driver merges a k-bounded heap per query (the knn_bruteforce
    pattern, similarity.py:33).
 
-Determinism: scores are computed per doc with scalar float64 ops in a
-FIXED term order (query order, duplicates dropped), so the sequential
-oracle reproduces them bit-for-bit; the emitted score is
-micro-quantized (``floor(score * 1e6)``) with doc_id ASC tie-breaks.
+Determinism — integer contribution algebra (round 4): each per-term
+contribution is ONE fixed float64 expression then floor-quantized to
+an int64 at 1e9 (``contrib_e9``).  Integer sums are associative, so a
+document's score is identical no matter how its term contributions
+are partitioned across batches, buckets, or shuffle reducers — this
+is what lets the disk-index serve path (:func:`bm25_disk_topk`) score
+per bucket and merge with a plain distributed ``groupby.sum`` while
+staying bit-identical to the scan ranker and the sequential oracle.
+The emitted ``score_e6`` is ``sum(contrib_e9) // 1000``; ties break
+doc_id ASC.  Bounds: idf ≤ ln(1+2N) < 50 for N ≤ 1e20, per-term
+contribution ≤ idf·(K1+1) < 125, so e9 quantization stays below
+1.25e11 per term and an int64 holds sums over ~7e7 query terms.
+
+Tokenization is vectorized Arrow/numpy (round 4): texts are split
+with ``pc.split_pattern``, exploded to (doc_idx, word) pairs, and
+per-doc term frequencies come from one ``np.unique`` over packed
+integer pair codes — no per-row Python ``Counter`` in any hot pass.
 """
 
 from __future__ import annotations
@@ -33,6 +46,7 @@ import heapq
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 K1 = 1.5
 B = 0.75
@@ -43,7 +57,8 @@ _LEN_SENTINEL = "\x00total_len"
 
 def query_terms(query_text: str) -> list[str]:
     """Whitespace terms, duplicates dropped, FIRST-occurrence order
-    (the fixed score-summation order both sides rely on)."""
+    (kept for rank-stable query parsing; summation order no longer
+    matters under the integer contribution algebra)."""
     seen: dict[str, None] = {}
     for t in query_text.split(" "):
         if t and t not in seen:
@@ -57,40 +72,73 @@ def bm25_idf(df: int, n_docs: int) -> float:
     return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
 
 
-def bm25_doc_score(tf_by_term, dl: int, terms, idf, avgdl: float) -> float:
-    """Scalar BM25 for one doc over ``terms`` in order; shared by the
-    distributed scorer and the sequential oracle (bit-identical)."""
-    score = 0.0
+def contrib_e9(idf_t: float, tf, dl, avgdl: float):
+    """Quantized per-term BM25 contribution, vectorized: ONE fixed
+    float64 expression tree then ``floor(x * 1e9)`` as int64.  Shared
+    verbatim by the scan ranker, the disk-serve bucket tasks and the
+    sequential oracle — elementwise numpy float64 ops are IEEE-exact,
+    so scalar and vector evaluation agree bit-for-bit."""
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
     norm = K1 * (1.0 - B + B * (dl / avgdl))
-    for t in terms:
-        tf = tf_by_term.get(t, 0)
-        if tf:
-            score += idf[t] * (tf * (K1 + 1.0)) / (tf + norm)
-    return score
+    c = idf_t * (tf * (K1 + 1.0)) / (tf + norm)
+    return np.floor(c * 1e9).astype(np.int64)
+
+
+def _explode_tokens(texts: pa.ChunkedArray | pa.Array):
+    """Vectorized whitespace tokenization for a column of texts ->
+    (flat_words: pa.Array, doc_idx: np.int64[], dl: np.int64[]).
+
+    Matches Python ``(text or "").split(" ")`` exactly (empty/None
+    text yields one empty-string token, dl == 1)."""
+    texts = pc.fill_null(texts, "")
+    words = pc.split_pattern(texts, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    dl = pc.list_value_length(words).to_numpy().astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(dl), dtype=np.int64), dl)
+    flat = pc.list_flatten(words)
+    return flat, doc_idx, dl
+
+
+def _doc_term_tf(flat: pa.Array, doc_idx: np.ndarray, vocab_arr: pa.Array):
+    """Per-(doc, vocab-term) term frequencies from exploded tokens,
+    via packed-pair ``np.unique`` -> (doc_idx: int64[], term_code:
+    int64[] indexing vocab_arr, tf: int64[])."""
+    # vocab codes: position of each flat word in vocab_arr, -1 if absent
+    codes = pc.index_in(flat, value_set=vocab_arr)
+    if isinstance(codes, pa.ChunkedArray):
+        codes = codes.combine_chunks()
+    codes = codes.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = codes >= 0
+    if not keep.any():
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    v = len(vocab_arr)
+    pairs = doc_idx[keep] * v + codes[keep]
+    uniq, counts = np.unique(pairs, return_counts=True)
+    return uniq // v, uniq % v, counts.astype(np.int64)
 
 
 def corpus_stats(ds, vocab: set[str], text_column: str = "text"):
     """(df: dict term->doc_freq, n_docs, avgdl) for the query vocab —
     partial-per-batch rows then one tiny groupby."""
+    vocab_list = sorted(vocab)
 
     def partial(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        df: Counter[str] = Counter()
-        n = 0
-        total_len = 0
-        for text in batch.column(text_column).to_pylist():
-            words = (text or "").split(" ")
-            n += 1
-            total_len += len(words)
-            for t in set(words) & vocab:
-                df[t] += 1
-        terms = sorted(df)
+        vocab_arr = pa.array(vocab_list, pa.string())
+        flat, doc_idx, dl = _explode_tokens(batch.column(text_column))
+        _, term_code, _tf = _doc_term_tf(flat, doc_idx, vocab_arr)
+        # df per term = number of (doc, term) pairs per term code
+        code_uniq, code_counts = np.unique(term_code, return_counts=True)
+        terms = [vocab_list[c] for c in code_uniq]
         return pa.table(
             {
-                "term": pa.array(terms + [_N_SENTINEL, _LEN_SENTINEL], pa.string()),
+                "term": pa.array(
+                    terms + [_N_SENTINEL, _LEN_SENTINEL], pa.string()
+                ),
                 "cnt": pa.array(
-                    [df[t] for t in terms] + [n, total_len], pa.int64()
+                    list(code_counts) + [len(dl), int(dl.sum())], pa.int64()
                 ),
             }
         )
@@ -115,6 +163,35 @@ def corpus_stats(ds, vocab: set[str], text_column: str = "text"):
     return df, n_docs, avgdl
 
 
+def _merge_partial_topk(partials, k: int) -> pa.Table:
+    """Driver-side k-bounded heap merge over per-block partial top-k
+    rows (score_e9 ints, ties doc_id ASC) -> final ranked table."""
+    heaps: dict[int, list] = {}
+    for r in partials:
+        qid = int(r["query_id"])
+        heapq.heappush(
+            heaps.setdefault(qid, []), (int(r["score_e9"]), -int(r["doc_id"]))
+        )
+        if len(heaps[qid]) > k:
+            heapq.heappop(heaps[qid])
+    o_q, o_rank, o_id, o_s = [], [], [], []
+    for qid in sorted(heaps):
+        best = sorted(heaps[qid], key=lambda t: (-t[0], -t[1]))
+        for rank, (s, nid) in enumerate(best):
+            o_q.append(qid)
+            o_rank.append(rank)
+            o_id.append(-nid)
+            o_s.append(s // 1000)
+    return pa.table(
+        {
+            "query_id": pa.array(o_q, pa.int64()),
+            "rank": pa.array(o_rank, pa.int64()),
+            "doc_id": pa.array(o_id, pa.int64()),
+            "score_e6": pa.array(o_s, pa.int64()),
+        }
+    )
+
+
 def bm25_topk(
     ds,
     queries: list[tuple[int, str]],
@@ -128,73 +205,55 @@ def bm25_topk(
 
     terms_by_q = [(qid, query_terms(qtext)) for qid, qtext in queries]
     vocab = {t for _, ts in terms_by_q for t in ts}
+    vocab_list = sorted(vocab)
     df, n_docs, avgdl = corpus_stats(ds, vocab, text_column)
     idf = {t: bm25_idf(df.get(t, 0), n_docs) for t in vocab}
-    ref = ray.put((terms_by_q, idf, avgdl))
+    ref = ray.put((terms_by_q, vocab_list, idf, avgdl))
 
     def partial_topk(batch: pa.Table, _ref=ref) -> pa.Table:
-        from collections import Counter
-
-        tq, idf_l, avg = ray.get(_ref)
-        ids = batch.column(id_column).to_pylist()
-        texts = batch.column(text_column).to_pylist()
-        heaps: dict[int, list] = {qid: [] for qid, _ in tq}
-        for did, text in zip(ids, texts):
-            words = (text or "").split(" ")
-            tf = Counter(words)
-            dl = len(words)
-            for qid, terms in tq:
-                s = bm25_doc_score(tf, dl, terms, idf_l, avg)
-                if s > 0.0:
-                    # per-batch partial top-k: only k rows per query
-                    # ever leave this pass
-                    heapq.heappush(heaps[qid], (s, -int(did)))
-                    if len(heaps[qid]) > k:
-                        heapq.heappop(heaps[qid])
+        tq, vlist, idf_l, avg = ray.get(_ref)
+        vocab_arr = pa.array(vlist, pa.string())
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        flat, doc_idx, dl = _explode_tokens(batch.column(text_column))
+        d_idx, t_code, tf = _doc_term_tf(flat, doc_idx, vocab_arr)
+        # per-term posting slices within this batch
+        order = np.argsort(t_code, kind="stable")
+        d_idx, t_code, tf = d_idx[order], t_code[order], tf[order]
+        bounds = np.searchsorted(t_code, np.arange(len(vlist) + 1))
+        code_of = {t: i for i, t in enumerate(vlist)}
+        n = len(ids)
         o_q, o_id, o_s = [], [], []
-        for qid, _ in tq:
-            for s, nid in heaps[qid]:
-                o_q.append(qid)
-                o_id.append(-nid)
-                o_s.append(s)
+        for qid, terms in tq:
+            score = np.zeros(n, dtype=np.int64)
+            for t in terms:
+                c = code_of[t]
+                lo, hi = bounds[c], bounds[c + 1]
+                if lo == hi:
+                    continue
+                di = d_idx[lo:hi]
+                score[di] += contrib_e9(idf_l[t], tf[lo:hi], dl[di], avg)
+            pos = np.nonzero(score > 0)[0]
+            if len(pos) == 0:
+                continue
+            if len(pos) > k:
+                # partial top-k: only k rows per query leave this pass
+                sel = np.lexsort((ids[pos], -score[pos]))[:k]
+                pos = pos[sel]
+            o_q.extend([qid] * len(pos))
+            o_id.extend(ids[pos].tolist())
+            o_s.extend(score[pos].tolist())
         return pa.table(
             {
                 "query_id": pa.array(o_q, pa.int64()),
                 "doc_id": pa.array(o_id, pa.int64()),
-                "score": pa.array(o_s, pa.float64()),
+                "score_e9": pa.array(o_s, pa.int64()),
             }
         )
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
-
-    heaps: dict[int, list] = {}
-    for r in partials:
-        heapq.heappush(
-            heaps.setdefault(int(r["query_id"]), []),
-            (float(r["score"]), -int(r["doc_id"])),
-        )
-        if len(heaps[int(r["query_id"])]) > k:
-            heapq.heappop(heaps[int(r["query_id"])])
-    o_q, o_rank, o_id, o_s = [], [], [], []
-    for qid in sorted(heaps):
-        best = sorted(heaps[qid], key=lambda t: (-t[0], -t[1]))
-        for rank, (s, nid) in enumerate(best):
-            o_q.append(qid)
-            o_rank.append(rank)
-            o_id.append(-nid)
-            o_s.append(int(np.floor(s * 1e6)))
     import ray.data
 
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "query_id": pa.array(o_q, pa.int64()),
-                "rank": pa.array(o_rank, pa.int64()),
-                "doc_id": pa.array(o_id, pa.int64()),
-                "score_e6": pa.array(o_s, pa.int64()),
-            }
-        )
-    )
+    return ray.data.from_arrow(_merge_partial_topk(partials, k))
 
 
 # ---------------------------------------------------------------------------
@@ -217,10 +276,10 @@ def build_bm25_index(ds, out_dir: str, num_buckets: int = 32,
     every later query touches only its terms' buckets - the Lucene
     cost model, same shape as the disk LM artifact (lm/diskserve.py).
 
-    Caveat (documented, standard): stop-term postings are Zipf-huge;
-    production rankers skip them via WAND/max-score bounds.  Here the
-    serve path loads whole per-term postings, so cap the query
-    vocabulary or prefilter stop terms upstream (ranking.word_df).
+    Stop-term postings are Zipf-huge, but the serve path
+    (:func:`bm25_disk_topk`) scores them INSIDE per-bucket tasks and
+    merges integer partials with a distributed groupby-sum, so no
+    posting list ever lands on the driver.
     """
     import json
     import os
@@ -232,39 +291,43 @@ def build_bm25_index(ds, out_dir: str, num_buckets: int = 32,
     tmp = tempfile.mkdtemp(prefix=".bm25-", dir=out_dir)
 
     def postings(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        o_t, o_d, o_tf, o_dl, o_b = [], [], [], [], []
-        n = 0
-        total = 0
-        for did, text in zip(
-            batch.column(id_column).to_pylist(),
-            batch.column(text_column).to_pylist(),
-        ):
-            words = (text or "").split(" ")
-            n += 1
-            total += len(words)
-            for t, tf in Counter(words).items():
-                o_t.append(t)
-                o_d.append(did)
-                o_tf.append(tf)
-                o_dl.append(len(words))
-                o_b.append(_term_bucket(t, num_buckets))
-        # one stats row per block (bucket -1, folded on the driver)
-        o_t.append(None)
-        o_d.append(n)
-        o_tf.append(total)
-        o_dl.append(0)
-        o_b.append(-1)
-        return pa.table(
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        flat, doc_idx, dl = _explode_tokens(batch.column(text_column))
+        # batch-local term dictionary -> packed-pair unique for tf
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        terms_dict = enc.dictionary
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(terms_dict)
+        if v:
+            pairs = doc_idx * v + codes
+            uniq, counts = np.unique(pairs, return_counts=True)
+            p_doc = uniq // v
+            p_code = (uniq % v).astype(np.int64)
+        else:
+            p_doc = p_code = counts = np.zeros(0, dtype=np.int64)
+        buckets_by_code = _term_buckets(terms_dict, num_buckets)
+        tab = pa.table(
             {
-                "term": pa.array(o_t, pa.string()),
-                "doc_id": pa.array(o_d, pa.int64()),
-                "tf": pa.array(o_tf, pa.int64()),
-                "dl": pa.array(o_dl, pa.int64()),
-                "bucket": pa.array(o_b, pa.int64()),
+                "term": terms_dict.take(pa.array(p_code, pa.int64())),
+                "doc_id": pa.array(ids[p_doc], pa.int64()),
+                "tf": pa.array(counts, pa.int64()),
+                "dl": pa.array(dl[p_doc], pa.int64()),
+                "bucket": pa.array(buckets_by_code[p_code], pa.int64()),
             }
         )
+        # one stats row per block (bucket -1, folded on the driver)
+        stats = pa.table(
+            {
+                "term": pa.array([None], pa.string()),
+                "doc_id": pa.array([len(ids)], pa.int64()),
+                "tf": pa.array([int(dl.sum())], pa.int64()),
+                "dl": pa.array([0], pa.int64()),
+                "bucket": pa.array([-1], pa.int64()),
+            }
+        )
+        return pa.concat_tables([tab, stats])
 
     def write_bucket(group: pd.DataFrame) -> pd.DataFrame:
         b = int(group["bucket"].iloc[0])
@@ -308,6 +371,18 @@ def build_bm25_index(ds, out_dir: str, num_buckets: int = 32,
     return final
 
 
+def _term_buckets(terms: pa.Array, num_buckets: int) -> np.ndarray:
+    """Vectorized siphash bucket assignment for an array of terms."""
+    import pandas as pd
+
+    vals = np.asarray(terms.to_pylist(), dtype=object)
+    if len(vals) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return (
+        pd.util.hash_array(vals) % np.uint64(num_buckets)
+    ).astype(np.int64)
+
+
 def _term_bucket(term: str, num_buckets: int) -> int:
     import pandas as pd
 
@@ -317,76 +392,173 @@ def _term_bucket(term: str, num_buckets: int) -> int:
     )
 
 
-def bm25_disk_topk(index_dir: str, queries: list[tuple[int, str]], k: int = 10):
-    """Serve BM25 queries from the index artifact: one Ray task per
-    touched bucket loads ONLY the query terms' postings (parquet
-    predicate pushdown), the driver accumulates doc scores in fixed
-    query-term order - bit-identical to :func:`bm25_topk` on the same
-    corpus."""
+def bm25_disk_topk(index_dir: str, queries: list[tuple[int, str]],
+                   k: int = 10, debug: dict | None = None):
+    """Serve BM25 queries from the index artifact — fully distributed,
+    bit-identical to :func:`bm25_topk` on the same corpus.
+
+    Shape (no posting list ever reaches the driver):
+
+    1. **df pass** — one tiny Ray task per touched bucket counts
+       postings per query term (parquet predicate pushdown, reads the
+       ``term`` column only); the driver receives ≤ |vocab| counts and
+       builds the broadcast idf table.
+    2. **bucket scoring** — a Ray Data pipeline with one block per
+       touched bucket: each task reads ONLY its bucket's query-term
+       postings and emits quantized integer partial rows
+       ``(query_id, doc_id, contrib_e9)`` summed over the query terms
+       living in that bucket (integer sums are associative — see the
+       module docstring).
+    3. **merge** — a distributed ``groupby(query_id, doc_id).sum``
+       totals cross-bucket partials, then a per-block partial top-k
+       bounds what the driver merges to ``k × |queries| × num_blocks``
+       rows.
+
+    ``debug``, if given, receives {"merged_rows": N} — the number of
+    candidate rows the driver actually materialized (the O(k·Q·blocks)
+    bound a stop-term query must respect)."""
     import json
     import os
 
     import ray
+    import ray.data
 
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     n_docs, total_len = meta["n_docs"], meta["total_len"]
+    num_buckets = meta["num_buckets"]
     avgdl = total_len / n_docs if n_docs else 1.0
 
     terms_by_q = [(qid, query_terms(qtext)) for qid, qtext in queries]
     vocab = sorted({t for _, ts in terms_by_q for t in ts})
     by_bucket: dict[int, list[str]] = {}
     for t in vocab:
-        by_bucket.setdefault(_term_bucket(t, meta["num_buckets"]), []).append(t)
+        by_bucket.setdefault(_term_bucket(t, num_buckets), []).append(t)
+    if not by_bucket:
+        return _merge_partial_topk([], k)
 
+    # ---- pass 1: per-term document frequencies (counts only) --------
     @ray.remote
-    def load_postings(bucket: int, terms: list[str]):
+    def term_dfs(bucket: int, terms: list[str]) -> dict[str, int]:
         import pyarrow.parquet as _pq
 
         p = os.path.join(index_dir, "bucket=%04d.parquet" % bucket)
         if not os.path.exists(p):
             return {}
-        tab = _pq.read_table(p, filters=[("term", "in", terms)])
-        out: dict[str, list[tuple[int, int, int]]] = {}
-        for t, d, tf, dl in zip(
-            tab.column("term").to_pylist(),
-            tab.column("doc_id").to_pylist(),
-            tab.column("tf").to_pylist(),
-            tab.column("dl").to_pylist(),
-        ):
-            out.setdefault(t, []).append((d, tf, dl))
-        return out
-
-    postings: dict[str, list[tuple[int, int, int]]] = {}
-    for part in ray.get(
-        [load_postings.remote(b, ts) for b, ts in sorted(by_bucket.items())]
-    ):
-        postings.update(part)
-
-    idf = {t: bm25_idf(len(postings.get(t, ())), n_docs) for t in vocab}
-
-    o_q, o_rank, o_id, o_s = [], [], [], []
-    for qid, terms in terms_by_q:
-        scores: dict[int, float] = {}
-        for t in terms:  # FIXED term order = the scalar loop's order
-            w = idf[t]
-            for d, tf, dl in postings.get(t, ()):
-                norm = K1 * (1.0 - B + B * (dl / avgdl))
-                contrib = w * (tf * (K1 + 1.0)) / (tf + norm)
-                scores[d] = scores.get(d, 0.0) + contrib
-        best = sorted(
-            ((s, -d) for d, s in scores.items() if s > 0.0), reverse=True
-        )[:k]
-        for rank, (s, nd) in enumerate(best):
-            o_q.append(qid)
-            o_rank.append(rank)
-            o_id.append(-nd)
-            o_s.append(int(np.floor(s * 1e6)))
-    return pa.table(
-        {
-            "query_id": pa.array(o_q, pa.int64()),
-            "rank": pa.array(o_rank, pa.int64()),
-            "doc_id": pa.array(o_id, pa.int64()),
-            "score_e6": pa.array(o_s, pa.int64()),
+        tab = _pq.read_table(
+            p, columns=["term"], filters=[("term", "in", terms)]
+        )
+        vc = pc.value_counts(tab.column("term"))
+        return {
+            str(f["values"]): int(f["counts"]) for f in vc.to_pylist()
         }
+
+    df: dict[str, int] = {}
+    for part in ray.get(
+        [term_dfs.remote(b, ts) for b, ts in sorted(by_bucket.items())]
+    ):
+        df.update(part)
+    idf = {t: bm25_idf(df.get(t, 0), n_docs) for t in vocab}
+    ref = ray.put((terms_by_q, idf, avgdl, dict(by_bucket), index_dir))
+
+    # ---- pass 2: score inside per-bucket tasks ----------------------
+    def score_bucket(batch: pa.Table, _ref=ref) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        tq, idf_l, avg, bterms, idx_dir = ray.get(_ref)
+        o_q, o_id, o_s = [], [], []
+        for b in batch.column("bucket").to_pylist():
+            terms = bterms.get(int(b), [])
+            p = os.path.join(idx_dir, "bucket=%04d.parquet" % int(b))
+            if not terms or not os.path.exists(p):
+                continue
+            tab = _pq.read_table(p, filters=[("term", "in", terms)])
+            if tab.num_rows == 0:
+                continue
+            term_col = tab.column("term")
+            d = tab.column("doc_id").to_numpy(zero_copy_only=False)
+            tf = tab.column("tf").to_numpy(zero_copy_only=False)
+            dl = tab.column("dl").to_numpy(zero_copy_only=False)
+            here = set(terms)
+            for qid, qterms in tq:
+                docs_parts, contrib_parts = [], []
+                for t in qterms:
+                    if t not in here:
+                        continue
+                    m = pc.equal(term_col, t)
+                    sel = np.asarray(m.combine_chunks()
+                                     if isinstance(m, pa.ChunkedArray)
+                                     else m)
+                    if not sel.any():
+                        continue
+                    docs_parts.append(d[sel])
+                    contrib_parts.append(
+                        contrib_e9(idf_l[t], tf[sel], dl[sel], avg)
+                    )
+                if not docs_parts:
+                    continue
+                # in-bucket combiner: one partial row per (query, doc)
+                # leaves this task, not one per posting
+                dq = np.concatenate(docs_parts)
+                cq = np.concatenate(contrib_parts)
+                order = np.argsort(dq, kind="stable")
+                dq, cq = dq[order], cq[order]
+                uniq, starts = np.unique(dq, return_index=True)
+                sums = np.add.reduceat(cq, starts)
+                o_q.extend([qid] * len(uniq))
+                o_id.extend(uniq.tolist())
+                o_s.extend(sums.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(o_q, pa.int64()),
+                "doc_id": pa.array(o_id, pa.int64()),
+                "contrib_e9": pa.array(o_s, pa.int64()),
+            }
+        )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "score_e9": pa.array([], pa.int64()),
+                }
+            )
+        q = batch.column("query_id").to_numpy(zero_copy_only=False)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        s = batch.column("sum(contrib_e9)").to_numpy(zero_copy_only=False)
+        keep = s > 0
+        q, d, s = q[keep], d[keep], s[keep]
+        o_q, o_id, o_s = [], [], []
+        for qid in np.unique(q):
+            m = q == qid
+            dq, sq = d[m], s[m]
+            if len(dq) > k:
+                sel = np.lexsort((dq, -sq))[:k]
+                dq, sq = dq[sel], sq[sel]
+            o_q.extend([int(qid)] * len(dq))
+            o_id.extend(dq.tolist())
+            o_s.extend(sq.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(o_q, pa.int64()),
+                "doc_id": pa.array(o_id, pa.int64()),
+                "score_e9": pa.array(o_s, pa.int64()),
+            }
+        )
+
+    buckets_ds = ray.data.from_items(
+        [{"bucket": b} for b in sorted(by_bucket)],
+        override_num_blocks=len(by_bucket),
     )
+    partials = (
+        buckets_ds.map_batches(score_bucket, batch_format="pyarrow")
+        .groupby(["query_id", "doc_id"])
+        .sum("contrib_e9")
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .take_all()
+    )
+    if debug is not None:
+        debug["merged_rows"] = len(partials)
+    return _merge_partial_topk(partials, k)
