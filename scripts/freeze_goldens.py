@@ -333,14 +333,45 @@ def main(sf_dirs):
 
 
 
+def _golden_normalize(m):
+    """Row L2-normalize (independent re-derivation - imports nothing
+    from the engine; zero rows pass through)."""
+    out = np.array(m, copy=True)
+    norms = np.sqrt((out.astype(np.float64) ** 2).sum(axis=1))
+    norms = norms.astype(out.dtype)
+    nz = norms != 0
+    out[nz] = out[nz] / norms[nz, None]
+    return out
+
+
+def _golden_kmeans(vecs, n_lists, iters=5, seed=23):
+    """Seeded mini k-means re-derived with plain numpy so the frozen
+    golden shares NO centroid-training code with the engine kernel it
+    certifies (spec: normalize, Generator(PCG64(seed)).choice init
+    without replacement, argmax-cosine assignment, renormalized means,
+    5 iterations)."""
+    vecs = _golden_normalize(np.asarray(vecs, dtype=np.float32))
+    rng = np.random.default_rng(seed)
+    pick = rng.choice(len(vecs), size=min(n_lists, len(vecs)), replace=False)
+    cent = vecs[pick]
+    for _ in range(iters):
+        assign = np.argmax(vecs @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            members = vecs[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
 def freeze_diverse_sample(sf_dir) -> pa.Table:
     """Sequential cluster-balanced sampling golden: replicates the
     deterministic centroid training (id-decimated sample + seeded
-    kmeans_lite), nearest-centroid assignment, and lowest-hash
-    per-cluster quota."""
+    k-means, re-derived above), nearest-centroid assignment, and
+    lowest-hash per-cluster quota."""
     import pandas as pd
-
-    from topicrawler_ray.stages.similarity import _normalize, kmeans_lite
 
     QUOTA, N_LISTS, MAX_SAMPLE = 8, 16, 4096
     t = pq.read_table(
@@ -353,8 +384,8 @@ def freeze_diverse_sample(sf_dir) -> pa.Table:
     stride = max(1, (total + MAX_SAMPLE - 1) // MAX_SAMPLE)
     order = np.argsort(ids, kind="stable")
     sample_idx = [i for i in order if ids[i] % stride == 0][:MAX_SAMPLE]
-    cent = kmeans_lite(vecs[sample_idx], N_LISTS)
-    mat = _normalize(vecs)
+    cent = _golden_kmeans(vecs[sample_idx], N_LISTS)
+    mat = _golden_normalize(vecs)
     cluster = np.argmax(mat @ cent.T, axis=1).astype(np.int64)
     prio = pd.util.hash_array(np.ascontiguousarray(ids)).view(np.int64)
     neg = -prio  # numpy int64 negation, exactly the engine's score

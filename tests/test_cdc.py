@@ -80,3 +80,42 @@ class TestCdcDedup:
         assert len(dup_1) >= n1 * 0.5
         # the unique payload means doc 0 keeps everything
         assert all(r["keep"] for r in rows if r["doc_id"] == 0)
+
+
+class TestPackOwnerGuards:
+    def test_valid_pack(self):
+        import pyarrow as pa
+
+        from topicrawler_ray.stages.cdc import _IDX_BITS, pack_owner
+
+        out = pack_owner(
+            pa.chunked_array([pa.array([0, 5], pa.int64())]),
+            pa.chunked_array([pa.array([3, 7], pa.int64())]),
+        )
+        assert out.to_pylist() == [3, 5 * (1 << _IDX_BITS) + 7]
+
+    def test_chunk_idx_overflow_raises(self):
+        import pyarrow as pa
+        import pytest
+
+        from topicrawler_ray.stages.cdc import _IDX_BITS, pack_owner
+
+        with pytest.raises(OverflowError, match="chunk_idx"):
+            pack_owner(
+                pa.array([1], pa.int64()),
+                pa.array([1 << _IDX_BITS], pa.int64()),
+            )
+
+    def test_doc_id_overflow_raises(self):
+        import pyarrow as pa
+        import pytest
+
+        from topicrawler_ray.stages.cdc import _IDX_BITS, pack_owner
+
+        with pytest.raises(OverflowError, match="doc_id"):
+            pack_owner(
+                pa.array([1 << (63 - _IDX_BITS)], pa.int64()),
+                pa.array([0], pa.int64()),
+            )
+        with pytest.raises(OverflowError, match="doc_id"):
+            pack_owner(pa.array([-1], pa.int64()), pa.array([0], pa.int64()))

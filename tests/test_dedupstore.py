@@ -139,3 +139,41 @@ class TestNgramNovelty:
         register_ngram_hashes(_docs(["a b c"]), reg, "g0", n=3, num_shards=4)
         got = ngram_novelty(_docs(["xy"], start=5), reg, n=3).take_all()
         assert got == [{"doc_id": 5, "novelty_e6": 1_000_000}]
+
+
+class TestManifestShardValidation:
+    def test_manifest_records_shards(self, ray_session, tmp_path):
+        from topicrawler_ray.state.dedupstore import (
+            read_manifest,
+            register_hashes,
+        )
+
+        reg = str(tmp_path / "val")
+        register_hashes(
+            _docs(["a", "b", "c", "d"]), "text", reg, "g0", num_shards=4
+        )
+        man = read_manifest(reg)
+        assert man["generations"][0]["shards"], "shard list missing"
+
+    def test_missing_shard_raises_at_probe(self, ray_session, tmp_path):
+        """A manifest-listed shard file that is not visible must raise
+        (shared-filesystem guard), never read as empty/seen=False."""
+        import os
+
+        import pytest
+
+        from topicrawler_ray.state.dedupstore import (
+            RegistryProbe,
+            read_manifest,
+        )
+        from topicrawler_ray.state.dedupstore import register_hashes
+
+        reg = str(tmp_path / "val2")
+        register_hashes(
+            _docs(["a", "b", "c", "d"]), "text", reg, "g0", num_shards=4
+        )
+        man = read_manifest(reg)
+        shard = man["generations"][0]["shards"][0]
+        os.remove(os.path.join(reg, "gen-g0", "shard=%04d.parquet" % shard))
+        with pytest.raises(RuntimeError, match="shared"):
+            RegistryProbe(reg, "text")

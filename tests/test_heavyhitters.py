@@ -53,3 +53,30 @@ class TestHeavyHitters:
         ds = ray.data.from_items([{"text": "a b"}]).filter(lambda r: False)
         out = heavy_hitters(ds, k=3, capacity=8)
         assert out.num_rows == 0
+
+
+class TestFewerCandidatesThanK:
+    def test_complete_vocabulary_certifies_short_result(self, ray_session):
+        """< k distinct words total: result is the complete ranking."""
+        from topicrawler_ray.stages.heavyhitters import heavy_hitters
+
+        ds = ray.data.from_items(
+            [{"text": "a a a b b c"}, {"text": "a b c"}]
+        ).repartition(2)
+        out = heavy_hitters(ds, k=10, capacity=64)
+        assert out.column("word").to_pylist() == ["a", "b", "c"]
+        assert out.column("cnt").to_pylist() == [4, 3, 2]
+
+    def test_truncated_candidates_raise(self, ray_session):
+        """Fewer candidates than k AND uncovered tokens: positions
+        len(cand)+1..k are unknowable -> must refuse, not truncate."""
+        from topicrawler_ray.stages.heavyhitters import heavy_hitters
+
+        # one dominant word + a long tail; with capacity 2 only the
+        # dominant word clears n/(capacity+1) while tail tokens stay
+        # uncovered -> 1 candidate < k and unknowable tail positions
+        texts = [" ".join(["dom"] * 20) + " "
+                 + " ".join("t%d" % i for i in range(10))]
+        ds = ray.data.from_items([{"text": t} for t in texts])
+        with pytest.raises(ValueError, match="candidates"):
+            heavy_hitters(ds, k=5, capacity=2)

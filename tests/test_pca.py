@@ -48,3 +48,27 @@ class TestPca:
     def test_quantize_floor(self):
         q = quantize_embeddings(np.array([[0.5, -0.5]]))
         assert q.tolist() == [[512, -512]]
+
+
+class TestInt64ExactnessGuard:
+    def test_overflow_raises(self):
+        import numpy as np
+        import pytest
+
+        from topicrawler_ray.stages.pca import check_int64_exactness
+
+        d = 4
+        G = np.full((d, d), 1 << 41, dtype=np.int64)
+        S = np.full(d, 1 << 20, dtype=np.int64)
+        with pytest.raises(OverflowError, match="int64"):
+            check_int64_exactness(G, S, n=1 << 22)
+
+    def test_small_ok(self):
+        import numpy as np
+
+        from topicrawler_ray.stages.pca import check_int64_exactness
+
+        d = 4
+        G = np.full((d, d), 1 << 20, dtype=np.int64)
+        S = np.full(d, 1 << 10, dtype=np.int64)
+        check_int64_exactness(G, S, n=1000)  # no raise

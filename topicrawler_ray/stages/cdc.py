@@ -118,6 +118,37 @@ def _chunk_rows(batch: pa.Table, column: str, id_column: str,
     )
 
 
+def pack_owner(doc_id, chunk_idx):
+    """Packed winner key ``doc_id << _IDX_BITS | chunk_idx``.  MIN over
+    this key selects the (doc_id, chunk_idx)-lexicographic first
+    occurrence; a collision or int64 wrap would silently crown the
+    wrong winner, so both fields are bounds-checked explicitly
+    (chunk_idx < 2^20 means docs up to ~16 MiB at min_size=16;
+    doc_id < 2^43)."""
+    import pyarrow.compute as pc
+
+    if len(doc_id):
+        max_idx = pc.max(chunk_idx).as_py()
+        max_did = pc.max(doc_id).as_py()
+        min_did = pc.min(doc_id).as_py()
+        if max_idx is not None and max_idx >= (1 << _IDX_BITS):
+            raise OverflowError(
+                "cdc_dedup: chunk_idx %d >= 2^%d - a document yielded too "
+                "many chunks for the packed owner key; raise "
+                "min_size/max_size or _IDX_BITS" % (max_idx, _IDX_BITS)
+            )
+        if max_did is not None and (
+            max_did >= (1 << (63 - _IDX_BITS)) or min_did < 0
+        ):
+            raise OverflowError(
+                "cdc_dedup: doc_id out of [0, 2^%d) - the packed owner "
+                "key would overflow int64" % (63 - _IDX_BITS)
+            )
+    return pc.add(
+        pc.multiply(doc_id, np.int64(1 << _IDX_BITS)), chunk_idx
+    )
+
+
 def cdc_dedup(
     ds,
     column: str = "text",
@@ -143,11 +174,10 @@ def cdc_dedup(
     )
 
     def pack(batch: pa.Table) -> pa.Table:
-        owner = pc.add(
-            pc.multiply(batch.column("doc_id"), np.int64(1 << _IDX_BITS)),
-            batch.column("chunk_idx"),
+        return batch.append_column(
+            "owner", pack_owner(batch.column("doc_id"),
+                                batch.column("chunk_idx"))
         )
-        return batch.append_column("owner", owner)
 
     packed = chunks.map_batches(pack, batch_format="pyarrow")
     winners = (

@@ -144,14 +144,27 @@ def heavy_hitters(
             exact += np.frombuffer(buf, dtype=np.int64)
 
     order = np.lexsort((cand, -exact))[:k]
-    kth = int(exact[order[-1]])
-    bound = n_total / (capacity + 1)
-    if kth <= bound:
-        need = int(np.ceil(n_total / max(kth, 1))) + 1
-        raise ValueError(
-            "top-%d not certifiable: k-th count %d <= N/(capacity+1)=%.1f; "
-            "re-run with capacity >= %d" % (k, kth, bound, need)
-        )
+    if len(cand) < k:
+        # fewer candidates than k: only certifiable when the candidates
+        # provably cover EVERY token (then they are all distinct words
+        # and the complete ranking is exact); otherwise an uncounted
+        # non-candidate word could belong in positions len(cand)+1..k
+        if int(exact.sum()) != n_total:
+            raise ValueError(
+                "top-%d not certifiable: only %d candidates survived "
+                "pass 1 and non-candidate tokens exist; raise capacity"
+                % (k, len(cand))
+            )
+    else:
+        kth = int(exact[order[-1]])
+        bound = n_total / (capacity + 1)
+        if kth <= bound:
+            need = int(np.ceil(n_total / max(kth, 1))) + 1
+            raise ValueError(
+                "top-%d not certifiable: k-th count %d <= "
+                "N/(capacity+1)=%.1f; re-run with capacity >= %d"
+                % (k, kth, bound, need)
+            )
     return pa.table(
         {
             "word": pa.array([cand[i] for i in order], pa.string()),

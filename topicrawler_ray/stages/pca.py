@@ -22,6 +22,12 @@ is int64:
 Eigenvector sign is canonicalized (largest-|component| made positive,
 earliest index on ties) so the decomposition is unique.
 
+The exactness guarantee has an explicit int64 bound: ``n * max|G|``,
+``max|S|^2`` and the worst-case integer projection must stay below
+2^62 (roughly n ≤ ~3M unit-norm rows at Q_IN=2^10).
+:func:`check_int64_exactness` raises past it - fit the axes on a
+bounded sample/shard (statistically equivalent) for larger tables.
+
 Reference context: the reference has no vector analytics; this extends
 the embedding-column surface (ANN / SemDeDup / hard negatives) with
 the standard dimensionality-reduction preprocessing step.
@@ -81,9 +87,41 @@ def gram_partials(ds, vec_column: str = "embedding"):
     return G, S, n
 
 
+_INT64_SAFE = 1 << 62  # headroom below the int64 ceiling
+
+
+def check_int64_exactness(G: np.ndarray, S: np.ndarray, n: int) -> None:
+    """Raise when the exact-integer claim would silently break: the
+    centered scatter ``n*G - S S^T`` and the projection
+    ``(n*q - S) @ axes_q^T`` are formed in int64, which wraps (numpy
+    does NOT promote) once ``n * max|G|``, ``max|S|^2`` or the
+    worst-case projected dot product crosses 2^63.  In practice this
+    caps the EXACT path at roughly n ~ 3M rows for unit-norm
+    embeddings (Q_IN=2^10); beyond that, sample/shard the PCA fit
+    (statistically equivalent for axis estimation) or lower Q_IN."""
+    g_max = int(np.abs(G).max(initial=0))
+    s_max = int(np.abs(S).max(initial=0))
+    d = G.shape[0]
+    # max |component| of a quantized row, from the Gram diagonal
+    q_max = int(np.sqrt(max(int(G.diagonal().max(initial=0)), 0))) + 1
+    proj_bound = d * (n * q_max + s_max) * Q_VEC
+    if (
+        n * g_max >= _INT64_SAFE
+        or s_max * s_max >= _INT64_SAFE
+        or proj_bound >= _INT64_SAFE
+    ):
+        raise OverflowError(
+            "exact-int64 PCA bound exceeded (n=%d, max|G|=%d, max|S|=%d): "
+            "n*G - S S^T or the integer projection would wrap int64. "
+            "Fit the axes on a sample/shard of at most ~2^21 rows (same "
+            "axes in expectation) or reduce Q_IN." % (n, g_max, s_max)
+        )
+
+
 def principal_axes(G: np.ndarray, S: np.ndarray, n: int, k: int) -> np.ndarray:
     """Top-``k`` eigenvectors of the exact centered scatter, sign-
     canonicalized, quantized to int64 (k, d)."""
+    check_int64_exactness(G, S, n)
     scatter = (n * G - np.outer(S, S)).astype(np.float64)
     w, v = np.linalg.eigh(scatter)
     top = v[:, ::-1][:, :k].T  # (k, d), descending eigenvalue

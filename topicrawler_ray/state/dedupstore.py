@@ -27,6 +27,15 @@ Hashes are pandas ``hash_array`` (SipHash64, fixed key) of the raw
 column value; a cross-run false positive needs a 64-bit collision
 (~n_old * n_new / 2**64 - negligible, and conservative: it can only
 drop a new doc, never admit a duplicate).
+
+**Deployment requirement: ``registry_dir`` must be a filesystem shared
+by the driver and every worker node** (NFS/Lustre/FUSE-mounted object
+store) - register writes shard files from worker tasks and probe reads
+them from actor processes.  Because a missing shard file would
+otherwise be indistinguishable from an empty one (silently admitting
+duplicates), the manifest records each generation's shard list and
+both register and probe validate that every listed file is visible,
+raising instead of silently returning seen=False.
 """
 
 from __future__ import annotations
@@ -57,6 +66,31 @@ def read_manifest(registry_dir: str) -> dict:
         return {"num_shards": 0, "generations": []}
     with open(p) as f:
         return json.load(f)
+
+
+def validate_manifest(registry_dir: str, man: dict | None = None) -> dict:
+    """Raise if any shard file listed in the manifest is missing on
+    THIS node - the shared-filesystem guard (a missing shard would
+    otherwise read as empty and silently admit duplicates)."""
+    if man is None:
+        man = read_manifest(registry_dir)
+    missing = []
+    for gen in man["generations"]:
+        for shard in gen.get("shards", ()):
+            p = os.path.join(
+                registry_dir, "gen-%s" % gen["name"], _SHARD_FMT % shard
+            )
+            if not os.path.exists(p):
+                missing.append(p)
+    if missing:
+        raise RuntimeError(
+            "dedup registry at %r is missing %d shard file(s) listed in "
+            "its manifest (first: %r). The registry directory must live "
+            "on a filesystem shared by the driver and ALL worker nodes; "
+            "a node-local path only captures shards written on that node."
+            % (registry_dir, len(missing), missing[0])
+        )
+    return man
 
 
 def register_hashes(
@@ -114,8 +148,13 @@ def register_hashes(
     os.rename(gen_tmp, gen_dir)
     man["num_shards"] = num_shards
     man["generations"].append(
-        {"name": generation, "n_hashes": int(sum(s["n"] for s in stats))}
+        {
+            "name": generation,
+            "n_hashes": int(sum(s["n"] for s in stats)),
+            "shards": sorted(int(s["shard"]) for s in stats),
+        }
     )
+    validate_manifest(registry_dir, man)
     with open(_manifest_path(registry_dir), "w") as f:
         json.dump(man, f)
     return man
@@ -131,7 +170,15 @@ class RegistryProbe:
 
         self.registry_dir = registry_dir
         self.column = column
-        self.man = read_manifest(registry_dir)
+        # validate on EVERY probe actor: each worker node must see every
+        # manifest-listed shard file (shared-filesystem guard)
+        self.man = validate_manifest(registry_dir)
+        # per-generation shard sets; None = legacy manifest without the
+        # "shards" list (falls back to missing==empty)
+        self._gen_shards = {
+            g["name"]: (set(g["shards"]) if "shards" in g else None)
+            for g in self.man["generations"]
+        }
         self.cache: "OrderedDict[tuple[str, int], np.ndarray]" = OrderedDict()
         self.max_cached = max_cached
 
@@ -141,12 +188,18 @@ class RegistryProbe:
         if got is not None:
             self.cache.move_to_end(key)
             return got
+        listed = self._gen_shards.get(gen)
         p = os.path.join(self.registry_dir, "gen-%s" % gen, _SHARD_FMT % shard)
-        arr = (
-            pq.read_table(p).column("h").to_numpy(zero_copy_only=False)
-            if os.path.exists(p)
-            else np.empty(0, dtype=np.uint64)
-        )
+        if os.path.exists(p):
+            arr = pq.read_table(p).column("h").to_numpy(zero_copy_only=False)
+        elif listed is not None and shard in listed:
+            raise RuntimeError(
+                "registry shard %r listed in the manifest is not visible "
+                "on this node - registry_dir must be on a shared "
+                "filesystem" % p
+            )
+        else:
+            arr = np.empty(0, dtype=np.uint64)
         self.cache[key] = arr
         if len(self.cache) > self.max_cached:
             self.cache.popitem(last=False)
@@ -260,8 +313,13 @@ def register_hash_column(
     os.rename(gen_tmp, gen_dir)
     man["num_shards"] = num_shards
     man["generations"].append(
-        {"name": generation, "n_hashes": int(sum(s["n"] for s in stats))}
+        {
+            "name": generation,
+            "n_hashes": int(sum(s["n"] for s in stats)),
+            "shards": sorted(int(s["shard"]) for s in stats),
+        }
     )
+    validate_manifest(registry_dir, man)
     with open(_manifest_path(registry_dir), "w") as f:
         json.dump(man, f)
     return man
@@ -419,6 +477,8 @@ def compact_registry(registry_dir: str, compacted_name: str = "compacted"):
         prefix=".gen-%s-" % compacted_name, dir=registry_dir
     )
 
+    validate_manifest(registry_dir, man)
+
     @ray.remote
     def merge_shard(shard: int) -> int:
         parts = []
@@ -443,8 +503,13 @@ def compact_registry(registry_dir: str, compacted_name: str = "compacted"):
     gen_dir = os.path.join(registry_dir, "gen-%s" % compacted_name)
     os.rename(gen_tmp, gen_dir)
     man["generations"] = [
-        {"name": compacted_name, "n_hashes": int(sum(counts))}
+        {
+            "name": compacted_name,
+            "n_hashes": int(sum(counts)),
+            "shards": sorted(s for s, n in enumerate(counts) if n > 0),
+        }
     ]
+    validate_manifest(registry_dir, man)
     with open(_manifest_path(registry_dir), "w") as f:
         json.dump(man, f)
     for g in gens:
