@@ -180,22 +180,28 @@ def _q_plaintext_corpus(sf_dir: str):
 # dedup / text analysis / similarity over the standard tables
 
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, columns: list[str]):
+    """documents table with MANDATORY column pruning: every caller
+    states exactly what it reads so only those columns leave storage
+    (pass None only when a consumer genuinely needs the full schema)."""
     import ray.data
 
-    return ray.data.read_parquet(sf_dir + "/documents.parquet")
+    return ray.data.read_parquet(sf_dir + "/documents.parquet",
+                                 columns=columns)
 
 
-def _embs(sf_dir: str):
+def _embs(sf_dir: str, columns: list[str]):
+    """embeddings table with MANDATORY column pruning (see _docs)."""
     import ray.data
 
-    return ray.data.read_parquet(sf_dir + "/embeddings.parquet")
+    return ray.data.read_parquet(sf_dir + "/embeddings.parquet",
+                                 columns=columns)
 
 
 def _q_dedup_exact(sf_dir: str):
     from topicrawler_ray.stages.dedup import exact_dedup
 
-    return exact_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    return exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def _perturbed_docs_ds(sf_dir: str, mode: str):
@@ -266,7 +272,7 @@ def _q_dedup_ngram_jaccard(sf_dir: str):
 def _q_embedding_near_dup(sf_dir: str):
     from topicrawler_ray.stages.dedup import embedding_near_dup_pairs
 
-    t = embedding_near_dup_pairs(_embs(sf_dir), threshold=0.4)
+    t = embedding_near_dup_pairs(_embs(sf_dir, ["vec_id", "embedding"]), threshold=0.4)
     import numpy as np
 
     df = t.to_pandas()
@@ -291,7 +297,7 @@ def _q_knn_bruteforce(sf_dir: str):
         )
     )
     queries = np.array([e for _, e in qrows], dtype=np.float64)
-    t = brute_force_topk(_embs(sf_dir), queries, k=10)
+    t = brute_force_topk(_embs(sf_dir, ["vec_id", "embedding"]), queries, k=10)
     import numpy as np
 
     df = t.to_pandas()
@@ -318,7 +324,7 @@ def _q_knn_ivf(sf_dir: str):
         )
     )
     queries = np.array([e for _, e in qrows], dtype=np.float64)
-    t = ivf_topk(_embs(sf_dir), queries, k=10, n_lists=8, nprobe=3)
+    t = ivf_topk(_embs(sf_dir, ["vec_id", "embedding"]), queries, k=10, n_lists=8, nprobe=3)
     df = t.to_pandas()
     df["cosine_e4"] = np.floor(df["cosine"] * 10000).astype("int64")
     df = df.drop(columns=["cosine"])
@@ -344,7 +350,7 @@ def _q_knn_lsh(sf_dir: str):
         )
     )
     queries = np.array([e for _, e in qrows], dtype=np.float64)
-    t = lsh_topk(_embs(sf_dir), queries, k=10, n_bits=8, probe_hamming=1)
+    t = lsh_topk(_embs(sf_dir, ["vec_id", "embedding"]), queries, k=10, n_bits=8, probe_hamming=1)
     df = t.to_pandas()
     df["cosine_e4"] = np.floor(df["cosine"] * 10000).astype("int64")
     df = df.drop(columns=["cosine"])
@@ -361,7 +367,7 @@ def _q_semantic_dedup(sf_dir: str):
     centroid golden with dict loops."""
     from topicrawler_ray.stages.dedup import semantic_dedup
 
-    return semantic_dedup(_embs(sf_dir), n_clusters=8, threshold_e4=9000)
+    return semantic_dedup(_embs(sf_dir, ["vec_id", "embedding"]), n_clusters=8, threshold_e4=9000)
 
 
 def _q_knn_int8(sf_dir: str):
@@ -382,7 +388,7 @@ def _q_knn_int8(sf_dir: str):
         )
     )
     queries = np.array([e for _, e in qrows], dtype=np.float32)
-    df = int8_topk(_embs(sf_dir), queries, k=10).to_pandas()
+    df = int8_topk(_embs(sf_dir, ["vec_id", "embedding"]), queries, k=10).to_pandas()
     df["query_id"] = df["query_id"].astype("int64")
     df["rank"] = df["rank"].astype("int64")
     return df
@@ -391,7 +397,7 @@ def _q_knn_int8(sf_dir: str):
 def _q_token_counts(sf_dir: str):
     from topicrawler_ray.stages.textstats import token_count_batch
 
-    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"])
     ds = ds.map_batches(token_count_batch, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "n_ws_tokens"])
 
@@ -399,7 +405,7 @@ def _q_token_counts(sf_dir: str):
 def _q_quality(sf_dir: str):
     from topicrawler_ray.stages.textstats import quality_batch
 
-    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"])
     ds = ds.map_batches(quality_batch, batch_format="pyarrow")
     return ds.select_columns(
         ["doc_id", "n_chars_q", "n_punct", "n_stopwords", "n_words", "n_distinct_words"]
@@ -424,7 +430,7 @@ def _q_quality_gopher(sf_dir: str):
             batch.schema.get_field_index("text"), "text", pa.array(texts, pa.string())
         )
 
-    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"])
     ds = ds.map_batches(reshape, batch_format="pyarrow")
     ds = ds.map_batches(gopher_repetition_batch, batch_format="pyarrow")
     return ds.select_columns(
@@ -453,7 +459,7 @@ def _q_pii_redact(sf_dir: str):
             batch.schema.get_field_index("text"), "text", pa.array(out, pa.string())
         )
 
-    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"])
     ds = ds.map_batches(inject, batch_format="pyarrow")
     ds = ds.map_batches(pii_redact_batch, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "text_redacted", "n_emails", "n_ipv4"])
@@ -507,7 +513,7 @@ def _q_decontaminate(sf_dir: str):
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(ids % 37 == 0))
 
-    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"])
     bench = ds.map_batches(bench_only, batch_format="pyarrow")
     out = decontaminate(ds, bench, n=3, concurrency=2)
     return out.select_columns(["doc_id", "n_contaminated", "contaminated"])
@@ -567,7 +573,7 @@ def _q_doc_compress(sf_dir: str):
 
     from topicrawler_ray.stages.textstats import compression_signals_batch
 
-    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(
         compression_signals_batch, batch_format="pyarrow"
     ).select_columns(["doc_id", "n_bytes", "n_zlib"])
@@ -579,7 +585,7 @@ def _q_normalize_text(sf_dir: str):
     byte-equal."""
     from topicrawler_ray.stages.textstats import normalize_text_batch
 
-    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(
         normalize_text_batch, batch_format="pyarrow"
     ).select_columns(["doc_id", "norm_text"])
@@ -593,7 +599,7 @@ def _q_dt_features(sf_dir: str):
     from topicrawler_ray.stages.cooc import word_cooc
     from topicrawler_ray.stages.dt import lmi_features
 
-    cooc = word_cooc(_docs(sf_dir).select_columns(["text"]), window=2)
+    cooc = word_cooc(_docs(sf_dir, ["text"]), window=2)
     return lmi_features(cooc, k=5)
 
 
@@ -604,7 +610,7 @@ def _q_dt_similarity(sf_dir: str):
     from topicrawler_ray.stages.cooc import word_cooc
     from topicrawler_ray.stages.dt import dt_similarity, lmi_features
 
-    cooc = word_cooc(_docs(sf_dir).select_columns(["text"]), window=2)
+    cooc = word_cooc(_docs(sf_dir, ["text"]), window=2)
     return dt_similarity(lmi_features(cooc, k=5), k=5)
 
 
@@ -614,7 +620,7 @@ def _q_word_cooc(sf_dir: str):
     oracle."""
     from topicrawler_ray.stages.cooc import word_cooc
 
-    return word_cooc(_docs(sf_dir).select_columns(["text"]), window=2)
+    return word_cooc(_docs(sf_dir, ["text"]), window=2)
 
 
 def _q_events_lag(sf_dir: str):
@@ -712,7 +718,7 @@ def _q_bm25_topk(sf_dir: str):
     list is mirrored by the sequential oracle."""
     from topicrawler_ray.stages.retrieval import bm25_topk
 
-    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"])
     queries = [(0, "fast table scan"), (1, "window agg value"), (2, "slow batch merge")]
     return bm25_topk(ds, queries, k=10)
 
@@ -742,7 +748,7 @@ def _q_dedup_segments(sf_dir: str):
     128-bit fingerprints, not text.  Pure-SQL window oracle."""
     from topicrawler_ray.stages.dedup import segment_dedup
 
-    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"])
     return segment_dedup(ds, words_per_seg=10)
 
 
@@ -774,7 +780,7 @@ def _q_dup_spans(sf_dir: str):
     spans; a doc keeps only if dup coverage <= 20% of its tokens."""
     from topicrawler_ray.stages.spans import dup_span_stats
 
-    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"])
     return dup_span_stats(ds, n=8, min_count=2, max_dup_pct=20)
 
 
@@ -793,7 +799,7 @@ def _q_near_dup_clusters(sf_dir: str):
     )
     from topicrawler_ray.stages.spans import gram_pos_hashes
 
-    src = _docs(sf_dir).select_columns(["doc_id", "text"])
+    src = _docs(sf_dir, ["doc_id", "text"])
 
     def membership(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -823,7 +829,7 @@ def _q_near_dup_clusters(sf_dir: str):
 def _q_langid(sf_dir: str):
     from topicrawler_ray.stages.textstats import LangId
 
-    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"])
     ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
     return ds.select_columns(["doc_id", "lang_pred"])
 
@@ -840,8 +846,8 @@ def _q_hashed_vectors(sf_dir: str):
     from topicrawler_ray.stages.vectorize import hashed_ngram_vectors
 
     return hashed_ngram_vectors(
-        _docs(sf_dir), text_column="text", id_column="doc_id",
-        dim=64, ngram_range=(1, 2),
+        _docs(sf_dir, ["doc_id", "text"]), text_column="text",
+        id_column="doc_id", dim=64, ngram_range=(1, 2),
     )
 
 
@@ -851,7 +857,7 @@ def _q_sample_weighted(sf_dir: str):
     partial top-k, k*partitions rows to the driver merge - no shuffle."""
     from topicrawler_ray.stages.sampling import weighted_sample
 
-    ds = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
     return weighted_sample(ds, "doc_id", "n_chars", k=50, seed="42")
 
 
@@ -861,7 +867,7 @@ def _q_sample_stratified(sf_dir: str):
     row-local filter, reproducible and DuckDB-recomputable."""
     from topicrawler_ray.stages.sampling import stratified_sample
 
-    ds = _docs(sf_dir).select_columns(["doc_id", "lang"])
+    ds = _docs(sf_dir, ["doc_id", "lang"])
     return stratified_sample(
         ds, "doc_id", "lang", _SAMPLE_FRACTIONS, _SAMPLE_DEFAULT,
         seed=_SAMPLE_SEED,
@@ -877,7 +883,7 @@ def _q_shuffle_shards(sf_dir: str):
     shard/rank layout is md5-recomputable in SQL."""
     from topicrawler_ray.stages.sampling import shuffle_shards
 
-    ds = _docs(sf_dir).select_columns(["doc_id"])
+    ds = _docs(sf_dir, ["doc_id"])
     return shuffle_shards(ds, "doc_id", _SHUFFLE_SHARDS, seed=_SAMPLE_SEED)
 
 
@@ -901,7 +907,7 @@ def _q_word_df(sf_dir: str):
     canonical stop-term signal, one word-keyed shuffle."""
     from topicrawler_ray.stages.ranking import word_df
 
-    return word_df(_docs(sf_dir))
+    return word_df(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def _q_doc_top_terms(sf_dir: str):
@@ -910,7 +916,7 @@ def _q_doc_top_terms(sf_dir: str):
     scoring, df side joined on the word key (never broadcast)."""
     from topicrawler_ray.stages.ranking import doc_top_terms
 
-    return doc_top_terms(_docs(sf_dir), k=3, max_df_docs=250)
+    return doc_top_terms(_docs(sf_dir, ["doc_id", "text"]), k=3, max_df_docs=250)
 
 
 def _q_pack_sequences(sf_dir: str):
@@ -921,7 +927,7 @@ def _q_pack_sequences(sf_dir: str):
     from topicrawler_ray.stages.packing import pack_sequences
 
     return pack_sequences(
-        _docs(sf_dir), max_tokens=128, range_size=64
+        _docs(sf_dir, ["doc_id", "text"]), max_tokens=128, range_size=64
     )
 
 
@@ -935,7 +941,7 @@ def _q_langid_wordlist(sf_dir: str):
 
     from topicrawler_ray.stages.textstats import WordListLangId
 
-    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"])
     ds = ds.map_batches(WordListLangId, batch_format="pyarrow", concurrency=2)
 
     def quantize(batch):
@@ -955,7 +961,7 @@ def _q_langid_wordlist(sf_dir: str):
 def _q_fingerprints(sf_dir: str):
     from topicrawler_ray.stages.textstats import fingerprint_batch
 
-    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"])
     ds = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "content_md5"])
 
@@ -964,7 +970,7 @@ def _q_vocabulary(sf_dir: str):
     """A2: distinct vocabulary over documents (whitespace tokens)."""
     from topicrawler_ray.lm.build import count_word_ngrams_ws, vocabulary
 
-    counts = count_word_ngrams_ws(_docs(sf_dir).select_columns(["text"]), order=1)
+    counts = count_word_ngrams_ws(_docs(sf_dir, ["text"]), order=1)
     return vocabulary(counts)
 
 
@@ -972,7 +978,7 @@ def _q_ngram_counts_ws(sf_dir: str):
     """Whitespace-bigram counts with mincount 2 (A1, SQL-oracled)."""
     from topicrawler_ray.lm.build import count_word_ngrams_ws
 
-    ds = _docs(sf_dir).select_columns(["text"])
+    ds = _docs(sf_dir, ["text"])
     counts = count_word_ngrams_ws(ds, order=2, mincount=2)
 
     def only_bigrams(batch):
@@ -989,7 +995,7 @@ def _q_ngram_stats_seg(sf_dir: str):
     ``GenerateNgramIndex.java:297-309``) over seg-tokenized trigrams."""
     from topicrawler_ray.lm.build import ngram_index
 
-    ds = _docs(sf_dir).select_columns(["text"])
+    ds = _docs(sf_dir, ["text"])
     idx = ngram_index(ds, order=3)
 
     def cast_n(batch):
@@ -1013,7 +1019,7 @@ def _q_media_features(sf_dir: str):
         synthesize_media_batch,
     )
 
-    ds = _docs(sf_dir).select_columns(["doc_id"])
+    ds = _docs(sf_dir, ["doc_id"])
     ds = ds.map_batches(synthesize_media_batch, batch_format="pyarrow")
     ds = ds.map_batches(
         ImageDecodeStage, batch_format="pyarrow", batch_size=32, concurrency=2
@@ -1141,7 +1147,7 @@ def _q_media_frames(sf_dir: str):
         synthesize_media_batch,
     )
 
-    ds = _docs(sf_dir).select_columns(["doc_id"])
+    ds = _docs(sf_dir, ["doc_id"])
     ds = ds.map_batches(synthesize_media_batch, batch_format="pyarrow")
     ds = ds.map_batches(
         VideoFrameSampleStage, batch_format="pyarrow", batch_size=32, concurrency=2
@@ -1309,7 +1315,7 @@ def _q_politeness_slots(sf_dir: str):
             }
         )
 
-    ds = _docs(sf_dir).select_columns(["doc_id"])
+    ds = _docs(sf_dir, ["doc_id"])
     ds = ds.map_batches(frontier_rows, batch_format="pyarrow")
     return assign_politeness_slots(ds, min_delay_ms=100)
 
@@ -1326,7 +1332,7 @@ def _q_corpus_truncate(sf_dir: str):
     from topicrawler_ray.pipelines.perpeval import truncate_by_token_budget
     from topicrawler_ray.stages.textstats import token_count_batch
 
-    ds = _docs(sf_dir).select_columns(["doc_id", "text"]).sort("doc_id")
+    ds = _docs(sf_dir, ["doc_id", "text"]).sort("doc_id")
     ds = ds.map_batches(token_count_batch, batch_format="pyarrow")
     out = truncate_by_token_budget(
         ds, budget=10000, order_column="doc_id", token_column="n_ws_tokens"
@@ -1418,7 +1424,7 @@ def _q_ngram_count_of_counts(sf_dir: str):
 
     from topicrawler_ray.lm.build import count_of_counts, count_word_ngrams_ws
 
-    counts = count_word_ngrams_ws(_docs(sf_dir).select_columns(["text"]), order=2)
+    counts = count_word_ngrams_ws(_docs(sf_dir, ["text"]), order=2)
     stats = count_of_counts(counts, order=2, max_c=6)
     rows_n, rows_b, rows_c = [], [], []
     for n in (1, 2):
@@ -1447,7 +1453,7 @@ def _q_export_manifest(sf_dir: str):
 
     out = tempfile.mkdtemp(prefix="topicrawler_q_export_")
     try:
-        ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+        ds = _docs(sf_dir, ["doc_id", "text"])
         manifest = write_partitioned(ds, out, key_column="doc_id", num_partitions=8)
         names = sorted(manifest)
         return pa.table(
@@ -1496,7 +1502,8 @@ def _q_heavy_hitters(sf_dir: str):
     unnest/count oracle."""
     from topicrawler_ray.stages.heavyhitters import heavy_hitters
 
-    return heavy_hitters(_docs(sf_dir), column="text", k=20, capacity=2048)
+    return heavy_hitters(_docs(sf_dir, ["text"]), column="text", k=20,
+                          capacity=2048)
 
 
 def _q_distinct_users_hll(sf_dir: str):
@@ -1522,8 +1529,10 @@ def _q_dsir_select(sf_dir: str):
     sequential per-doc derivation."""
     from topicrawler_ray.stages.dsir import dsir_select
 
-    corpus = _docs(sf_dir)
-    target = _docs(sf_dir).filter(expr="lang == 'de'")
+    corpus = _docs(sf_dir, ["doc_id", "text"])
+    target = _docs(sf_dir, ["doc_id", "text", "lang"]).filter(
+        expr="lang == 'de'"
+    )
     return dsir_select(corpus, target, n=100, dim=8192)
 
 
@@ -1536,7 +1545,7 @@ def _q_nb_lang(sf_dir: str):
         train_naive_bayes,
     )
 
-    docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang"])
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
     model = train_naive_bayes(docs, "text", "lang", dim=4096)
     out = naive_bayes_classify(docs, model, text_column="text")
     return out.select_columns(["doc_id", "pred_label", "nb_score_q"])
@@ -1643,7 +1652,7 @@ def _q_bpe_tokens(sf_dir: str):
     memoization.  Oracle: independent sequential BPE."""
     from topicrawler_ray.stages.bpe import bpe_tokenize, train_bpe
 
-    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    docs = _docs(sf_dir, ["doc_id", "text"])
     merges = train_bpe(docs, num_merges=200, min_count=2)
     out = bpe_tokenize(docs, merges)
     return out.select_columns(["doc_id", "n_bpe_tokens", "bpe_head"])
@@ -1655,7 +1664,7 @@ def _q_cdc_chunks(sf_dir: str):
     Oracle: independent sequential per-byte rolling hash."""
     from topicrawler_ray.stages.cdc import cdc_dedup
 
-    return cdc_dedup(_docs(sf_dir))
+    return cdc_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def _q_cooc_pmi(sf_dir: str):
@@ -1664,7 +1673,7 @@ def _q_cooc_pmi(sf_dir: str):
     int64 fixed-point).  Oracle: independent sequential derivation."""
     from topicrawler_ray.stages.cooc import cooc_significance, word_cooc
 
-    pairs = word_cooc(_docs(sf_dir), window=2, min_count=5)
+    pairs = word_cooc(_docs(sf_dir, ["text"]), window=2, min_count=5)
     return cooc_significance(pairs)
 
 
@@ -1735,7 +1744,7 @@ def _q_hard_negatives(sf_dir: str):
         if i < 10
     )
     t = hard_negatives(
-        _embs(sf_dir),
+        _embs(sf_dir, ["vec_id", "embedding", "label"]),
         queries=np.array([e for _, e, _ in qrows], dtype=np.float64),
         query_labels=np.array([l for _, _, l in qrows]),
         query_ids=np.array([i for i, _, _ in qrows], dtype=np.int64),
@@ -1817,7 +1826,7 @@ def _q_salted_lang_stats(sf_dir: str):
     GROUP BY oracle - salting must be exactly lossless."""
     from topicrawler_ray.stages.skew import salted_groupby_sum
 
-    docs = _docs(sf_dir).select_columns(["lang", "n_chars"])
+    docs = _docs(sf_dir, ["lang", "n_chars"])
     return salted_groupby_sum(docs, key="lang", value="n_chars", num_salts=16)
 
 
@@ -1833,7 +1842,7 @@ def _q_incremental_dedup(sf_dir: str):
     from topicrawler_ray.stages.dedup import exact_dedup_by_hash
     from topicrawler_ray.state.dedupstore import filter_unseen, register_hashes
 
-    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    docs = _docs(sf_dir, ["doc_id", "text"])
     n_total = docs.count()
     half = n_total // 2
     run1 = docs.filter(expr="doc_id < %d" % half)
@@ -1876,7 +1885,7 @@ def _q_incremental_neardup(sf_dir: str):
         register_minhash_bands,
     )
 
-    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    docs = _docs(sf_dir, ["doc_id", "text"])
     half = docs.count() // 2
     run1 = docs.filter(expr="doc_id < %d" % half)
     run2 = docs.filter(expr="doc_id >= %d" % half)
@@ -1896,7 +1905,7 @@ def _q_embedding_pca(sf_dir: str):
     Oracle: independent sequential derivation."""
     from topicrawler_ray.stages.pca import pca_project
 
-    return pca_project(_embs(sf_dir), k=2)
+    return pca_project(_embs(sf_dir, ["vec_id", "embedding"]), k=2)
 
 
 def _q_orders_antijoin(sf_dir: str):
@@ -1979,7 +1988,7 @@ def _q_jsonl_roundtrip(sf_dir: str):
 
     out = tempfile.mkdtemp(prefix="topicrawler_q_jsonl_")
     try:
-        docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang"])
+        docs = _docs(sf_dir, ["doc_id", "text", "lang"])
         docs.repartition(8).write_json(out)
         back = ray.data.read_json(out)
         return back.select_columns(["doc_id", "text", "lang"]).materialize()
@@ -2002,7 +2011,7 @@ def _q_bm25_disk(sf_dir: str):
 
     out = tempfile.mkdtemp(prefix="topicrawler_q_bm25idx_")
     try:
-        docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+        docs = _docs(sf_dir, ["doc_id", "text"])
         idx = build_bm25_index(docs, out, num_buckets=16)
         queries = [(0, "fast table scan"), (1, "window agg value"),
                    (2, "slow batch merge")]
@@ -2242,7 +2251,7 @@ def _q_corpus_divergence(sf_dir: str):
     independent sequential derivation."""
     from topicrawler_ray.stages.dsir import corpus_divergence
 
-    docs = _docs(sf_dir)
+    docs = _docs(sf_dir, ["text", "lang"])
     return corpus_divergence(docs.filter(expr="lang == 'de'"), docs, dim=8192)
 
 
@@ -2253,7 +2262,7 @@ def _q_doc_length_hist(sf_dir: str):
     import pyarrow.compute as pc
     from ray.data.aggregate import Count
 
-    docs = _docs(sf_dir).select_columns(["n_chars"])
+    docs = _docs(sf_dir, ["n_chars"])
 
     def bin_assign(batch: pa.Table) -> pa.Table:
         b = pc.divide(batch.column("n_chars"), 100)
@@ -2272,7 +2281,7 @@ def _q_doc_chunks(sf_dir: str):
     greedy walk over the same splitter."""
     from topicrawler_ray.stages.chunking import chunk_documents
 
-    return chunk_documents(_docs(sf_dir), max_tokens=64)
+    return chunk_documents(_docs(sf_dir, ["doc_id", "text"]), max_tokens=64)
 
 
 def _q_dedup_html(sf_dir: str):
@@ -2337,7 +2346,8 @@ def _q_sample_diverse(sf_dir: str):
     per cluster.  Oracle: frozen golden."""
     from topicrawler_ray.stages.sampling import diverse_sample
 
-    return diverse_sample(_embs(sf_dir), quota_per_cluster=8, n_lists=16)
+    return diverse_sample(_embs(sf_dir, ["vec_id", "embedding"]),
+                          quota_per_cluster=8, n_lists=16)
 
 
 def _q_source_lang_mix(sf_dir: str):
@@ -2405,7 +2415,7 @@ def _q_doc_novelty(sf_dir: str):
         register_ngram_hashes,
     )
 
-    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    docs = _docs(sf_dir, ["doc_id", "text"])
     half = docs.count() // 2
     run1 = docs.filter(expr="doc_id < %d" % half)
     run2 = docs.filter(expr="doc_id >= %d" % half)
