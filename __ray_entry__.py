@@ -1059,25 +1059,18 @@ def _q_scored_pages_jm(sf_dir: str):
     """Jelinek-Mercer interpolated scorer through the driver (the
     fixed-weight linear-interpolation smoothing variant; same
     actor-pool shape as the stupid-backoff/KN flagships)."""
-    from topicrawler_ray.lm.train import topic_lm_ref
-    from topicrawler_ray.sources.pages import read_pages
-    from topicrawler_ray.stages.extract import extract_batch
-    from topicrawler_ray.stages.score import PerplexityScorer
-
-    ds = read_pages(sf_dir, num_blocks=8)
-    ds = ds.map_batches(extract_batch, batch_format="pyarrow")
-    ds = ds.map_batches(
-        PerplexityScorer,
-        fn_constructor_kwargs={"lm_ref": topic_lm_ref(sf_dir, 3, "jelinek_mercer")},
-        batch_format="pyarrow",
-        concurrency=2,
-    )
-    return ds.select_columns(["url", "perp", "perp_str"])
+    return _q_scored_pages_variant(sf_dir, "jelinek_mercer")
 
 
 def _q_scored_pages_kn(sf_dir: str):
     """F16 through the driver: extraction + Kneser-Ney LM scoring (the
     alternate scorer variant, same actor-pool shape)."""
+    return _q_scored_pages_variant(sf_dir, "kneser_ney")
+
+
+def _q_scored_pages_variant(sf_dir: str, scorer: str):
+    """Shared shape for the alternate-smoothing scorer flagships: pruned
+    page read -> extraction -> LM actor pool (broadcast model)."""
     from topicrawler_ray.lm.train import topic_lm_ref
     from topicrawler_ray.sources.pages import read_pages
     from topicrawler_ray.stages.extract import extract_batch
@@ -1087,11 +1080,33 @@ def _q_scored_pages_kn(sf_dir: str):
     ds = ds.map_batches(extract_batch, batch_format="pyarrow")
     ds = ds.map_batches(
         PerplexityScorer,
-        fn_constructor_kwargs={"lm_ref": topic_lm_ref(sf_dir, 3, "kneser_ney")},
+        fn_constructor_kwargs={"lm_ref": topic_lm_ref(sf_dir, 3, scorer)},
         batch_format="pyarrow",
         concurrency=2,
     )
     return ds.select_columns(["url", "perp", "perp_str"])
+
+
+def _q_scored_pages_knr(sf_dir: str):
+    """F16 recursive variant (``KneserNeyLMRecursive.java:50-118``):
+    top-down interpolated KN through the scorer actor pool."""
+    return _q_scored_pages_variant(sf_dir, "kneser_ney_recursive")
+
+
+def _q_scored_pages_mkn(sf_dir: str):
+    """F16 modified-KN variant (``ModifiedKneserNeyLMRecursive.java``):
+    Chen-Goodman three-discount smoothing."""
+    return _q_scored_pages_variant(sf_dir, "modified_kneser_ney")
+
+
+def _q_scored_pages_popt(sf_dir: str):
+    """F16 popt variant (``PoptKneserNeyLMRecursive.java``)."""
+    return _q_scored_pages_variant(sf_dir, "popt_kneser_ney")
+
+
+def _q_scored_pages_kn1b(sf_dir: str):
+    """F16 one-backoff variant (``OneBackoffKneserNeyLM.java:34-88``)."""
+    return _q_scored_pages_variant(sf_dir, "one_backoff_kneser_ney")
 
 
 def _q_scored_pages_disk(sf_dir: str):
@@ -2536,6 +2551,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scored_pages_kn": _q_scored_pages_kn,
         "scored_pages_jm": _q_scored_pages_jm,
         "scored_pages_disk": _q_scored_pages_disk,
+        "scored_pages_knr": _q_scored_pages_knr,
+        "scored_pages_mkn": _q_scored_pages_mkn,
+        "scored_pages_popt": _q_scored_pages_popt,
+        "scored_pages_kn1b": _q_scored_pages_kn1b,
         "media_frames": _q_media_frames,
         "politeness_slots": _q_politeness_slots,
         "events_windowed": _q_events_windowed,

@@ -155,6 +155,27 @@ def build_topic_lm_kn(sf_dir: str, order: int = DEFAULT_ORDER):
     return build_kneser_ney(build_topic_counts(sf_dir, order))
 
 
+@lru_cache(maxsize=16)
+def build_topic_lm_knfamily(sf_dir: str, order: int, scorer: str):
+    """Recursive/modified KN family of the topic LM (F16 variants:
+    ``KneserNeyLMRecursive.java``, ``ModifiedKneserNeyLMRecursive.java``,
+    ``PoptKneserNeyLMRecursive.java``, ``OneBackoffKneserNeyLM.java``)."""
+    from .knrecursive import (
+        build_kn_recursive,
+        build_modified_kn,
+        build_one_backoff_kn,
+        build_popt_kn,
+    )
+
+    builder = {
+        "kneser_ney_recursive": build_kn_recursive,
+        "modified_kneser_ney": build_modified_kn,
+        "popt_kneser_ney": build_popt_kn,
+        "one_backoff_kneser_ney": build_one_backoff_kn,
+    }[scorer]
+    return builder(build_topic_counts(sf_dir, order))
+
+
 @lru_cache(maxsize=4)
 def build_topic_lm_jm(sf_dir: str, order: int = DEFAULT_ORDER):
     """Jelinek-Mercer interpolated variant of the topic LM."""
@@ -227,6 +248,9 @@ def build_scorer_lm(sf_dir: str, order: int = DEFAULT_ORDER, scorer: str = "stup
         return build_topic_lm_laplace(sf_dir, order)
     if scorer == "jelinek_mercer":
         return build_topic_lm_jm(sf_dir, order)
+    if scorer in ("kneser_ney_recursive", "modified_kneser_ney",
+                  "popt_kneser_ney", "one_backoff_kneser_ney"):
+        return build_topic_lm_knfamily(sf_dir, order, scorer)
     if scorer == "arpa":
         # the disk-artifact path the reference takes (readFromArpa,
         # LanguageModelHelper.java:190-205): export the topic LM as

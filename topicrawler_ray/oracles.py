@@ -167,6 +167,22 @@ def _b_scored_pages_jm(sf_dir: str) -> pa.Table:
     return _b_scored_pages(sf_dir, "jelinek_mercer")
 
 
+def _b_scored_pages_knr(sf_dir: str) -> pa.Table:
+    return _b_scored_pages(sf_dir, "kneser_ney_recursive")
+
+
+def _b_scored_pages_mkn(sf_dir: str) -> pa.Table:
+    return _b_scored_pages(sf_dir, "modified_kneser_ney")
+
+
+def _b_scored_pages_popt(sf_dir: str) -> pa.Table:
+    return _b_scored_pages(sf_dir, "popt_kneser_ney")
+
+
+def _b_scored_pages_kn1b(sf_dir: str) -> pa.Table:
+    return _b_scored_pages(sf_dir, "one_backoff_kneser_ney")
+
+
 def _b_extract_boilerpipe(sf_dir: str) -> pa.Table:
     """Frozen golden (scripts/freeze_goldens.py) - imports nothing from
     the boilerpipe kernel it certifies."""
@@ -1848,6 +1864,14 @@ BUILDERS = {
     "scored_pages": _b_scored_pages,
     "scored_pages_kn": _b_scored_pages_kn,
     "scored_pages_jm": _b_scored_pages_jm,
+    # recursive/modified KN family (KneserNeyLMRecursive.java and kin):
+    # the scalar smoothing kernels are reference-golden-tested in
+    # tests/test_knrecursive.py; the fixture certifies the distributed
+    # actor-pool execution scores identically to a sequential loop
+    "scored_pages_knr": _b_scored_pages_knr,
+    "scored_pages_mkn": _b_scored_pages_mkn,
+    "scored_pages_popt": _b_scored_pages_popt,
+    "scored_pages_kn1b": _b_scored_pages_kn1b,
     # disk-backed serving must score bit-identically to the in-memory
     # KN path; the fixture is the same sequential derivation (which
     # imports nothing from lm/diskserve.py - non-circular)

@@ -96,5 +96,17 @@ def _register_defaults() -> None:
     register("scorer_lm", "stupid_backoff", StupidBackoffLM)
     register("scorer_lm", "kneser_ney", build_kneser_ney)
 
+    from .lm.knrecursive import (
+        build_kn_recursive,
+        build_modified_kn,
+        build_one_backoff_kn,
+        build_popt_kn,
+    )
+
+    register("scorer_lm", "kneser_ney_recursive", build_kn_recursive)
+    register("scorer_lm", "modified_kneser_ney", build_modified_kn)
+    register("scorer_lm", "popt_kneser_ney", build_popt_kn)
+    register("scorer_lm", "one_backoff_kneser_ney", build_one_backoff_kn)
+
 
 _register_defaults()
