@@ -148,6 +148,43 @@ def _q_sentences_breakiter(sf_dir: str):
     return ds.map_batches(breakiter_sentences_batch, batch_format="pyarrow")
 
 
+def _q_rule_tokens(sf_dir: str):
+    """RuleTokenizer (``lt.seg/.../token/RuleTokenizer.java``): lookahead
+    list + regex rules over the conservative base tokenizer, exploded
+    distributedly over documents with the Segmenter-app filter defaults
+    (filter=2: empty-space dropped).  The scalar kernel is
+    reference-golden-tested in tests/test_ruletokenizer.py; the oracle
+    certifies the distributed flat-map."""
+    import pyarrow as pa
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from topicrawler_ray.functions.ruletokenizer import (
+            rule_filtered_and_normalized_tokens,
+        )
+
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_id, o_idx, o_tok = [], [], []
+        for did, text in zip(ids, texts):
+            for i, tok in enumerate(
+                rule_filtered_and_normalized_tokens(text or "")
+            ):
+                o_id.append(did)
+                o_idx.append(i)
+                o_tok.append(tok)
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "tok_idx": pa.array(o_idx, pa.int64()),
+                "token": pa.array(o_tok, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
 def _q_plaintext_corpus(sf_dir: str):
     """PlainTextDocumentWriter escaping (S6): url -> escaped text."""
     from topicrawler_ray.sources.pages import read_pages
@@ -2455,6 +2492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_join": _q_fetch_join,
         "sentences_corpus": _q_sentences_corpus,
         "sentences_breakiter": _q_sentences_breakiter,
+        "rule_tokens": _q_rule_tokens,
         "plaintext_corpus": _q_plaintext_corpus,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,

@@ -411,6 +411,30 @@ def _docs_table(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_rule_tokens(sf_dir: str) -> pa.Table:
+    """Sequential RuleTokenizer explode (the scalar lookahead kernel is
+    reference-golden-tested in tests/test_ruletokenizer.py; this fixture
+    certifies the distributed flat-map scores row-for-row identically)."""
+    from .functions.ruletokenizer import rule_filtered_and_normalized_tokens
+
+    tab = _docs_table(sf_dir)
+    o_id, o_idx, o_tok = [], [], []
+    for did, text in zip(
+        tab.column("doc_id").to_pylist(), tab.column("text").to_pylist()
+    ):
+        for i, tok in enumerate(rule_filtered_and_normalized_tokens(text or "")):
+            o_id.append(did)
+            o_idx.append(i)
+            o_tok.append(tok)
+    return pa.table(
+        {
+            "doc_id": pa.array(o_id, pa.int64()),
+            "tok_idx": pa.array(o_idx, pa.int64()),
+            "token": pa.array(o_tok, pa.string()),
+        }
+    )
+
+
 def _b_langid(sf_dir: str) -> pa.Table:
     """Frozen golden (scripts/freeze_goldens.py) - fixed expected labels
     for the deterministic fixture docs, no LangId import."""
@@ -1881,6 +1905,7 @@ BUILDERS = {
     "extract_boilerpipe": _b_extract_boilerpipe,
     "sentences_corpus": _b_sentences_corpus,
     "sentences_breakiter": _b_sentences_breakiter,
+    "rule_tokens": _b_rule_tokens,
     "line_perp": _b_line_perp,
     "filtered_sentences": _b_filtered_sentences,
     "doc_perp": _b_doc_perp,

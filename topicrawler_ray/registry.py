@@ -90,6 +90,29 @@ def _register_defaults() -> None:
     register("sentence_splitter", "breakiterator", provider_split_sentences)
     register("tokenizer", "breakiterator", provider_tokenize)
 
+    # the full lt.seg strategy matrix (SURVEY §2.10): RuleTokenizer +
+    # lookahead rules, the EmptySpace(Conservative) base tokenizers,
+    # NullTokenizer, and the Line/Null splitters
+    from .functions.ruletokenizer import (
+        es_conservative_filtered_and_normalized_tokens,
+        es_filtered_and_normalized_tokens,
+        line_split_sentences,
+        null_filtered_and_normalized_tokens,
+        null_split,
+        rule_filtered_and_normalized_tokens,
+    )
+
+    register("tokenizer", "rule", rule_filtered_and_normalized_tokens)
+    register("tokenizer", "empty_space", es_filtered_and_normalized_tokens)
+    register(
+        "tokenizer",
+        "empty_space_conservative",
+        es_conservative_filtered_and_normalized_tokens,
+    )
+    register("tokenizer", "null", null_filtered_and_normalized_tokens)
+    register("sentence_splitter", "line", line_split_sentences)
+    register("sentence_splitter", "null", null_split)
+
     from .lm.backoff import StupidBackoffLM
     from .lm.kneserney import build_kneser_ney
 
