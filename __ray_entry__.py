@@ -1082,6 +1082,32 @@ def _q_line_perp(sf_dir: str):
     return ds.select_columns(["url", "sent_idx", "n_ngrams", "n_oov", "perp"])
 
 
+def _q_sent_perp(sf_dir: str):
+    """SentPerp (``lt.lm/.../app/SentPerp.java:195-240``): per-sentence
+    ngram/OOV accounting + mean log10 prob over the sentence corpus."""
+    from topicrawler_ray.lm.train import topic_lm_ref
+    from topicrawler_ray.pipelines.perpeval import SentPerpBatch
+
+    ds = _q_sentences_corpus(sf_dir).select_columns(["url", "sent_idx", "sentence"])
+    return ds.map_batches(
+        SentPerpBatch,
+        fn_constructor_kwargs={"lm_ref": topic_lm_ref(sf_dir)},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
+def _q_prob_dist_perp(sf_dir: str):
+    """ProbDistPerplexity (``lt.lm/.../perplexity/ProbDistPerplexity.java``):
+    corpus-wide sum of p(x)*log2(p(x)) -> 2^(-sum), as integer-quantized
+    distributed partials (one row out)."""
+    from topicrawler_ray.lm.train import topic_lm_ref
+    from topicrawler_ray.pipelines.perpeval import prob_dist_perplexity
+
+    ds = _q_sentences_corpus(sf_dir).select_columns(["sentence"])
+    return prob_dist_perplexity(ds, topic_lm_ref(sf_dir))
+
+
 def _q_doc_perp(sf_dir: str):
     """PerpDoc (A9/J5): per-document skip-OOV perplexity over the
     sentence corpus."""
@@ -2584,6 +2610,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_stats_seg": _q_ngram_stats_seg,
         "media_features": _q_media_features,
         "line_perp": _q_line_perp,
+        "sent_perp": _q_sent_perp,
+        "prob_dist_perp": _q_prob_dist_perp,
         "doc_perp": _q_doc_perp,
         "doc_perp_oovref": _q_doc_perp_oovref,
         "scored_pages_kn": _q_scored_pages_kn,

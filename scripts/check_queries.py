@@ -66,7 +66,8 @@ for name in only:
                 afl, bfl = av.astype(float), bv.astype(float)
                 # NaN == NaN must compare equal (the driver hashes
                 # canonicalized values; NaN-NaN is NaN and would fail <)
-                close = (afl - bfl).abs() < 1e-9
+                # exact equality first (covers +-inf where inf-inf=NaN)
+                close = (afl == bfl) | ((afl - bfl).abs() < 1e-9)
                 ok = ok and (close | (afl.isna() & bfl.isna())).all()
             else:
                 ok = ok and (av.astype(str) == bv.astype(str)).all()

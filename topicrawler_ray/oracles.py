@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .sources.pages import FIXTURE_VERSION
 
-ORACLE_VERSION = 2  # v2: crawl_log gains the retries column
+ORACLE_VERSION = 3  # v3: KN family + sent_perp/prob_dist_perp/rule_tokens
 
 # frozen golden fixtures (committed to git) for the queries whose
 # sequential derivation would otherwise share code with the kernel it
@@ -165,6 +165,66 @@ def _b_scored_pages_kn(sf_dir: str) -> pa.Table:
 
 def _b_scored_pages_jm(sf_dir: str) -> pa.Table:
     return _b_scored_pages(sf_dir, "jelinek_mercer")
+
+
+def _b_sent_perp(sf_dir: str) -> pa.Table:
+    """Sequential SentPerp derivation over the sentence rows (same
+    scalar LM kernel; certifies the distributed actor pool)."""
+    from .pipelines.perpeval import sent_perp_metrics
+
+    lm = _lm(sf_dir)
+    o_url, o_idx, o_n, o_og, o_ot, o_avg = [], [], [], [], [], []
+    for _t, sentence, url, idx, _p in _sentence_rows(sf_dir):
+        n, og, ot, avg = sent_perp_metrics(lm, sentence)
+        o_url.append(url)
+        o_idx.append(idx)
+        o_n.append(n)
+        o_og.append(og)
+        o_ot.append(ot)
+        o_avg.append(avg)
+    return pa.table(
+        {
+            "url": pa.array(o_url, pa.string()),
+            "sent_idx": pa.array(o_idx, pa.int32()),
+            "n_ngrams": pa.array(o_n, pa.int64()),
+            "n_oov_ngrams": pa.array(o_og, pa.int64()),
+            "n_oov_terms": pa.array(o_ot, pa.int64()),
+            "sent_log10_avg": pa.array(o_avg, pa.float64()),
+        }
+    )
+
+
+def _b_prob_dist_perp(sf_dir: str) -> pa.Table:
+    """Sequential ProbDistPerplexity: quantized product sum -> one final
+    float expression, mirroring the distributed reduce verbatim."""
+    import math
+
+    from .lm.perplexity import text_ngrams
+    from .pipelines.perpeval import _java_pow2, prob_dist_product_e9
+
+    lm = _lm(sf_dir)
+    n = 0
+    s = 0
+    n_inf = 0
+    for _t, sentence, _url, _idx, _p in _sentence_rows(sf_dir):
+        for g in text_ngrams(sentence, lm.order):
+            if not g:
+                continue
+            n += 1
+            p = prob_dist_product_e9(lm, g)
+            if p is None:
+                n_inf += 1
+            else:
+                s += p
+    perp = math.inf if n_inf else _java_pow2(-(s / 1e9))
+    return pa.table(
+        {
+            "n_ngrams": pa.array([n], pa.int64()),
+            "sum_plog2p_e9": pa.array([s], pa.int64()),
+            "n_inf": pa.array([n_inf], pa.int64()),
+            "perp_str": pa.array(["%6.3e" % perp], pa.string()),
+        }
+    )
 
 
 def _b_scored_pages_knr(sf_dir: str) -> pa.Table:
@@ -1906,6 +1966,8 @@ BUILDERS = {
     "sentences_corpus": _b_sentences_corpus,
     "sentences_breakiter": _b_sentences_breakiter,
     "rule_tokens": _b_rule_tokens,
+    "sent_perp": _b_sent_perp,
+    "prob_dist_perp": _b_prob_dist_perp,
     "line_perp": _b_line_perp,
     "filtered_sentences": _b_filtered_sentences,
     "doc_perp": _b_doc_perp,

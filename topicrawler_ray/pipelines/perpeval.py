@@ -50,6 +50,138 @@ def _line_metrics(lm, text: str, oov_lm=None) -> tuple[int, int, float, float, f
     return n, n_oov, logp, perp, logp_noov, perp_noov
 
 
+def sent_perp_metrics(lm, text: str) -> tuple[int, int, int, float]:
+    """``SentPerp.java:195-240`` per-sentence accounting: every
+    non-empty ngram counts; ngrams containing an OOV bump oov_ngrams
+    and, when the FINAL word is OOV, oov_terms too (default
+    ``--noov false``: everything still gets scored).  Returns
+    (n_ngrams, n_oov_ngrams, n_oov_terms, mean log10 prob)."""
+    ngrams = text_ngrams(text, lm.order)
+    n = 0
+    oov_ngrams = 0
+    oov_terms = 0
+    logp = 0.0
+    for g in ngrams:
+        if not g:
+            continue
+        n += 1
+        if lm.ngram_contains_oov(g):
+            oov_ngrams += 1
+            if lm.ngram_ends_with_oov(g):
+                oov_terms += 1
+        logp += lm.ngram_log10_prob(g)
+    avg = logp / n if n else 0.0
+    return n, oov_ngrams, oov_terms, avg
+
+
+_LOG10_2 = math.log10(2.0)
+
+
+def _java_pow2(e: float) -> float:
+    """Java ``Math.pow(2, e)``: overflow -> Infinity (Python raises)."""
+    try:
+        return math.pow(2.0, e)
+    except OverflowError:
+        return math.inf
+
+
+def prob_dist_product_e9(lm, ngram: list[str]) -> int | None:
+    """``ProbDistPerplexity.calcProbProduct`` (:71-84): p(x)*log2(p(x))
+    for one ngram, floor-quantized at 1e9 (integer sums are associative
+    so the distributed reduce is order-independent).  ``None`` flags the
+    -Infinity case (zero probability)."""
+    log10p = lm.ngram_log10_prob(ngram)
+    if math.isinf(log10p):
+        return None
+    log2p = log10p / _LOG10_2
+    product = math.pow(2.0, log2p) * log2p
+    return math.floor(product * 1e9)
+
+
+class SentPerpBatch:
+    """Actor-pool batch fn: SentPerp per-sentence rows."""
+
+    def __init__(self, lm_ref, column: str = "sentence"):
+        import ray
+
+        self._lm = ray.get(lm_ref) if isinstance(lm_ref, ray.ObjectRef) else lm_ref
+        self._col = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        o_n, o_og, o_ot, o_avg = [], [], [], []
+        for text in batch.column(self._col).to_pylist():
+            n, og, ot, avg = sent_perp_metrics(self._lm, text or "")
+            o_n.append(n)
+            o_og.append(og)
+            o_ot.append(ot)
+            o_avg.append(avg)
+        out = batch.select(["url", "sent_idx"])
+        return out.append_column(
+            "n_ngrams", pa.array(o_n, pa.int64())
+        ).append_column(
+            "n_oov_ngrams", pa.array(o_og, pa.int64())
+        ).append_column(
+            "n_oov_terms", pa.array(o_ot, pa.int64())
+        ).append_column("sent_log10_avg", pa.array(o_avg, pa.float64()))
+
+
+def prob_dist_perplexity(sentences_ds, lm_ref, column: str = "sentence"):
+    """``ProbDistPerplexity.java`` as a distributed aggregate: per-batch
+    partial rows (n_ngrams, sum of quantized p*log2(p) products, count
+    of -Inf products), one tiny groupby-sum, ONE final float expression
+    on the driver: perp = 2^(-(sum_e9/1e9)), +Inf when any product was
+    -Inf.  Returns a one-row Dataset."""
+    import ray
+    import ray.data
+
+    def partial(batch: pa.Table, _ref=lm_ref) -> pa.Table:
+        lm = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        n = 0
+        s = 0
+        n_inf = 0
+        for text in batch.column(column).to_pylist():
+            for g in text_ngrams(text or "", lm.order):
+                if not g:
+                    continue
+                n += 1
+                p = prob_dist_product_e9(lm, g)
+                if p is None:
+                    n_inf += 1
+                else:
+                    s += p
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n_ngrams": pa.array([n], pa.int64()),
+                "sum_plog2p_e9": pa.array([s], pa.int64()),
+                "n_inf": pa.array([n_inf], pa.int64()),
+            }
+        )
+
+    rows = (
+        sentences_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .sum(["n_ngrams", "sum_plog2p_e9", "n_inf"])
+        .take_all()
+    )
+    n = sum(int(r["sum(n_ngrams)"]) for r in rows)
+    s = sum(int(r["sum(sum_plog2p_e9)"]) for r in rows)
+    n_inf = sum(int(r["sum(n_inf)"]) for r in rows)
+    perp = math.inf if n_inf else _java_pow2(-(s / 1e9))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_ngrams": pa.array([n], pa.int64()),
+                "sum_plog2p_e9": pa.array([s], pa.int64()),
+                "n_inf": pa.array([n_inf], pa.int64()),
+                # the reference prints `Perplexity: %6.3e`; a formatted
+                # string also dodges float +-inf hashing pitfalls
+                "perp_str": pa.array(["%6.3e" % perp], pa.string()),
+            }
+        )
+    )
+
+
 class LineProbPerp:
     """Actor-pool batch fn over a sentence column."""
 
