@@ -220,19 +220,29 @@ def _q_plaintext_corpus(sf_dir: str):
 def _docs(sf_dir: str, columns: list[str]):
     """documents table with MANDATORY column pruning: every caller
     states exactly what it reads so only those columns leave storage
-    (pass None only when a consumer genuinely needs the full schema)."""
+    (pass None only when a consumer genuinely needs the full schema).
+    Parquet pandas-key schema metadata is stripped so downstream hash
+    shuffles can deduplicate schemas (unhashable-dict warning)."""
     import ray.data
 
-    return ray.data.read_parquet(sf_dir + "/documents.parquet",
-                                 columns=columns)
+    from topicrawler_ray.sources.pages import strip_schema_metadata
+
+    return strip_schema_metadata(
+        ray.data.read_parquet(sf_dir + "/documents.parquet",
+                              columns=columns)
+    )
 
 
 def _embs(sf_dir: str, columns: list[str]):
     """embeddings table with MANDATORY column pruning (see _docs)."""
     import ray.data
 
-    return ray.data.read_parquet(sf_dir + "/embeddings.parquet",
-                                 columns=columns)
+    from topicrawler_ray.sources.pages import strip_schema_metadata
+
+    return strip_schema_metadata(
+        ray.data.read_parquet(sf_dir + "/embeddings.parquet",
+                              columns=columns)
+    )
 
 
 def _q_dedup_exact(sf_dir: str):

@@ -149,11 +149,13 @@ def _curation_pipeline(sf_dir: str, num_cpus: int, replicate: int):
     from topicrawler_ray.pipelines.curation import curated_docs
 
     concurrency = max(1, min(num_cpus - 1, int(num_cpus * 0.5)))
-    ds = ray.data.read_parquet(
+    from topicrawler_ray.sources.pages import strip_schema_metadata
+
+    ds = strip_schema_metadata(ray.data.read_parquet(
         [os.path.join(sf_dir, "documents.parquet")] * replicate,
         columns=["doc_id", "text"],
         override_num_blocks=max(16, num_cpus * 2),
-    )
+    ))
     return curated_docs(ds, langid_concurrency=concurrency)
 
 
@@ -190,12 +192,14 @@ def bench_dedup(sf_dir: str, num_cpus: int) -> dict:
 
     n_in = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
 
+    from topicrawler_ray.sources.pages import strip_schema_metadata
+
     def run() -> int:
-        ds = ray.data.read_parquet(
+        ds = strip_schema_metadata(ray.data.read_parquet(
             os.path.join(sf_dir, "documents.parquet"),
             columns=["doc_id", "text"],
             override_num_blocks=max(16, num_cpus * 2),
-        )
+        ))
         return minhash_near_dup_pairs(ds, threshold=0.5).count()
 
     run()  # warm-up

@@ -463,6 +463,23 @@ def pages_host_bucketed_dir(sf_dir: str, num_buckets: int = NUM_HOST_BUCKETS) ->
     return str(out_dir)
 
 
+def strip_schema_metadata(ds):
+    """Drop parquet-embedded schema metadata (the pandas key) from every
+    block.  pyarrow schemas WITH metadata are unhashable (hashing the
+    dict raises), which defeats Ray's HashShuffleAggregator schema
+    deduplication and spams ``Failed to hash the schemas`` during every
+    join/groupby over parquet-fed blocks.  O(1) per block (metadata
+    pointer swap) and fuses with the read task."""
+    import pyarrow as _pa
+
+    def _strip(t: "_pa.Table") -> "_pa.Table":
+        if t.schema.metadata:
+            return t.replace_schema_metadata(None)
+        return t
+
+    return ds.map_batches(_strip, batch_format="pyarrow")
+
+
 def read_pages(sf_dir: str, num_blocks: int | None = None):
     """Ray Dataset over the synthetic pages parquet (lazy, streaming).
 
