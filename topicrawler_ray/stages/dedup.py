@@ -99,14 +99,83 @@ def _minhash_params_cached(num_perm: int, seed: int) -> tuple[np.ndarray, np.nda
     return a, b
 
 
-def minhash_signature(shingles: set[int], num_perm: int = 128, seed: int = 7) -> np.ndarray:
+def minhash_signature(shingles, num_perm: int = 128, seed: int = 7) -> np.ndarray:
+    """Signature from a shingle-hash set OR uint64 ndarray (same math;
+    the min over the shingle axis is order-insensitive, so both input
+    shapes are bit-identical)."""
     a, b = _minhash_params(num_perm, seed)
-    if not shingles:
-        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-    x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
+    if isinstance(shingles, np.ndarray):
+        if shingles.size == 0:
+            return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        x = shingles.astype(np.uint64, copy=False)
+    else:
+        if not shingles:
+            return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
     # (a*x + b) mod p, vectorised over (perm, shingle)
     v = (np.outer(a, x) + b[:, None]) % _MERSENNE
     return v.min(axis=1)
+
+
+def batch_word_shingles(texts: list[str], k: int = 3) -> list[np.ndarray]:
+    """Vectorized :func:`word_shingles` for a whole batch (round 4,
+    VERDICT item 8): ONE Arrow whitespace split, numpy shingle-string
+    construction over the flat word array, and murmur3 evaluated once
+    per UNIQUE shingle string in the batch instead of once per
+    occurrence.  Bit-identical hash values (same murmur3 kernel, F11);
+    short docs (< k words) fall back to the scalar path."""
+    import pyarrow.compute as pc
+
+    n = len(texts)
+    col = pa.array([t or "" for t in texts], pa.string())
+    words = pc.utf8_split_whitespace(col)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    counts = pc.list_value_length(words).to_numpy().astype(np.int64)
+    flat_arr = pc.list_flatten(words)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    # python str.split() drops boundary empties; Arrow keeps them
+    nonempty = pc.greater(pc.utf8_length(flat_arr), 0)
+    ne = np.asarray(nonempty.combine_chunks()
+                    if isinstance(nonempty, pa.ChunkedArray) else nonempty)
+    if not ne.all():
+        flat_arr = flat_arr.filter(nonempty)
+        doc_of = doc_of[ne]
+    flat = np.asarray(flat_arr.to_pylist(), dtype=object)
+    out: list = [None] * n
+    total = len(flat)
+    if total >= k:
+        # a shingle starts at p when positions p..p+k-1 share a doc
+        valid = doc_of[: total - k + 1] == doc_of[k - 1 :]
+        starts = np.flatnonzero(valid)
+        if starts.size:
+            sh = flat[starts]
+            for j in range(1, k):
+                sh = sh + " "
+                sh = sh + flat[starts + j]
+            uniq, inv = np.unique(sh, return_inverse=True)
+            h = np.fromiter(
+                (murmur3_x64_128(u.encode("utf-8"))[0] for u in uniq),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            shingle_h = h[inv]
+            sdoc = doc_of[starts]
+            order = np.argsort(sdoc, kind="stable")
+            sdoc_o, h_o = sdoc[order], shingle_h[order]
+            bounds = np.searchsorted(sdoc_o, np.arange(n + 1))
+            for d in range(n):
+                lo, hi = int(bounds[d]), int(bounds[d + 1])
+                if hi > lo:
+                    out[d] = np.unique(h_o[lo:hi])
+    for d in range(n):
+        if out[d] is None:
+            # < k words (or no shingles): scalar fallback keeps the
+            # content_hash64 special case bit-identical
+            s = word_shingles(texts[d] or "", k)
+            out[d] = np.fromiter(s, dtype=np.uint64, count=len(s)) if s \
+                else np.zeros(0, dtype=np.uint64)
+    return out
 
 
 def minhash_bands_batch(
@@ -117,13 +186,16 @@ def minhash_bands_batch(
     bands: int = 16,
 ) -> pa.Table:
     """Explode each doc into (band_id, band_hash, id) rows for the LSH
-    groupby (the dedup shuffle key)."""
+    groupby (the dedup shuffle key).  Shingling is batch-vectorized
+    (:func:`batch_word_shingles`); band hashes stay per-(doc, band)
+    murmur3 over the signature chunk bytes for artifact compatibility."""
     rows_per_band = num_perm // bands
     ids = batch.column(id_column).to_pylist()
     texts = batch.column(column).to_pylist()
+    shingle_arrs = batch_word_shingles(texts)
     o_band, o_hash, o_id = [], [], []
-    for i, t in zip(ids, texts):
-        sig = minhash_signature(word_shingles(t or ""), num_perm)
+    for i, sh in zip(ids, shingle_arrs):
+        sig = minhash_signature(sh, num_perm)
         for b in range(bands):
             chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
             h = murmur3_x64_128(chunk.tobytes())[0] - (1 << 63)

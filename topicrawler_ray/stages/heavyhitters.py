@@ -35,11 +35,25 @@ import numpy as np
 import pyarrow as pa
 
 
+def _block_tokens_arrow(batch: pa.Table, column: str) -> pa.Array:
+    """Vectorized single-space tokenization (round 4, VERDICT item 8):
+    one Arrow ``split_pattern`` + flatten instead of a per-row Python
+    loop; identical to ``(t or "").split(" ")`` including empty-string
+    tokens.  Stays an Arrow string array - no Python-object round trip
+    in either pass."""
+    import pyarrow.compute as pc
+
+    texts = pc.fill_null(batch.column(column), "")
+    words = pc.split_pattern(texts, " ")
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat
+
+
 def _block_tokens(batch: pa.Table, column: str) -> np.ndarray:
-    toks: list[str] = []
-    for t in batch.column(column).to_pylist():
-        toks.extend((t or "").split(" "))
-    return np.asarray(toks, dtype=object)
+    return np.asarray(_block_tokens_arrow(batch, column).to_pylist(),
+                      dtype=object)
 
 
 def candidate_summaries(ds, column: str, capacity: int):
@@ -48,19 +62,28 @@ def candidate_summaries(ds, column: str, capacity: int):
     accounting row per block."""
 
     def summarize(batch: pa.Table) -> pa.Table:
-        toks = _block_tokens(batch, column)
+        import pyarrow.compute as pc
+
+        toks = _block_tokens_arrow(batch, column)
         n = len(toks)
         if n == 0:
             return pa.table(
                 {"word": pa.array([None], pa.string()),
                  "cnt": pa.array([0], pa.int64())}
             )
-        words, counts = np.unique(toks, return_counts=True)
+        vc = pc.value_counts(toks)  # C-path group count, no objects
+        words = vc.field("values")
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
         keep = counts > n / (capacity + 1)
+        keep_pa = pa.array(keep)
         return pa.table(
             {
-                "word": pa.array(list(words[keep]) + [None], pa.string()),
-                "cnt": pa.array(list(counts[keep]) + [n], pa.int64()),
+                "word": pa.concat_arrays(
+                    [words.filter(keep_pa), pa.array([None], words.type)]
+                ),
+                "cnt": pa.array(
+                    counts[keep].tolist() + [n], pa.int64()
+                ),
             }
         )
 
@@ -78,16 +101,23 @@ class CandidateCounter:
         import ray
 
         self.cand = ray.get(cand_ref)  # sorted object ndarray
+        # Arrow value set for index_in (built once per actor)
+        self.cand_arr = pa.array(list(self.cand), pa.string())
         self.column = column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        toks = _block_tokens(batch, self.column)
+        import pyarrow.compute as pc
+
+        toks = _block_tokens_arrow(batch, self.column)
         out = np.zeros(len(self.cand), dtype=np.int64)
         if len(toks) and len(self.cand):
-            idx = np.searchsorted(self.cand, toks)
-            idx[idx >= len(self.cand)] = 0
-            hit = self.cand[idx] == toks
-            np.add.at(out, idx[hit], 1)
+            codes = pc.index_in(toks, value_set=self.cand_arr)
+            codes = codes.fill_null(-1).to_numpy(zero_copy_only=False)
+            codes = codes.astype(np.int64)
+            hit = codes >= 0
+            out = np.bincount(codes[hit], minlength=len(self.cand)).astype(
+                np.int64
+            )
         return pa.table({"counts": pa.array([out.tobytes()], pa.large_binary())})
 
 
