@@ -72,6 +72,34 @@ class TestCli:
         assert len(out["ngrams"]) > 0
         assert all(n["log10p"] <= 0 for n in out["ngrams"])
 
+    def test_lm_repl_subcommand(self):
+        # StartLM.java:206-249 inspection loop: :i, :pn, :l, :q
+        r = subprocess.run(
+            [sys.executable, "-m", "topicrawler_ray.cli", "lm-repl",
+             "--sf-dir", "/root/testdata/sf0.001", "--list-limit", "3"],
+            input=":i\n:pn\nthe quick\n:q\n:l\n:q\n",
+            capture_output=True,
+            text=True,
+            timeout=240,
+            cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "Language Model Information" in r.stdout
+        assert "1-grams:" in r.stdout
+        assert "log10=" in r.stdout
+        assert "truncated at 3" in r.stdout
+
+    def test_predict_next_word(self):
+        from topicrawler_ray.cli import predict_next_word
+        from topicrawler_ray.lm.backoff import NgramCounts, StupidBackoffLM
+
+        c = NgramCounts(2)
+        c.add_sequence(["the", "cat", "sat"])
+        c.add_sequence(["the", "cat", "ran"])
+        c.add_sequence(["the", "dog", "sat"])
+        lm = StupidBackoffLM(c)
+        assert predict_next_word(lm, ["the"]) == "cat"
+
     def test_crawl_checkpoint_resume_cli(self):
         """Interrupted CLI crawl resumes from checkpoint to the same
         final log as an uninterrupted run."""

@@ -274,6 +274,151 @@ def cmd_lm(args) -> int:
     return 0
 
 
+def _lm_counts(lm):
+    """NgramCounts behind any registry scorer (StupidBackoff holds
+    ``_c``, the KN family holds ``stats.counts``)."""
+    if hasattr(lm, "_c"):
+        return lm._c
+    if hasattr(lm, "stats"):
+        return lm.stats.counts
+    return None
+
+
+def _vocab_words(counts) -> list[str]:
+    if hasattr(counts, "vocab"):  # FrozenCounts
+        return sorted(counts.vocab)
+    return sorted(w for (w,) in counts.counts[1])
+
+
+def _iter_ngrams(counts, k: int):
+    if hasattr(counts, "iter_ngrams"):  # FrozenCounts
+        yield from sorted(counts.iter_ngrams(k))
+        return
+    for g in sorted(counts.counts[k]):
+        yield g, counts.counts[k][g]
+
+
+def predict_next_word(lm, history: list[str]) -> str:
+    """``CountingStringLM.predictNextWord`` (:296-321): prune the
+    history to the last order-1 words, argmax log10 p(history + w) over
+    the vocabulary (first-seen word wins ties, like the Java strict->
+    comparison over the vocabulary iterator; ours iterates the unigram
+    table in sorted order for determinism)."""
+    counts = _lm_counts(lm)
+    if counts is None:
+        raise ValueError("scorer does not expose a vocabulary")
+    pruned = history[max(0, len(history) - (lm.order - 1)):]
+    best_w, best_p = "<unk>", -float("inf")
+    for w in _vocab_words(counts):
+        lp = lm.ngram_log10_prob(pruned + [w])
+        if lp > best_p:
+            best_p, best_w = lp, w
+    return best_w
+
+
+def cmd_lm_repl(args) -> int:
+    """StartLM inspection loop (``StartLM.java:206-249``): the
+    ``:i :pn :ps :pw :l :q`` commands over the in-process LM (the RMI
+    server surface is a declared non-goal; ``:s :r :v`` manage the
+    remote process and have no analog)."""
+    import math
+
+    from .lm.perplexity import document_perplexity, text_ngrams
+    from .lm.train import build_scorer_lm
+
+    lm = build_scorer_lm(args.sf_dir, args.order, args.scorer)
+    counts = _lm_counts(lm)
+    out = sys.stdout
+    prompt = (
+        "+++\nWhat do you want to do?\n"
+        " :i  LM infos   :pn ngram probs   :ps sequence probs\n"
+        " :pw predict words   :l list ngrams   :q quit\n$> "
+    )
+    LOG10_2 = math.log10(2.0)
+
+    def read_line(p):
+        out.write(p)
+        out.flush()
+        line = sys.stdin.readline()
+        return None if line == "" else line.rstrip("\n")
+
+    while True:
+        line = read_line(prompt)
+        if line is None or line.strip() in (":q", "q"):
+            return 0
+        action = line.strip().lower()
+        if action in (":i", "i"):
+            out.write("####\nLanguage Model Information:\n")
+            out.write("%-30s %s\n" % ("Scorer:", args.scorer))
+            out.write("%-30s %d\n" % ("Order:", lm.order))
+            if counts is not None:
+                for n in range(1, lm.order + 1):
+                    out.write(
+                        "%-30s %d distinct / %d total\n"
+                        % ("%d-grams:" % n, counts.num_distinct(n),
+                           counts.total(n))
+                    )
+        elif action in (":pn", "pn"):
+            while (s := read_line("ngram (:q to stop) $> ")) not in (None, ":q"):
+                ngram = s.strip().split(" ")
+                if len(ngram) > lm.order:
+                    out.write("%s is too long (max %d).\n" % (ngram, lm.order))
+                    continue
+                lp = lm.ngram_log10_prob(ngram)
+                out.write(
+                    "%s\n =  %g (log10=%g, log2=%g)\n"
+                    % (ngram, 10.0**lp, lp, lp / LOG10_2)
+                )
+        elif action in (":ps", "ps"):
+            while (s := read_line("sequence (:q to stop) $> ")) not in (None, ":q"):
+                ngrams = text_ngrams(s.strip(), lm.order)
+                lp = sum(lm.ngram_log10_prob(g) for g in ngrams)
+                out.write(
+                    "+++\nprob=%g (log10=%g, log2=%g)\n"
+                    % (10.0**lp, lp, lp / LOG10_2)
+                )
+                out.write("perp=%g\n" % document_perplexity(lm, s.strip()))
+                out.write("+++ #ngrams= %d +++\n" % len(ngrams))
+                for g in ngrams:
+                    glp = lm.ngram_log10_prob(g)
+                    out.write(
+                        "%s\n =  %g (log10=%g, log2=%g)\n"
+                        % (g, 10.0**glp, glp, glp / LOG10_2)
+                    )
+        elif action in (":pw", "pw"):
+            sequence = ["<s>"]
+            out.write("Initial sequence: '%s'.\n" % " ".join(sequence))
+            while (s := read_line(
+                "seed sequence, <Enter> continues, :q stops $> "
+            )) not in (None, ":q"):
+                if s.strip():
+                    sequence = s.strip().split(" ")
+                word = predict_next_word(lm, sequence)
+                sequence.append(word)
+                ngram = sequence[max(0, len(sequence) - lm.order):]
+                lp = lm.ngram_log10_prob(ngram)
+                out.write(
+                    " predicted word: %s (p(%s)=%6.3e)\n new sequence: %s\n"
+                    % (word, ngram, 10.0**lp, " ".join(sequence))
+                )
+        elif action in (":l", "l"):
+            if counts is None:
+                out.write("scorer does not expose its ngram table\n")
+                continue
+            shown = 0
+            for n in range(1, lm.order + 1):
+                for g, c in _iter_ngrams(counts, n):
+                    out.write("%s\t%d\n" % (" ".join(g), c))
+                    shown += 1
+                    if shown >= args.list_limit:
+                        out.write("... (truncated at %d)\n" % args.list_limit)
+                        break
+                if shown >= args.list_limit:
+                    break
+        else:
+            out.write("Unknown action '%s'.\n" % action)
+
+
 def cmd_registry(args) -> int:
     """Incremental-dedup registry operations (the cross-run
     curation-state analog of the crawl's persistent URL-seen):
@@ -432,6 +577,15 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--order", type=int, default=3)
     m.add_argument("--scorer", default="stupid_backoff")
     m.set_defaults(fn=cmd_lm)
+
+    mr = sub.add_parser(
+        "lm-repl", help="StartLM inspection loop (:i :pn :ps :pw :l :q)"
+    )
+    mr.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    mr.add_argument("--order", type=int, default=3)
+    mr.add_argument("--scorer", default="stupid_backoff")
+    mr.add_argument("--list-limit", type=int, default=200)
+    mr.set_defaults(fn=cmd_lm_repl)
 
     args = p.parse_args(argv)
     return args.fn(args)

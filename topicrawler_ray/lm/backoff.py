@@ -186,6 +186,25 @@ class FrozenCounts:
     def num_distinct(self, k: int) -> int:
         return self._num_distinct[k]
 
+    def total(self, k: int) -> int:
+        if k < 1 or k > self.order:
+            return 0
+        return sum(self.tables[k].values())
+
+    def iter_ngrams(self, k: int):
+        """(ngram_tuple, count) pairs for order k (decodes packed keys;
+        inspection path - not used while scoring)."""
+        inv = [None] * (len(self.vocab) + 1)
+        for w, i in self.vocab.items():
+            inv[i + 1] = w
+        b = self.base
+        for key, n in self.tables[k].items():
+            digits = []
+            while key:
+                digits.append(key % b)
+                key //= b
+            yield tuple(inv[d] for d in reversed(digits)), n
+
 
 def freeze_lm(lm: StupidBackoffLM) -> StupidBackoffLM:
     """Return an equivalent StupidBackoffLM over FrozenCounts."""
