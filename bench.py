@@ -66,15 +66,15 @@ def _scored_pipeline(sf_dir: str, num_cpus: int, replicate: int):
     return ds.select_columns(["url", "perp", "perp_str"])
 
 
-def bench_scored_pages(sf_dir: str, num_cpus: int) -> dict:
+def bench_scored_pages(sf_dir: str, num_cpus: int, replicate: int | None = None) -> dict:
     # untimed warm-up: worker processes, page cache, LM broadcast
     for _ in _scored_pipeline(sf_dir, num_cpus, 1).iter_batches(batch_size=8192):
         pass
     t0 = time.time()
     n = 0
-    for batch in _scored_pipeline(sf_dir, num_cpus, REPLICATE).iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
+    for batch in _scored_pipeline(
+        sf_dir, num_cpus, replicate or REPLICATE
+    ).iter_batches(batch_size=8192, batch_format="pyarrow"):
         n += batch.num_rows
     dt = time.time() - t0
     return {"sec": dt, "rows": n, "pages_per_s": n / dt}
@@ -159,21 +159,22 @@ def _curation_pipeline(sf_dir: str, num_cpus: int, replicate: int):
     return curated_docs(ds, langid_concurrency=concurrency)
 
 
-def bench_curation(sf_dir: str, num_cpus: int) -> dict:
+def bench_curation(sf_dir: str, num_cpus: int, replicate: int | None = None) -> dict:
     """Webtext curation headline: docs/sec through the composite
     quality->langid->dedup->tokens chain (input docs counted, i.e.
     rows BEFORE gating/dedup)."""
+    rep = replicate or REPLICATE
     for _ in _curation_pipeline(sf_dir, num_cpus, 1).iter_batches(batch_size=4096):
         pass
     import pyarrow.parquet as pq
 
     n_in = (
         pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
-        * REPLICATE
+        * rep
     )
     t0 = time.time()
     n_out = 0
-    for batch in _curation_pipeline(sf_dir, num_cpus, REPLICATE).iter_batches(
+    for batch in _curation_pipeline(sf_dir, num_cpus, rep).iter_batches(
         batch_size=4096, batch_format="pyarrow"
     ):
         n_out += batch.num_rows
@@ -331,6 +332,109 @@ def run_all(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
+def _sf1_documents(sf_dir: str, factor: int = 10) -> str:
+    """Deterministic sf1-equivalent documents table under /tmp: the
+    sf0.1 corpus x``factor`` with unique doc_ids and a per-copy prefix
+    token, so the near-dup structure is realistic (copies are NEAR
+    duplicates of each other, not byte-equal) instead of a degenerate
+    k^2 bucket blow-up of exact clones."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = "/tmp/topicrawler_ray_sf1_documents_x%d.parquet" % factor
+    if os.path.exists(out):
+        return out
+    src = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = src.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = src.column("text").to_pylist()
+    n = len(ids)
+    parts = []
+    for c in range(factor):
+        parts.append(
+            pa.table(
+                {
+                    "doc_id": pa.array((ids + c * 10_000_000).tolist(), pa.int64()),
+                    "text": pa.array(
+                        texts if c == 0 else ["copy%d %s" % (c, t) for t in texts],
+                        pa.string(),
+                    ),
+                }
+            )
+        )
+    tmp = out + ".tmp"
+    pq.write_table(pa.concat_tables(parts), tmp)
+    os.replace(tmp, out)
+    return out
+
+
+def run_sf1(sf_dir: str, num_cpus: int) -> dict:
+    """One-shot sf1-equivalent (10x sf0.1) data-plane point (VERDICT r3
+    item 9): scored_pages and curation at replicate=10x the sf0.1
+    volume, dedup over a 10x near-dup-perturbed corpus.  Single run per
+    headline (the volume itself averages out per-batch noise)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    factor = 10
+    try:
+        from topicrawler_ray.sources.pages import pages_path, strip_schema_metadata
+
+        pages_path(sf_dir)
+        r_scored = bench_scored_pages(sf_dir, num_cpus, replicate=factor)
+        r_cur = bench_curation(sf_dir, num_cpus, replicate=factor)
+
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from topicrawler_ray.stages.dedup import minhash_near_dup_pairs
+
+        path = _sf1_documents(sf_dir, factor)
+        n_in = pq.read_metadata(path).num_rows
+
+        def dedup_run() -> int:
+            ds = strip_schema_metadata(ray.data.read_parquet(
+                path, columns=["doc_id", "text"],
+                override_num_blocks=max(16, num_cpus * 2),
+            ))
+            return minhash_near_dup_pairs(
+                ds, threshold=0.5, num_partitions=max(8, num_cpus // 2)
+            ).count()
+
+        t0 = time.time()
+        n_pairs = dedup_run()
+        dt = time.time() - t0
+        r_dedup = {"sec": dt, "pairs": n_pairs, "docs_per_s": n_in / dt}
+    finally:
+        ray.shutdown()
+    total = r_scored["sec"] + r_cur["sec"] + r_dedup["sec"]
+    return {
+        "metric": "sf1-equivalent (10x sf0.1) data-plane wall time "
+                  "(scored_pages + curation + dedup)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {
+            "scored_pages_sf1": round(r_scored["sec"], 3),
+            "curation_sf1": round(r_cur["sec"], 3),
+            "dedup_sf1": round(r_dedup["sec"], 3),
+        },
+        "rates": {
+            "scored_pages_per_s": round(r_scored["pages_per_s"], 1),
+            "scored_rows": r_scored["rows"],
+            "curation_docs_per_s": round(r_cur["docs_per_s"], 1),
+            "dedup_docs_per_s": round(r_dedup["docs_per_s"], 1),
+            "dedup_pairs": r_dedup["pairs"],
+        },
+        "sf": "1-equivalent",
+        "num_cpus": num_cpus,
+    }
+
+
 def _run_subprocess(ncpu: int) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
     out = subprocess.run(
@@ -344,6 +448,9 @@ def _run_subprocess(ncpu: int) -> dict:
 
 
 def main() -> None:
+    if "--sf1" in sys.argv:
+        print(json.dumps(run_sf1(SF_DIR, NUM_CPUS)))
+        return
     if "--scaling" in sys.argv:
         # N -> 4N parallelism in fresh processes on the same input.
         # 4->16 keeps both levels under this box's ~16-core memory
