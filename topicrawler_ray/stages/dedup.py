@@ -877,7 +877,7 @@ def exact_dedup_by_hash(
         df = df.drop_duplicates(subset=["content_hash", id_column], keep="first")
         return pa.Table.from_pandas(
             df.drop(columns=["content_hash"]), preserve_index=False
-        )
+        ).replace_schema_metadata(None)  # pandas metadata defeats Ray's schema dedup
 
     return joined.map_batches(drop_copies, batch_format="pyarrow")
 

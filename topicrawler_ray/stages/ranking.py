@@ -159,7 +159,7 @@ def topk_per_group(ds, group_column: str, score_column: str,
         return pa.Table.from_pandas(
             df.groupby(group_column, sort=False).head(k),
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)  # pandas metadata defeats Ray's schema dedup
 
     def final(group: "pd.DataFrame") -> "pd.DataFrame":
         group = group.sort_values(

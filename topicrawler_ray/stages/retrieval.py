@@ -345,7 +345,7 @@ def build_bm25_index(ds, out_dir: str, num_buckets: int = 32,
         _pq.write_table(
             pa.Table.from_pandas(
                 g[["term", "doc_id", "tf", "dl"]], preserve_index=False
-            ),
+            ).replace_schema_metadata(None),
             os.path.join(tmp, "bucket=%04d.parquet" % b),
         )
         return pd.DataFrame(

@@ -257,6 +257,6 @@ def dup_span_stats(
                 ]
             ],
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)  # pandas metadata defeats Ray's schema dedup
 
     return out.map_batches(finish, batch_format="pyarrow")
