@@ -316,6 +316,18 @@ def _q_dedup_ngram_jaccard(sf_dir: str):
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _q_dedup_ppjoin(sf_dir: str):
+    """Prefix-filter (PPJoin-style) EXACT Jaccard join - same expected
+    pairs as dedup_ngram_jaccard but with recall guaranteed by the
+    prefix theorem instead of a stop-shingle df cap."""
+    from topicrawler_ray.stages.dedup import ppjoin_pairs
+
+    pairs = ppjoin_pairs(_perturbed_docs_ds(sf_dir, "minhash"), threshold=0.5)
+    df = pairs.to_pandas()
+    df["jaccard"] = df["jaccard"].round(4)
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_embedding_near_dup(sf_dir: str):
     from topicrawler_ray.stages.dedup import embedding_near_dup_pairs
 
@@ -2534,6 +2546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_ppjoin": _q_dedup_ppjoin,
         "embedding_near_dup": _q_embedding_near_dup,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_ivf": _q_knn_ivf,

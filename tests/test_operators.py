@@ -721,6 +721,94 @@ class TestNgramJaccardJoin:
         assert len(exact) == 130 * 129 // 2  # every pair shares the boilerplate
 
 
+class TestPPJoin:
+    def test_exact_pairs_vs_python(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.dedup import (
+            jaccard,
+            ppjoin_pairs,
+            word_shingles,
+        )
+
+        base = "tok%d " * 60 % tuple(range(60))
+        near = base.replace("tok5", "x5")
+        far = "zz%d " * 60 % tuple(range(60))
+        texts = {1: base, 2: near, 3: far, 4: base + "extra tail words here"}
+        ds = ray.data.from_items([{"doc_id": i, "text": t} for i, t in texts.items()])
+        out = ppjoin_pairs(ds, threshold=0.3).to_pandas()
+        got = {
+            (a, b): round(j, 6)
+            for a, b, j in zip(out.id_a, out.id_b, out.jaccard)
+        }
+        sh = {i: word_shingles(t) for i, t in texts.items()}
+        expect = {}
+        for a in texts:
+            for b in texts:
+                if a < b:
+                    j = jaccard(sh[a], sh[b])
+                    if j >= 0.3:
+                        expect[(a, b)] = round(j, 6)
+        assert got == expect and len(expect) >= 2
+
+    def test_hot_shingles_keep_full_recall(self, ray_session):
+        """The case the df-cap variant gets wrong by design: docs whose
+        ONLY overlap is a boilerplate shingle shared by 130 docs.  The
+        prefix filter pushes the hot shingle to the sorted tail but the
+        low threshold keeps it inside every prefix, so all pairs
+        survive - recall 1.0 with no df cap and no recall knob."""
+        import ray.data
+
+        from topicrawler_ray.stages.dedup import ngram_jaccard_pairs, ppjoin_pairs
+
+        boiler = "all rights reserved inc"
+        rows = [
+            {"doc_id": i, "text": boiler + " u%da u%db u%dc u%dd" % (i, i, i, i)}
+            for i in range(130)
+        ]
+        ds = ray.data.from_items(rows)
+        assert len(ngram_jaccard_pairs(ds, threshold=0.01, k=4).to_pandas()) == 0
+        got = ppjoin_pairs(ds, threshold=0.01, k=4, hot_df=8).to_pandas()
+        assert len(got) == 130 * 129 // 2
+
+    def test_prefix_prunes_hot_shingles_at_high_threshold(self, ray_session):
+        """At threshold 0.5 a 5-shingle doc exposes a 3-shingle prefix;
+        with the boilerplate shingle ranked hottest it sorts LAST and
+        never enters any prefix, so the join sees zero candidate rows
+        for it - the pruning the frequency order exists for - while
+        genuinely near-dup pairs still match exactly."""
+        import ray.data
+
+        from topicrawler_ray.stages.dedup import (
+            jaccard,
+            ppjoin_pairs,
+            word_shingles,
+        )
+
+        boiler = "copyright acme corp reserved"
+        rows = [
+            {
+                "doc_id": i,
+                "text": boiler + " v%dw v%dx v%dy v%dz" % (i, i, i, i),
+            }
+            for i in range(40)
+        ]
+        # one true near-dup pair
+        rows.append({"doc_id": 100, "text": "p q r s t u v w x y z"})
+        rows.append({"doc_id": 101, "text": "p q r s t u v w x y zz"})
+        ds = ray.data.from_items(rows)
+        got = ppjoin_pairs(ds, threshold=0.5, k=4, hot_df=8).to_pandas()
+        sh = {r["doc_id"]: word_shingles(r["text"], 4) for r in rows}
+        expect = {
+            (a, b)
+            for a in sh
+            for b in sh
+            if a < b and jaccard(sh[a], sh[b]) >= 0.5
+        }
+        assert set(zip(got.id_a, got.id_b)) == expect
+        assert (100, 101) in expect
+
+
 class TestTimeSeries:
     def test_tumbling_window(self, ray_session):
         import ray.data

@@ -1984,6 +1984,9 @@ BUILDERS = {
     "dedup_minhash": _b_dedup_minhash,
     "dedup_simhash": _b_dedup_simhash,
     "dedup_ngram_jaccard": _b_dedup_ngram_jaccard,
+    # the prefix-filter join is EXACT, so it certifies against the very
+    # same all-pairs sequential Jaccard expectation
+    "dedup_ppjoin": _b_dedup_ngram_jaccard,
     "knn_ivf": _b_knn_ivf,
     "knn_lsh": _b_knn_lsh,
     "knn_int8": _b_knn_int8,

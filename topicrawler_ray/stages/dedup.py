@@ -278,9 +278,26 @@ def minhash_near_dup_pairs(
     dedup shuffle already established; no driver-side corpus dict, no
     broadcast of the corpus.
     """
+    cand = lsh_candidate_pairs(ds, column, id_column, num_partitions=num_partitions)
+    return verify_pairs_exact_jaccard(
+        cand, ds, threshold, column, id_column, num_partitions
+    )
+
+
+def verify_pairs_exact_jaccard(
+    cand,
+    ds,
+    threshold: float,
+    column: str = "text",
+    id_column: str = "doc_id",
+    num_partitions: int = 8,
+):
+    """Exact-Jaccard verification of candidate ``(id_a, id_b)`` pairs:
+    partition-join the texts back on each id, shingle + Jaccard per
+    joined row (per-batch shingle cache), keep pairs >= threshold.
+    Shared by the MinHash-LSH and prefix-filter (PPJoin) paths."""
     import pyarrow.compute as pc
 
-    cand = lsh_candidate_pairs(ds, column, id_column, num_partitions=num_partitions)
     # Ray 2.49 quirk: groupby().aggregate() emits 0-row/0-COLUMN blocks
     # for empty hash partitions, which break a downstream join's acero
     # key resolution.  repartition() concatenates them away; the pair
@@ -498,6 +515,166 @@ def ngram_jaccard_pairs(
         )
 
     return inter.map_batches(finish, batch_format="pyarrow")
+
+
+def ppjoin_pairs(
+    ds,
+    threshold: float = 0.5,
+    k: int = 3,
+    column: str = "text",
+    id_column: str = "doc_id",
+    num_partitions: int | None = None,
+    hot_df: int = 64,
+    max_hot: int = 1 << 18,
+):
+    """EXACT set-similarity join via prefix filtering (PPJoin-style;
+    Chaudhuri et al. SSJoin / Xiao et al. PPJoin, public algorithms).
+
+    Removes :func:`ngram_jaccard_pairs`'s stop-shingle approximation:
+    instead of DROPPING hot shingles (which silently lowers
+    intersections), each doc exposes only its PREFIX - the first
+    ``|s| - ceil(t*|s|) + 1`` shingles under a global rarity order - to
+    the self-join.  Prefix-filter theorem: any pair with Jaccard >= t
+    must share a prefix token, so candidate recall is 1.0; the exact
+    verify pass makes precision 1.0.  Candidates per shingle shrink
+    from df^2 to (docs whose PREFIX holds it)^2, and frequency-ordering
+    pushes hot shingles to the ends of the sorted sets where they never
+    enter a prefix.
+
+    100-TB order trick: a full global frequency order would need a
+    df-join plus a per-doc regroup of the exploded table (two extra
+    token-proportional exchanges).  Only HOT shingles matter for
+    pruning, so the order key is ``(df if df > hot_df else 1,
+    shingle_hash)`` with the hot map (top ``max_hot`` by df) broadcast
+    once via ``ray.put`` - any consistent total order keeps the theorem
+    exact, truncation only weakens pruning, never correctness.
+
+    Exchanges: one ``groupby(shingle)`` for df, the prefix self-join,
+    one pair-distinct groupby, and the two verify joins - all on slim
+    integer rows; the corpus is scanned twice (df pass + prefix pass)
+    and never driver-materialized.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
+
+    num_partitions = _default_partitions(num_partitions)
+    eps = 1e-9
+    src = ds.select_columns([id_column, column])
+
+    def explode_slim(batch: pa.Table) -> pa.Table:
+        arrs = batch_word_shingles(batch.column(column).to_pylist(), k)
+        if arrs:
+            flat = np.concatenate(arrs)
+        else:
+            flat = np.zeros(0, dtype=np.uint64)
+        return pa.table(
+            {"shingle": pa.array(flat.astype(np.int64), pa.int64())}
+        )
+
+    df_counts = (
+        src.map_batches(explode_slim, batch_format="pyarrow")
+        .groupby("shingle")
+        .aggregate(Count(alias_name="df"))
+        .filter(expr="df > %d" % hot_df)
+    )
+    # the hot table is tiny by construction (stop-shingles only); cap
+    # at max_hot rows for a bounded broadcast even on adversarial input
+    hot_rows = df_counts.sort("df", descending=True).limit(max_hot).take_all()
+    hot_keys = np.array(
+        sorted(np.uint64(r["shingle"] + (1 << 63)) for r in hot_rows),
+        dtype=np.uint64,
+    )
+    hot_vals_by_key = {
+        np.uint64(r["shingle"] + (1 << 63)): int(r["df"]) for r in hot_rows
+    }
+    hot_vals = np.array(
+        [hot_vals_by_key[x] for x in hot_keys], dtype=np.int64
+    )
+    hot_ref = ray.put((hot_keys, hot_vals))
+
+    def emit_prefix(batch: pa.Table) -> pa.Table:
+        keys, vals = ray.get(hot_ref)
+        ids = np.asarray(batch.column(id_column).to_pylist(), dtype=np.int64)
+        arrs = batch_word_shingles(batch.column(column).to_pylist(), k)
+        sizes = np.array([len(a) for a in arrs], dtype=np.int64)
+        n_docs = len(ids)
+        if n_docs == 0 or sizes.sum() == 0:
+            return pa.table(
+                {
+                    "shingle": pa.array([], pa.int64()),
+                    "pid": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "size": pa.array([], pa.int64()),
+                }
+            )
+        flat = np.concatenate([a for a in arrs if len(a)])
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), sizes)
+        if len(keys):
+            ix = np.searchsorted(keys, flat)
+            ix[ix == len(keys)] = 0
+            rank = np.where(keys[ix] == flat, vals[ix], np.int64(1))
+        else:
+            rank = np.ones(len(flat), dtype=np.int64)
+        order = np.lexsort((flat, rank, doc_of))
+        flat_o, doc_o = flat[order], doc_of[order]
+        starts = np.searchsorted(doc_o, np.arange(n_docs, dtype=np.int64))
+        pos = np.arange(len(flat_o), dtype=np.int64) - starts[doc_o]
+        sz_o = sizes[doc_o]
+        p_len = sz_o - np.ceil(threshold * sz_o - eps).astype(np.int64) + 1
+        keep = pos < p_len
+        return pa.table(
+            {
+                "shingle": pa.array(
+                    flat_o[keep].astype(np.int64), pa.int64()
+                ),
+                "pid": pa.array(ids[doc_o[keep]], pa.int64()),
+                "pos": pa.array(pos[keep], pa.int64()),
+                "size": pa.array(sz_o[keep], pa.int64()),
+            }
+        )
+
+    prefix = src.map_batches(emit_prefix, batch_format="pyarrow").materialize()
+    joined = prefix.join(
+        prefix,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("shingle",),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+
+    def cand_filter(batch: pa.Table) -> pa.Table:
+        ia = np.asarray(batch.column("pid_a"), dtype=np.int64)
+        ib = np.asarray(batch.column("pid_b"), dtype=np.int64)
+        sa = np.asarray(batch.column("size_a"), dtype=np.float64)
+        sb = np.asarray(batch.column("size_b"), dtype=np.float64)
+        pos_a = np.asarray(batch.column("pos_a"), dtype=np.float64)
+        pos_b = np.asarray(batch.column("pos_b"), dtype=np.float64)
+        # all filters prune only certainly-impossible pairs (eps slack
+        # keeps borderline pairs; the verify pass is exact)
+        keep = ia < ib
+        keep &= np.minimum(sa, sb) >= threshold * np.maximum(sa, sb) - eps
+        alpha = threshold / (1.0 + threshold) * (sa + sb)
+        ubound = 1.0 + np.minimum(sa - pos_a - 1.0, sb - pos_b - 1.0)
+        keep &= ubound >= alpha - eps
+        idx = np.nonzero(keep)[0]
+        return pa.table(
+            {
+                "id_a": pa.array(ia[idx], pa.int64()),
+                "id_b": pa.array(ib[idx], pa.int64()),
+            }
+        )
+
+    cand = (
+        joined.map_batches(cand_filter, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n_hits"))
+        .select_columns(["id_a", "id_b"])
+    )
+    return verify_pairs_exact_jaccard(
+        cand, ds, threshold, column, id_column, num_partitions
+    )
 
 
 # --------------------------------------------------------------------------
