@@ -801,6 +801,15 @@ def _q_host_rollup(sf_dir: str):
     return host_rollup(read_pages(sf_dir, num_blocks=16))
 
 
+def _q_host_tiers(sf_dir: str):
+    """Tiered-crawl budget assignment: hosts ranked by mean page
+    perplexity into 4 exact ntile tiers (tier 1 = best = most budget).
+    Combiner-first host rollup + the histogram ntile - no global sort."""
+    from topicrawler_ray.stages.politeness import host_quality_tiers
+
+    return host_quality_tiers(_q_doc_perp(sf_dir), n_tiers=4)
+
+
 def _q_dedup_segments(sf_dir: str):
     """CCNet-style segment-level exact dedup: 10-word segments, first
     corpus occurrence (doc_id, seg_idx order) kept.  The shuffle moves
@@ -2613,6 +2622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_novelty": _q_doc_novelty,
         "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
+        "host_tiers": _q_host_tiers,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,
         "langid": _q_langid,
@@ -3228,6 +3238,20 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
             "AS cum_value_e2 FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "host_tiers": (
+            "WITH perp AS ("
+            "SELECT lower(string_split(url, '/')[3]) AS host, "
+            "CAST(floor(perp * 1e6) AS BIGINT) AS perp_e6 "
+            "FROM read_parquet('%s') WHERE floor(perp * 1e6) >= 0"
+            "), hosts AS ("
+            "SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
+            "CAST(sum(perp_e6) // count(*) AS BIGINT) AS avg_perp_e6 "
+            "FROM perp GROUP BY host) "
+            "SELECT host, n_pages, avg_perp_e6, "
+            "CAST(ntile(4) OVER (ORDER BY avg_perp_e6, host) AS BIGINT) "
+            "AS tier FROM hosts"
+            % _ORACLES_SF001["doc_perp"]
         ),
         "perp_buckets": (
             "SELECT url, CAST(floor(perp * 1e6) AS BIGINT) AS perp_e6, "

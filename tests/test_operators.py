@@ -647,6 +647,37 @@ class TestPolitenessBatching:
         assert b.slot.tolist() == [0]
 
 
+class TestHostQualityTiers:
+    def test_tiers_by_mean_perp(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.politeness import host_quality_tiers
+
+        rows = []
+        # 4 hosts with mean perp 10, 20, 30, 40; one sentinel row
+        for h, base in [("a.example", 10.0), ("b.example", 20.0),
+                        ("c.example", 30.0), ("d.example", 40.0)]:
+            for i, delta in enumerate((-1.0, 0.0, 1.0)):
+                rows.append(
+                    {"url": "http://%s/p%d" % (h, i), "perp": base + delta}
+                )
+        rows.append({"url": "http://a.example/robots.txt", "perp": -1.0})
+        out = (
+            host_quality_tiers(ray.data.from_items(rows), n_tiers=4)
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        assert out.host.tolist() == [
+            "a.example", "b.example", "c.example", "d.example"
+        ]
+        assert out.tier.tolist() == [1, 2, 3, 4]  # best perp = tier 1
+        assert out.n_pages.tolist() == [3, 3, 3, 3]  # sentinel excluded
+        assert out.avg_perp_e6.tolist() == [
+            10_000_000, 20_000_000, 30_000_000, 40_000_000
+        ]
+
+
 class TestNgramJaccardJoin:
     def test_exact_pairs_vs_python(self, ray_session):
         import ray.data

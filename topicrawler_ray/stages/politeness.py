@@ -23,6 +23,7 @@ exactly like the wave engine does.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 
 from ..functions.urls import host_of_url
 
@@ -103,6 +104,84 @@ def host_rollup(pages_ds, num_partitions: int | None = None):
                 "n_pages": batch.column("sum(n_pages)").cast(pa.int64()),
                 "n_robots": batch.column("sum(n_robots)").cast(pa.int64()),
                 "html_bytes": batch.column("sum(html_bytes)").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def host_quality_tiers(scored_ds, n_tiers: int = 4,
+                       url_column: str = "url", perp_column: str = "perp",
+                       num_partitions: int | None = None):
+    """Crawl-tier assignment: rank hosts by mean LM perplexity of their
+    pages and split them into ``n_tiers`` exact ntile tiers (tier 1 =
+    lowest perplexity = highest-priority crawl budget).
+
+    The host-level analog of CCNet's perplexity bucketing, applied the
+    way a tiered recrawl scheduler consumes it: per-host quality decides
+    how much of the fetch budget a host earns next cycle.
+
+    Shape: quantize perp to int64 per page (associative sums), per-batch
+    partial (host, sum, count) combiner, ONE small ``groupby(host)``,
+    floor-div mean (exact integer), then :func:`exact_ntile` over the
+    host rows - no global sort, no driver materialization of pages.
+    Pages with ``perp < 0`` (sentinel rows) are excluded.
+    -> (host, n_pages, avg_perp_e6, tier)
+    """
+    import numpy as np
+
+    from ..stages.ranking import exact_ntile
+
+    def partial(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_column).to_pylist()
+        perp = np.asarray(
+            batch.column(perp_column).to_pylist(), dtype=np.float64
+        )
+        q = np.floor(perp * 1e6).astype(np.int64)
+        agg: dict[str, list[int]] = {}
+        for u, v in zip(urls, q):
+            if v < 0:
+                continue
+            c = agg.setdefault(host_of_url(u), [0, 0])
+            c[0] += 1
+            c[1] += int(v)
+        hosts = sorted(agg)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "n_pages": pa.array([agg[h][0] for h in hosts], pa.int64()),
+                "sum_perp_e6": pa.array([agg[h][1] for h in hosts], pa.int64()),
+            }
+        )
+
+    rolled = (
+        scored_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .sum(["n_pages", "sum_perp_e6"])
+    )
+
+    def mean_q(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("sum(n_pages)"), dtype=np.int64)
+        s = np.asarray(batch.column("sum(sum_perp_e6)"), dtype=np.int64)
+        # values are non-negative, so floor-div == DuckDB's truncating //
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_pages": pa.array(n, pa.int64()),
+                "avg_perp_e6": pa.array(s // np.maximum(n, 1), pa.int64()),
+            }
+        )
+
+    hosts = rolled.map_batches(mean_q, batch_format="pyarrow").materialize()
+    out = exact_ntile(hosts, "avg_perp_e6", "host", n_buckets=n_tiers)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_pages": batch.column("n_pages").cast(pa.int64()),
+                "avg_perp_e6": batch.column("avg_perp_e6").cast(pa.int64()),
+                "tier": batch.column("bucket").cast(pa.int64()),
             }
         )
 
