@@ -621,7 +621,7 @@ def _q_link_pagerank(sf_dir: str):
     from topicrawler_ray.sources.pages import read_pages
     from topicrawler_ray.stages.graph import page_edges, pagerank
 
-    edges = page_edges(read_pages(sf_dir, num_blocks=16))
+    edges = page_edges(read_pages(sf_dir, num_blocks=16, columns=["url", "html"]))
     return pagerank(edges, iterations=5)
 
 
@@ -766,7 +766,7 @@ def _q_link_hits(sf_dir: str):
     from topicrawler_ray.sources.pages import read_pages
     from topicrawler_ray.stages.graph import hits, page_edges
 
-    edges = page_edges(read_pages(sf_dir, num_blocks=16))
+    edges = page_edges(read_pages(sf_dir, num_blocks=16, columns=["url", "html"]))
     return hits(edges, iterations=5)
 
 
@@ -788,7 +788,7 @@ def _q_anchor_texts(sf_dir: str):
     from topicrawler_ray.sources.pages import read_pages
     from topicrawler_ray.stages.graph import anchor_text_agg
 
-    return anchor_text_agg(read_pages(sf_dir, num_blocks=16))
+    return anchor_text_agg(read_pages(sf_dir, num_blocks=16, columns=["url", "html"]))
 
 
 def _q_host_rollup(sf_dir: str):
@@ -798,7 +798,7 @@ def _q_host_rollup(sf_dir: str):
     from topicrawler_ray.sources.pages import read_pages
     from topicrawler_ray.stages.politeness import host_rollup
 
-    return host_rollup(read_pages(sf_dir, num_blocks=16))
+    return host_rollup(read_pages(sf_dir, num_blocks=16, columns=["url", "html"]))
 
 
 def _q_host_tiers(sf_dir: str):
@@ -1880,7 +1880,7 @@ def _q_link_components(sf_dir: str):
     from topicrawler_ray.stages.components import connected_components
     from topicrawler_ray.stages.graph import page_edges
 
-    edges_s = page_edges(read_pages(sf_dir, num_blocks=16)).materialize()
+    edges_s = page_edges(read_pages(sf_dir, num_blocks=16, columns=["url", "html"])).materialize()
 
     def to_ids(batch: pa.Table) -> pa.Table:
         from topicrawler_ray.functions.hashing import url_hash64

@@ -53,7 +53,9 @@ def _scored_pipeline(sf_dir: str, num_cpus: int, replicate: int):
     lm_ref = topic_lm_ref(sf_dir)
     path = pages_path(sf_dir)
     ds = ray.data.read_parquet(
-        [path] * replicate, override_num_blocks=max(16, concurrency * 4)
+        [path] * replicate,
+        columns=["url", "warc_ts", "html", "lang"],
+        override_num_blocks=max(16, concurrency * 4),
     )
     ds = ds.map_batches(extract_batch, batch_format="pyarrow")
     ds = ds.map_batches(

@@ -199,7 +199,8 @@ def cmd_ngram_index(args) -> int:
 
     import ray.data
 
-    ds = ray.data.read_parquet(args.input)
+    # prune at the read: the index derives from the text column alone
+    ds = ray.data.read_parquet(args.input, columns=[args.column])
     idx = ngram_index(ds, args.order, column=args.column, mincount=args.mincount)
     os.makedirs(args.out, exist_ok=True)
     idx.write_parquet(os.path.join(args.out, "ngram_index"))
@@ -436,7 +437,8 @@ def cmd_registry(args) -> int:
     )
 
     if args.action == "register":
-        ds = ray.data.read_parquet(args.input)
+        # prune at the read: registration hashes one column
+        ds = ray.data.read_parquet(args.input, columns=[args.column])
         man = register_hashes(
             ds, args.column, args.registry, generation=args.generation,
             num_shards=args.num_shards,
@@ -468,7 +470,8 @@ def cmd_chunk(args) -> int:
 
     from .stages.chunking import chunk_documents
 
-    ds = ray.data.read_parquet(args.input)
+    # prune at the read: chunks derive from (id, text) alone
+    ds = ray.data.read_parquet(args.input, columns=[args.id_column, args.column])
     out = chunk_documents(
         ds, max_tokens=args.max_tokens, column=args.column,
         id_column=args.id_column,

@@ -480,15 +480,28 @@ def strip_schema_metadata(ds):
     return ds.map_batches(_strip, batch_format="pyarrow")
 
 
-def read_pages(sf_dir: str, num_blocks: int | None = None):
+#: default projection for pipeline reads: every consumer recomputes the
+#: extraction from ``html``, so the stored analytic ``text`` column (as
+#: large as the corpus itself - it exists for the DuckDB oracles) never
+#: leaves storage unless explicitly requested.
+PAGES_PIPELINE_COLUMNS = ["url", "warc_ts", "html", "lang"]
+
+
+def read_pages(sf_dir: str, num_blocks: int | None = None,
+               columns: list[str] | None = None):
     """Ray Dataset over the synthetic pages parquet (lazy, streaming).
 
     ``num_blocks`` splits the single fixture file so downstream actor
     pools get enough tasks to parallelise (a real 100TB input is already
-    thousands of files and needs no override).
+    thousands of files and needs no override).  ``columns`` defaults to
+    :data:`PAGES_PIPELINE_COLUMNS` (prune-at-the-read discipline); pass
+    an explicit list to read more or fewer.
     """
     import ray.data
 
+    cols = PAGES_PIPELINE_COLUMNS if columns is None else columns
     if num_blocks:
-        return ray.data.read_parquet(pages_path(sf_dir), override_num_blocks=num_blocks)
-    return ray.data.read_parquet(pages_path(sf_dir))
+        return ray.data.read_parquet(
+            pages_path(sf_dir), columns=cols, override_num_blocks=num_blocks
+        )
+    return ray.data.read_parquet(pages_path(sf_dir), columns=cols)
