@@ -199,6 +199,43 @@ class TestTopkPerGroup:
 
 
 class TestDocTerms:
+    def test_edge_token_semantics_match_python_split(self, ray_session):
+        """The round-4 vectorized partials must keep text.split(' ')
+        semantics exactly: empty tokens from runs of spaces COUNT for
+        word_df (df of '' rises), empty/None texts contribute nothing,
+        and explode_tf drops '' terms."""
+        from collections import Counter
+
+        import ray.data
+
+        from topicrawler_ray.stages.ranking import doc_top_terms, word_df
+
+        docs = [
+            {"doc_id": 0, "text": " leading  double and trailing "},
+            {"doc_id": 1, "text": ""},
+            {"doc_id": 2, "text": None},
+            {"doc_id": 3, "text": "and and  again"},
+        ]
+        ds = ray.data.from_items(docs)
+        dfm = dict(
+            zip(*(lambda d: (d.word, d.df))(word_df(ds).to_pandas()))
+        )
+        expect: Counter = Counter()
+        for d in docs:
+            if not d["text"]:
+                continue
+            expect.update(set(d["text"].split(" ")))
+        assert dfm == dict(expect) and "" in dfm
+        tf_rows = (
+            doc_top_terms(ds, k=10, max_df_docs=100)
+            .to_pandas()
+        )
+        assert "" not in set(tf_rows.term)
+        got3 = {
+            (r.term, r.tf) for r in tf_rows.itertuples() if r.doc_id == 3
+        }
+        assert got3 == {("and", 2), ("again", 1)}
+
     def test_word_df_and_top_terms(self, ray_session):
         import ray.data
 

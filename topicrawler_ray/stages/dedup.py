@@ -213,7 +213,7 @@ def minhash_bands_batch(
 
 def lsh_candidate_pairs(ds, column: str = "text", id_column: str = "doc_id",
                         num_perm: int = 128, bands: int = 16,
-                        num_partitions: int = 8):
+                        num_partitions: int | None = None):
     """Dataset of distinct candidate (id_a < id_b) pairs from LSH buckets.
 
     Implemented as a hash SELF-JOIN on the (band_id, band_hash) key
@@ -223,6 +223,11 @@ def lsh_candidate_pairs(ds, column: str = "text", id_column: str = "doc_id",
     proposed by multiple bands."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Count
+
+    # cluster-sized default: a fixed partition count >= total CPUs
+    # spawns that many hash-shuffle aggregator actors and starves the
+    # upstream read tasks (observed deadlock at num_cpus=4 with 8)
+    num_partitions = _default_partitions(num_partitions)
 
     # materialize once: the self-join consumes bands_ds TWICE (left and
     # right branch each re-execute a lazy upstream), and the signature
@@ -267,7 +272,7 @@ def minhash_near_dup_pairs(
     column: str = "text",
     id_column: str = "doc_id",
     threshold: float = 0.7,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ):
     """LSH candidates -> exact-Jaccard verified pairs.
 
@@ -290,7 +295,7 @@ def verify_pairs_exact_jaccard(
     threshold: float,
     column: str = "text",
     id_column: str = "doc_id",
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ):
     """Exact-Jaccard verification of candidate ``(id_a, id_b)`` pairs:
     partition-join the texts back on each id, shingle + Jaccard per
@@ -298,6 +303,7 @@ def verify_pairs_exact_jaccard(
     Shared by the MinHash-LSH and prefix-filter (PPJoin) paths."""
     import pyarrow.compute as pc
 
+    num_partitions = _default_partitions(num_partitions)
     # Ray 2.49 quirk: groupby().aggregate() emits 0-row/0-COLUMN blocks
     # for empty hash partitions, which break a downstream join's acero
     # key resolution.  repartition() concatenates them away; the pair
@@ -748,7 +754,7 @@ def simhash_near_dup_pairs(ds, column: str = "text", id_column: str = "doc_id",
     joined = exploded.join(
         exploded,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=_default_partitions(None),
         on=("band_id", "band_key"),
         left_suffix="_a",
         right_suffix="_b",

@@ -180,20 +180,55 @@ def topk_per_group(ds, group_column: str, score_column: str,
 def word_df(ds, id_column: str = "doc_id", column: str = "text"):
     """word -> document frequency (#docs containing the word): per-doc
     distinct words, per-batch partial counts (combiner), one
-    ``groupby(word)`` sum."""
+    ``groupby(word)`` sum.
+
+    Vectorized partial (round 4): one Arrow ``split_pattern`` per batch
+    (same semantics as ``text.split(" ")`` - empty tokens from runs of
+    spaces included, empty/null texts skipped), dictionary-encode the
+    flat words, distinct (doc, code) via ``np.unique`` on a packed
+    int64 key, ``bincount`` per code - no per-row Python loop, no
+    object Counters."""
+    import numpy as np
+    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        c: Counter[str] = Counter()
-        for text in batch.column(column).to_pylist():
-            if not text:
-                continue
-            c.update(set(text.split(" ")))
-        words = sorted(c)
+        texts = batch.column(column)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if pa.types.is_null(texts.type):
+            # all-None block: Ray types the column null, which no utf8
+            # kernel accepts
+            texts = texts.cast(pa.string())
+        nonempty = pc.and_kleene(
+            texts.is_valid(), pc.greater(pc.utf8_length(texts), 0)
+        )
+        texts = texts.filter(nonempty)
+        n = len(texts)
+        if n == 0:
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    "df_part": pa.array([], pa.int64()),
+                }
+            )
+        words = pc.split_pattern(texts, " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        counts = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(words)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        n_dict = len(enc.dictionary)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        uniq = np.unique(doc_of * np.int64(n_dict) + codes)
+        df_part = np.bincount(uniq % n_dict, minlength=n_dict)
         return pa.table(
             {
-                "word": pa.array(words, pa.string()),
-                "df_part": pa.array([c[w] for w in words], pa.int64()),
+                "word": enc.dictionary,
+                "df_part": pa.array(df_part, pa.int64()),
             }
         )
 
@@ -225,22 +260,46 @@ def doc_top_terms(ds, k: int = 3, max_df_docs: int | None = None,
         max_df_docs = max(1, ds.count() // 2)
 
     def explode_tf(batch: pa.Table) -> pa.Table:
-        o_id, o_term, o_tf = [], [], []
-        for i, text in zip(
-            batch.column(id_column).to_pylist(),
-            batch.column(column).to_pylist(),
-        ):
-            for w, c in Counter((text or "").split(" ")).items():
-                if not w:
-                    continue
-                o_id.append(i)
-                o_term.append(w)
-                o_tf.append(c)
+        # vectorized (round 4): one Arrow split per batch, dictionary
+        # codes, (doc, code) tf via np.unique(return_counts) on a
+        # packed int64 key - replaces the per-doc Counter loop
+        import numpy as np
+        import pyarrow.compute as pc
+
+        ids = np.asarray(batch.column(id_column), dtype=np.int64)
+        texts = batch.column(column)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if pa.types.is_null(texts.type):
+            texts = texts.cast(pa.string())
+        texts = pc.fill_null(texts, "")
+        words = pc.split_pattern(texts, " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        counts = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(words)
+        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        keep_np = np.asarray(
+            keep.combine_chunks() if isinstance(keep, pa.ChunkedArray) else keep
+        )
+        flat = flat.filter(keep)
+        doc_of = doc_of[keep_np]
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        n_dict = max(1, len(enc.dictionary))
+        uniq, tfs = np.unique(
+            doc_of * np.int64(n_dict) + codes, return_counts=True
+        )
         return pa.table(
             {
-                id_column: pa.array(o_id, pa.int64()),
-                "term": pa.array(o_term, pa.string()),
-                "tf": pa.array(o_tf, pa.int64()),
+                id_column: pa.array(ids[uniq // n_dict], pa.int64()),
+                "term": enc.dictionary.take(
+                    pa.array(uniq % n_dict, pa.int64())
+                ),
+                "tf": pa.array(tfs.astype(np.int64), pa.int64()),
             }
         )
 

@@ -140,7 +140,7 @@ class PageStoreState:
         return out
 
 
-def fetch_join(frontier_ds, sf_dir: str, num_partitions: int = 8):
+def fetch_join(frontier_ds, sf_dir: str, num_partitions: int | None = None):
     """Batch-mode fetch simulation (J3 dataset-join expression): inner
     hash join of a frontier URL Dataset against the pages table - the
     partition-pruned two-sided join the actor-based point lookups
@@ -150,7 +150,9 @@ def fetch_join(frontier_ds, sf_dir: str, num_partitions: int = 8):
     import ray.data
 
     from ..sources.pages import pages_path
+    from ..stages.dedup import _default_partitions
 
+    num_partitions = _default_partitions(num_partitions)
     pages = ray.data.read_parquet(
         pages_path(sf_dir), columns=["url", "warc_ts", "html", "lang"]
     )
