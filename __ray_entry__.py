@@ -801,6 +801,16 @@ def _q_host_rollup(sf_dir: str):
     return host_rollup(read_pages(sf_dir, num_blocks=16, columns=["url", "html"]))
 
 
+def _q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth: new distinct words per doc slice
+    (first-occurrence bucketing; one slim groupby(word).min exchange).
+    bucket_size=1 because the synthetic corpus' vocabulary saturates
+    within the first few docs - per-doc buckets keep the curve real."""
+    from topicrawler_ray.stages.ranking import vocab_growth
+
+    return vocab_growth(_docs(sf_dir, ["doc_id", "text"]), bucket_size=1)
+
+
 def _q_host_tiers(sf_dir: str):
     """Tiered-crawl budget assignment: hosts ranked by mean page
     perplexity into 4 exact ntile tiers (tier 1 = best = most budget).
@@ -2623,6 +2633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": _q_hard_negatives,
         "host_rollup": _q_host_rollup,
         "host_tiers": _q_host_tiers,
+        "vocab_growth": _q_vocab_growth,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,
         "langid": _q_langid,
@@ -3238,6 +3249,18 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
             "AS cum_value_e2 FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "vocab_growth": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS word FROM documents "
+            "WHERE text IS NOT NULL AND text <> ''), "
+            "firsts AS (SELECT word, min(doc_id) AS first_doc "
+            "FROM toks GROUP BY word), "
+            "b AS (SELECT first_doc // 1 AS bucket, "
+            "CAST(count(*) AS BIGINT) AS new_words FROM firsts GROUP BY 1) "
+            "SELECT CAST(bucket AS BIGINT) AS bucket, new_words, "
+            "CAST(sum(new_words) OVER (ORDER BY bucket) AS BIGINT) "
+            "AS cum_vocab FROM b ORDER BY bucket"
         ),
         "host_tiers": (
             "WITH perp AS ("

@@ -332,3 +332,106 @@ def doc_top_terms(ds, k: int = 3, max_df_docs: int | None = None,
         .map_groups(rank_group, batch_format="pandas")
         .select_columns([id_column, "term", "tf", "df", "rank"])
     )
+
+
+def vocab_growth(ds, bucket_size: int = 50, id_column: str = "doc_id",
+                 column: str = "text"):
+    """Heaps-law vocabulary growth curve: how many NEW distinct words
+    each ``bucket_size``-doc slice of the corpus (in ``id_column``
+    order) contributes, plus the running vocabulary size - the standard
+    corpus-composition diagnostic for webtext ingestion (is the crawl
+    still finding new language, or re-reading boilerplate?).
+
+    Ray shape: per-batch (word -> min doc id) combiner (vectorized:
+    one Arrow split + dictionary codes + lexsort-first-per-code), ONE
+    ``groupby(word).min`` exchange of slim (word, id) rows, then the
+    first-occurrence ids bucket into ``id // bucket_size`` with a
+    per-batch partial count and a tiny ``groupby(bucket)`` - the
+    cumulative sum runs on the O(#buckets) driver rows only.
+    -> (bucket, new_words, cum_vocab), bucket ascending.
+
+    Token semantics match ``text.split(" ")`` (empty tokens from runs
+    of spaces count as a word; empty/null texts contribute nothing) so
+    the DuckDB ``string_split`` oracle is exact.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    def partial_firsts(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_column), dtype=np.int64)
+        texts = batch.column(column)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if pa.types.is_null(texts.type):
+            texts = texts.cast(pa.string())
+        nonempty = pc.and_kleene(
+            texts.is_valid(), pc.greater(pc.utf8_length(texts), 0)
+        )
+        ne = np.asarray(
+            nonempty.combine_chunks()
+            if isinstance(nonempty, pa.ChunkedArray) else nonempty
+        )
+        texts = texts.filter(nonempty)
+        ids = ids[ne]
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    "first_doc": pa.array([], pa.int64()),
+                }
+            )
+        words = pc.split_pattern(texts, " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        counts = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(words)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        doc_of = np.repeat(ids, counts)
+        order = np.lexsort((doc_of, codes))
+        codes_o, doc_o = codes[order], doc_of[order]
+        first = np.ones(len(codes_o), dtype=bool)
+        first[1:] = codes_o[1:] != codes_o[:-1]
+        return pa.table(
+            {
+                "word": enc.dictionary.take(
+                    pa.array(codes_o[first], pa.int64())
+                ),
+                "first_doc": pa.array(doc_o[first], pa.int64()),
+            }
+        )
+
+    firsts = (
+        ds.select_columns([id_column, column])
+        .map_batches(partial_firsts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Min("first_doc", alias_name="first_doc"))
+    )
+
+    def to_bucket(batch: pa.Table) -> pa.Table:
+        fd = np.asarray(batch.column("first_doc"), dtype=np.int64)
+        return pa.table(
+            {"bucket": pa.array(fd // np.int64(bucket_size), pa.int64())}
+        )
+
+    per_bucket = (
+        firsts.map_batches(to_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="new_words"))
+        .take_all()  # O(#buckets) rows - corpus_docs / bucket_size
+    )
+    per_bucket.sort(key=lambda r: r["bucket"])
+    buckets = [int(r["bucket"]) for r in per_bucket]
+    new_words = [int(r["new_words"]) for r in per_bucket]
+    cum = np.cumsum(new_words, dtype=np.int64)
+    return pa.table(
+        {
+            "bucket": pa.array(buckets, pa.int64()),
+            "new_words": pa.array(new_words, pa.int64()),
+            "cum_vocab": pa.array(cum, pa.int64()),
+        }
+    )
