@@ -801,6 +801,20 @@ def _q_host_rollup(sf_dir: str):
     return host_rollup(read_pages(sf_dir, num_blocks=16, columns=["url", "html"]))
 
 
+def _q_link_depths(sf_dir: str):
+    """Multi-source BFS hop depth of every reachable URL from the crawl
+    seed list over the page link graph (iterative join + groupby-min
+    relaxation; scalar-sum convergence check)."""
+    from topicrawler_ray.pipelines.crawl import default_seeds
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.graph import bfs_depths, page_edges
+
+    edges = page_edges(
+        read_pages(sf_dir, num_blocks=16, columns=["url", "html"])
+    ).materialize()
+    return bfs_depths(edges, default_seeds(sf_dir))
+
+
 def _q_vocab_growth(sf_dir: str):
     """Heaps-law vocabulary growth: new distinct words per doc slice
     (first-occurrence bucketing; one slim groupby(word).min exchange).
@@ -2634,6 +2648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_rollup": _q_host_rollup,
         "host_tiers": _q_host_tiers,
         "vocab_growth": _q_vocab_growth,
+        "link_depths": _q_link_depths,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,
         "langid": _q_langid,

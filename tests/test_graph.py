@@ -161,3 +161,47 @@ class TestEmptyGraph:
         )
         assert pagerank(empty, iterations=2).count() == 0
         assert hits(empty, iterations=2).count() == 0
+
+
+class TestBfsDepths:
+    def test_depths_match_hand_bfs(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from topicrawler_ray.stages.graph import bfs_depths
+
+        # a -> b -> c -> d, a -> c (shortcut), e -> f (unreachable),
+        # g isolated seed
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(["a", "b", "c", "a", "e"], pa.string()),
+                    "dst": pa.array(["b", "c", "d", "c", "f"], pa.string()),
+                }
+            )
+        )
+        out = {
+            r["node"]: r["depth"]
+            for r in bfs_depths(edges, ["a", "g"]).take_all()
+        }
+        assert out == {"a": 0, "g": 0, "b": 1, "c": 1, "d": 2}
+
+    def test_cycle_terminates(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from topicrawler_ray.stages.graph import bfs_depths
+
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(["x", "y", "z"], pa.string()),
+                    "dst": pa.array(["y", "z", "x"], pa.string()),
+                }
+            )
+        )
+        out = {
+            r["node"]: r["depth"]
+            for r in bfs_depths(edges, ["x"]).take_all()
+        }
+        assert out == {"x": 0, "y": 1, "z": 2}

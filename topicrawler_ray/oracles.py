@@ -968,6 +968,44 @@ def _b_ngram_stats_seg(sf_dir: str) -> pa.Table:
 # -- link-graph PageRank -----------------------------------------------------
 
 
+def _b_link_depths(sf_dir: str) -> pa.Table:
+    """Sequential multi-source BFS over the fixture link graph (plain
+    dict/deque; shares only the S3 link-extraction primitives and the
+    seed-list config with the engine, same standard as
+    :func:`_b_link_pagerank`)."""
+    from collections import deque
+
+    from .functions.urls import extract_outlinks
+    from .pipelines.crawl import default_seeds
+    from .stages.extract import decode_page_bytes, is_robots_url
+
+    adj: dict[str, list[str]] = {}
+    for url, _ts, html in _pages_rows(sf_dir):
+        if is_robots_url(url) or not html:
+            continue
+        for dst in extract_outlinks(decode_page_bytes(url, html), url):
+            adj.setdefault(url, []).append(dst)
+    depth: dict[str, int] = {}
+    q: deque[str] = deque()
+    for s in default_seeds(sf_dir):
+        if s not in depth:
+            depth[s] = 0
+            q.append(s)
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in depth:
+                depth[v] = depth[u] + 1
+                q.append(v)
+    nodes = sorted(depth)
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.string()),
+            "depth": pa.array([depth[u] for u in nodes], pa.int64()),
+        }
+    )
+
+
 def _b_link_pagerank(sf_dir: str) -> pa.Table:
     """Sequential integer PageRank over the fixture link graph.
 
@@ -1936,6 +1974,7 @@ BUILDERS = {
     "sample_diverse": _b_sample_diverse,
     "doc_novelty": _b_doc_novelty,
     "link_pagerank": _b_link_pagerank,
+    "link_depths": _b_link_depths,
     "anchor_texts": _b_anchor_texts,
     "bm25_topk": _b_bm25_topk,
     # disk-backed serving must rank bit-identically to the scan path;

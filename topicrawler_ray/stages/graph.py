@@ -499,3 +499,94 @@ def hits(
         ).materialize()
 
     return state.select_columns(["node", "hub", "auth"])
+
+
+def bfs_depths(edges, seeds: list[str], num_partitions: int | None = None,
+               max_iters: int = 64):
+    """Multi-source BFS depth of every reachable node from ``seeds``
+    over a (src, dst) edge Dataset - the crawl-frontier depth profile
+    (how many hops from the seed list each URL sits; the static analog
+    of Heritrix hop counts / the reference's via-chain depth).
+
+    Iterative integer relaxation, all-Dataset: each round JOINs the
+    current depth table against the edge list on ``src``, proposes
+    ``depth+1`` for every ``dst``, and folds proposals into the depth
+    table with ONE ``groupby(node).min`` - min over int64 is
+    associative, so any execution order yields the same table.
+    Convergence check is a scalar ``sum(depth)`` reduce (the sum is
+    monotone non-increasing and strictly decreases until fixpoint), so
+    the loop exits after diameter+1 rounds without driver-side
+    materialization of the node table.  Unreachable nodes are dropped.
+    -> (node, depth), seeds at 0.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min
+
+    num_partitions = _default_partitions(num_partitions)
+    inf = 1 << 40
+    seed_ref = ray.put(set(seeds))
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        vals = (
+            batch.column("src").to_pylist() + batch.column("dst").to_pylist()
+        )
+        return pa.table({"node": pa.array(sorted(set(vals)), pa.string())})
+
+    universe = (
+        edges.map_batches(node_rows, batch_format="pyarrow")
+        .union(ray.data.from_arrow(
+            pa.table({"node": pa.array(sorted(set(seeds)), pa.string())})
+        ))
+        .groupby("node")
+        .count()
+    )
+
+    def init_depth(batch: pa.Table) -> pa.Table:
+        sset = ray.get(seed_ref)
+        nodes = batch.column("node").to_pylist()
+        d = [0 if u in sset else int(inf) for u in nodes]
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.string()),
+                "depth": pa.array(d, pa.int64()),
+            }
+        )
+
+    depths = universe.map_batches(
+        init_depth, batch_format="pyarrow"
+    ).repartition(num_partitions).materialize()
+    prev_total = depths.sum("depth", ignore_nulls=True) or 0
+
+    for _ in range(max_iters):
+        frontier = depths.filter(expr="depth < %d" % int(inf))
+        joined = edges.join(
+            frontier,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("node",),
+        )
+
+        def propose(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch.column("dst"),
+                    "depth": pc.add(_int64(batch.column("depth")), 1),
+                }
+            )
+
+        depths = (
+            joined.map_batches(propose, batch_format="pyarrow")
+            .union(depths)
+            .groupby("node")
+            .aggregate(Min("depth", alias_name="depth"))
+            .repartition(num_partitions)
+            .materialize()
+        )
+        total = depths.sum("depth", ignore_nulls=True) or 0
+        if total == prev_total:
+            break
+        prev_total = total
+
+    return depths.filter(expr="depth < %d" % int(inf))
