@@ -647,6 +647,66 @@ class TestPolitenessBatching:
         assert b.slot.tolist() == [0]
 
 
+class TestPPJoinRandomizedParity:
+    def test_random_corpora_match_all_pairs(self, ray_session):
+        """Seeded random corpora (dup clusters, shared boilerplate,
+        short docs, empty docs) x thresholds: ppjoin_pairs must equal
+        the brute-force all-pairs Jaccard - recall is the prefix
+        theorem, precision is the exact verify; any miss here is an
+        implementation bug in the order/prefix/filter algebra."""
+        import random
+
+        import ray.data
+
+        from topicrawler_ray.stages.dedup import (
+            jaccard,
+            ppjoin_pairs,
+            word_shingles,
+        )
+
+        rng = random.Random(42)
+        vocab = ["w%d" % i for i in range(120)]
+        boiler = "terms of service apply here"
+        for trial, threshold in ((0, 0.3), (1, 0.5), (2, 0.8)):
+            rows = []
+            for i in range(60):
+                n = rng.randint(0, 25)
+                words = [rng.choice(vocab) for _ in range(n)]
+                if rng.random() < 0.4:
+                    words = boiler.split() + words
+                text = " ".join(words)
+                rows.append({"doc_id": i, "text": text})
+                if rng.random() < 0.3:  # near-dup copy with one edit
+                    w2 = list(words)
+                    if w2:
+                        w2[rng.randrange(len(w2))] = "edit%d" % i
+                    rows.append({"doc_id": 1000 + i, "text": " ".join(w2)})
+            ds = ray.data.from_items(rows)
+            got = {
+                (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+                for r in ppjoin_pairs(
+                    ds, threshold=threshold, hot_df=6
+                ).take_all()
+            }
+            sh = {r["doc_id"]: word_shingles(r["text"]) for r in rows}
+            expect = {}
+            for a in sh:
+                for b in sh:
+                    if a < b and sh[a] and sh[b]:
+                        j = jaccard(sh[a], sh[b])
+                        if j >= threshold:
+                            expect[(a, b)] = round(j, 6)
+            assert got == expect, (
+                "trial %d t=%.1f: missing=%s extra=%s"
+                % (
+                    trial,
+                    threshold,
+                    set(expect) - set(got),
+                    set(got) - set(expect),
+                )
+            )
+
+
 class TestHostQualityTiers:
     def test_tiers_by_mean_perp(self, ray_session):
         import ray.data
