@@ -801,6 +801,16 @@ def _q_host_rollup(sf_dir: str):
     return host_rollup(read_pages(sf_dir, num_blocks=16, columns=["url", "html"]))
 
 
+def _q_host_dup_rate(sf_dir: str):
+    """Per-host duplicate-content rate (session-id/mirror detector for
+    tiered budget allocation): one (host, body_hash) groupby, integer
+    dup_pct_e4."""
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.politeness import host_dup_rate
+
+    return host_dup_rate(read_pages(sf_dir, num_blocks=16, columns=["url", "html"]))
+
+
 def _q_link_depths(sf_dir: str):
     """Multi-source BFS hop depth of every reachable URL from the crawl
     seed list over the page link graph (iterative join + groupby-min
@@ -2649,6 +2659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_tiers": _q_host_tiers,
         "vocab_growth": _q_vocab_growth,
         "link_depths": _q_link_depths,
+        "host_dup_rate": _q_host_dup_rate,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,
         "langid": _q_langid,
@@ -3264,6 +3275,16 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
             "AS cum_value_e2 FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "host_dup_rate": (
+            "WITH h AS (SELECT lower(string_split(url, '/')[3]) AS host, "
+            "CAST(count(*) AS BIGINT) AS n_pages, "
+            "CAST(count(DISTINCT text) AS BIGINT) AS n_unique "
+            "FROM read_parquet('%s') WHERE url NOT LIKE '%%robots.txt' "
+            "GROUP BY 1) "
+            "SELECT host, n_pages, n_unique, "
+            "CAST((n_pages - n_unique) * 10000 // n_pages AS BIGINT) "
+            "AS dup_pct_e4 FROM h" % _PAGES_SF001
         ),
         "vocab_growth": (
             "WITH toks AS (SELECT doc_id, "

@@ -738,6 +738,34 @@ class TestHostQualityTiers:
         ]
 
 
+class TestHostDupRate:
+    def test_dup_rate_counts(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from topicrawler_ray.stages.politeness import host_dup_rate
+
+        html = lambda t: ("<html><body><p>%s</p></body></html>" % t).encode()
+        rows = [
+            {"url": "http://a.example/p1", "html": html("same body text")},
+            {"url": "http://a.example/p2", "html": html("same body text")},
+            {"url": "http://a.example/p3", "html": html("other body text")},
+            {"url": "http://a.example/robots.txt", "html": b"User-agent: *"},
+            {"url": "http://b.example/p1", "html": html("unique one")},
+        ]
+        out = (
+            host_dup_rate(ray.data.from_items(rows))
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        a, b = out.iloc[0], out.iloc[1]
+        assert a.host == "a.example" and a.n_pages == 3 and a.n_unique == 2
+        assert a.dup_pct_e4 == (3 - 2) * 10000 // 3
+        assert b.host == "b.example" and b.n_pages == 1 and b.n_unique == 1
+        assert b.dup_pct_e4 == 0
+
+
 class TestNgramJaccardJoin:
     def test_exact_pairs_vs_python(self, ray_session):
         import ray.data

@@ -186,3 +186,81 @@ def host_quality_tiers(scored_ds, n_tiers: int = 4,
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def host_dup_rate(pages_ds, num_partitions: int | None = None):
+    """Per-host duplicate-content rate over fetched pages: (host,
+    n_pages, n_unique, dup_pct_e4) - the crawl-quality signal that
+    tells a tiered scheduler a host is serving the same body under
+    many URLs (session ids, print views, mirrors) and should lose
+    budget.
+
+    ONE exchange: per-page (host, content-hash) rows group by BOTH
+    keys (count = copies of that body on that host), then a tiny
+    ``groupby(host)`` folds sum(copies)=n_pages and row-count=n_unique.
+    dup_pct_e4 = (n_pages - n_unique) * 10000 // n_pages, exact
+    integer.  Distinctness is by 64-bit content hash (murmur3 low
+    half) - a collision would undercount n_unique by 1; at web scale
+    use the 128-bit variant if that matters.  Robots files excluded.
+    """
+    import numpy as np
+
+    from ..stages.dedup import _default_partitions
+    from ..stages.extract import decode_page_bytes, extract_one, is_robots_url
+    from ..stages.textstats import content_hash64
+
+    num_partitions = _default_partitions(num_partitions)
+
+    def page_hashes(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        o_h, o_c = [], []
+        for url, html in zip(urls, htmls):
+            if is_robots_url(url):
+                continue
+            clean, _s, _a = extract_one(decode_page_bytes(url, html))
+            o_h.append(host_of_url(url))
+            o_c.append(content_hash64(clean))
+        return pa.table(
+            {
+                "host": pa.array(o_h, pa.string()),
+                "body_hash": pa.array(o_c, pa.int64()),
+            }
+        )
+
+    per_body = (
+        pages_ds.map_batches(page_hashes, batch_format="pyarrow")
+        .groupby(["host", "body_hash"])
+        .count()
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "copies": batch.column("count()").cast(pa.int64()),
+                "uniq": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+
+    rolled = (
+        per_body.map_batches(fold, batch_format="pyarrow")
+        .groupby("host")
+        .sum(["copies", "uniq"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("sum(copies)"), dtype=np.int64)
+        u = np.asarray(batch.column("sum(uniq)"), dtype=np.int64)
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_pages": pa.array(n, pa.int64()),
+                "n_unique": pa.array(u, pa.int64()),
+                "dup_pct_e4": pa.array(
+                    (n - u) * np.int64(10000) // np.maximum(n, 1), pa.int64()
+                ),
+            }
+        )
+
+    return rolled.map_batches(finish, batch_format="pyarrow")
