@@ -508,15 +508,16 @@ def bfs_depths(edges, seeds: list[str], num_partitions: int | None = None,
     (how many hops from the seed list each URL sits; the static analog
     of Heritrix hop counts / the reference's via-chain depth).
 
-    Iterative integer relaxation, all-Dataset: each round JOINs the
-    current depth table against the edge list on ``src``, proposes
-    ``depth+1`` for every ``dst``, and folds proposals into the depth
-    table with ONE ``groupby(node).min`` - min over int64 is
-    associative, so any execution order yields the same table.
-    Convergence check is a scalar ``sum(depth)`` reduce (the sum is
-    monotone non-increasing and strictly decreases until fixpoint), so
-    the loop exits after diameter+1 rounds without driver-side
-    materialization of the node table.  Unreachable nodes are dropped.
+    Delta (level-synchronous) BFS, all-Dataset: round ``k`` JOINs the
+    edge list against ONLY the level-``k`` frontier (nodes that settled
+    at depth ``k`` - under the min-fold every node settles at its final
+    depth the first time it is proposed, so deeper proposals from
+    earlier levels are impossible and frontier-only joining is exact).
+    Proposals fold into the depth table with ONE ``groupby(node).min``
+    - min over int64 is associative, so any execution order yields the
+    same table.  The per-round exchange is O(edges out of the frontier),
+    not O(all settled nodes); the loop exits when a frontier is empty
+    (diameter+1 rounds).  Unreachable nodes are dropped.
     -> (node, depth), seeds at 0.
     """
     import ray
@@ -556,10 +557,17 @@ def bfs_depths(edges, seeds: list[str], num_partitions: int | None = None,
     depths = universe.map_batches(
         init_depth, batch_format="pyarrow"
     ).repartition(num_partitions).materialize()
-    prev_total = depths.sum("depth", ignore_nulls=True) or 0
 
-    for _ in range(max_iters):
-        frontier = depths.filter(expr="depth < %d" % int(inf))
+    for level in range(max_iters):
+        # repartition: filter emits empty blocks that break the acero
+        # join key resolution (see the dedup verify path)
+        frontier = (
+            depths.filter(expr="depth == %d" % level)
+            .repartition(num_partitions)
+            .materialize()
+        )
+        if frontier.count() == 0:
+            break
         joined = edges.join(
             frontier,
             join_type="inner",
@@ -584,9 +592,5 @@ def bfs_depths(edges, seeds: list[str], num_partitions: int | None = None,
             .repartition(num_partitions)
             .materialize()
         )
-        total = depths.sum("depth", ignore_nulls=True) or 0
-        if total == prev_total:
-            break
-        prev_total = total
 
     return depths.filter(expr="depth < %d" % int(inf))
