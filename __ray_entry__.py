@@ -801,6 +801,17 @@ def _q_host_rollup(sf_dir: str):
     return host_rollup(read_pages(sf_dir, num_blocks=16, columns=["url", "html"]))
 
 
+def _q_link_ppr(sf_dir: str):
+    """Personalized PageRank from the crawl seeds (topic-sensitive
+    authority propagation - the focused-crawl relevance prior)."""
+    from topicrawler_ray.pipelines.crawl import default_seeds
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.graph import page_edges, personalized_pagerank
+
+    edges = page_edges(read_pages(sf_dir, num_blocks=16, columns=["url", "html"]))
+    return personalized_pagerank(edges, default_seeds(sf_dir), iterations=5)
+
+
 def _q_host_dup_rate(sf_dir: str):
     """Per-host duplicate-content rate (session-id/mirror detector for
     tiered budget allocation): one (host, body_hash) groupby, integer
@@ -2660,6 +2671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": _q_vocab_growth,
         "link_depths": _q_link_depths,
         "host_dup_rate": _q_host_dup_rate,
+        "link_ppr": _q_link_ppr,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,
         "langid": _q_langid,

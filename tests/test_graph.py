@@ -205,3 +205,75 @@ class TestBfsDepths:
             for r in bfs_depths(edges, ["x"]).take_all()
         }
         assert out == {"x": 0, "y": 1, "z": 2}
+
+
+class TestPersonalizedPagerank:
+    def test_mass_concentrates_near_seeds(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from topicrawler_ray.stages.graph import personalized_pagerank
+
+        # seed s links into a chain; x/y form a far component
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(["s", "a", "x"], pa.string()),
+                    "dst": pa.array(["a", "b", "y"], pa.string()),
+                }
+            )
+        )
+        out = {
+            r["node"]: r["rank"]
+            for r in personalized_pagerank(edges, ["s"], iterations=4).take_all()
+        }
+        assert set(out) == {"s", "a", "b", "x", "y"}
+        # all teleport mass re-enters at s; the seed component holds
+        # positive mass while the unreachable component decays to 0
+        assert out["s"] > 0 and out["a"] > 0 and out["b"] > 0
+        assert out["x"] == 0 and out["y"] == 0
+
+    def test_matches_sequential_semantics(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from topicrawler_ray.stages.graph import personalized_pagerank
+
+        E = [("s", "a"), ("a", "b"), ("b", "s"), ("a", "c"), ("c", "b")]
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([e[0] for e in E], pa.string()),
+                    "dst": pa.array([e[1] for e in E], pa.string()),
+                }
+            )
+        )
+        got = {
+            r["node"]: r["rank"]
+            for r in personalized_pagerank(
+                edges, ["s", "c"], iterations=3
+            ).take_all()
+        }
+        # hand-rolled dict replica of the documented integer semantics
+        nodes = sorted({x for e in E for x in e} | {"s", "c"})
+        outdeg: dict = {}
+        for s, _ in E:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        sset = {"s", "c"}
+        scale, an, ad = 10**12, 85, 100
+        init = scale // 2
+        base = ((ad - an) * init) // ad
+        rank = {u: (init if u in sset else 0) for u in nodes}
+        for _ in range(3):
+            share = sum(
+                r for u, r in rank.items() if outdeg.get(u, 0) == 0
+            ) // 2
+            ins = dict.fromkeys(nodes, 0)
+            for s, d in E:
+                ins[d] += rank[s] // outdeg[s]
+            rank = {
+                u: (base if u in sset else 0)
+                + (an * (ins[u] + (share if u in sset else 0))) // ad
+                for u in nodes
+            }
+        assert got == rank

@@ -1048,6 +1048,49 @@ def _b_link_pagerank(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_link_ppr(sf_dir: str) -> pa.Table:
+    """Sequential personalized PageRank (teleport set = crawl seeds)
+    with plain dict loops - mirrors stages/graph.py's integer
+    semantics; shares only link-extraction primitives + seed config."""
+    from .functions.urls import extract_outlinks
+    from .pipelines.crawl import default_seeds
+    from .stages.extract import decode_page_bytes, is_robots_url
+
+    edges: set[tuple[str, str]] = set()
+    for url, _ts, html in _pages_rows(sf_dir):
+        if is_robots_url(url) or not html:
+            continue
+        for dst in extract_outlinks(decode_page_bytes(url, html), url):
+            edges.add((url, dst))
+    seeds = sorted(set(default_seeds(sf_dir)))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges} | set(seeds))
+    outdeg: dict[str, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    sset = set(seeds)
+    m = len(sset)
+    scale, alpha_num, alpha_den, iterations = 10**12, 85, 100, 5
+    init = scale // m
+    base = ((alpha_den - alpha_num) * init) // alpha_den
+    rank = {u: (init if u in sset else 0) for u in nodes}
+    for _ in range(iterations):
+        share = sum(r for u, r in rank.items() if outdeg.get(u, 0) == 0) // m
+        ins = dict.fromkeys(nodes, 0)
+        for s, d in edges:
+            ins[d] += rank[s] // outdeg[s]
+        rank = {
+            u: (base if u in sset else 0)
+            + (alpha_num * (ins[u] + (share if u in sset else 0))) // alpha_den
+            for u in nodes
+        }
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.string()),
+            "rank": pa.array([rank[u] for u in nodes], pa.int64()),
+        }
+    )
+
+
 def _b_doc_compress(sf_dir: str) -> pa.Table:
     """Sequential zlib signal (stdlib zlib called directly - the stage
     kernel is not imported; zlib level-6 output is deterministic)."""
@@ -1975,6 +2018,7 @@ BUILDERS = {
     "doc_novelty": _b_doc_novelty,
     "link_pagerank": _b_link_pagerank,
     "link_depths": _b_link_depths,
+    "link_ppr": _b_link_ppr,
     "anchor_texts": _b_anchor_texts,
     "bm25_topk": _b_bm25_topk,
     # disk-backed serving must rank bit-identically to the scan path;

@@ -594,3 +594,178 @@ def bfs_depths(edges, seeds: list[str], num_partitions: int | None = None,
         )
 
     return depths.filter(expr="depth < %d" % int(inf))
+
+
+def personalized_pagerank(
+    edges,
+    seeds: list[str],
+    *,
+    iterations: int = 5,
+    alpha_num: int = 85,
+    alpha_den: int = 100,
+    scale: int = 10**12,
+    num_partitions: int | None = None,
+):
+    """Personalized PageRank with the teleport set pinned to ``seeds``
+    - the focused-crawl relevance propagation (how much seed-rooted
+    authority flows to each URL; Haveliwala-style topic-sensitive
+    PageRank over the fixture link graph).
+
+    Exact integer semantics, mirrored by the sequential oracle:
+
+    - ``m``     = |seed nodes present in the graph universe ∪ seeds|
+    - ``init``  = ``scale // m`` on seeds, 0 elsewhere
+    - ``base``  = ``((alpha_den - alpha_num) * init) // alpha_den``
+      paid ONLY to seeds; dangling mass teleports to seeds:
+      ``share = (Σ rank[outdeg == 0]) // m``
+    - update ``rank'(v) = base·1[v∈S] + (alpha_num * (in_sum(v) +
+      share·1[v∈S])) // alpha_den``
+
+    Same exchange shape as :func:`pagerank` join mode: one
+    degree-universe aggregate, then per iteration one edges⋈ranks hash
+    join plus one ``groupby(dst)`` whose zero-contribution node rows
+    carry the universe (and the seed flag) through the SAME aggregate.
+    """
+    import ray
+
+    num_partitions = _default_partitions(num_partitions)
+    edges = edges.materialize()
+
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        ns = batch.num_rows
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "node": batch.column("src"),
+                        "od": pa.array([1] * ns, pa.int64()),
+                    }
+                ),
+                pa.table(
+                    {
+                        "node": batch.column("dst"),
+                        "od": pa.array([0] * ns, pa.int64()),
+                    }
+                ),
+            ]
+        )
+
+    deg = (
+        edges.map_batches(deg_rows, batch_format="pyarrow")
+        .union(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array(sorted(set(seeds)), pa.string()),
+                        "od": pa.array([0] * len(set(seeds)), pa.int64()),
+                    }
+                )
+            )
+        )
+        .groupby("node")
+        .sum("od")
+        .rename_columns({"sum(od)": "outdeg"})
+        .repartition(num_partitions)
+        .materialize()
+    )
+    if deg.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.string()), "rank": pa.array([], pa.int64())}
+            )
+        )
+    seed_set = set(seeds)
+    m = len(seed_set)
+    init = scale // m
+    base = ((alpha_den - alpha_num) * init) // alpha_den
+    seed_ref = ray.put(seed_set)
+
+    def start(batch: pa.Table) -> pa.Table:
+        sset = ray.get(seed_ref)
+        nodes = batch.column("node").to_pylist()
+        s = [1 if u in sset else 0 for u in nodes]
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.string()),
+                "outdeg": _int64(batch.column("outdeg")),
+                "s": pa.array(s, pa.int64()),
+                "rank": pa.array(
+                    [init * f for f in s], pa.int64()
+                ),
+            }
+        )
+
+    ranks = deg.map_batches(start, batch_format="pyarrow").materialize()
+
+    for _ in range(iterations):
+        dangling = ranks.filter(expr="outdeg == 0").sum("rank", ignore_nulls=True) or 0
+        share = dangling // m
+
+        joined = edges.join(
+            ranks,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("node",),
+        )
+
+        def contrib_join(batch: pa.Table) -> pa.Table:
+            c = pc.divide(
+                _int64(batch.column("rank")), _int64(batch.column("outdeg"))
+            )
+            return pa.table(
+                {
+                    "dst": batch.column("dst"),
+                    "contrib": c,
+                    "od": pa.array([0] * batch.num_rows, pa.int64()),
+                    "s": pa.array([0] * batch.num_rows, pa.int64()),
+                }
+            )
+
+        contribs = joined.map_batches(contrib_join, batch_format="pyarrow")
+
+        def node_rows(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "dst": batch.column("node"),
+                    "contrib": pa.array([0] * batch.num_rows, pa.int64()),
+                    "od": _int64(batch.column("outdeg")),
+                    "s": _int64(batch.column("s")),
+                }
+            )
+
+        agg = (
+            contribs.union(ranks.map_batches(node_rows, batch_format="pyarrow"))
+            .groupby("dst")
+            .sum(["contrib", "od", "s"])
+        )
+
+        def update(batch: pa.Table, _share=share) -> pa.Table:
+            s = _int64(batch.column("sum(s)"))
+            total = pc.add(
+                _int64(batch.column("sum(contrib)")),
+                pc.multiply(pa.scalar(_share, pa.int64()), s),
+            )
+            rank = pc.add(
+                pc.multiply(pa.scalar(base, pa.int64()), s),
+                pc.divide(
+                    pc.multiply(pa.scalar(alpha_num, pa.int64()), total),
+                    pa.scalar(alpha_den, pa.int64()),
+                ),
+            )
+            return pa.table(
+                {
+                    "node": batch.column("dst"),
+                    "outdeg": _int64(batch.column("sum(od)")),
+                    "s": s,
+                    "rank": rank,
+                }
+            )
+
+        ranks = (
+            agg.map_batches(update, batch_format="pyarrow")
+            .repartition(num_partitions)
+            .materialize()
+        )
+
+    return ranks.select_columns(["node", "rank"])
