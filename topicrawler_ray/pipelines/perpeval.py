@@ -266,8 +266,10 @@ def filter_lines(ds, max_perp: float = 1000.0, column: str = "perp"):
 def truncate_by_token_budget(ds, budget: int, order_column: str, token_column: str):
     """Keep rows (in ``order_column`` order) while the running token sum
     stays <= budget.  Two-phase: per-block (min,max,sum) partials ->
-    driver prefix sum -> exact cutoff computed from the single boundary
-    range only."""
+    driver prefix sum over the (tiny, one-row-per-block) partials ->
+    exact cutoff computed from the single boundary block only, whose
+    rows are filtered INSIDE the Dataset before they reach the driver —
+    the driver never holds more than one block's worth of rows."""
     import pyarrow.compute as pc
 
     meta = ds.select_columns([order_column, token_column]).materialize()
@@ -283,10 +285,29 @@ def truncate_by_token_budget(ds, budget: int, order_column: str, token_column: s
             }
         )
 
-    parts = sorted(
-        meta.map_batches(partial, batch_format="pyarrow").take_all(),
-        key=lambda r: r["min_o"],
-    )
+    def _block_ranges(m):
+        return sorted(
+            m.map_batches(partial, batch_format="pyarrow").take_all(),
+            key=lambda r: r["min_o"],
+        )
+
+    parts = _block_ranges(meta)
+    # The prefix sum is only valid when block ranges partition the order
+    # space.  Inputs usually arrive ordered (blocks are contiguous order
+    # ranges); if not, sort the slim 2-column meta once and recompute.
+    if any(
+        parts[i]["max_o"] >= parts[i + 1]["min_o"] for i in range(len(parts) - 1)
+    ):
+        meta = meta.sort(order_column).materialize()
+        parts = _block_ranges(meta)
+        if any(
+            parts[i]["max_o"] >= parts[i + 1]["min_o"]
+            for i in range(len(parts) - 1)
+        ):
+            raise ValueError(
+                f"truncate_by_token_budget: duplicate {order_column!r} values "
+                "span block boundaries; order_column must be unique"
+            )
     running = 0
     cutoff = None  # exclusive upper bound on order value
     boundary: tuple[int, int] | None = None
@@ -298,10 +319,18 @@ def truncate_by_token_budget(ds, budget: int, order_column: str, token_column: s
     if boundary is None:
         return ds  # budget never exceeded
     lo, hi = boundary
-    rows = sorted(
-        (r for r in meta.take_all() if lo <= r[order_column] <= hi),
-        key=lambda r: r[order_column],
+    # Range filter pushed into the Dataset: only the boundary block's
+    # rows are materialized on the driver (O(block), not O(corpus)).
+    boundary_rows = meta.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t.column(order_column), pa.scalar(lo)),
+                pc.less_equal(t.column(order_column), pa.scalar(hi)),
+            )
+        ),
+        batch_format="pyarrow",
     )
+    rows = sorted(boundary_rows.take_all(), key=lambda r: r[order_column])
     cutoff = lo
     for r in rows:
         if running + r[token_column] > budget:
