@@ -165,6 +165,51 @@ def default_ruleset() -> RuleSet:
         return RuleSet(json.loads(f.read().decode("utf-8")))
 
 
+# ---------------------------------------------------------------------------
+# vectorised candidate scan (fast path for split_segments)
+#
+# The reference scans char-by-char and probes the boundary set at every
+# char whose value is the last char of SOME boundary ("n" and " " are in
+# that set, so the probe fires roughly once per word).  The fast path
+# computes the true candidate positions in one regex pass: a position is a
+# candidate iff it matches a whole 1-char boundary or the 2-char tail of a
+# longer boundary.  Only candidates run the (identical) Python boundary /
+# look-back / look-ahead checks, so the output is byte-identical.
+
+# chars that force the slow path: NUL (scanner stop) and the line
+# separators that drive the `is_empty` paragraph logic
+# (charIsLineSeparator: \n \r \f | Zl; \r only occurs beside \n in rules)
+_SLOW_CPS = (0, 10, 12, 13, 0x2028)
+
+
+@lru_cache(maxsize=1)
+def _fast_tables():
+    """Compiled regexes for the candidate scan (C-speed on short strings)."""
+    rules = default_ruleset()
+    slow_re = re.compile("[%s]" % "".join(re.escape(chr(cp)) for cp in _SLOW_CPS))
+    singles = [b for b in rules.boundaries if len(b) == 1]
+    tails = sorted({b[-2:] for b in rules.boundaries if len(b) >= 2})
+    # zero-width lookahead so overlapping tails all produce candidates
+    pair_re = re.compile("(?=(?:%s))" % "|".join(re.escape(t) for t in tails))
+    single_re = (
+        re.compile("[%s]" % "".join(re.escape(s) for s in singles)) if singles else None
+    )
+    return slow_re, single_re, pair_re
+
+
+def _candidate_positions(text: str):
+    """Positions that can possibly end a boundary suffix: exact for 1-char
+    boundaries, a superset for longer ones (their 2-char tail must match;
+    ``suffix_as_boundary`` then runs the full check)."""
+    slow_re, single_re, pair_re = _fast_tables()
+    if slow_re.search(text):
+        return None  # caller takes the slow path
+    out = [m.start() + 1 for m in pair_re.finditer(text)]
+    if single_re is not None and single_re.search(text):
+        out = sorted(set(out) | {m.start() for m in single_re.finditer(text)})
+    return out
+
+
 def _next_es_token(text: str, pos: int) -> str | None:
     """First token of ``EmptySpaceTokenizer`` starting at ``pos``."""
     n = len(text)
@@ -182,8 +227,45 @@ def _next_es_token(text: str, pos: int) -> str | None:
     return text[pos:i] if i > pos else None
 
 
+def _split_segments_fast(text: str) -> list[tuple[str, bool]] | None:
+    """Candidate-scan path: byte-identical to the char loop whenever the
+    text has no NUL / line-separator chars (then ``is_empty`` can never
+    fire and segments end only at boundary matches or end-of-text).
+    Returns None when the slow path is required."""
+    if max(text) >= "\U00010000":  # astral chars: keep unit-exact slow path
+        return None
+    cands = _candidate_positions(text)
+    if cands is None:
+        return None
+    rules = default_ruleset()
+    out: list[tuple[str, bool]] = []
+    n = len(text)
+    start = 0
+    for p in cands:
+        if p < start:
+            continue
+        sent = text[start : p + 1]
+        boundary = rules.suffix_as_boundary(sent)
+        if boundary is None:
+            continue
+        body = sent[: len(sent) - len(boundary)]
+        if not (rules.pre_list_complete(sent) and rules.pre_rules_complete(body)):
+            continue
+        nxt = _next_es_token(text, p + 1)
+        if nxt is None or (rules.post_list_complete(nxt) and rules.post_rules_complete(nxt)):
+            out.append((sent, True))
+            start = p + 1
+    if start < n:
+        out.append((text[start:n], True))
+    return out
+
+
 def split_segments(text: str) -> list[tuple[str, bool]]:
     """RuleSplitter segmentation -> list of (segment_text, is_sentence)."""
+    if text:
+        fast = _split_segments_fast(text)
+        if fast is not None:
+            return fast
     rules = default_ruleset()
     out: list[tuple[str, bool]] = []
     n = len(text)

@@ -165,6 +165,26 @@ def _build_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return _tables
 
 
+# fused per-unit tables for the tokenize hot path: one gather yields the
+# boundary class (es*2 + wwn), one yields the chartype bit mask
+_fused: tuple[np.ndarray, np.ndarray] | None = None
+
+
+def _build_fused() -> tuple[np.ndarray, np.ndarray]:
+    global _fused
+    if _fused is None:
+        unit_bit, is_es, is_wwn = _build_tables()
+        cls = (is_es.astype(np.uint8) << 1) | is_wwn.astype(np.uint8)
+        maskbits = (np.uint32(1) << unit_bit).astype(np.uint32)
+        _fused = (cls, maskbits)
+    return _fused
+
+
+# plain-dict memo used by the tokenize hot loop (cheaper than the
+# lru_cache wrapper per token); masks are Zipf-few
+_mask_memo: dict[int, SegmentType] = {}
+
+
 @lru_cache(maxsize=65536)
 def _infer_type_from_mask(mask: int) -> SegmentType:
     """``SegmentType.infer``: minimal superset among TOKEN_TYPES, first wins."""
@@ -184,34 +204,41 @@ def _infer_type_from_mask(mask: int) -> SegmentType:
 
 def tokenize(sentence: str) -> list[tuple[str, SegmentType]]:
     """DiffTokenizer segmentation: full list of (text, type) segments."""
-    units = jchar.utf16_units(sentence)
-    if units.size == 0:
+    if not sentence:
         return []
-    # Java stops at NUL (`while (_cp > 0)`)
-    nul = np.flatnonzero(units == 0)
-    if nul.size:
-        units = units[: nul[0]]
-        if units.size == 0:
+    # Java stops at NUL (`while (_cp > 0)`) - C-speed scan on the str
+    if "\x00" in sentence:
+        sentence = sentence[: sentence.index("\x00")]
+        if not sentence:
             return []
-    unit_bit, is_es, is_wwn = _build_tables()
-    es = is_es[units]
-    wwn = is_wwn[units]
+    units = jchar.utf16_units(sentence)
+    cls_tab, mask_tab = _build_fused()
+    cls = cls_tab[units]
     # boundary after position i when empty-space-ness or wwn-ness flips
-    brk = (es[:-1] != es[1:]) | (wwn[:-1] != wwn[1:])
-    starts = np.concatenate(([0], np.flatnonzero(brk) + 1))
-    masks = np.bitwise_or.reduceat(
-        (np.uint32(1) << unit_bit[units]).astype(np.uint32), starts
-    )
-    ends = np.concatenate((starts[1:], [units.size]))
+    edges = np.flatnonzero(cls[:-1] != cls[1:])
+    n_tok = edges.size + 1
+    starts = np.empty(n_tok, dtype=np.int64)
+    starts[0] = 0
+    np.add(edges, 1, out=starts[1:])
+    masks = np.bitwise_or.reduceat(mask_tab[units], starts)
+    bounds = starts.tolist()
+    bounds.append(units.size)
+    memo = _mask_memo
     out = []
     if units.size == len(sentence):
         # BMP-only (no surrogate pairs): unit indices == str indices, so
         # token text is a plain slice - avoids a numpy round trip per token
-        for s, e, m in zip(starts.tolist(), ends.tolist(), masks.tolist()):
-            out.append((sentence[s:e], _infer_type_from_mask(m)))
+        for i, m in enumerate(masks.tolist()):
+            t = memo.get(m)
+            if t is None:
+                t = memo[m] = _infer_type_from_mask(m)
+            out.append((sentence[bounds[i] : bounds[i + 1]], t))
     else:
-        for s, e, m in zip(starts.tolist(), ends.tolist(), masks.tolist()):
-            out.append((jchar.units_to_str(units[s:e]), _infer_type_from_mask(m)))
+        for i, m in enumerate(masks.tolist()):
+            t = memo.get(m)
+            if t is None:
+                t = memo[m] = _infer_type_from_mask(m)
+            out.append((jchar.units_to_str(units[bounds[i] : bounds[i + 1]]), t))
     return out
 
 
@@ -305,6 +332,11 @@ def merge_consecutive_tokens(tokens: list[str]) -> list[str]:
     return out
 
 
+_WORD_SET = frozenset(
+    (SegmentType.WORD, SegmentType.WORD_UPPERCASE, SegmentType.WORD_LOWERCASE)
+)
+
+
 def filtered_and_normalized_tokens(
     sentence: str,
     level_filter: int = 5,
@@ -313,6 +345,12 @@ def filtered_and_normalized_tokens(
     merge_tokens: bool = False,
 ) -> list[str]:
     """``LtSegProvider.tokenizeSentence_intern`` defaults: 5/2/merge>=1."""
+    if level_filter >= 5 and level_normalize <= 3 and not merge_tokens:
+        # hot path: at filter level 5 only the three WORD types survive,
+        # so merge-consecutive-types keeps everything (words always kept)
+        # and normalize levels <= 3 leave WORD-type text unchanged
+        ws = _WORD_SET
+        return [text for text, t in tokenize(sentence) if t in ws]
     segs = filtered_segments(tokenize(sentence), level_filter, merge_types)
     tokens = [normalize_segment(text, t, level_normalize) for text, t in segs]
     if merge_tokens:

@@ -63,8 +63,93 @@ class StupidBackoffLM:
     def ngram_contains_oov(self, ngram: list[str]) -> bool:
         return any(self._c.count((w,)) == 0 for w in ngram)
 
+    def _score_packed(self, ngram: list[str]) -> float:
+        """Id-space replica of :meth:`score` for :class:`FrozenCounts`.
+
+        Converts each word to its vocab id ONCE and derives every
+        sub-ngram/history key by integer arithmetic instead of re-packing
+        tuples per ``count()`` probe.  Control flow and float arithmetic
+        mirror ``score`` exactly (same ``nom/denom`` divisions in the same
+        order), so results are bit-identical.
+        """
+        c = self._c
+        n = len(ngram)
+        if n < 1:
+            return self._ud
+        vocab = c.vocab
+        ids = [vocab.get(w) for w in ngram]
+        return self._score_ids(ids, n)
+
+    def _score_ids(self, ids: list, n: int) -> float:
+        """Score an ngram given its vocab ids (``None`` == OOV word)."""
+        c = self._c
+        if ids[-1] is None:  # unigram count 0 <=> not in vocab
+            return self._ud
+        tables = c.tables
+        last1 = ids[-1] + 1
+        nom = tables[1].get(last1, 0)
+        denom = c.num_distinct(1)
+        if nom == 0 or denom == 0:
+            return self._ud
+        s = nom / denom
+        if n == 1:
+            return s
+        b = c.base
+        order = self.order
+        # incrementally packed keys for windows ending at n:
+        # K_sub(i) = packed(ids[n-i:n]), K_hist(i) = packed(ids[n-i:n-1])
+        k_sub = last1
+        k_hist = 0
+        pw_sub = b  # b^(i-1) multiplier for the word newly joining K_sub
+        pw_hist = 1
+        oov_in_window = False  # any None id inside the current window
+        i = 2
+        while i < n and i < order:
+            w = ids[n - i]
+            if w is None:
+                oov_in_window = True
+            else:
+                k_sub += (w + 1) * pw_sub
+                k_hist += (w + 1) * pw_hist
+            pw_sub *= b
+            pw_hist *= b
+            ls = s
+            if oov_in_window:
+                nom = 0
+                denom = 0
+            else:
+                nom = tables[i].get(k_sub, 0)
+                denom = tables[i - 1].get(k_hist, 0)
+            if nom == 0 or denom == 0:
+                lw = self._D
+                if i < order:  # len(sub) == i
+                    s = ls * lw
+                return s
+            s = nom / denom
+            i += 1
+        if n < order:
+            return s
+        w = ids[n - order]
+        if w is None:
+            oov_in_window = True
+        else:
+            k_sub += (w + 1) * pw_sub
+            k_hist += (w + 1) * pw_hist
+        if oov_in_window:
+            nom = 0
+        else:
+            nom = tables[order].get(k_sub, 0)
+            denom = tables[order - 1].get(k_hist, 0)
+        if oov_in_window or nom == 0 or denom == 0:
+            # reference: `if (len(sub) < order)` is False here (len == order)
+            # so the discount is NOT applied - s returned unchanged
+            return s
+        return nom / denom
+
     def score(self, ngram: list[str]) -> float:
         """``StupidBackoffLM.score`` control flow, ported verbatim."""
+        if isinstance(self._c, FrozenCounts):
+            return self._score_packed(ngram)
         n = len(ngram)
         if n < 1:
             return self._ud

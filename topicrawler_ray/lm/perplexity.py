@@ -86,6 +86,115 @@ def text_ngrams(text: str, order: int) -> list[list[str]]:
     return out
 
 
+def _document_perplexity_packed(lm, text: str) -> float:
+    """Id-space fast path of :func:`document_perplexity` for
+    ``StupidBackoffLM`` over ``FrozenCounts``.
+
+    Words are mapped to vocab ids once per sentence; each full-width
+    window key is derived by rolling integer arithmetic and memoized in a
+    per-LM ``int -> log10`` cache (OOV-containing windows fall back to the
+    generic tuple-keyed path).  Window order, skip rules and the
+    sequential float accumulation mirror the generic loop exactly, so the
+    result is bit-identical.
+    """
+    from ..functions.sentencemaker import get_sentences
+
+    c = lm._c
+    vocab = c.vocab
+    b = c.base
+    order = lm.order
+    cache = lm.__dict__.get("_packed_doc_cache")
+    if cache is None:
+        cache = lm.__dict__["_packed_doc_cache"] = {}
+    perp = ModelPerplexity(lm)
+    n_total = 0
+    sum_total = 0.0
+    log10 = math.log10
+    score_ids = lm._score_ids
+    generic = lm.ngram_log10_prob
+    for sentence in get_sentences(text, min_length=2):
+        # windows per outer sentence, concatenated across inner sentences
+        # (text_ngrams semantics); each entry is (packed_key|None, tokens, ids)
+        wins: list[tuple] = []
+        for inner in split_sentences(sentence):
+            tokens = filtered_and_normalized_tokens(inner)
+            if not tokens:
+                continue
+            tokens = ngram_mod.insert_sentence_tags(tokens, mode=3)
+            l = len(tokens)
+            ids = [vocab.get(w) for w in tokens]
+            if l == 1 or l <= order:
+                # single (possibly short) window == whole sequence
+                key = None
+                if None not in ids:
+                    key = 0
+                    for i in ids:
+                        key = key * b + (i + 1)
+                wins.append((key, tokens, ids, l))
+                continue
+            o = order
+            top = b ** (o - 1)
+            # rolling packed key over full-width windows
+            key = 0
+            ok = True
+            for i in ids[:o]:
+                if i is None:
+                    ok = False
+                    break
+                key = key * b + (i + 1)
+            wins.append((key if ok else None, tokens[:o], ids[:o], o))
+            for j in range(1, l - o + 1):
+                w_out = ids[j - 1]
+                w_in = ids[j + o - 1]
+                if ok and w_out is not None and w_in is not None:
+                    key = (key - (w_out + 1) * top) * b + (w_in + 1)
+                # re-anchor when the outgoing window was not packable
+                elif w_in is not None and None not in ids[j : j + o]:
+                    key = 0
+                    for i in ids[j : j + o]:
+                        key = key * b + (i + 1)
+                    ok = True
+                else:
+                    ok = False
+                if ok:
+                    wins.append((key, None, None, o))
+                else:
+                    wins.append((None, tokens[j : j + o], ids[j : j + o], o))
+        if not wins:
+            continue
+        if wins[-1][3] < order:
+            continue
+        for key, tokens, ids, _l in wins:
+            if key is not None:
+                lp = cache.get(key)
+                if lp is None:
+                    if ids is None:
+                        # rolling windows skip materializing ids; recover
+                        # by decoding is wasteful - score via packed key
+                        # decomposition is unnecessary: score_ids needs
+                        # ids, so decode from the key
+                        ids = _unpack_key(key, b)
+                    lp = log10(score_ids(ids, len(ids)))
+                    if len(cache) < 1 << 20:
+                        cache[key] = lp
+            else:
+                lp = generic(tokens)
+            n_total += 1
+            sum_total += lp
+    perp._sum_ngrams = n_total
+    perp._sum_log10 = sum_total
+    return perp.get()
+
+
+def _unpack_key(key: int, b: int) -> list[int]:
+    digits = []
+    while key:
+        digits.append(key % b - 1)
+        key //= b
+    digits.reverse()
+    return digits
+
+
 def document_perplexity(lm, text: str) -> float:
     """``DecesiveValueProducerPerplexity.computePerplexity``
     (``DecesiveValueProducerPerplexity.java:140-152`` with the cxml:205-218
@@ -93,6 +202,10 @@ def document_perplexity(lm, text: str) -> float:
     -> ``LtSegProvider.getNgrams`` per sentence; sentences with no n-grams
     or whose last n-gram is shorter than the LM order are skipped."""
     from ..functions.sentencemaker import get_sentences
+    from .backoff import FrozenCounts, StupidBackoffLM
+
+    if type(lm) is StupidBackoffLM and isinstance(lm._c, FrozenCounts):
+        return _document_perplexity_packed(lm, text)
 
     perp = ModelPerplexity(lm)
     for sentence in get_sentences(text, min_length=2):
