@@ -28,6 +28,17 @@ from topicrawler_ray.oracles import materialize_all as _materialize_oracles
 _ORACLES_SF001 = _materialize_oracles("/root/testdata/sf0.01")
 
 
+
+def _read_parquet(*args, **kwargs):
+    """Metadata-stripped read (see sources.pages.read_parquet_clean):
+    fixture parquet embeds the b'pandas' schema key, which makes
+    pa.Schema unhashable and spams `Failed to hash the schemas` in
+    every downstream shuffle."""
+    from topicrawler_ray.sources.pages import read_parquet_clean
+
+    return read_parquet_clean(*args, **kwargs)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: pages -> extract ->
     LM-score (actor pool). Returns a lazy ray.data.Dataset."""
@@ -228,7 +239,7 @@ def _docs(sf_dir: str, columns: list[str]):
     from topicrawler_ray.sources.pages import strip_schema_metadata
 
     return strip_schema_metadata(
-        ray.data.read_parquet(sf_dir + "/documents.parquet",
+        _read_parquet(sf_dir + "/documents.parquet",
                               columns=columns)
     )
 
@@ -240,7 +251,7 @@ def _embs(sf_dir: str, columns: list[str]):
     from topicrawler_ray.sources.pages import strip_schema_metadata
 
     return strip_schema_metadata(
-        ray.data.read_parquet(sf_dir + "/embeddings.parquet",
+        _read_parquet(sf_dir + "/embeddings.parquet",
                               columns=columns)
     )
 
@@ -282,7 +293,7 @@ def _perturbed_docs_ds(sf_dir: str, mode: str):
             }
         )
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         sf_dir + "/documents.parquet", columns=["doc_id", "text"]
     )
     return ds.map_batches(add_copies, batch_format="pyarrow")
@@ -532,7 +543,7 @@ def _q_url_filter(sf_dir: str):
     from topicrawler_ray.sources.pages import pages_path
     from topicrawler_ray.stages.urlfilter import url_filter
 
-    ds = ray.data.read_parquet(pages_path(sf_dir), columns=["url"])
+    ds = _read_parquet(pages_path(sf_dir), columns=["url"])
     return url_filter(ds).select_columns(["url", "host"])
 
 
@@ -587,7 +598,7 @@ def _q_mixture_sample(sf_dir: str):
 
     from topicrawler_ray.stages.sampling import mixture_sample
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         sf_dir + "/documents.parquet",
         columns=["doc_id", "source", "n_chars"],
     )
@@ -605,7 +616,7 @@ def _q_doc_quantiles(sf_dir: str):
 
     from topicrawler_ray.stages.quantiles import exact_quantiles
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         sf_dir + "/documents.parquet", columns=["n_chars"]
     )
     return exact_quantiles(ds, "n_chars", bins=16)
@@ -691,7 +702,7 @@ def _q_events_lag(sf_dir: str):
 
     from topicrawler_ray.stages.timeseries import per_key_lag
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         sf_dir + "/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type"],
     )
@@ -715,7 +726,7 @@ def _q_events_cumsum(sf_dir: str):
 
     from topicrawler_ray.stages.timeseries import per_key_cumsum
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         sf_dir + "/events.parquet",
         columns=["event_id", "ts", "user_id", "value"],
     )
@@ -735,10 +746,10 @@ def _q_docs_embeddings(sf_dir: str):
 
     from topicrawler_ray.stages.dedup import _default_partitions
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         sf_dir + "/documents.parquet", columns=["doc_id", "n_chars"]
     )
-    embs = ray.data.read_parquet(
+    embs = _read_parquet(
         sf_dir + "/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
@@ -873,7 +884,7 @@ def _q_events_hopping(sf_dir: str):
 
     from topicrawler_ray.stages.timeseries import hopping_window_agg
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         sf_dir + "/events.parquet", columns=["ts", "event_type", "value"]
     )
     out = hopping_window_agg(ds, width_seconds=600, hop_seconds=300)
@@ -1007,7 +1018,7 @@ def _q_events_topk_type(sf_dir: str):
 
     from topicrawler_ray.stages.ranking import topk_per_group
 
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         sf_dir + "/events.parquet", columns=["event_id", "event_type", "value"]
     )
     return topk_per_group(
@@ -1194,6 +1205,17 @@ def _q_doc_perp(sf_dir: str):
     return doc_perplexity(ds, topic_lm_ref(sf_dir))
 
 
+def _q_ngram_probs(sf_dir: str):
+    """NgramProbs app analog (``lt.lm/.../app/NgramProbs.java:51-237``):
+    per-ngram log10-probability dump over the segmented corpus with OOV
+    accounting, exploded distributedly by an LM actor pool."""
+    from topicrawler_ray.lm.train import topic_lm_ref
+    from topicrawler_ray.pipelines.perpeval import ngram_probs
+
+    ds = _q_sentences_corpus(sf_dir)
+    return ngram_probs(ds, topic_lm_ref(sf_dir))
+
+
 def _q_scored_pages_jm(sf_dir: str):
     """Jelinek-Mercer interpolated scorer through the driver (the
     fixed-weight linear-interpolation smoothing variant; same
@@ -1338,7 +1360,7 @@ def _q_events_windowed(sf_dir: str):
 
     from topicrawler_ray.stages.timeseries import tumbling_window_agg
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         sf_dir + "/events.parquet", columns=["ts", "event_type", "value"]
     )
     out = tumbling_window_agg(ds, width_seconds=300)
@@ -1361,7 +1383,7 @@ def _q_events_range_join(sf_dir: str):
 
     from topicrawler_ray.stages.timeseries import range_join_count
 
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         sf_dir + "/events.parquet", columns=["event_id", "ts", "user_id"]
     )
     return range_join_count(
@@ -1376,7 +1398,7 @@ def _q_events_sessions(sf_dir: str):
 
     from topicrawler_ray.stages.timeseries import sessionize
 
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         sf_dir + "/events.parquet", columns=["event_id", "ts", "user_id"]
     )
     return sessionize(ev, by="user_id", on="ts", gap_seconds=1800)
@@ -1392,7 +1414,7 @@ def _q_events_asof_click(sf_dir: str):
 
     from topicrawler_ray.stages.timeseries import asof_join
 
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         sf_dir + "/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
@@ -1432,7 +1454,7 @@ def _q_events_props_k(sf_dir: str):
 
     from topicrawler_ray.stages.timeseries import extract_json_field
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         sf_dir + "/events.parquet", columns=["event_type", "props"]
     )
     ds = extract_json_field(ds, "props", "k")
@@ -1629,11 +1651,11 @@ def _q_bloom_semijoin(sf_dir: str):
 
     from topicrawler_ray.stages.joins import bloom_semijoin
 
-    big = ray.data.read_parquet(
+    big = _read_parquet(
         sf_dir + "/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_partkey"],
     )
-    small = ray.data.read_parquet(
+    small = _read_parquet(
         sf_dir + "/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     ).filter(expr="o_orderpriority == '1-URGENT'")
     out = bloom_semijoin(big, small, key="l_orderkey", right_key="o_orderkey")
@@ -1670,7 +1692,7 @@ def _q_distinct_users_hll(sf_dir: str):
 
     from topicrawler_ray.stages.sketches import hll_distinct
 
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         sf_dir + "/events.parquet", columns=["event_type", "user_id"]
     )
     return hll_distinct(ev, column="user_id", group_by="event_type", p=12)
@@ -1718,13 +1740,13 @@ def _q_revenue_by_nation(sf_dir: str):
 
     from topicrawler_ray.stages.relational import broadcast_lookup_join
 
-    orders = ray.data.read_parquet(
+    orders = _read_parquet(
         sf_dir + "/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
-    cust = ray.data.read_parquet(
+    cust = _read_parquet(
         sf_dir + "/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    nation = ray.data.read_parquet(
+    nation = _read_parquet(
         sf_dir + "/nation.parquet", columns=["n_nationkey", "n_name"]
     )
 
@@ -1777,7 +1799,7 @@ def _q_events_rollup(sf_dir: str):
 
     from topicrawler_ray.stages.relational import rollup_aggregate
 
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         sf_dir + "/events.parquet", columns=["event_type", "ts", "value"]
     )
 
@@ -1845,7 +1867,7 @@ def _q_events_pivot(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Sum
 
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         sf_dir + "/events.parquet", columns=["user_id", "event_type", "value"]
     )
 
@@ -2022,7 +2044,7 @@ def _q_url_templates(sf_dir: str):
     from topicrawler_ray.sources.pages import pages_path
     from topicrawler_ray.stages.urlfilter import url_templates
 
-    ds = ray.data.read_parquet(pages_path(sf_dir), columns=["url"])
+    ds = _read_parquet(pages_path(sf_dir), columns=["url"])
     return url_templates(ds, trap_threshold=10)
 
 
@@ -2071,10 +2093,10 @@ def _q_orders_antijoin(sf_dir: str):
 
     from topicrawler_ray.stages.joins import bloom_antijoin
 
-    big = ray.data.read_parquet(
+    big = _read_parquet(
         sf_dir + "/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
     )
-    small = ray.data.read_parquet(
+    small = _read_parquet(
         sf_dir + "/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     ).filter(expr="o_orderpriority == '1-URGENT'")
     out = bloom_antijoin(big, small, key="l_orderkey", right_key="o_orderkey")
@@ -2098,7 +2120,7 @@ def _q_events_latest(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Max
 
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         sf_dir + "/events.parquet", columns=["user_id", "ts", "event_id"]
     )
 
@@ -2185,7 +2207,7 @@ def _q_events_outliers(sf_dir: str):
 
     from topicrawler_ray.stages.stats import flag_outliers
 
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         sf_dir + "/events.parquet", columns=["event_id", "event_type", "value"]
     )
 
@@ -2215,7 +2237,7 @@ def _q_top_suppliers(sf_dir: str):
 
     from topicrawler_ray.stages.ranking import topk_per_group
 
-    sup = ray.data.read_parquet(
+    sup = _read_parquet(
         sf_dir + "/supplier.parquet",
         columns=["s_suppkey", "s_nationkey", "s_acctbal"],
     )
@@ -2256,7 +2278,7 @@ def _q_parts_by_brand(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
 
-    part = ray.data.read_parquet(
+    part = _read_parquet(
         sf_dir + "/part.parquet", columns=["p_brand", "p_size", "p_retailprice"]
     )
 
@@ -2295,7 +2317,7 @@ def _q_events_trend(sf_dir: str):
 
     from topicrawler_ray.stages.stats import grouped_regression
 
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         sf_dir + "/events.parquet", columns=["event_type", "ts", "value"]
     )
 
@@ -2343,7 +2365,7 @@ def _q_events_funnel(sf_dir: str):
 
     from topicrawler_ray.stages.funnel import funnel_levels
 
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         sf_dir + "/events.parquet", columns=["user_id", "event_type", "ts"]
     )
 
@@ -2373,7 +2395,7 @@ def _q_event_transitions(sf_dir: str):
 
     from topicrawler_ray.stages.timeseries import per_key_lag
 
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         sf_dir + "/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type"],
     )
@@ -2450,7 +2472,7 @@ def _q_dedup_html(sf_dir: str):
 
     from topicrawler_ray.sources.pages import pages_path
 
-    ds = ray.data.read_parquet(pages_path(sf_dir), columns=["url", "html"])
+    ds = _read_parquet(pages_path(sf_dir), columns=["url", "html"])
 
     def hash_rows(batch: pa.Table) -> pa.Table:
         h = pd.util.hash_array(
@@ -2478,7 +2500,7 @@ def _q_daily_users_hll(sf_dir: str):
 
     from topicrawler_ray.stages.sketches import hll_distinct
 
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         sf_dir + "/events.parquet", columns=["ts", "user_id"]
     )
 
@@ -2514,7 +2536,7 @@ def _q_source_lang_mix(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
 
-    docs = ray.data.read_parquet(
+    docs = _read_parquet(
         sf_dir + "/documents.parquet", columns=["source", "lang"]
     )
     pairs = (
@@ -2695,6 +2717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sent_perp": _q_sent_perp,
         "prob_dist_perp": _q_prob_dist_perp,
         "doc_perp": _q_doc_perp,
+        "ngram_probs": _q_ngram_probs,
         "doc_perp_oovref": _q_doc_perp_oovref,
         "scored_pages_kn": _q_scored_pages_kn,
         "scored_pages_jm": _q_scored_pages_jm,

@@ -89,10 +89,18 @@ def freeze_langid(sf_dir) -> pa.Table:
 
 
 def freeze_media_features(sf_dir) -> pa.Table:
+    """Round-5 spec: image payloads are REAL PNGs of a hash-seeded plaid
+    gradient; the stage decodes them with the stdlib codec and
+    nearest-samples an 8x8 thumb at (i*dim)//8 grid points.  The PNG
+    round-trip is lossless, so this freezer re-derives the mean from
+    the plaid formula + sampling spec directly - it shares only the
+    independently golden-tested murmur3 hash with the engine (same
+    stance as before; no PNG code imported)."""
     from topicrawler_ray.functions.hashing import murmur3_x64_128
 
     ids = _docs_table(sf_dir).column("doc_id").to_pylist()
     o_type, o_mean = [], []
+    t_s = 8
     for i in ids:
         kind = ("image/png", "audio/wav", "video/mp4")[i % 3]
         o_type.append(kind)
@@ -100,12 +108,21 @@ def freeze_media_features(sf_dir) -> pa.Table:
             o_mean.append(None)
             continue
         h1, h2 = murmur3_x64_128(b"media-%d" % i)
-        payload = (h1.to_bytes(8, "little") + h2.to_bytes(8, "little")) * (8 + i % 8)
-        n = 8 * 8 * 3
-        arr = np.frombuffer(
-            (payload * (n // max(1, len(payload)) + 1))[:n], dtype=np.uint8
-        )
-        o_mean.append(float(np.mean(arr)))
+        w = 64 + (i % 16) * 8
+        h = 64 + (i % 8) * 8
+        iy = (np.arange(t_s, dtype=np.int64) * h) // t_s
+        ix = (np.arange(t_s, dtype=np.int64) * w) // t_s
+        ys = iy[:, None]
+        xs = ix[None, :]
+        chans = np.stack(
+            [
+                (ys * 7 + xs * 3 + (h1 % 251)) % 256,
+                (ys * 11 + xs * 5 + (h2 % 241)) % 256,
+                (ys * 13 + xs * 2 + ((h1 >> 32) % 239)) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        o_mean.append(float(np.mean(chans)))
     return pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),

@@ -17,6 +17,13 @@ import os
 import sys
 
 
+
+def _rp_clean(*args, **kwargs):
+    """Metadata-stripped parquet read (schema-hash dedup friendly)."""
+    from .sources.pages import read_parquet_clean
+
+    return read_parquet_clean(*args, **kwargs)
+
 def _init_ray(num_cpus: int | None) -> None:
     import ray
 
@@ -110,7 +117,7 @@ def cmd_dedup(args) -> int:
     import ray
     import ray.data
 
-    ds = ray.data.read_parquet(args.input)
+    ds = _rp_clean(args.input)
     method = args.method
     if method == "exact":
         from .stages.dedup import exact_dedup
@@ -167,7 +174,7 @@ def cmd_curate(args) -> int:
 
     from .pipelines.curation import curated_docs
 
-    ds = ray.data.read_parquet(
+    ds = _rp_clean(
         args.input, columns=[args.id_column, args.column]
     )
     n_in = ds.count()
@@ -179,7 +186,7 @@ def cmd_curate(args) -> int:
         langid_concurrency=args.concurrency,
     )
     out.write_parquet(args.out)
-    n_out = ray.data.read_parquet(args.out).count()
+    n_out = _rp_clean(args.out).count()
     print(_json.dumps({"rows_in": n_in, "rows_curated": n_out, "out": args.out}))
     ray.shutdown()
     return 0
@@ -200,7 +207,7 @@ def cmd_ngram_index(args) -> int:
     import ray.data
 
     # prune at the read: the index derives from the text column alone
-    ds = ray.data.read_parquet(args.input, columns=[args.column])
+    ds = _rp_clean(args.input, columns=[args.column])
     idx = ngram_index(ds, args.order, column=args.column, mincount=args.mincount)
     os.makedirs(args.out, exist_ok=True)
     idx.write_parquet(os.path.join(args.out, "ngram_index"))
@@ -438,14 +445,14 @@ def cmd_registry(args) -> int:
 
     if args.action == "register":
         # prune at the read: registration hashes one column
-        ds = ray.data.read_parquet(args.input, columns=[args.column])
+        ds = _rp_clean(args.input, columns=[args.column])
         man = register_hashes(
             ds, args.column, args.registry, generation=args.generation,
             num_shards=args.num_shards,
         )
         print(json.dumps(man))
     elif args.action == "filter":
-        ds = ray.data.read_parquet(args.input)
+        ds = _rp_clean(args.input)
         out = filter_unseen(ds, args.column, args.registry)
         if args.out:
             out.write_parquet(args.out)
@@ -471,7 +478,7 @@ def cmd_chunk(args) -> int:
     from .stages.chunking import chunk_documents
 
     # prune at the read: chunks derive from (id, text) alone
-    ds = ray.data.read_parquet(args.input, columns=[args.id_column, args.column])
+    ds = _rp_clean(args.input, columns=[args.id_column, args.column])
     out = chunk_documents(
         ds, max_tokens=args.max_tokens, column=args.column,
         id_column=args.id_column,

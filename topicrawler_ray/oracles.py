@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .sources.pages import FIXTURE_VERSION
 
-ORACLE_VERSION = 3  # v3: KN family + sent_perp/prob_dist_perp/rule_tokens
+ORACLE_VERSION = 4  # v4: ngram_probs + real-PNG media_features
 
 # frozen golden fixtures (committed to git) for the queries whose
 # sequential derivation would otherwise share code with the kernel it
@@ -306,6 +306,41 @@ def _b_filtered_sentences(sf_dir: str) -> pa.Table:
     import pyarrow.compute as pc
 
     return t.filter(pc.less_equal(t.column("perp"), 1000.0))
+
+
+def _b_ngram_probs(sf_dir: str) -> pa.Table:
+    """Sequential NgramProbs dump (NgramProbs.java:172-216): one row per
+    ngram occurrence of the segmented corpus with its log10 prob,
+    %.3e-formatted probability and OOV flags."""
+    import math
+
+    from .lm.perplexity import text_ngrams
+
+    lm = _lm(sf_dir)
+    urls, idxs, poss, grams, lps, pstrs, c_oov, e_oov = ([], [], [], [], [], [], [], [])
+    for _t, sentence, url, idx, _p in _sentence_rows(sf_dir):
+        for pos, g in enumerate(text_ngrams(sentence or "", lm.order)):
+            lp = lm.ngram_log10_prob(g)
+            urls.append(url)
+            idxs.append(idx)
+            poss.append(pos)
+            grams.append(" ".join(g))
+            lps.append(lp)
+            pstrs.append("%.3e" % math.pow(10.0, lp))
+            c_oov.append(lm.ngram_contains_oov(g))
+            e_oov.append(lm.ngram_ends_with_oov(g))
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "sent_idx": pa.array(idxs, pa.int64()),
+            "pos": pa.array(poss, pa.int64()),
+            "ngram": pa.array(grams, pa.string()),
+            "log10_prob": pa.array(lps, pa.float64()),
+            "prob_str": pa.array(pstrs, pa.string()),
+            "contains_oov": pa.array(c_oov, pa.bool_()),
+            "ends_with_oov": pa.array(e_oov, pa.bool_()),
+        }
+    )
 
 
 def _b_doc_perp(sf_dir: str) -> pa.Table:
@@ -2054,6 +2089,7 @@ BUILDERS = {
     "line_perp": _b_line_perp,
     "filtered_sentences": _b_filtered_sentences,
     "doc_perp": _b_doc_perp,
+    "ngram_probs": _b_ngram_probs,
     "distinct_sentences": _b_distinct_sentences,
     "perp_stats": _b_perp_stats,
     "crawl_log": _b_crawl_log,

@@ -111,4 +111,6 @@ def read_partitioned(out_dir: str):
         if meta.get("done") and meta.get("rows", 0) > 0
         for f in sorted(glob.glob(os.path.join(out_dir, name, "*.parquet")))
     ]
-    return ray.data.read_parquet(paths)
+    from ..sources.pages import strip_schema_metadata
+
+    return strip_schema_metadata(ray.data.read_parquet(paths))

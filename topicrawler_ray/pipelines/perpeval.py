@@ -215,6 +215,70 @@ class LineProbPerp:
         )
 
 
+class NgramProbsBatch:
+    """Actor-pool batch fn: per-ngram log10-probability dump.
+
+    Batch analog of ``lt.lm/.../app/NgramProbs.java:172-216``: the app
+    reads one ngram per line and prints ``ngram TAB prob(%6.3e)`` plus
+    OOV accounting (``ngramContainsOOV`` / ``ngramEndsWithOOV``,
+    NgramProbs.java:188-193).  Here the ngram stream is the segmented
+    corpus itself (``LtSegProvider.getNgrams`` per sentence, the same
+    enumeration the Ngrams app would dump), exploded into one row per
+    ngram occurrence with a stable (url, sent_idx, pos) key.
+    """
+
+    def __init__(self, lm_ref, column: str = "sentence"):
+        import ray
+
+        self._lm = ray.get(lm_ref) if isinstance(lm_ref, ray.ObjectRef) else lm_ref
+        self._column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lm = self._lm
+        urls_in = batch.column("url").to_pylist()
+        idxs_in = batch.column("sent_idx").to_pylist()
+        texts = batch.column(self._column).to_pylist()
+        urls, idxs, poss, grams, lps, pstrs, c_oov, e_oov = (
+            [], [], [], [], [], [], [], [],
+        )
+        for url, sidx, text in zip(urls_in, idxs_in, texts):
+            for pos, g in enumerate(text_ngrams(text or "", lm.order)):
+                lp = lm.ngram_log10_prob(g)
+                urls.append(url)
+                idxs.append(sidx)
+                poss.append(pos)
+                grams.append(" ".join(g))
+                lps.append(lp)
+                # NgramProbs.java:197 prints Math.pow(10, log10prob) via
+                # %6.3e (width 6 never pads a 9-char mantissa+exponent)
+                pstrs.append("%.3e" % math.pow(10.0, lp))
+                c_oov.append(lm.ngram_contains_oov(g))
+                e_oov.append(lm.ngram_ends_with_oov(g))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "sent_idx": pa.array(idxs, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "ngram": pa.array(grams, pa.string()),
+                "log10_prob": pa.array(lps, pa.float64()),
+                "prob_str": pa.array(pstrs, pa.string()),
+                "contains_oov": pa.array(c_oov, pa.bool_()),
+                "ends_with_oov": pa.array(e_oov, pa.bool_()),
+            }
+        )
+
+
+def ngram_probs(sentences_ds, lm_ref, column: str = "sentence", concurrency: int = 2):
+    """NgramProbs app analog over the sentence corpus (one row per
+    ngram occurrence)."""
+    return sentences_ds.select_columns(["url", "sent_idx", column]).map_batches(
+        NgramProbsBatch,
+        fn_constructor_kwargs={"lm_ref": lm_ref, "column": column},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
 def doc_perplexity(sentences_ds, lm_ref, url_column: str = "url",
                    sentence_column: str = "sentence", oov_lm_ref=None):
     """PerpDoc: one row per url with skip-OOV perplexity accounting."""

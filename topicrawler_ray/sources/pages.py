@@ -480,6 +480,47 @@ def strip_schema_metadata(ds):
     return ds.map_batches(_strip, batch_format="pyarrow")
 
 
+def _strip_block(t):
+    if t.schema.metadata:
+        return t.replace_schema_metadata(None)
+    return t
+
+
+def read_parquet_clean(paths, *, columns=None, override_num_blocks=None, **kwargs):
+    """``ray.data.read_parquet`` with schema metadata stripped INSIDE the
+    read task (``_block_udf``).
+
+    Driver-written fixture parquet (events/documents/embeddings/...)
+    embeds the ``b'pandas'`` schema metadata key; blocks carrying it
+    defeat Ray's schema-hash deduplication in every shuffle AND in the
+    read task's own SplitBlocks step (``Failed to hash the schemas``
+    warning storms), so a downstream ``map_batches`` strip is applied
+    too late.  Falls back to read+strip if the datasource signature
+    changes.  All table reads outside :func:`read_pages` go through
+    this wrapper.
+    """
+    import ray.data
+
+    try:
+        from ray.data._internal.datasource.parquet_datasource import (
+            ParquetDatasource,
+        )
+
+        ds = ray.data.read_datasource(
+            ParquetDatasource(paths, columns=columns, _block_udf=_strip_block),
+            override_num_blocks=override_num_blocks,
+            **kwargs,
+        )
+        return ds
+    except (ImportError, TypeError):
+        rp_kwargs = dict(kwargs)
+        if columns is not None:
+            rp_kwargs["columns"] = columns
+        if override_num_blocks is not None:
+            rp_kwargs["override_num_blocks"] = override_num_blocks
+        return strip_schema_metadata(ray.data.read_parquet(paths, **rp_kwargs))
+
+
 #: default projection for pipeline reads: every consumer recomputes the
 #: extraction from ``html``, so the stored analytic ``text`` column (as
 #: large as the corpus itself - it exists for the DuckDB oracles) never

@@ -143,6 +143,7 @@ def topk_per_group(ds, group_column: str, score_column: str,
                    tie_column: str, k: int,
                    num_partitions: int | None = None):
     """Top-k rows per group by (score DESC, tie ASC)."""
+    import numpy as np
     import pandas as pd
 
     from .dedup import _default_partitions
@@ -161,14 +162,18 @@ def topk_per_group(ds, group_column: str, score_column: str,
             preserve_index=False,
         ).replace_schema_metadata(None)  # pandas metadata defeats Ray's schema dedup
 
-    def final(group: "pd.DataFrame") -> "pd.DataFrame":
+    def final(group: "pd.DataFrame") -> pa.Table:
         group = group.sort_values(
             [score_column, tie_column], ascending=[False, True],
             kind="mergesort",
         )
         out = group.head(k).copy()
-        out["rank"] = range(len(out))
-        return out
+        out["rank"] = np.arange(len(out), dtype=np.int64)
+        # return clean Arrow (not the frame): pandas blocks would carry
+        # the b'pandas' schema key into every downstream join/shuffle
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

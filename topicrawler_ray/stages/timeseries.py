@@ -705,7 +705,7 @@ def per_key_cumsum(
         quantize, batch_format="pyarrow"
     )
 
-    def local_cumsum(g: pd.DataFrame) -> pd.DataFrame:
+    def local_cumsum(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["__on", tie], kind="mergesort").reset_index(drop=True)
         out = pd.DataFrame(
             {
@@ -717,7 +717,11 @@ def per_key_cumsum(
         )
         if "__kb" in g.columns:
             out["__kb"] = g["__kb"]
-        return out
+        # clean Arrow out: a pandas block would carry the b'pandas'
+        # schema key into the downstream offset join's hash shuffle
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
 
     if not time_buckets or time_buckets <= 1:
         return slim.groupby(by).map_groups(local_cumsum, batch_format="pandas")
@@ -749,15 +753,15 @@ def per_key_cumsum(
     )
 
     # exclusive prefix over each key's <=W bucket totals (tiny groups)
-    def exclusive_prefix(g: pd.DataFrame) -> pd.DataFrame:
+    def exclusive_prefix(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values("__kb", kind="mergesort").reset_index(drop=True)
         s = g["bucket_sum_e2"].to_numpy(np.int64).cumsum()
         n = g["bucket_n"].to_numpy(np.int64).cumsum()
-        return pd.DataFrame(
+        return pa.table(
             {
-                "__kb": g["__kb"],
-                "offset_e2": np.concatenate(([0], s[:-1])),
-                "offset_n": np.concatenate(([0], n[:-1])),
+                "__kb": pa.array(g["__kb"].to_numpy(np.int64), pa.int64()),
+                "offset_e2": pa.array(np.concatenate(([0], s[:-1])), pa.int64()),
+                "offset_n": pa.array(np.concatenate(([0], n[:-1])), pa.int64()),
             }
         )
 

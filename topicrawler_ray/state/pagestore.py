@@ -153,9 +153,11 @@ def fetch_join(frontier_ds, sf_dir: str, num_partitions: int | None = None):
     from ..stages.dedup import _default_partitions
 
     num_partitions = _default_partitions(num_partitions)
-    pages = ray.data.read_parquet(
+    from ..sources.pages import strip_schema_metadata
+
+    pages = strip_schema_metadata(ray.data.read_parquet(
         pages_path(sf_dir), columns=["url", "warc_ts", "html", "lang"]
-    )
+    ))
 
     def size_cols(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
