@@ -193,6 +193,85 @@ class TestHeadBudgetSpill:
             shutil.rmtree(spill, ignore_errors=True)
 
 
+class TestDrainModeResume:
+    """VERDICT r4 item 7: kill the crawl around the in-actor drain mode
+    (the single-active-shard politeness tail, state/frontier.py drain)
+    and resume - log + seen set must still match the simulator exactly."""
+
+    def test_kill_after_drain_segment_and_resume(self, ray_session, sf_dir, sim_result):
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+
+        ckpt = tempfile.mkdtemp(prefix="topicrawler_ckpt_drain_")
+        try:
+            cfg = CrawlConfig(
+                checkpoint_dir=ckpt, checkpoint_every_waves=20, **_SMALL
+            )
+            eng = RayCrawlEngine(sf_dir, cfg)
+            eng.bootstrap()
+            drained = False
+            while True:
+                w0 = eng.wave
+                n = eng.run_wave()
+                if eng.wave - w0 > 1:
+                    drained = True  # a drain segment advanced many waves
+                    break
+                if n == 0:
+                    break
+            assert drained, "politeness tail never entered drain mode"
+            del eng  # abandon mid-tail, between checkpoints
+
+            eng2 = RayCrawlEngine(sf_dir, cfg)
+            res = eng2.resume_run()
+            _assert_log_matches(res.log, sim_result.rows)
+            assert res.seen_keys == sim_result.seen_keys
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    def test_kill_with_spill_and_checkpoint_resume(
+        self, ray_session, sf_dir, sim_result
+    ):
+        """Spill x checkpoint intersection: overflow rows live in
+        per-host spill FILES; the checkpoint must capture their content
+        (snapshot copies the files; restore resets the live dir), else
+        post-checkpoint appends/reloads corrupt the replay."""
+        import glob
+        import os
+
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+
+        ckpt = tempfile.mkdtemp(prefix="topicrawler_ckpt_sp_")
+        spill = tempfile.mkdtemp(prefix="topicrawler_spill_ck_")
+        try:
+            cfg = CrawlConfig(
+                checkpoint_dir=ckpt,
+                checkpoint_every_waves=10,
+                frontier_head_budget=4,
+                frontier_spill_dir=spill,
+                **_SMALL,
+            )
+            eng = RayCrawlEngine(sf_dir, cfg)
+            eng.bootstrap()
+            while eng.wave < 35:
+                if eng.run_wave() == 0:
+                    break
+            assert any(
+                f["spilled"] > 0
+                for f in eng.ray.get([s.stats.remote() for s in eng.frontier])
+            ), "head budget never spilled - test fixture too small"
+            # the checkpoint carries the spill files themselves
+            copied = glob.glob(os.path.join(ckpt, "wave=*", "spill_*", "*"))
+            assert copied, "checkpoint captured no spill files"
+            del eng  # abandon mid-crawl
+
+            eng2 = RayCrawlEngine(sf_dir, cfg)
+            res = eng2.resume_run()
+            _assert_log_matches(res.log, sim_result.rows)
+            assert res.seen_keys == sim_result.seen_keys
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+            shutil.rmtree(spill, ignore_errors=True)
+
+
 class TestCuckooOnlyMode:
     def test_scale_mode_without_exact_set(self, ray_session, sf_dir, sim_result):
         """seen_keep_exact=False (the 10^10 memory-bounded mode): dedup

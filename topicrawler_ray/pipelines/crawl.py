@@ -621,7 +621,16 @@ class RayCrawlEngine:
             self._pending = []
         d = os.path.join(self.cfg.checkpoint_dir, "wave=%06d" % self.wave)
         os.makedirs(d, exist_ok=True)
-        fsnaps = ray.get([s.snapshot.remote() for s in self.frontier])
+        fsnaps = ray.get(
+            [
+                s.snapshot.remote(
+                    os.path.join(d, "spill_%02d" % i)
+                    if self.cfg.frontier_spill_dir
+                    else None
+                )
+                for i, s in enumerate(self.frontier)
+            ]
+        )
         for i, blob in enumerate(fsnaps):
             with open(os.path.join(d, "frontier_%02d.pkl" % i), "wb") as f:
                 f.write(blob)
@@ -662,7 +671,14 @@ class RayCrawlEngine:
         futs = []
         for i, s in enumerate(self.frontier):
             with open(os.path.join(d, "frontier_%02d.pkl" % i), "rb") as f:
-                futs.append(s.restore.remote(f.read()))
+                futs.append(
+                    s.restore.remote(
+                        f.read(),
+                        os.path.join(d, "spill_%02d" % i)
+                        if self.cfg.frontier_spill_dir
+                        else None,
+                    )
+                )
         ray.get(futs)
         with open(os.path.join(d, "meta.pkl"), "rb") as f:
             meta = pickle.load(f)

@@ -646,6 +646,7 @@ class FrontierShardState:
                 "spill_floor": self._spill_floor,
                 "overflow_mem": self._overflow_mem,
                 "overflow_count": self._overflow_count,
+                "spill_counters": (self.n_spilled, self.n_reloaded),
                 "counters": (
                     self.n_pushed,
                     self.n_popped,
@@ -670,6 +671,7 @@ class FrontierShardState:
         st._spill_floor = d.get("spill_floor", {})
         st._overflow_mem = d.get("overflow_mem", {})
         st._overflow_count = d.get("overflow_count", {})
+        st.n_spilled, st.n_reloaded = d.get("spill_counters", (0, 0))
         st.n_pushed, st.n_popped, st.n_robots_rejected, st.n_dup = d["counters"]
         return st
 
@@ -786,14 +788,42 @@ def make_frontier_actors(num_shards: int, seen_capacity: int = 1 << 16,
                 "pending": self.state.pending(),
             }
 
-        def snapshot(self):
-            return self.state.snapshot()
+        def snapshot(self, spill_dest: str | None = None):
+            """Serialize the shard state; when ``spill_dest`` is given and
+            this shard spills overflow to disk, copy its spill files into
+            the checkpoint too (the snapshot blob only records counts/
+            floors - the ROWS live in the files, and post-checkpoint
+            appends/reloads would otherwise corrupt a later resume)."""
+            blob = self.state.snapshot()
+            if spill_dest and self.state.spill_dir:
+                import os
+                import shutil
 
-        def restore(self, blob):
+                if os.path.isdir(self.state.spill_dir):
+                    shutil.copytree(
+                        self.state.spill_dir, spill_dest, dirs_exist_ok=True
+                    )
+                else:
+                    os.makedirs(spill_dest, exist_ok=True)
+            return blob
+
+        def restore(self, blob, spill_src: str | None = None):
             # keep the runtime attachments across checkpoint restores
             proc, reader = self.state.processor, self.state.page_reader
+            spill_dir = self.state.spill_dir
             self.state = FrontierShardState.restore(blob)
             self.state.processor = proc
             self.state.page_reader = reader
+            self.state.spill_dir = spill_dir
+            if spill_dir:
+                import os
+                import shutil
+
+                # reset the live spill dir to the checkpoint's content:
+                # files appended/consumed after the snapshot must not
+                # leak into the replay
+                shutil.rmtree(spill_dir, ignore_errors=True)
+                if spill_src and os.path.isdir(spill_src):
+                    shutil.copytree(spill_src, spill_dir)
 
     return [FrontierShard.remote(r) for r in range(num_shards)]
