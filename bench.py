@@ -371,11 +371,13 @@ def _sf1_documents(sf_dir: str, factor: int = 10) -> str:
     return out
 
 
-def run_sf1(sf_dir: str, num_cpus: int) -> dict:
-    """One-shot sf1-equivalent (10x sf0.1) data-plane point (VERDICT r3
-    item 9): scored_pages and curation at replicate=10x the sf0.1
-    volume, dedup over a 10x near-dup-perturbed corpus.  Single run per
-    headline (the volume itself averages out per-batch noise)."""
+def run_sf1(sf_dir: str, num_cpus: int, factor: int = 10) -> dict:
+    """One-shot volume point at ``factor`` x sf0.1 (VERDICT r3 item 9 /
+    r4 item 8): scored_pages and curation at replicate=factor the sf0.1
+    volume, dedup over a factor-x near-dup-perturbed corpus.  Single run
+    per headline (the volume itself averages out per-batch noise).
+    factor=10 is the sf1-equivalent point, factor=30 the sf3 point -
+    three points (1x/10x/30x) make volume linearity a trend."""
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
@@ -383,7 +385,6 @@ def run_sf1(sf_dir: str, num_cpus: int) -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    factor = 10
     try:
         from topicrawler_ray.sources.pages import pages_path, strip_schema_metadata
 
@@ -416,8 +417,8 @@ def run_sf1(sf_dir: str, num_cpus: int) -> dict:
         ray.shutdown()
     total = r_scored["sec"] + r_cur["sec"] + r_dedup["sec"]
     return {
-        "metric": "sf1-equivalent (10x sf0.1) data-plane wall time "
-                  "(scored_pages + curation + dedup)",
+        "metric": "%dx-sf0.1 data-plane wall time "
+                  "(scored_pages + curation + dedup)" % factor,
         "value": round(total, 3),
         "unit": "sec",
         "queries": {
@@ -432,7 +433,7 @@ def run_sf1(sf_dir: str, num_cpus: int) -> dict:
             "dedup_docs_per_s": round(r_dedup["docs_per_s"], 1),
             "dedup_pairs": r_dedup["pairs"],
         },
-        "sf": "1-equivalent",
+        "sf": "%dx-sf0.1" % factor,
         "num_cpus": num_cpus,
     }
 
@@ -452,6 +453,9 @@ def _run_subprocess(ncpu: int) -> dict:
 def main() -> None:
     if "--sf1" in sys.argv:
         print(json.dumps(run_sf1(SF_DIR, NUM_CPUS)))
+        return
+    if "--sf3" in sys.argv:
+        print(json.dumps(run_sf1(SF_DIR, NUM_CPUS, factor=30)))
         return
     if "--scaling" in sys.argv:
         # N -> 4N parallelism in fresh processes on the same input.
