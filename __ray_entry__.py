@@ -1205,6 +1205,16 @@ def _q_doc_perp(sf_dir: str):
     return doc_perplexity(ds, topic_lm_ref(sf_dir))
 
 
+def _q_dup_substrings(sf_dir: str):
+    """Cross-document duplicate-substring detection (ExactSubstr shape,
+    Lee et al. 2021 arXiv:2107.06499): 64-char windows at stride 16,
+    fingerprint counts via one groupby aggregate, windows flagged by a
+    hash join, slim per-doc rollup - text never shuffles."""
+    from topicrawler_ray.stages.dedup import duplicate_substring_stats
+
+    return duplicate_substring_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_ngram_probs(sf_dir: str):
     """NgramProbs app analog (``lt.lm/.../app/NgramProbs.java:51-237``):
     per-ngram log10-probability dump over the segmented corpus with OOV
@@ -2718,6 +2728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prob_dist_perp": _q_prob_dist_perp,
         "doc_perp": _q_doc_perp,
         "ngram_probs": _q_ngram_probs,
+        "dup_substrings": _q_dup_substrings,
         "doc_perp_oovref": _q_doc_perp_oovref,
         "scored_pages_kn": _q_scored_pages_kn,
         "scored_pages_jm": _q_scored_pages_jm,

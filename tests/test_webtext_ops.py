@@ -349,3 +349,88 @@ class TestPerKeyLag:
         assert rows[1]["lag_ts_us"] == base and rows[1]["lag_event_type"] == "a"
         assert rows[3]["lag_event_type"] == "b"
         assert rows[4]["lag_ts_us"] == -1  # sole event of user 2
+
+
+class TestDuplicateSubstrings:
+    def test_cross_and_within_doc_windows(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.dedup import duplicate_substring_stats
+
+        shared = "S" * 64               # exactly one window when alone
+        uniq_a = "a" * 16
+        uniq_b = "b" * 16
+        docs = ray.data.from_items(
+            [
+                # doc 0: shared block + unique tail -> some dup windows
+                {"doc_id": 0, "text": shared + uniq_a * 4},
+                # doc 1: same shared block, different tail
+                {"doc_id": 1, "text": shared + uniq_b * 4},
+                # doc 2: fully unique, long enough for windows
+                {"doc_id": 2, "text": "c" + "d" * 100},
+                # doc 3: too short for any window -> no output row
+                {"doc_id": 3, "text": "tiny"},
+            ]
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in duplicate_substring_stats(
+                docs, window=64, stride=16, num_partitions=2
+            ).take_all()
+        }
+        assert set(rows) == {0, 1, 2}
+        # the pure-shared window (offset 0) is identical in docs 0 and 1
+        assert rows[0]["n_cross_dup_windows"] >= 1
+        assert rows[1]["n_cross_dup_windows"] >= 1
+        assert rows[0]["n_dup_windows"] >= rows[0]["n_cross_dup_windows"]
+        # "d"*100 slides over identical all-d windows -> within-doc dups
+        # but ZERO cross-doc dups
+        assert rows[2]["n_cross_dup_windows"] == 0
+        assert rows[2]["n_dup_windows"] >= 1
+        # window arithmetic: len = 1 + 100 -> (101-64)//16 + 1 = 3 windows
+        assert rows[2]["n_windows"] == 3
+
+    def test_matches_sequential_derivation(self, ray_session):
+        """Distributed rollup == dict derivation on a random corpus."""
+        import random
+
+        import ray.data
+
+        from topicrawler_ray.functions.hashing import murmur3_x64_128
+        from topicrawler_ray.stages.dedup import duplicate_substring_stats
+
+        rng = random.Random(11)
+        base = "".join(rng.choice("abcdef ") for _ in range(200))
+        docs = []
+        for i in range(20):
+            body = "".join(rng.choice("abcdef ") for _ in range(150))
+            text = base[:80] + body if i % 3 == 0 else body + base[100:170]
+            docs.append({"doc_id": i, "text": text})
+        got = {
+            r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["n_cross_dup_windows"])
+            for r in duplicate_substring_stats(
+                ray.data.from_items(docs), window=64, stride=16, num_partitions=2
+            ).take_all()
+        }
+        occ, docs_of, per_doc = {}, {}, {}
+        for d in docs:
+            t = d["text"]
+            if len(t) < 64:
+                continue
+            hs = []
+            for off in range(0, len(t) - 64 + 1, 16):
+                h = murmur3_x64_128(t[off : off + 64].encode("utf-8"))
+                hs.append(h)
+                occ[h] = occ.get(h, 0) + 1
+                lo, hi = docs_of.get(h, (d["doc_id"], d["doc_id"]))
+                docs_of[h] = (min(lo, d["doc_id"]), max(hi, d["doc_id"]))
+            per_doc[d["doc_id"]] = hs
+        want = {
+            did: (
+                len(hs),
+                sum(1 for h in hs if occ[h] > 1),
+                sum(1 for h in hs if docs_of[h][0] != docs_of[h][1]),
+            )
+            for did, hs in per_doc.items()
+        }
+        assert got == want

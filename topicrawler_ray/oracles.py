@@ -612,6 +612,50 @@ def _b_export_manifest(sf_dir: str) -> pa.Table:
 # -- dedup -------------------------------------------------------------------
 
 
+def _b_dup_substrings(sf_dir: str) -> pa.Table:
+    """Sequential ExactSubstr-window derivation (Lee et al. 2021,
+    arXiv:2107.06499 shape): 64-char windows at stride 16, 128-bit
+    murmur fingerprints, duplicate = >=2 corpus occurrences, cross-dup
+    = >=2 distinct docs.  Mirrors stages.dedup.duplicate_substring_stats
+    with plain dicts (shares only the independently golden-tested
+    murmur3)."""
+    from .functions.hashing import murmur3_x64_128
+
+    window, stride = 64, 16
+    t = _docs_table(sf_dir)
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    per_doc: dict[int, list[tuple[int, int]]] = {}
+    occ: dict[tuple[int, int], int] = {}
+    docs_of: dict[tuple[int, int], tuple[int, int]] = {}  # (min_doc, max_doc)
+    for did, text in zip(ids, texts):
+        tt = text or ""
+        if len(tt) < window:
+            continue
+        hs = []
+        for off in range(0, len(tt) - window + 1, stride):
+            h = murmur3_x64_128(tt[off : off + window].encode("utf-8"))
+            hs.append(h)
+            occ[h] = occ.get(h, 0) + 1
+            lo, hi = docs_of.get(h, (did, did))
+            docs_of[h] = (min(lo, did), max(hi, did))
+        per_doc[did] = hs
+    out_id, out_n, out_d, out_c = [], [], [], []
+    for did, hs in per_doc.items():
+        out_id.append(did)
+        out_n.append(len(hs))
+        out_d.append(sum(1 for h in hs if occ[h] > 1))
+        out_c.append(sum(1 for h in hs if docs_of[h][0] != docs_of[h][1]))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_windows": pa.array(out_n, pa.int64()),
+            "n_dup_windows": pa.array(out_d, pa.int64()),
+            "n_cross_dup_windows": pa.array(out_c, pa.int64()),
+        }
+    )
+
+
 def _minhash_docs(sf_dir: str) -> list[tuple[int, str]]:
     """Replicates the query's base + perturbed corpus construction."""
     t = _docs_table(sf_dir)
@@ -2090,6 +2134,7 @@ BUILDERS = {
     "filtered_sentences": _b_filtered_sentences,
     "doc_perp": _b_doc_perp,
     "ngram_probs": _b_ngram_probs,
+    "dup_substrings": _b_dup_substrings,
     "distinct_sentences": _b_distinct_sentences,
     "perp_stats": _b_perp_stats,
     "crawl_log": _b_crawl_log,

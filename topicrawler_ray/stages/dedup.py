@@ -986,6 +986,111 @@ def segment_dedup(
     )
 
 
+def duplicate_substring_stats(
+    ds,
+    id_column: str = "doc_id",
+    column: str = "text",
+    window: int = 64,
+    stride: int = 16,
+    num_partitions: int | None = None,
+):
+    """Cross-document duplicate-substring detection - the ExactSubstr
+    shape of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better" (arXiv:2107.06499), restricted to
+    fixed-length windows: every ``window``-char substring at a
+    ``stride`` offset is fingerprinted (128-bit murmur); a window is
+
+    * DUPLICATE when its exact substring occurs at >=2 corpus positions
+      (within- or cross-document),
+    * CROSS-duplicate when it occurs in >=2 distinct documents.
+
+    -> one row per document with >=1 window:
+    ``(doc_id, n_windows, n_dup_windows, n_cross_dup_windows)``.
+
+    Scale shape: the exchange carries (h1, h2, doc_id) fingerprints
+    (24 bytes/window) - text never shuffles.  Occurrence counts and the
+    distinct-doc test come from ONE groupby aggregate per fingerprint
+    (count, min(doc), max(doc): cross-dup iff min != max); windows are
+    flagged by a hash join back on the fingerprint and rolled up with a
+    second slim per-doc aggregate.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..functions.hashing import murmur3_x64_128
+
+    num_partitions = _default_partitions(num_partitions)
+
+    def windows(batch: pa.Table) -> pa.Table:
+        ids_out, h1_out, h2_out = [], [], []
+        for did, text in zip(
+            batch.column(id_column).to_pylist(), batch.column(column).to_pylist()
+        ):
+            t = text or ""
+            if len(t) < window:
+                continue
+            for off in range(0, len(t) - window + 1, stride):
+                h1, h2 = murmur3_x64_128(t[off : off + window].encode("utf-8"))
+                ids_out.append(did)
+                h1_out.append(h1 - (1 << 63))  # signed int64 storage
+                h2_out.append(h2 - (1 << 63))
+        return pa.table(
+            {
+                id_column: pa.array(ids_out, pa.int64()),
+                "h1": pa.array(h1_out, pa.int64()),
+                "h2": pa.array(h2_out, pa.int64()),
+            }
+        )
+
+    wins = ds.map_batches(windows, batch_format="pyarrow")
+    counts = (
+        wins.groupby(["h1", "h2"])
+        .aggregate(
+            Count(alias_name="n_occ"),
+            Min(id_column, alias_name="min_doc"),
+            Max(id_column, alias_name="max_doc"),
+        )
+        .repartition(num_partitions)  # ray-2.49 empty-aggregate-block quirk
+    )
+
+    def flags(batch: pa.Table) -> pa.Table:
+        dup = pc.greater(batch.column("n_occ"), 1)
+        cross = pc.not_equal(batch.column("min_doc"), batch.column("max_doc"))
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                "is_dup": pc.cast(dup, pa.int64()),
+                "is_cross": pc.cast(cross, pa.int64()),
+            }
+        )
+
+    flagged = (
+        wins.repartition(num_partitions)
+        .join(counts, join_type="inner", num_partitions=num_partitions,
+              on=("h1", "h2"))
+        .map_batches(flags, batch_format="pyarrow")
+    )
+    out = flagged.groupby(id_column).aggregate(
+        Count(alias_name="n_windows"),
+        Sum("is_dup", alias_name="n_dup_windows"),
+        Sum("is_cross", alias_name="n_cross_dup_windows"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                "n_windows": pc.cast(batch.column("n_windows"), pa.int64()),
+                "n_dup_windows": pc.cast(batch.column("n_dup_windows"), pa.int64()),
+                "n_cross_dup_windows": pc.cast(
+                    batch.column("n_cross_dup_windows"), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def exact_dedup_by_hash(
     ds,
     column: str = "text",
