@@ -55,6 +55,9 @@ class TestColumnPruning:
                         break
                     depth -= 1
             call = src[start:end]
+            if call == "*args, **kwargs":
+                continue  # the _read_parquet metadata-strip wrapper's
+                # pass-through, not a read site (its CALLERS are checked)
             if "columns" not in call:
                 bad.append(
                     "line %d: %s"
