@@ -192,16 +192,13 @@ class FrontierShardState:
         if not rows:
             return
         if self.spill_dir:
-            import os
-
-            path = self._spill_path(host)
-            existing: list[tuple] = []
-            if os.path.exists(path):
-                with open(path, "rb") as f:
-                    existing = pickle.load(f)
-            existing.extend(rows)
-            with open(path, "wb") as f:
-                pickle.dump(existing, f)
+            # append-only: one pickle frame per spill event.  Rewriting
+            # the whole file per append is O(spilled^2) per host - at a
+            # 10^10-URL frontier the overflow runs are exactly the hot
+            # files.  The reader consumes frames until EOF (and still
+            # reads pre-round-5 single-frame files).
+            with open(self._spill_path(host), "ab") as f:
+                pickle.dump(rows, f)
         else:
             self._overflow_mem.setdefault(host, []).extend(rows)
         self._overflow_count[host] = self._overflow_count.get(host, 0) + len(rows)
@@ -214,8 +211,13 @@ class FrontierShardState:
             path = self._spill_path(host)
             if not os.path.exists(path):
                 return []
+            rows: list[tuple] = []
             with open(path, "rb") as f:
-                rows = pickle.load(f)
+                while True:
+                    try:
+                        rows.extend(pickle.load(f))
+                    except EOFError:
+                        break
             os.remove(path)
         else:
             rows = self._overflow_mem.pop(host, [])
