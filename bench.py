@@ -18,6 +18,9 @@ with ``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)``:
 ``--scaling`` runs the headline in two fresh processes (8 vs 32 CPUs by
 default) on the same input and reports the throughput scaling
 efficiency ``(T_lo / T_hi) / (cpus_hi / cpus_lo)``.
+
+``--sf1`` / ``--sf3`` run the data-plane headlines at 10x / 30x the
+sf0.1 volume (volume-linearity trend points, see BASELINE.md).
 """
 
 from __future__ import annotations
