@@ -15,9 +15,9 @@ with ``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)``:
 * ``frontier_ops`` - microbench of the frontier+seen actor plane:
   batched push / pop_wave / test_and_add operations per second.
 
-``--scaling`` runs the headline in two fresh processes (8 vs 32 CPUs by
-default) on the same input and reports the throughput scaling
-efficiency ``(T_lo / T_hi) / (cpus_hi / cpus_lo)``.
+``--scaling`` runs the headline in two fresh processes (4 vs 16 CPUs by
+default, ``$GRAFT_SCALE_LO`` -> 4x) on the same input and reports the
+throughput scaling efficiency ``(T_lo / T_hi) / (cpus_hi / cpus_lo)``.
 
 ``--sf1`` / ``--sf3`` run the data-plane headlines at 10x / 30x the
 sf0.1 volume (volume-linearity trend points, see BASELINE.md).
@@ -459,6 +459,31 @@ def main() -> None:
         return
     if "--sf3" in sys.argv:
         print(json.dumps(run_sf1(SF_DIR, NUM_CPUS, factor=30)))
+        return
+    if "--stats" in sys.argv:
+        # per-operator wall-time transparency for the two data-plane
+        # headlines (ds.stats() of one executed run each)
+        import ray
+
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        try:
+            for name, mk in (
+                ("scored_pages", lambda: _scored_pipeline(SF_DIR, NUM_CPUS, REPLICATE)),
+                ("curation", lambda: _curation_pipeline(SF_DIR, NUM_CPUS, REPLICATE)),
+            ):
+                ds = mk()
+                for _ in ds.iter_batches(batch_size=8192):
+                    pass
+                print("==== %s ====" % name)
+                for line in ds.stats().splitlines():
+                    if line.startswith("Operator") or "wall time" in line:
+                        print(line[:160])
+        finally:
+            ray.shutdown()
         return
     if "--scaling" in sys.argv:
         # N -> 4N parallelism in fresh processes on the same input.

@@ -36,6 +36,24 @@ for t in "region nation customer supplier part orders lineitem events documents 
 
 Q = e.queries()
 O = e.oracle_sql()
+
+if SF.rstrip("/") != "/root/testdata/sf0.01":
+    # oracle_sql() embeds sf0.01 fixture paths (the driver's scale).
+    # For another sf dir, materialize the sequential-oracle fixtures
+    # there and rewrite every embedded path so the WHOLE registry can
+    # be verified at a second scale (scale-independence check).
+    from topicrawler_ray.oracles import materialize_all, oracle_root
+    from topicrawler_ray.sources.pages import pages_path
+
+    materialize_all(SF)  # build every fixture at the target scale
+    root_base = str(oracle_root("/root/testdata/sf0.01"))
+    root_target = str(oracle_root(SF))
+    pages_base = pages_path("/root/testdata/sf0.01")
+    pages_target = pages_path(SF)
+    O = {
+        name: sql.replace(root_base, root_target).replace(pages_base, pages_target)
+        for name, sql in O.items()
+    }
 only = sys.argv[2:] or list(Q)
 fails = 0
 for name in only:
