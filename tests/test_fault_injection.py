@@ -48,6 +48,64 @@ def _scorer_actors():
     return out
 
 
+class TestFrontierShardDeath:
+    def test_sigkill_shard_then_checkpoint_resume_exact(self, ray_session, sf_dir):
+        """Node-loss drill for the STATEFUL plane: SIGKILL a frontier
+        shard's worker process mid-crawl. The shard state dies with the
+        process (by design - state is checkpointed, not replicated); a
+        fresh engine resuming from the last checkpoint must reproduce
+        the oracle crawl exactly."""
+        import shutil
+        import tempfile
+
+        import ray as _ray
+
+        from topicrawler_ray.config import CrawlConfig
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+        from topicrawler_ray.pipelines.simulate import simulate_crawl
+
+        sim = simulate_crawl(sf_dir)
+        ckpt = tempfile.mkdtemp(prefix="topicrawler_ckpt_kill_")
+        try:
+            cfg = CrawlConfig(
+                checkpoint_dir=ckpt,
+                checkpoint_every_waves=10,
+                num_frontier_shards=2,
+                num_seen_shards=2,
+                num_page_stores=2,
+                num_workers=3,
+                worker_num_cpus=0.5,
+            )
+            eng = RayCrawlEngine(sf_dir, cfg)
+            eng.bootstrap()
+            while eng.wave < 25:
+                if eng.run_wave() == 0:
+                    break
+            # SIGKILL one shard's process: harsher than del (no clean
+            # teardown; in-memory frontier/seen state is simply gone)
+            victim = eng.frontier[0]
+            pid = None
+            for _aid, info in _ray._private.state.actors().items():
+                if info.get("ActorID") == victim._actor_id.hex() and info.get(
+                    "State"
+                ) == "ALIVE":
+                    pid = info.get("Pid")
+            if pid:
+                os.kill(pid, signal.SIGKILL)
+                time.sleep(0.5)
+            del eng
+
+            eng2 = RayCrawlEngine(sf_dir, cfg)
+            res = eng2.resume_run()
+            assert res.log.num_rows == len(sim.rows)
+            got = res.log.to_pylist()
+            for a, b in zip(got, sim.rows):
+                assert a["url"] == b["url"] and a["fetch_seq"] == b["fetch_seq"]
+            assert res.seen_keys == sim.seen_keys
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
 class TestScorerActorDeath:
     def test_sigkill_mid_run_output_identical(self, ray_session, sf_dir):
         from topicrawler_ray.lm.train import topic_lm_ref
