@@ -232,28 +232,14 @@ def _docs(sf_dir: str, columns: list[str]):
     """documents table with MANDATORY column pruning: every caller
     states exactly what it reads so only those columns leave storage
     (pass None only when a consumer genuinely needs the full schema).
-    Parquet pandas-key schema metadata is stripped so downstream hash
-    shuffles can deduplicate schemas (unhashable-dict warning)."""
-    import ray.data
-
-    from topicrawler_ray.sources.pages import strip_schema_metadata
-
-    return strip_schema_metadata(
-        _read_parquet(sf_dir + "/documents.parquet",
-                              columns=columns)
-    )
+    Schema metadata is stripped inside the read task by
+    ``_read_parquet`` (datasource ``_block_udf``)."""
+    return _read_parquet(sf_dir + "/documents.parquet", columns=columns)
 
 
 def _embs(sf_dir: str, columns: list[str]):
     """embeddings table with MANDATORY column pruning (see _docs)."""
-    import ray.data
-
-    from topicrawler_ray.sources.pages import strip_schema_metadata
-
-    return strip_schema_metadata(
-        _read_parquet(sf_dir + "/embeddings.parquet",
-                              columns=columns)
-    )
+    return _read_parquet(sf_dir + "/embeddings.parquet", columns=columns)
 
 
 def _q_dedup_exact(sf_dir: str):

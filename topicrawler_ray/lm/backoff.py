@@ -212,7 +212,8 @@ class StupidBackoffLM:
 
     def __getstate__(self):
         state = dict(self.__dict__)
-        state.pop("_score_cache", None)  # never ship the cache
+        state.pop("_score_cache", None)  # never ship the caches
+        state.pop("_packed_doc_cache", None)
         return state
 
 

@@ -1042,7 +1042,11 @@ def duplicate_substring_stats(
             }
         )
 
-    wins = ds.map_batches(windows, batch_format="pyarrow")
+    # materialize: consumed by BOTH the count aggregate and the flag
+    # join; lazy re-execution would re-run the text read + windowing +
+    # murmur fingerprinting (the expensive pass) twice.  The slim
+    # 24-byte/window table is exactly what the object store holds well.
+    wins = ds.map_batches(windows, batch_format="pyarrow").materialize()
     counts = (
         wins.groupby(["h1", "h2"])
         .aggregate(

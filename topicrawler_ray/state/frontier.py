@@ -209,16 +209,21 @@ class FrontierShardState:
             import os
 
             path = self._spill_path(host)
-            if not os.path.exists(path):
-                return []
-            rows: list[tuple] = []
-            with open(path, "rb") as f:
-                while True:
-                    try:
-                        rows.extend(pickle.load(f))
-                    except EOFError:
-                        break
-            os.remove(path)
+            if os.path.exists(path):
+                rows: list[tuple] = []
+                with open(path, "rb") as f:
+                    while True:
+                        try:
+                            rows.extend(pickle.load(f))
+                        except EOFError:
+                            break
+                os.remove(path)
+            else:
+                # no file (e.g. restored from a checkpoint written before
+                # spill-to-disk was configured): fall back to any
+                # in-memory run and ALWAYS clear the count below, else
+                # the phantom count keeps has_work() true forever
+                rows = self._overflow_mem.pop(host, [])
         else:
             rows = self._overflow_mem.pop(host, [])
         self._overflow_count.pop(host, None)
@@ -241,11 +246,13 @@ class FrontierShardState:
         if self.queues.get(host) or not self._overflow_count.get(host):
             return
         rows = self._overflow_take_all(host)
+        # overflow is empty either way now: clear the floor so new
+        # arrivals enter the heap instead of spilling to a dead run
+        self._spill_floor.pop(host, None)
         if not rows:
             return
         rows.sort()
         b = self.head_budget
-        self._spill_floor.pop(host, None)
         self.n_reloaded += len(rows)
         if b is not None and len(rows) > b:
             keep, spill = rows[:b], rows[b:]
@@ -801,10 +808,13 @@ def make_frontier_actors(num_shards: int, seen_capacity: int = 1 << 16,
                 import os
                 import shutil
 
+                # clear the destination first: a crashed prior attempt
+                # at the same wave may have left stale host files that
+                # dirs_exist_ok would merge (and a later restore would
+                # resurrect already-consumed URLs)
+                shutil.rmtree(spill_dest, ignore_errors=True)
                 if os.path.isdir(self.state.spill_dir):
-                    shutil.copytree(
-                        self.state.spill_dir, spill_dest, dirs_exist_ok=True
-                    )
+                    shutil.copytree(self.state.spill_dir, spill_dest)
                 else:
                     os.makedirs(spill_dest, exist_ok=True)
             return blob
