@@ -502,17 +502,31 @@ def read_parquet_clean(paths, *, columns=None, override_num_blocks=None, **kwarg
     import ray.data
 
     try:
+        import pyarrow.parquet as _pq
         from ray.data._internal.datasource.parquet_datasource import (
             ParquetDatasource,
         )
 
+        # also hand the datasource a stripped schema: the read-plan
+        # metadata path (Dataset.count() etc.) unifies the RAW file
+        # schemas before any _block_udf runs, and the embedded pandas
+        # key would still trip the schema-hash dedup there
+        import pyarrow as _pa
+
+        first = paths[0] if isinstance(paths, (list, tuple)) else paths
+        schema = _pq.read_schema(first)
+        if columns is not None:
+            schema = _pa.schema([schema.field(c) for c in columns])
+        schema = schema.remove_metadata()
         ds = ray.data.read_datasource(
-            ParquetDatasource(paths, columns=columns, _block_udf=_strip_block),
+            ParquetDatasource(
+                paths, columns=columns, schema=schema, _block_udf=_strip_block
+            ),
             override_num_blocks=override_num_blocks,
             **kwargs,
         )
         return ds
-    except (ImportError, TypeError):
+    except (ImportError, TypeError, OSError):
         rp_kwargs = dict(kwargs)
         if columns is not None:
             rp_kwargs["columns"] = columns
