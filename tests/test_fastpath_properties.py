@@ -119,3 +119,54 @@ class TestDocumentPerplexityFastPath:
                 for ng in ngrams:
                     perp.add_log10_prob(ng)
             assert fast == perp.get(), doc
+
+
+# ---- LangId packed-trigram fast paths (round-5 curation hotspot) ----
+
+_LANGID_ALPHABET = st.sampled_from(
+    # profile-language words, CJK profile chars, accents, digits,
+    # punctuation, NUL/newlines (the batch path's separator machinery)
+    list("theandingofzu 的是不在人我scheißéñàüо .!?\n\x00\t'\"01-")
+)
+_langid_texts = st.text(alphabet=_LANGID_ALPHABET, min_size=0, max_size=80)
+
+
+class TestLangIdFastPath:
+    @classmethod
+    def setup_class(cls):
+        from topicrawler_ray.stages.textstats import LangId
+
+        cls.lid = LangId()
+
+    @settings(max_examples=400, deadline=None)
+    @given(_langid_texts)
+    def test_classify_equals_ref(self, text):
+        assert self.lid.classify(text) == self.lid._classify_ref(text)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.text(min_size=0, max_size=60))
+    def test_classify_equals_ref_arbitrary_unicode(self, text):
+        assert self.lid.classify(text) == self.lid._classify_ref(text)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(_langid_texts, min_size=0, max_size=10))
+    def test_batch_equals_ref(self, texts):
+        assert self.lid._classify_batch(texts) == [
+            self.lid._classify_ref(t) for t in texts
+        ]
+
+    def test_call_handles_nulls(self):
+        import pyarrow as pa
+
+        texts = ["the and ing is", None, "", "的 是 不"]
+        out = self.lid(pa.table({"text": pa.array(texts, pa.string())}))
+        exp = [self.lid._classify_ref(t) if t else "und" for t in texts]
+        assert out.column("lang_pred").to_pylist() == exp
+
+    def test_lone_surrogate_falls_back_to_ref(self):
+        # Arrow string columns can never carry lone surrogates (valid
+        # UTF-8 only), so this guards the pure-Python entry points.
+        t = "\ud800 der und die das ist"
+        assert self.lid.classify(t) == self.lid._classify_ref(t)
+        with pytest.raises(UnicodeEncodeError):
+            self.lid._classify_batch([t])  # __call__ catches this

@@ -434,3 +434,70 @@ class TestDuplicateSubstrings:
             for did, hs in per_doc.items()
         }
         assert got == want
+
+
+class TestExactDedupSharded:
+    def test_parity_with_by_hash_randomized(self, ray_session):
+        """exact_dedup_sharded must keep exactly the rows that
+        exact_dedup_by_hash keeps (min doc_id per text) on a corpus
+        with unique ids - randomized duplicate structure, several
+        partitionings."""
+        import random
+
+        import ray.data
+
+        from topicrawler_ray.stages.dedup import (
+            exact_dedup_by_hash,
+            exact_dedup_sharded,
+        )
+
+        rng = random.Random(505)
+        texts = ["doc body %d lorem" % i for i in range(40)]
+        rows = [
+            {"doc_id": i, "text": rng.choice(texts)} for i in range(300)
+        ]
+        exp = {}
+        for r in rows:
+            if r["text"] not in exp or r["doc_id"] < exp[r["text"]]:
+                exp[r["text"]] = r["doc_id"]
+        expected = sorted(exp.values())
+        for parts in (1, 3, 7):
+            ds = ray.data.from_items(rows).repartition(parts)
+            got = sorted(
+                r["doc_id"]
+                for r in exact_dedup_sharded(
+                    ds, num_shards=2 if parts == 3 else None
+                ).take_all()
+            )
+            assert got == expected, parts
+            ref = sorted(
+                r["doc_id"] for r in exact_dedup_by_hash(ds).take_all()
+            )
+            assert got == ref
+
+    def test_curated_docs_flavours_agree(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.pipelines.curation import curated_docs
+
+        base = (
+            "the quick brown fox jumps over the lazy dog and then "
+            "the dog was not amused by this at all it ran away fast "
+        ) * 4
+        docs = [
+            {"doc_id": i, "text": base + "v%d" % (i % 5)} for i in range(20)
+        ]
+        ds = ray.data.from_items(docs).repartition(3)
+        a = sorted(
+            r["doc_id"]
+            for r in curated_docs(
+                ds, langid_concurrency=1, dedup="sharded"
+            ).take_all()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in curated_docs(
+                ds, langid_concurrency=1, dedup="hash"
+            ).take_all()
+        )
+        assert a == b == [0, 1, 2, 3, 4]

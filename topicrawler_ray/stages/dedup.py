@@ -1174,6 +1174,138 @@ def exact_dedup_by_hash(
     return joined.map_batches(drop_copies, batch_format="pyarrow")
 
 
+def exact_dedup_sharded(
+    ds,
+    column: str = "text",
+    id_column: str = "doc_id",
+    num_shards: int | None = None,
+    map_num_cpus: float | None = None,
+):
+    """Sharded-actor exact dedup: min-``id_column`` winner per 64-bit
+    content hash held in a distributed hash table of N zero-CPU shard
+    actors — NO Ray shuffle machinery at all.
+
+    Motivation (SCALING_SELF_r05 diagnosis): Ray's sort/aggregate
+    exchange in :func:`exact_dedup_by_hash` carries a ~70 us/row task
+    constant (sampling, block partitioning, serialization) that
+    dominates slim 16-byte (hash, id) rows and does not shrink with
+    CPUs on one box.  This flavour replaces the exchange with the
+    URL-seen pattern (``state/seen.py``): per-batch map-side combine
+    (pandas groupby-min inside the task), then one batched actor RPC
+    per (batch, shard) carrying only the batch's unique hashes.
+
+    Two passes over ``ds`` (lazy re-execution, same contract as
+    :func:`exact_dedup_by_hash`):
+
+    1. push: hash (vectorized SipHash64), combine min-id per hash
+       within the batch, route by ``hash % N`` to shard actors that
+       fold into an in-memory ``hash -> min_id`` dict;
+    2. filter: re-hash, ask each shard for its winners, keep rows
+       whose id equals the winner.  Hash equality IS the dedup key
+       (same accepted 64-bit-collision tradeoff as the by-hash
+       flavour).
+
+    Pass 1 executes EAGERLY at call time (the DHT must be complete
+    before any filter batch runs); the returned Dataset is lazy.
+
+    REQUIRES ``id_column`` to be globally unique (the real-corpus
+    invariant): the pass-2 predicate ``id == winner`` then keeps
+    exactly one row per hash, statelessly — deterministic and safe
+    under Ray task retries.  With duplicate (id, key) physical copies
+    every copy of the winner survives; use :func:`exact_dedup_by_hash`
+    there (its hash-partitioned winner join co-locates copies and
+    collapses them per block).
+
+    Memory: winners live in actor RAM, ~50 B per UNIQUE document,
+    sharded across the cluster — ~2 GB/node for 10^10 uniques on 256
+    nodes.  Use :func:`exact_dedup_by_hash` when the unique-key set
+    must spill to disk instead.
+
+    ``map_num_cpus``: CPU request for the pass-1 push and pass-2
+    filter maps.  Callers that chain a downstream actor pool pass the
+    pool's (fractional) request so Ray Data's operator fusion merges
+    the filter map into the pool instead of leaving it a separate
+    task operator competing for leftover CPUs.
+    """
+    import ray
+
+    num_shards = num_shards or _default_partitions(None)
+
+    @ray.remote(num_cpus=0)
+    class _MinIdShard:
+        def __init__(self):
+            self._min: dict = {}
+
+        def update(self, hashes, ids) -> int:
+            m = self._min
+            for h, i in zip(hashes.tolist(), ids.tolist()):
+                prev = m.get(h)
+                if prev is None or i < prev:
+                    m[h] = i
+            return len(m)
+
+        def winners(self, hashes):
+            m = self._min
+            return [m.get(h) for h in hashes.tolist()]
+
+        def ping(self) -> bool:
+            return True
+
+    shards = [_MinIdShard.remote() for _ in range(num_shards)]
+    # block until every shard process is up BEFORE pass 1 launches:
+    # lazy spawn inside map tasks serializes actor startup behind
+    # CPU-holding tasks (measured ~2x pass-1 wall at 16 cpus)
+    import ray as _ray
+
+    _ray.get([s.ping.remote() for s in shards])
+
+    def _hashes(batch: pa.Table) -> np.ndarray:
+        vals = np.asarray(batch.column(column).to_pylist(), dtype=object)
+        return pd.util.hash_array(vals)  # SipHash64, fixed key, C-speed
+
+    def push(batch: pa.Table) -> pa.Table:
+        h = _hashes(batch)
+        ids = batch.column(id_column).to_pandas().to_numpy()
+        combined = pd.Series(ids).groupby(h).min()  # map-side combine
+        ch = combined.index.to_numpy()
+        ci = combined.to_numpy()
+        shard_of = ch % num_shards
+        refs = [
+            shards[s].update.remote(ch[shard_of == s], ci[shard_of == s])
+            for s in np.unique(shard_of)
+        ]
+        ray.get(refs)  # updates must land before pass 1 is "done"
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    # drive pass 1 to completion: the DHT is a side effect, so consume
+    # the slim count stream eagerly before building the filter pass.
+    # batch_size=None = one batch per BLOCK: each batch pays one
+    # blocking RPC round to the shards, so the default 1024-row
+    # batching would multiply the serial RPC waits ~10x per task
+    extra = {"num_cpus": map_num_cpus} if map_num_cpus else {}
+    ds.map_batches(
+        push, batch_format="pyarrow", batch_size=None, **extra
+    ).count()
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        h = _hashes(batch)
+        ids = batch.column(id_column).to_pylist()
+        shard_of = h % num_shards
+        live = np.unique(shard_of)
+        refs = {s: shards[s].winners.remote(h[shard_of == s]) for s in live}
+        winner = np.empty(len(h), dtype=object)
+        for s in live:
+            winner[shard_of == s] = ray.get(refs[s])
+        keep = pa.array([i == w for i, w in zip(ids, winner)], pa.bool_())
+        return batch.filter(keep)
+
+    return ds.map_batches(
+        keep_winners, batch_format="pyarrow", batch_size=None, **extra
+    )
+
+
 # --------------------------------------------------------------------------
 # SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
 # cluster embeddings, prune near-identical pairs WITHIN each cluster.

@@ -296,6 +296,8 @@ class LangId:
     the production-shaped (jLanI-style, trainable) identifier."""
 
     def __init__(self, column: str = "text"):
+        import numpy as np
+
         self._column = column
         self._profiles: dict[str, frozenset[str]] = {}
         for lang, seed_text in _LANG_PROFILES_RAW.items():
@@ -305,8 +307,55 @@ class LangId:
                 for i in range(len(w) - 2):
                     grams.add(w[i : i + 3])
             self._profiles[lang] = frozenset(grams)
+        # fast path: each trigram packed into one uint64
+        # (3 codepoints x 21 bits; max codepoint 0x10FFFF < 2^21), each
+        # profile a SORTED code array - scoring is then np.unique +
+        # searchsorted instead of a per-doc python set build (~20x;
+        # the set build was 358 us/doc, the hottest curation kernel)
+        self._packed = [
+            (lang, np.sort(np.fromiter(
+                (self._pack1(g) for g in prof), dtype=np.uint64, count=len(prof)
+            )))
+            for lang, prof in self._profiles.items()
+        ]
+
+    @staticmethod
+    def _pack1(gram: str) -> int:
+        c0, c1, c2 = (ord(c) for c in gram)
+        return (c0 << 42) | (c1 << 21) | c2
+
+    def _text_codes(self, text: str):
+        """Distinct packed trigram codes of ``" %s " % text.lower()``."""
+        import numpy as np
+
+        t = " %s " % text.lower()
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.uint64
+        )
+        codes = (cp[:-2] << np.uint64(42)) | (cp[1:-1] << np.uint64(21)) | cp[2:]
+        return np.unique(codes)
 
     def classify(self, text: str) -> str:
+        import numpy as np
+
+        if not text:
+            return "und"
+        try:
+            codes = self._text_codes(text)
+        except UnicodeEncodeError:  # lone surrogates: utf-32 refuses
+            return self._classify_ref(text)
+        best, best_score = "und", 0
+        for lang, prof in self._packed:
+            pos = np.searchsorted(prof, codes)
+            pos[pos == len(prof)] = 0
+            s = int(np.count_nonzero(prof[pos] == codes))
+            if s > best_score:
+                best, best_score = lang, s
+        return best
+
+    def _classify_ref(self, text: str) -> str:
+        """Reference per-doc set-intersection scorer (the original
+        kernel; kept as the property-test oracle for ``classify``)."""
         if not text:
             return "und"
         t = " %s " % text.lower()
@@ -318,9 +367,70 @@ class LangId:
                 best, best_score = lang, s
         return best
 
+    def _classify_batch(self, texts: list) -> list:
+        """Vectorized batch scorer, output-identical to per-doc
+        :meth:`classify`: ONE packed-code array for the whole batch
+        (docs joined by NUL — a gram spanning the join contains NUL,
+        which no profile gram does, so it can never change a score),
+        one lexsort-dedup of (doc, code) pairs (the per-doc distinct-
+        gram semantics), one searchsorted per language, per-doc match
+        counts via bincount, argmax with first-max-wins = the per-doc
+        insertion-order tie-break."""
+        import numpy as np
+
+        n = len(texts)
+        segs = [" %s " % (t or "").lower() for t in texts]
+        giant = "\x00".join(segs)
+        cp = np.frombuffer(giant.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.uint64
+        )
+        if len(cp) < 3:
+            return ["und"] * n
+        codes = (cp[:-2] << np.uint64(42)) | (cp[1:-1] << np.uint64(21)) | cp[2:]
+        # gram-start position -> doc index (separator positions fold
+        # into the preceding doc; their grams contain NUL, never match)
+        lens = np.fromiter((len(s) for s in segs), dtype=np.int64, count=n)
+        span = lens + 1  # each seg owns itself + its trailing NUL
+        span[-1] = lens[-1]
+        doc = np.repeat(np.arange(n, dtype=np.int64), span)[: len(codes)]
+        # distinct (doc, code): doc is non-decreasing by construction
+        order = np.lexsort((codes, doc))
+        sd, sc = doc[order], codes[order]
+        first = np.empty(len(order), dtype=bool)
+        first[:1] = True
+        first[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
+        ud, uc = sd[first], sc[first]
+        scores = np.zeros((n, len(self._packed)), dtype=np.int64)
+        for j, (_, prof) in enumerate(self._packed):
+            pos = np.searchsorted(prof, uc)
+            pos[pos == len(prof)] = 0
+            hit = prof[pos] == uc
+            scores[:, j] = np.bincount(ud[hit], minlength=n)
+        best = np.argmax(scores, axis=1)  # first max wins = dict order
+        top = scores[np.arange(n), best]
+        langs = [lang for lang, _ in self._packed]
+        return [
+            langs[b] if s > 0 and texts[i] else "und"
+            for i, (b, s) in enumerate(zip(best, top))
+        ]
+
+    # chunk size where the batch scorer's scratch arrays (packed codes,
+    # lexsort order, per-lang hit masks) stay cache-resident: measured
+    # 72 us/doc at 256-doc chunks vs 238 us/doc on a 5000-doc batch
+    # (memory-bound).  Chunking INSIDE __call__ decouples the kernel's
+    # working-set size from Ray's task granularity, so callers can use
+    # batch_size=None (one task per block) without paying the
+    # memory-bandwidth penalty.
+    _CHUNK = 256
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self._column).to_pylist()
-        preds = [self.classify(t) for t in texts]
+        try:
+            preds = []
+            for i in range(0, len(texts), self._CHUNK):
+                preds.extend(self._classify_batch(texts[i : i + self._CHUNK]))
+        except UnicodeEncodeError:  # lone surrogates somewhere in batch
+            preds = [self.classify(t) for t in texts]
         return batch.append_column("lang_pred", pa.array(preds, pa.string()))
 
 
