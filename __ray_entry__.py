@@ -248,6 +248,47 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_dedup_sharded(sf_dir: str):
+    """Exact dedup via the sharded-DHT min-reduce (no sort/aggregate
+    exchange) — winner semantics identical to ``dedup_exact``, so the
+    same SQL oracle certifies both flavours."""
+    from topicrawler_ray.stages.dedup import exact_dedup_sharded
+
+    return exact_dedup_sharded(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_curated_docs(sf_dir: str):
+    """The full webtext curation chain end-to-end (sharded exact dedup
+    -> langid gate -> quality + gopher signals -> quality gate -> token
+    counts), projected to the certifiable column set: integer signals
+    as-is, the composite ``quality_score`` quantized AFTER the (fixed
+    evaluation order) float computation both here and in the
+    sequential oracle, so the int64s agree bit-exactly."""
+    import numpy as np
+
+    from topicrawler_ray.pipelines.curation import curated_docs
+
+    ds = curated_docs(_docs(sf_dir, ["doc_id", "text"]))
+    cols = [
+        "doc_id", "lang_pred", "n_chars_q", "n_punct", "n_stopwords",
+        "n_words", "n_distinct_words", "n_lines", "n_distinct_lines",
+        "top_bigram_count", "n_word_pairs", "n_symbols",
+        "n_ws_tokens", "n_bpe_tokens",
+    ]
+    # Project on the DRIVER after to_pandas (which this certification
+    # query does anyway), not as a distributed op: Ray 2.49's Project
+    # operator passes 0-row blocks through UNPROJECTED
+    # (plan_udf_map_op.py:115 `if not num_rows: return block`) and a
+    # task-pool map_batches drops empty input blocks in the batcher and
+    # then emits a schema-LESS 0-row block — either way a selective
+    # upstream gate makes the stream emit mixed schemas.
+    df = ds.to_pandas()[cols + ["quality_score"]]
+    df["quality_e6"] = np.floor(
+        df.pop("quality_score").to_numpy() * 1e6
+    ).astype(np.int64)
+    return df
+
+
 def _perturbed_docs_ds(sf_dir: str, mode: str):
     """documents + deterministic perturbed copies (doc_id+1000000) as a
     DISTRIBUTED transform (map_batches over the documents Dataset - no
@@ -2615,6 +2656,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rule_tokens": _q_rule_tokens,
         "plaintext_corpus": _q_plaintext_corpus,
         "dedup_exact": _q_dedup_exact,
+        "dedup_sharded": _q_dedup_sharded,
+        "curated_docs": _q_curated_docs,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -2763,6 +2806,9 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY p.url" % (_PAGES_SF001, _PAGES_SF001)
         ),
         "dedup_exact": (
+            "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
+        ),
+        "dedup_sharded": (
             "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
         ),
         "bloom_semijoin": (

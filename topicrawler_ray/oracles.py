@@ -536,6 +536,103 @@ def _b_langid(sf_dir: str) -> pa.Table:
     return _golden(sf_dir, "langid")
 
 
+def _b_curated_docs(sf_dir: str) -> pa.Table:
+    """Sequential derivation of the full curation chain
+    (pipelines/curation.py defaults): exact dedup by text (min doc_id
+    wins), language gate against the frozen langid golden (lang ==
+    'en'), quality / gopher / token signals re-derived here from the
+    documented SPEC (own regexes + stopword literal, no
+    stages.textstats import), gates ``n_words >= 10 AND quality_score
+    >= 0.1 AND n_distinct_lines >= 0.5 * n_lines``, and the composite
+    score quantized with the same ``floor(s * 1e6)`` the query applies
+    — both sides evaluate the identical fixed-order float64
+    expression, so the int64 agrees bit-exactly."""
+    import re
+    from collections import Counter
+
+    word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+    punct_re = re.compile(r"[^\w\s]", re.UNICODE)
+    bpe_re = re.compile(r"[A-Za-zÀ-ÿ]+|[0-9]{1,3}|[^\sA-Za-zÀ-ÿ0-9]")
+    ellipsis_re = re.compile(r"\.\.\.")
+    stopwords = frozenset(
+        """a an and are as at be by for from has he in is it its of on that the
+        to was were will with this these those i you they we she her his""".split()
+    )
+
+    t = _docs_table(sf_dir)
+    rows = sorted(
+        zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    )
+    winners: dict[str, int] = {}
+    for doc_id, text in rows:  # ascending doc_id: first seen = min id
+        winners.setdefault(text, doc_id)
+    lid = _golden(sf_dir, "langid")
+    lang_of = dict(
+        zip(lid.column("doc_id").to_pylist(), lid.column("lang_pred").to_pylist())
+    )
+
+    out: dict[str, list] = {k: [] for k in (
+        "doc_id", "lang_pred", "n_chars_q", "n_punct", "n_stopwords",
+        "n_words", "n_distinct_words", "n_lines", "n_distinct_lines",
+        "top_bigram_count", "n_word_pairs", "n_symbols",
+        "n_ws_tokens", "n_bpe_tokens", "quality_e6",
+    )}
+    for text, doc_id in winners.items():
+        lang = lang_of[doc_id]
+        if lang != "en":
+            continue
+        tx = text or ""
+        n = len(tx)
+        words = word_re.findall(tx.lower())
+        n_punct = len(punct_re.findall(tx))
+        n_stop = sum(1 for w in words if w in stopwords)
+        pr = n_punct / n if n else 0.0
+        sr = (n_stop / len(words)) if words else 0.0
+        ml = (sum(map(len, words)) / len(words)) if words else 0.0
+        rr = (len(set(words)) / len(words)) if words else 0.0
+        s = 1.0
+        s *= min(1.0, n / 200.0)
+        s *= 1.0 - min(1.0, max(0.0, pr - 0.2) * 2)
+        s *= 0.5 + min(0.5, sr * 2)
+        s *= 1.0 if 2.5 <= ml <= 12 else 0.5
+        s *= 0.25 + 0.75 * rr
+        lines = tx.split("\n")
+        n_lines, n_dist_lines = len(lines), len(set(lines))
+        if not (
+            len(words) >= 10
+            and s >= 0.1
+            and float(n_dist_lines) >= 0.5 * float(n_lines)
+        ):
+            continue
+        ws_words = tx.split(" ")
+        pairs = [
+            (ws_words[i], ws_words[i + 1]) for i in range(len(ws_words) - 1)
+        ]
+        out["doc_id"].append(doc_id)
+        out["lang_pred"].append(lang)
+        out["n_chars_q"].append(n)
+        out["n_punct"].append(n_punct)
+        out["n_stopwords"].append(n_stop)
+        out["n_words"].append(len(words))
+        out["n_distinct_words"].append(len(set(words)))
+        out["n_lines"].append(n_lines)
+        out["n_distinct_lines"].append(n_dist_lines)
+        out["top_bigram_count"].append(
+            max(Counter(pairs).values()) if pairs else 0
+        )
+        out["n_word_pairs"].append(len(pairs))
+        out["n_symbols"].append(tx.count("#") + len(ellipsis_re.findall(tx)))
+        out["n_ws_tokens"].append(len(tx.split()) if tx else 0)
+        out["n_bpe_tokens"].append(len(bpe_re.findall(tx)) if tx else 0)
+        out["quality_e6"].append(int(np.floor(s * 1e6)))
+    return pa.table(
+        {
+            k: pa.array(v, pa.string() if k == "lang_pred" else pa.int64())
+            for k, v in out.items()
+        }
+    )
+
+
 def _b_pack_sequences(sf_dir: str) -> pa.Table:
     """Sequential reimplementation of the packing SPEC (greedy in
     doc_id order, fresh sequence per 64-doc range, capacity 128
@@ -2142,6 +2239,7 @@ BUILDERS = {
     "crawl_metrics": _b_crawl_metrics,
     "langid": _b_langid,
     "langid_wordlist": _b_langid_wordlist,
+    "curated_docs": _b_curated_docs,
     "pack_sequences": _b_pack_sequences,
     "media_features": _b_media_features,
     "export_manifest": _b_export_manifest,
