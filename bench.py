@@ -167,17 +167,17 @@ def _curation_input(sf_dir: str, num_cpus: int, replicate: int):
     import pyarrow.parquet as pq
     import ray.data
 
-    from topicrawler_ray.sources.pages import strip_schema_metadata
+    from topicrawler_ray.sources.pages import read_parquet_clean
 
     path = os.path.join(sf_dir, "documents.parquet")
     # several blocks per CPU: the curation chain is one near-full-width
     # actor pool whose task granularity is ONE BLOCK, so each actor
     # needs a few blocks or the ragged tail idles the pool
-    ds = strip_schema_metadata(ray.data.read_parquet(
+    ds = read_parquet_clean(
         path,
         columns=["doc_id", "text"],
         override_num_blocks=max(16, num_cpus * 4),
-    ))
+    )
     if replicate > 1:
         n = pq.read_metadata(path).num_rows
 

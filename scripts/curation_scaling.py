@@ -57,11 +57,15 @@ ray.shutdown()
 
 
 def run_level(level: int, replicate: int, sf_dir: str) -> dict:
-    out = subprocess.run(
-        [sys.executable, "-c", _CHILD % {"repo": REPO},
-         str(level), str(replicate), sf_dir],
-        capture_output=True, text=True, check=True, cwd=REPO,
-    ).stdout
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _CHILD % {"repo": REPO},
+             str(level), str(replicate), sf_dir],
+            capture_output=True, text=True, check=True, cwd=REPO,
+        ).stdout
+    except subprocess.CalledProcessError as e:
+        sys.stderr.write(e.stderr or "")
+        raise
     return json.loads(out.strip().splitlines()[-1])
 
 

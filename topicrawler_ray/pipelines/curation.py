@@ -155,7 +155,12 @@ def curated_docs(
     map fuses into the chain actor pool; ``"hash"`` is the
     groupby-aggregate + winner-join flavour whose unique-key set can
     spill to disk.  Winner semantics are identical (min doc_id per
-    content hash)."""
+    content hash) — PROVIDED ``doc_id`` is globally unique, the
+    real-corpus invariant.  If the input may contain physically
+    duplicated rows (same doc_id AND text appearing twice), pass
+    ``dedup="hash"``: its hash-partitioned winner join co-locates and
+    collapses identical copies, while the sharded filter keeps every
+    copy of the winner row (see :func:`exact_dedup_sharded`)."""
     from ..stages.dedup import exact_dedup_by_hash, exact_dedup_sharded
 
     if dedup == "sharded":
@@ -165,8 +170,12 @@ def curated_docs(
             id_column="doc_id",
             map_num_cpus=_CHAIN_NUM_CPUS,
         )
-    else:
+    elif dedup == "hash":
         ds = exact_dedup_by_hash(docs_ds, column="text", id_column="doc_id")
+    else:
+        raise ValueError(
+            "dedup must be 'sharded' or 'hash', got %r" % (dedup,)
+        )
     # batch_size=None = one actor task per BLOCK: task granularity is
     # the block layout (several tasks per actor for a clean tail), and
     # LangId chunks to its cache-resident size internally, so a big

@@ -511,10 +511,31 @@ def read_parquet_clean(paths, *, columns=None, override_num_blocks=None, **kwarg
         # metadata path (Dataset.count() etc.) unifies the RAW file
         # schemas before any _block_udf runs, and the embedded pandas
         # key would still trip the schema-hash dedup there
+        import os as _os
+
         import pyarrow as _pa
 
-        first = paths[0] if isinstance(paths, (list, tuple)) else paths
-        schema = _pq.read_schema(first)
+        if isinstance(paths, (list, tuple)):
+            probe = list(paths)
+        else:
+            probe = [paths]
+        # a directory (write_parquet output) is probed via its files so
+        # the in-task strip fast path covers the most common production
+        # layout instead of silently falling back to the late strip
+        if len(probe) == 1 and _os.path.isdir(probe[0]):
+            probe = sorted(
+                _os.path.join(probe[0], f)
+                for f in _os.listdir(probe[0])
+                if f.endswith(".parquet")
+            )
+            if not probe:
+                raise OSError("no .parquet files under directory")
+        schema = _pq.read_schema(probe[0])
+        # the plan schema is forced onto EVERY file, so guard the
+        # uniform-schema assumption (the write_parquet invariant) by
+        # probing the last file too; mixed layouts take the fallback
+        if len(probe) > 1 and _pq.read_schema(probe[-1]).remove_metadata() != schema.remove_metadata():
+            raise TypeError("non-uniform file schemas")
         if columns is not None:
             schema = _pa.schema([schema.field(c) for c in columns])
         schema = schema.remove_metadata()
@@ -526,7 +547,7 @@ def read_parquet_clean(paths, *, columns=None, override_num_blocks=None, **kwarg
             **kwargs,
         )
         return ds
-    except (ImportError, TypeError, OSError):
+    except (ImportError, TypeError, OSError, KeyError):
         rp_kwargs = dict(kwargs)
         if columns is not None:
             rp_kwargs["columns"] = columns

@@ -1255,9 +1255,7 @@ def exact_dedup_sharded(
     # block until every shard process is up BEFORE pass 1 launches:
     # lazy spawn inside map tasks serializes actor startup behind
     # CPU-holding tasks (measured ~2x pass-1 wall at 16 cpus)
-    import ray as _ray
-
-    _ray.get([s.ping.remote() for s in shards])
+    ray.get([s.ping.remote() for s in shards])
 
     def _hashes(batch: pa.Table) -> np.ndarray:
         vals = np.asarray(batch.column(column).to_pylist(), dtype=object)
