@@ -501,3 +501,78 @@ class TestExactDedupSharded:
             ).take_all()
         )
         assert a == b == [0, 1, 2, 3, 4]
+
+
+class TestReadParquetClean:
+    """The cleaned parquet reader's schema-probe paths: in-task strip
+    for files AND directories, uniform-schema guard, missing-column
+    error (sources/pages.py:read_parquet_clean)."""
+
+    @staticmethod
+    def _write(tmp_path, name, cols):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pa.Table.from_pandas(pd.DataFrame(cols))
+        assert t.schema.metadata  # the b'pandas' key this reader strips
+        pq.write_table(t, str(tmp_path / name))
+
+    def test_directory_fast_path_strips_metadata(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray
+
+        from topicrawler_ray.sources.pages import read_parquet_clean
+
+        self._write(tmp_path, "p1.parquet", {"a": [1, 2], "b": ["x", "y"]})
+        self._write(tmp_path, "p2.parquet", {"a": [3, 4], "b": ["z", "w"]})
+        ds = read_parquet_clean(str(tmp_path))
+        tabs = [ray.get(r) for r in ds.to_arrow_refs()]
+        assert sum(t.num_rows for t in tabs) == 4
+        # the strip happened INSIDE the read task, not downstream
+        assert all(not t.schema.metadata for t in tabs)
+
+    def test_single_file_column_projection(self, ray_session, tmp_path):
+        import ray
+
+        from topicrawler_ray.sources.pages import read_parquet_clean
+
+        self._write(tmp_path, "p1.parquet", {"a": [1, 2, 3], "b": list("xyz")})
+        ds = read_parquet_clean(str(tmp_path / "p1.parquet"), columns=["a"])
+        tabs = [ray.get(r) for r in ds.to_arrow_refs()]
+        assert ds.schema().names == ["a"]
+        assert sorted(r["a"] for r in ds.take_all()) == [1, 2, 3]
+        assert all(not t.schema.metadata for t in tabs)
+
+    def test_mixed_schema_directory_falls_back(self, ray_session, tmp_path):
+        """Files with differing schemas must NOT be forced onto the
+        first file's plan schema - the reader falls back to Ray's own
+        unification (all rows present)."""
+        from topicrawler_ray.sources.pages import read_parquet_clean
+
+        self._write(tmp_path, "p1.parquet", {"a": [1, 2], "b": ["x", "y"]})
+        self._write(tmp_path, "p3.parquet", {"a": [9], "c": ["w"]})
+        assert read_parquet_clean(str(tmp_path)).count() == 3
+
+    def test_missing_column_raises(self, ray_session, tmp_path):
+        import pytest
+
+        from topicrawler_ray.sources.pages import read_parquet_clean
+
+        self._write(tmp_path, "p1.parquet", {"a": [1]})
+        with pytest.raises(Exception):
+            read_parquet_clean(
+                str(tmp_path / "p1.parquet"), columns=["zz"]
+            ).take_all()
+
+
+class TestCuratedDocsValidation:
+    def test_unknown_dedup_value_raises(self, ray_session):
+        import pytest
+        import ray.data
+
+        from topicrawler_ray.pipelines.curation import curated_docs
+
+        ds = ray.data.from_items([{"doc_id": 1, "text": "hello"}])
+        with pytest.raises(ValueError, match="sharded"):
+            curated_docs(ds, dedup="shard")
