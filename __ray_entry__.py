@@ -108,7 +108,14 @@ def _crawl_engine(sf_dir: str):
         from topicrawler_ray.pipelines.crawl import RayCrawlEngine
 
         eng = RayCrawlEngine(sf_dir, CrawlConfig())
-        _crawl_cache[sf_dir] = (eng, eng.run())
+        res = eng.run()
+        # every cached consumer (.log, .seen_keys, log_dataset()) is
+        # actor-free after run(): drop the actor plane so a long
+        # multi-query session doesn't carry its 4.0 idle reserved CPUs
+        # into later near-full-width actor pools (deadlocks the
+        # curation chain's read tasks in a full sweep)
+        eng.release_actors()
+        _crawl_cache[sf_dir] = (eng, res)
     return _crawl_cache[sf_dir]
 
 

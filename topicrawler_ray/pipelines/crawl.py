@@ -569,6 +569,28 @@ class RayCrawlEngine:
                 break
         return self.result()
 
+    def release_actors(self) -> None:
+        """Kill the crawl's actor plane (frontier shards, page stores,
+        workers) once results are materialized.  A finished-but-cached
+        engine otherwise pins its actors' CPU reservations (0.25 x
+        shards + 0.25 x stores + 0.5 x workers = 4.0 CPUs at the
+        defaults) for its whole lifetime; in a shared session that
+        residue starves the next near-full-width actor pool's read
+        tasks into a deadlock (observed: the curation chain pool in a
+        full check_queries sweep).  ``log_dataset()`` and the already-
+        returned :class:`CrawlResult` keep working (parquet spool /
+        materialized tables); ``run()``/``result()`` must not be
+        called again."""
+        if self._pending:
+            self.ray.get(self._pending)
+            self._pending = []
+        for a in (*self.frontier, *self.stores, *self.workers):
+            try:
+                self.ray.kill(a)
+            except Exception:
+                pass
+        self.frontier, self.stores, self.workers = [], [], []
+
     def log_dataset(self):
         """The crawl log as a LAZY Ray Dataset over the parquet spool
         parts - the at-scale consumption path (``result().log``

@@ -69,9 +69,16 @@ def _langid_pool_size() -> int:
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 8))
+        # clamp by what is actually free at plan time: long shared
+        # sessions can carry idle actor reservations from earlier
+        # pipelines, and a pool sized to the FULL cluster then starves
+        # its own read tasks (deadlock).  available_resources is a
+        # snapshot, but it can only narrow the pool, never over-commit.
+        avail = int(ray.available_resources().get("CPU", cpus))
     except Exception:
         cpus = 8
-    return max(1, cpus - max(1, cpus // 16))
+        avail = 8
+    return max(1, min(cpus - max(1, cpus // 16), avail - 1))
 
 
 class _CurationChain:
