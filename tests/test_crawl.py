@@ -494,3 +494,29 @@ class TestCrawlDelay:
                     checked += 1
                     assert min(gaps) >= 3, (host, gaps[:5])
         assert checked > 0, "no delayed host fetched twice - fixture too small"
+
+
+class TestReleaseActors:
+    def test_results_survive_actor_release(self, ray_session, sf_dir, sim_result):
+        """release_actors (pipelines/crawl.py) kills the actor plane a
+        cached engine would otherwise pin (4.0 reserved CPUs at the
+        defaults, enough to deadlock a later near-full-width actor
+        pool's read tasks); the materialized CrawlResult and the
+        parquet-spool log_dataset() must keep working afterwards."""
+        import ray
+
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+
+        eng = RayCrawlEngine(sf_dir, CrawlConfig(**_SMALL))
+        res = eng.run()
+        workers = list(eng.workers)
+        eng.release_actors()
+        assert eng.workers == [] and eng.frontier == [] and eng.stores == []
+        # the killed actors are really gone (RayActorError on any call)
+        with pytest.raises(Exception):
+            ray.get(workers[0].ping.remote())
+        # materialized results and the spool dataset still serve
+        _assert_log_matches(res.log, sim_result.rows)
+        assert res.seen_keys == sim_result.seen_keys
+        n = eng.log_dataset().count()
+        assert n == len(res.log)
