@@ -239,26 +239,68 @@ def bench_curation(sf_dir: str, num_cpus: int, replicate: int | None = None) -> 
     return {"sec": dt, "rows": n_out, "docs_per_s": n_in / dt}
 
 
-def bench_dedup(sf_dir: str, num_cpus: int) -> dict:
+def _dedup_input(sf_dir: str, num_cpus: int, replicate: int):
+    """documents replicated xR as shingle-DISJOINT copies: copy k>0
+    interleaves a per-copy marker token between every pair of words, so
+    every word 3-shingle of copy k contains the marker and cross-copy
+    Jaccard is exactly 0 - candidate pairs grow ~linearly in R (each
+    copy reproduces the original near-dup structure internally) instead
+    of quadratically (which pure text replication would cause via LSH
+    band collisions).  Replication is bench scaffolding: materialized
+    untimed so the two passes of the operator don't re-execute it."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from topicrawler_ray.sources.pages import read_parquet_clean
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = read_parquet_clean(
+        path,
+        columns=["doc_id", "text"],
+        override_num_blocks=max(16, num_cpus * 2),
+    )
+    if replicate > 1:
+        n = pq.read_metadata(path).num_rows
+
+        def expand(batch: pa.Table) -> pa.Table:
+            i = batch.schema.get_field_index("doc_id")
+            j = batch.schema.get_field_index("text")
+            copies = [batch]
+            for k in range(1, replicate):
+                t = batch.set_column(
+                    i, "doc_id", pc.add(batch.column("doc_id"), k * n)
+                )
+                t = t.set_column(
+                    j, "text",
+                    pc.replace_substring(t.column("text"), " ", " q%dq " % k),
+                )
+                copies.append(t)
+            return pa.concat_tables(copies)
+
+        ds = ds.map_batches(expand, batch_format="pyarrow").materialize()
+    return ds
+
+
+def bench_dedup(sf_dir: str, num_cpus: int, replicate: int | None = None) -> dict:
     """Near-dup data plane: MinHash LSH candidate generation + exact-
     Jaccard verify over the documents table (one signature pass, one
     banded self-join, verify joins) - docs/sec of corpus in."""
     import pyarrow.parquet as pq
-    import ray.data
 
     from topicrawler_ray.stages.dedup import minhash_near_dup_pairs
 
-    n_in = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    rep = replicate or 1
+    n_in = (
+        pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+        * rep
+    )
 
-    from topicrawler_ray.sources.pages import strip_schema_metadata
+    inp = _dedup_input(sf_dir, num_cpus, rep)  # untimed scaffolding
 
     def run() -> int:
-        ds = strip_schema_metadata(ray.data.read_parquet(
-            os.path.join(sf_dir, "documents.parquet"),
-            columns=["doc_id", "text"],
-            override_num_blocks=max(16, num_cpus * 2),
-        ))
-        return minhash_near_dup_pairs(ds, threshold=0.5).count()
+        return minhash_near_dup_pairs(inp, threshold=0.5).count()
 
     run()  # warm-up
     t0 = time.time()

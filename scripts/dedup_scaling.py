@@ -1,0 +1,106 @@
+"""Near-dup (MinHash LSH) scaling probe: same job at two parallelism
+levels.
+
+The headline ``bench.py --scaling`` times dedup at the raw sf0.1 volume
+(5k docs), where the banded self-join finishes in ~2 s and the shuffle
+*setup* constant (exchange task spawn, block metadata round-trips)
+dominates - that measures constants, not scaling (the r4/r5 artifacts
+record ~0.22 there, with the volume axis proven separately).  This
+probe replicates the corpus as shingle-DISJOINT copies (each copy's
+word 3-shingles carry a per-copy marker token, so cross-copy Jaccard is
+exactly 0 and candidate pairs grow ~linearly in R, not quadratically),
+so the timed region is dominated by volume-linear signature + band +
+verify work, then runs fresh ``ray.init(num_cpus=L)`` subprocesses at L
+and 4L (default 2 -> 8: both legs under this box's ~16-core
+memory-bandwidth knee; see BASELINE.md) alternating ``--repeats``
+times, and reports best-per-level docs/s plus scaling efficiency.
+
+Usage::
+
+    python scripts/dedup_scaling.py [--lo 2] [--repeats 3] [--replicate 32]
+
+Prints one JSON line (the SCALING artifact row for the near-dup plane).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, os, sys, time
+import ray
+
+level = int(sys.argv[1])
+replicate = int(sys.argv[2])
+sf_dir = sys.argv[3]
+
+ray.init(address="local", num_cpus=level, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+
+sys.path.insert(0, %(repo)r)
+import bench
+
+r = bench.bench_dedup(sf_dir, level, replicate=replicate)
+import pyarrow.parquet as pq
+n_in = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+print(json.dumps({"cpus": level, "sec": r["sec"], "pairs": r["pairs"],
+                  "docs_in": n_in * replicate,
+                  "docs_per_s": r["docs_per_s"]}))
+ray.shutdown()
+"""
+
+
+def run_level(level: int, replicate: int, sf_dir: str) -> dict:
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _CHILD % {"repo": REPO},
+             str(level), str(replicate), sf_dir],
+            capture_output=True, text=True, check=True, cwd=REPO,
+        ).stdout
+    except subprocess.CalledProcessError as e:
+        sys.stderr.write(e.stderr or "")
+        raise
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lo", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--replicate", type=int, default=32)
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+    hi = args.lo * 4
+    runs_lo, runs_hi = [], []
+    for _ in range(args.repeats):  # alternate: ambient noise hits both
+        runs_lo.append(run_level(args.lo, args.replicate, args.sf_dir))
+        runs_hi.append(run_level(hi, args.replicate, args.sf_dir))
+    pairs = {r["pairs"] for r in runs_lo + runs_hi}
+    assert len(pairs) == 1, "pair count must be level-independent: %s" % pairs
+    best_lo = max(r["docs_per_s"] for r in runs_lo)
+    best_hi = max(r["docs_per_s"] for r in runs_hi)
+    print(json.dumps({
+        "metric": "near-dup (MinHash LSH) scaling efficiency %d->%d cpus" % (args.lo, hi),
+        "value": round((best_hi / best_lo) / (hi / args.lo), 3),
+        "unit": "efficiency",
+        "docs_per_s_%d" % args.lo: round(best_lo, 1),
+        "docs_per_s_%d" % hi: round(best_hi, 1),
+        "docs_in": runs_lo[0]["docs_in"],
+        "pairs": runs_lo[0]["pairs"],
+        "replicate": args.replicate,
+        "runs_%d" % args.lo: [round(r["docs_per_s"], 1) for r in runs_lo],
+        "runs_%d" % hi: [round(r["docs_per_s"], 1) for r in runs_hi],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -576,3 +576,39 @@ class TestCuratedDocsValidation:
         ds = ray.data.from_items([{"doc_id": 1, "text": "hello"}])
         with pytest.raises(ValueError, match="sharded"):
             curated_docs(ds, dedup="shard")
+
+
+class TestDedupBenchReplication:
+    """The bench's volume axis for near-dup (`bench._dedup_input`)
+    replicates documents as shingle-DISJOINT copies: copy k>0
+    interleaves a per-copy marker between every pair of words, so no
+    word 3-shingle of copy k can equal one of copy j != k.  The probe's
+    linear-pairs claim rests on that invariant - pin it."""
+
+    def test_no_cross_copy_pairs_and_linear_count(self, ray_session):
+        import os
+        import sys
+
+        import pyarrow.parquet as pq
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        import bench
+        from topicrawler_ray.stages.dedup import minhash_near_dup_pairs
+
+        sf = "/root/testdata/sf0.001"
+        n = pq.read_metadata(os.path.join(sf, "documents.parquet")).num_rows
+        base = minhash_near_dup_pairs(
+            bench._dedup_input(sf, 4, 1), threshold=0.5
+        ).count()
+        rep = 3
+        pairs = minhash_near_dup_pairs(
+            bench._dedup_input(sf, 4, rep), threshold=0.5
+        ).take_all()
+        # every surviving pair stays inside one copy: ids are assigned
+        # as doc_id + k*n, and doc_id < n in the fixture
+        for p in pairs:
+            assert p["id_a"] // n == p["id_b"] // n, p
+        # copies reproduce the original near-dup structure ~linearly;
+        # marker insertion perturbs borderline Jaccards, so allow a
+        # small slack around exactly rep * base
+        assert abs(len(pairs) - rep * base) <= max(2, base // 10)
