@@ -11,13 +11,16 @@ word 3-shingles carry a per-copy marker token, so cross-copy Jaccard is
 exactly 0 and candidate pairs grow ~linearly in R, not quadratically),
 so the timed region is dominated by volume-linear signature + band +
 verify work, then runs fresh ``ray.init(num_cpus=L)`` subprocesses at L
-and 4L (default 2 -> 8: both legs under this box's ~16-core
-memory-bandwidth knee; see BASELINE.md) alternating ``--repeats``
+and 4L (default 4 -> 16, the same legs as the scored_pages artifact;
+2 -> 8 biases the SMALL leg because `_default_partitions` floors the
+shuffle-partition count at 2, giving 2 cpus one shuffle actor per cpu
+vs one per two cpus at 8 - recorded 0.596 there vs 0.818 at 4 -> 16
+where partitions are proportional, 2 vs 8) alternating ``--repeats``
 times, and reports best-per-level docs/s plus scaling efficiency.
 
 Usage::
 
-    python scripts/dedup_scaling.py [--lo 2] [--repeats 3] [--replicate 32]
+    python scripts/dedup_scaling.py [--lo 4] [--repeats 3] [--replicate 32]
 
 Prints one JSON line (the SCALING artifact row for the near-dup plane).
 """
@@ -73,7 +76,7 @@ def run_level(level: int, replicate: int, sf_dir: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--lo", type=int, default=2)
+    ap.add_argument("--lo", type=int, default=4)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--replicate", type=int, default=32)
     ap.add_argument("--sf-dir", default=os.environ.get(
