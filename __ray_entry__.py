@@ -836,6 +836,53 @@ def _q_anchor_texts(sf_dir: str):
     return anchor_text_agg(read_pages(sf_dir, num_blocks=16, columns=["url", "html"]))
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Crawl-snapshot diff (recrawl scheduling): snapshot A is the pages
+    fixture; snapshot B is a deterministic md5(url)-bucketed mutation of
+    it (bucket 0 gone, 1 content-changed, 3 gains a '#mirror' twin).
+    Slim (url, digest) streams -> ONE hash-partitioned full_outer join
+    -> vectorized status classification.  Pure-SQL oracle (the bucket
+    rule and digests are re-derived in DuckDB from the same fixture)."""
+    import pyarrow as pa
+
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.snapshot import add_digest, md5_hex, snapshot_diff
+
+    a = add_digest(
+        read_pages(sf_dir, num_blocks=16, columns=["url", "text"]), out="digest_a"
+    )
+
+    def derive_b(batch: pa.Table) -> pa.Table:
+        out_u: list[str] = []
+        out_d: list[str] = []
+        for u, t in zip(
+            batch.column("url").to_pylist(), batch.column("text").to_pylist()
+        ):
+            bucket = ord(md5_hex(u)[0]) % 4
+            if bucket == 0:
+                continue
+            if bucket == 1:
+                out_u.append(u)
+                out_d.append(md5_hex((t or "") + "#v2"))
+            else:
+                out_u.append(u)
+                out_d.append(md5_hex(t))
+                if bucket == 3:
+                    out_u.append(u + "#mirror")
+                    out_d.append(md5_hex(t))
+        return pa.table(
+            {
+                "url": pa.array(out_u, pa.string()),
+                "digest_b": pa.array(out_d, pa.string()),
+            }
+        )
+
+    b = read_pages(sf_dir, num_blocks=16, columns=["url", "text"]).map_batches(
+        derive_b, batch_format="pyarrow"
+    )
+    return snapshot_diff(a, b)
+
+
 def _q_host_rollup(sf_dir: str):
     """Per-host page stats (n_pages, n_robots, html_bytes): per-batch
     partial aggregation before one small groupby(host).sum — the
@@ -2739,6 +2786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": _q_vocab_growth,
         "link_depths": _q_link_depths,
         "host_dup_rate": _q_host_dup_rate,
+        "snapshot_diff": _q_snapshot_diff,
         "link_ppr": _q_link_ppr,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,
@@ -3308,6 +3356,23 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS n_robots, "
             "CAST(sum(octet_length(html)) AS BIGINT) AS html_bytes "
             "FROM read_parquet('%s') GROUP BY 1" % _PAGES_SF001
+        ),
+        "snapshot_diff": (
+            "WITH a AS (SELECT url, md5(text) AS digest_a "
+            "FROM read_parquet('%s')), "
+            "d AS (SELECT url, text, ascii(substr(md5(url), 1, 1)) %% 4 "
+            "AS bucket FROM read_parquet('%s')), "
+            "b AS ("
+            "SELECT url, md5(text || '#v2') AS digest_b FROM d WHERE bucket = 1 "
+            "UNION ALL SELECT url, md5(text) FROM d WHERE bucket >= 2 "
+            "UNION ALL SELECT url || '#mirror', md5(text) FROM d "
+            "WHERE bucket = 3), "
+            "j AS (SELECT coalesce(a.url, b.url) AS url, digest_a, digest_b "
+            "FROM a FULL OUTER JOIN b ON a.url = b.url) "
+            "SELECT url, CASE WHEN digest_a IS NULL THEN 'new' "
+            "WHEN digest_b IS NULL THEN 'gone' "
+            "WHEN digest_a = digest_b THEN 'same' ELSE 'changed' END AS status, "
+            "digest_a, digest_b FROM j" % (_PAGES_SF001, _PAGES_SF001)
         ),
         "dedup_segments": (
             "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "

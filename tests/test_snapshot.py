@@ -1,0 +1,59 @@
+"""Snapshot-diff operator (stages/snapshot.py): full_outer join diff of
+two (url, digest) crawl snapshots."""
+
+import hashlib
+
+import pytest
+import ray.data
+
+from topicrawler_ray.stages.snapshot import add_digest, md5_hex, snapshot_diff
+
+
+def _diff(a_rows, b_rows):
+    a = ray.data.from_items([{"url": u, "digest_a": d} for u, d in a_rows])
+    b = ray.data.from_items([{"url": u, "digest_b": d} for u, d in b_rows])
+    out = snapshot_diff(a, b).to_pandas()
+    return {r.url: r.status for r in out.itertuples()}, out
+
+
+class TestSnapshotDiff:
+    def test_all_four_statuses(self, ray_session):
+        statuses, out = _diff(
+            [("u1", "x"), ("u2", "y"), ("u3", "z")],
+            [("u2", "y"), ("u3", "z2"), ("u4", "w")],
+        )
+        assert statuses == {
+            "u1": "gone",
+            "u2": "same",
+            "u3": "changed",
+            "u4": "new",
+        }
+        assert len(out) == 4
+        # digest columns carry through, null on the absent side
+        row = out[out.url == "u1"].iloc[0]
+        assert row.digest_a == "x" and row.digest_b is None
+
+    def test_disjoint_snapshots(self, ray_session):
+        statuses, _ = _diff([("a", "1")], [("b", "2")])
+        assert statuses == {"a": "gone", "b": "new"}
+
+    def test_identical_snapshots(self, ray_session):
+        rows = [("u%d" % i, "d%d" % i) for i in range(50)]
+        statuses, _ = _diff(rows, rows)
+        assert set(statuses.values()) == {"same"} and len(statuses) == 50
+
+    def test_md5_matches_duckdb(self, ray_session):
+        import duckdb
+
+        for s in ["", "abc", "päge \t text", "#v2"]:
+            (expected,) = duckdb.sql("SELECT md5(?)", params=[s]).fetchone()
+            assert md5_hex(s) == expected
+        assert md5_hex(None) == hashlib.md5(b"").hexdigest()
+
+    def test_add_digest_slim_projection(self, ray_session):
+        ds = ray.data.from_items(
+            [{"url": "u", "text": "hello", "html": b"<p>hello</p>"}]
+        )
+        out = add_digest(ds, out="digest_a")
+        assert set(out.schema().names) == {"url", "digest_a"}
+        assert out.take_all()[0]["digest_a"] == md5_hex("hello")
