@@ -883,6 +883,18 @@ def _q_snapshot_diff(sf_dir: str):
     return snapshot_diff(a, b)
 
 
+def _q_cdx_surt(sf_dir: str):
+    """CDX-style SURT capture index: canonicalize every page URL to its
+    sort-friendly reversed-host form and rank captures within each host
+    (vectorized regex canonicalization + ONE groupby(host_key) shuffle).
+    Pure-SQL oracle: the SURT transform is re-derived in DuckDB with
+    regexp_extract / string_split / list_reverse."""
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.cdx import surt_index
+
+    return surt_index(read_pages(sf_dir, num_blocks=16, columns=["url"]))
+
+
 def _q_host_rollup(sf_dir: str):
     """Per-host page stats (n_pages, n_robots, html_bytes): per-batch
     partial aggregation before one small groupby(host).sum — the
@@ -2787,6 +2799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_depths": _q_link_depths,
         "host_dup_rate": _q_host_dup_rate,
         "snapshot_diff": _q_snapshot_diff,
+        "cdx_surt": _q_cdx_surt,
         "link_ppr": _q_link_ppr,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,
@@ -3356,6 +3369,23 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS n_robots, "
             "CAST(sum(octet_length(html)) AS BIGINT) AS html_bytes "
             "FROM read_parquet('%s') GROUP BY 1" % _PAGES_SF001
+        ),
+        "cdx_surt": (
+            "WITH p AS (SELECT url, "
+            "lower(regexp_extract(url, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS hostport, "
+            "lower(regexp_extract(url, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(.*)$', 1)) AS rest "
+            "FROM read_parquet('%s')), "
+            "h AS (SELECT url, regexp_replace(hostport, ':80$', '') AS host, "
+            "CASE WHEN rest = '' THEN '/' ELSE rest END AS path FROM p), "
+            "s AS (SELECT url, "
+            "array_to_string(list_reverse(string_split(host, '.')), ',') "
+            "AS host_key, path FROM h) "
+            "SELECT url, host_key, host_key || ')' || path AS surt, "
+            "CAST(row_number() OVER (PARTITION BY host_key "
+            "ORDER BY host_key || ')' || path, url) - 1 AS BIGINT) AS pos "
+            "FROM s" % _PAGES_SF001
         ),
         "snapshot_diff": (
             "WITH a AS (SELECT url, md5(text) AS digest_a "
