@@ -623,6 +623,31 @@ def _q_decontaminate(sf_dir: str):
     return out.select_columns(["doc_id", "n_contaminated", "contaminated"])
 
 
+def _q_decontaminate_fuzzy(sf_dir: str):
+    """Fuzzy (MinHash-LSH near-dup) decontamination: bench = original
+    docs with doc_id % 37 == 0, corpus = documents + perturbed copies
+    (so paraphrased bench leakage exists to catch).  Bench LSH index is
+    broadcast once; the corpus streams through a probe actor pool with
+    no shuffle.  Sequential oracle re-derives the same index + probe."""
+    from topicrawler_ray.stages.decontam import decontaminate_fuzzy
+
+    corpus = _perturbed_docs_ds(sf_dir, "minhash")
+
+    def bench_only(batch):
+        import pyarrow as pa
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 37 == 0))
+
+    bench = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        bench_only, batch_format="pyarrow"
+    )
+    out = decontaminate_fuzzy(corpus, bench, threshold=0.35, concurrency=2)
+    return out.select_columns(
+        ["doc_id", "n_matches", "best_bench", "jaccard_e4", "contaminated"]
+    )
+
+
 def _q_mixture_sample(sf_dir: str):
     """Token-budget data mixing: per source, keep docs in deterministic
     hash order until that source's token budget is met.  Runs the
@@ -2741,6 +2766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_filter": _q_url_filter,
         "perp_buckets": _q_perp_buckets,
         "decontaminate": _q_decontaminate,
+        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         "doc_quantiles": _q_doc_quantiles,
         "mixture_sample": _q_mixture_sample,
         "dup_spans": _q_dup_spans,

@@ -1,0 +1,56 @@
+"""Fuzzy (MinHash-LSH) benchmark decontamination
+(stages/decontam.py::decontaminate_fuzzy)."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from topicrawler_ray.stages.decontam import decontaminate, decontaminate_fuzzy
+
+# 60 words with every 12th changed (offset 6): every 13-word window
+# contains a change, so the exact n=13 rule finds NO shared n-gram -
+# yet shingle Jaccard is 0.589 and the pair shares 1 of 16 LSH bands
+# under the fixed minhash seed (all deterministic, verified offline)
+BENCH = " ".join("w%d" % i for i in range(60))
+PARAPHRASE = " ".join(
+    ("changed%d" % i) if i % 12 == 6 else ("w%d" % i) for i in range(60)
+)
+CLEAN = "completely unrelated text about ray data streaming execution and arrow"
+
+
+def _run(threshold=0.2):
+    corpus = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": BENCH},
+            {"doc_id": 2, "text": PARAPHRASE},
+            {"doc_id": 3, "text": CLEAN},
+        ]
+    )
+    bench = ray.data.from_items([{"doc_id": 100, "text": BENCH}])
+    out = decontaminate_fuzzy(corpus, bench, threshold=threshold, concurrency=1)
+    return {r["doc_id"]: r for r in out.take_all()}
+
+
+class TestFuzzyDecontam:
+    def test_catches_paraphrase_exact_misses(self, ray_session):
+        rows = _run()
+        assert rows[1]["contaminated"] and rows[1]["jaccard_e4"] == 10000
+        assert rows[2]["contaminated"] and 0 < rows[2]["jaccard_e4"] < 10000
+        assert not rows[3]["contaminated"] and rows[3]["best_bench"] == -1
+
+        # the exact n-gram rule (n=13, GPT-3 style) misses the paraphrase
+        corpus = ray.data.from_items([{"doc_id": 2, "text": PARAPHRASE}])
+        bench = ray.data.from_items([{"doc_id": 100, "text": BENCH}])
+        exact = decontaminate(corpus, bench, n=13, concurrency=1).take_all()
+        assert not exact[0]["contaminated"]
+
+    def test_threshold_gates(self, ray_session):
+        rows = _run(threshold=0.99)
+        assert rows[1]["contaminated"]  # identical text survives any bar
+        assert not rows[2]["contaminated"]  # paraphrase falls below
+
+    def test_empty_bench(self, ray_session):
+        corpus = ray.data.from_items([{"doc_id": 1, "text": BENCH}])
+        bench = corpus.filter(lambda r: False)
+        out = decontaminate_fuzzy(corpus, bench, concurrency=1).take_all()
+        assert not out[0]["contaminated"] and out[0]["n_matches"] == 0

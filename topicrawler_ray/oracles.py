@@ -805,6 +805,63 @@ def _b_dedup_minhash(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_decontaminate_fuzzy(sf_dir: str) -> pa.Table:
+    """Sequential LSH-probe derivation: bench = originals with
+    doc_id % 37 == 0, corpus = originals + perturbed copies; same band
+    scheme / threshold 0.35 / tie rule (max jaccard, then min bench id)
+    as stages.decontam.decontaminate_fuzzy."""
+    import math
+
+    from .functions.hashing import murmur3_x64_128
+    from .stages.dedup import jaccard, minhash_signature, word_shingles
+
+    docs = _minhash_docs(sf_dir)
+    bench = [(i, t) for i, t in docs if i < 1_000_000 and i % 37 == 0]
+    num_perm, bands, thr = 128, 16, 0.35
+    rpb = num_perm // bands
+    buckets: dict[tuple[int, int], list[int]] = {}
+    bench_sh: dict[int, set[int]] = {}
+    for i, t in bench:
+        sh = word_shingles(t or "")
+        bench_sh[i] = sh
+        sig = minhash_signature(sh, num_perm)
+        for b in range(bands):
+            h = murmur3_x64_128(sig[b * rpb : (b + 1) * rpb].tobytes())[0] - (1 << 63)
+            buckets.setdefault((b, h), []).append(i)
+    o_id, o_n, o_best, o_j, o_c = [], [], [], [], []
+    for i, t in docs:
+        sh = word_shingles(t or "")
+        sig = minhash_signature(sh, num_perm)
+        cand: set[int] = set()
+        for b in range(bands):
+            h = murmur3_x64_128(sig[b * rpb : (b + 1) * rpb].tobytes())[0] - (1 << 63)
+            cand.update(buckets.get((b, h), ()))
+        hits = []
+        for c in cand:
+            j = jaccard(sh, bench_sh[c])
+            if j >= thr:
+                hits.append((j, c))
+        o_id.append(i)
+        o_n.append(len(hits))
+        o_c.append(bool(hits))
+        if hits:
+            j, bid = max(hits, key=lambda x: (x[0], -x[1]))
+            o_best.append(bid)
+            o_j.append(int(math.floor(j * 10000)))
+        else:
+            o_best.append(-1)
+            o_j.append(0)
+    return pa.table(
+        {
+            "doc_id": pa.array(o_id, pa.int64()),
+            "n_matches": pa.array(o_n, pa.int64()),
+            "best_bench": pa.array(o_best, pa.int64()),
+            "jaccard_e4": pa.array(o_j, pa.int64()),
+            "contaminated": pa.array(o_c, pa.bool_()),
+        }
+    )
+
+
 def _b_dedup_ngram_jaccard(sf_dir: str) -> pa.Table:
     """ALL-pairs exact shingle-Jaccard oracle (sequential)."""
     from .stages.dedup import jaccard, word_shingles
@@ -2244,6 +2301,7 @@ BUILDERS = {
     "media_features": _b_media_features,
     "export_manifest": _b_export_manifest,
     "dedup_minhash": _b_dedup_minhash,
+    "decontaminate_fuzzy": _b_decontaminate_fuzzy,
     "dedup_simhash": _b_dedup_simhash,
     "dedup_ngram_jaccard": _b_dedup_ngram_jaccard,
     # the prefix-filter join is EXACT, so it certifies against the very

@@ -100,6 +100,137 @@ class Decontaminator:
         )
 
 
+def build_bench_lsh(
+    bench_ds,
+    num_perm: int = 128,
+    bands: int = 16,
+    column: str = "text",
+    id_column: str = "doc_id",
+):
+    """MinHash-LSH index of the (small) benchmark side: per-band bucket
+    map ``(band, band_hash) -> [bench ids]`` plus each bench doc's
+    shingle set for the exact-Jaccard verify.  The bench side is small
+    by contract (eval sets are a few MB), so the index is built in one
+    driver pass and ``ray.put`` ONCE - never re-shipped per batch."""
+    from ..functions.hashing import murmur3_x64_128
+    from .dedup import batch_word_shingles, minhash_signature
+
+    rows_per_band = num_perm // bands
+    buckets: dict[tuple[int, int], list[int]] = {}
+    shingles: dict[int, set[int]] = {}
+    for batch in bench_ds.select_columns([id_column, column]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        ids = batch.column(id_column).to_pylist()
+        arrs = batch_word_shingles(batch.column(column).to_pylist())
+        for i, sh in zip(ids, arrs):
+            shingles[i] = set(sh.tolist())
+            sig = minhash_signature(sh, num_perm)
+            for b in range(bands):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                h = murmur3_x64_128(chunk.tobytes())[0] - (1 << 63)
+                buckets.setdefault((b, h), []).append(i)
+    return buckets, shingles
+
+
+class FuzzyDecontaminator:
+    """Actor-pool probe stage: per corpus doc, MinHash-sign, look up the
+    broadcast bench band buckets, exact-Jaccard-verify the candidates,
+    and append (n_matches, best_bench, jaccard_e4, contaminated)."""
+
+    def __init__(self, index_ref, threshold: float, num_perm: int, bands: int,
+                 column: str = "text"):
+        import ray
+
+        self._buckets, self._shingles = ray.get(index_ref)
+        self._threshold = threshold
+        self._num_perm = num_perm
+        self._bands = bands
+        self._column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
+        from ..functions.hashing import murmur3_x64_128
+        from .dedup import batch_word_shingles, jaccard, minhash_signature
+
+        rows_per_band = self._num_perm // self._bands
+        arrs = batch_word_shingles(batch.column(self._column).to_pylist())
+        n_matches, best, best_j = [], [], []
+        for sh in arrs:
+            sig = minhash_signature(sh, self._num_perm)
+            cand: set[int] = set()
+            for b in range(self._bands):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                h = murmur3_x64_128(chunk.tobytes())[0] - (1 << 63)
+                cand.update(self._buckets.get((b, h), ()))
+            doc_set = set(sh.tolist())
+            hits = []
+            for bench_id in cand:
+                j = jaccard(doc_set, self._shingles[bench_id])
+                if j >= self._threshold:
+                    hits.append((j, bench_id))
+            n_matches.append(len(hits))
+            if hits:
+                # best = max jaccard, ties -> min bench id
+                j, bid = max(hits, key=lambda t: (t[0], -t[1]))
+                best.append(bid)
+                best_j.append(int(math.floor(j * 10000)))
+            else:
+                best.append(-1)
+                best_j.append(0)
+        return (
+            batch.append_column("n_matches", pa.array(n_matches, pa.int64()))
+            .append_column("best_bench", pa.array(best, pa.int64()))
+            .append_column("jaccard_e4", pa.array(best_j, pa.int64()))
+            .append_column(
+                "contaminated", pa.array([n > 0 for n in n_matches], pa.bool_())
+            )
+        )
+
+
+def decontaminate_fuzzy(
+    corpus_ds,
+    bench_ds,
+    threshold: float = 0.5,
+    num_perm: int = 128,
+    bands: int = 16,
+    column: str = "text",
+    id_column: str = "doc_id",
+    concurrency: int = 4,
+):
+    """Fuzzy benchmark decontamination (near-dup, not exact n-gram): a
+    corpus doc is contaminated when its word-shingle Jaccard with ANY
+    bench doc reaches ``threshold`` AND the pair shares a MinHash LSH
+    band (the same band scheme as ``dedup.minhash_near_dup_pairs``).
+
+    This is the Llama/GPT-4-style fuzzy decontamination step that
+    catches paraphrased or truncated benchmark leakage the exact
+    n-gram rule (:func:`decontaminate`) misses.  Scale shape: bench
+    index broadcast once (``ray.put``), corpus streams through an
+    actor pool - no shuffle, cost is one read of the corpus."""
+    import ray
+
+    index_ref = ray.put(
+        build_bench_lsh(
+            bench_ds, num_perm=num_perm, bands=bands, column=column,
+            id_column=id_column,
+        )
+    )
+    return corpus_ds.map_batches(
+        FuzzyDecontaminator,
+        fn_constructor_kwargs={
+            "index_ref": index_ref,
+            "threshold": threshold,
+            "num_perm": num_perm,
+            "bands": bands,
+            "column": column,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
 def decontaminate(
     corpus_ds,
     bench_ds,
