@@ -852,6 +852,31 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, queries, k=10)
 
 
+def _q_retrieval_rrf(sf_dir: str):
+    """Hybrid retrieval: BM25 lexical top-k fused with dense cosine
+    top-k by reciprocal-rank fusion (integer-quantized reciprocals, so
+    distributed == sequential exactly).  Queries 0-2 are the bm25_topk
+    text queries; their dense twins are embeddings vec_id 0-2."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from topicrawler_ray.stages.retrieval import bm25_topk, rrf_fuse
+    from topicrawler_ray.stages.similarity import brute_force_topk
+
+    queries = [(0, "fast table scan"), (1, "window agg value"), (2, "slow batch merge")]
+    lex = bm25_topk(_docs(sf_dir, ["doc_id", "text"]), queries, k=10)
+
+    qt = pq.read_table(sf_dir + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrows = sorted(
+        (i, e)
+        for i, e in zip(qt["vec_id"].to_pylist(), qt["embedding"].to_pylist())
+        if i < 3
+    )
+    qm = np.array([e for _, e in qrows], dtype=np.float64)
+    dense = brute_force_topk(_embs(sf_dir, ["vec_id", "embedding"]), qm, k=10)
+    return rrf_fuse([(lex, "doc_id"), (dense, "vec_id")])
+
+
 def _q_anchor_texts(sf_dir: str):
     """Inbound anchor-text aggregation per link target (the classic
     external relevance signal): one groupby(dst) over anchor rows."""
@@ -2774,6 +2799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pagerank": _q_link_pagerank,
         "anchor_texts": _q_anchor_texts,
         "bm25_topk": _q_bm25_topk,
+        "retrieval_rrf": _q_retrieval_rrf,
         "link_hits": _q_link_hits,
         "word_cooc": _q_word_cooc,
         "doc_compress": _q_doc_compress,

@@ -948,6 +948,58 @@ def _b_dedup_simhash(sf_dir: str) -> pa.Table:
 # -- ANN ---------------------------------------------------------------------
 
 
+def _b_retrieval_rrf(sf_dir: str) -> pa.Table:
+    """Sequential reciprocal-rank fusion: re-derives BOTH retriever
+    rankings (BM25 via _b_bm25_topk's own scalar derivation; dense via
+    a plain numpy float64 cosine ranking, ties to smaller vec_id) and
+    fuses with the integer 10**9 // (60 + rank + 1) quantization."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    lex = _b_bm25_topk(sf_dir)
+    emb = pq_.read_table(sf_dir + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(emb.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    order = np.argsort(ids)
+    q_rows = order[np.isin(ids[order], [0, 1, 2])]
+    scores: dict[tuple[int, int], int] = {}
+    k0, k, topk = 60, 10, 10
+    for qi, row in enumerate(q_rows):
+        sims = mat @ mat[row]
+        ranked = sorted(zip(-sims, ids), key=lambda t: (t[0], t[1]))[:k]
+        for rank, (_, vid) in enumerate(ranked):
+            key = (qi, int(vid))
+            scores[key] = scores.get(key, 0) + 10**9 // (k0 + rank + 1)
+    for q, rank, did in zip(
+        lex.column("query_id").to_pylist(),
+        lex.column("rank").to_pylist(),
+        lex.column("doc_id").to_pylist(),
+    ):
+        key = (int(q), int(did))
+        scores[key] = scores.get(key, 0) + 10**9 // (k0 + int(rank) + 1)
+    by_q: dict[int, list[tuple[int, int]]] = {}
+    for (q, i), s in scores.items():
+        by_q.setdefault(q, []).append((-s, i))
+    o_q, o_id, o_s, o_r = [], [], [], []
+    for q in sorted(by_q):
+        for rank, (neg_s, i) in enumerate(sorted(by_q[q])[:topk]):
+            o_q.append(q)
+            o_id.append(i)
+            o_s.append(-neg_s)
+            o_r.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(o_q, pa.int64()),
+            "doc_id": pa.array(o_id, pa.int64()),
+            "rrf_e9": pa.array(o_s, pa.int64()),
+            "rank": pa.array(o_r, pa.int64()),
+        }
+    )
+
+
 def _b_knn_ivf(sf_dir: str) -> pa.Table:
     """Frozen golden (scripts/freeze_goldens.py) - precomputed
     centroid/neighbor results, no kmeans_lite/_normalize import."""
@@ -2254,6 +2306,7 @@ BUILDERS = {
     "link_ppr": _b_link_ppr,
     "anchor_texts": _b_anchor_texts,
     "bm25_topk": _b_bm25_topk,
+    "retrieval_rrf": _b_retrieval_rrf,
     # disk-backed serving must rank bit-identically to the scan path;
     # same sequential derivation (imports nothing from the index code)
     "bm25_disk": _b_bm25_topk,

@@ -562,3 +562,55 @@ def bm25_disk_topk(index_dir: str, queries: list[tuple[int, str]],
     if debug is not None:
         debug["merged_rows"] = len(partials)
     return _merge_partial_topk(partials, k)
+
+
+def rrf_fuse(rankings, k0: int = 60, topk: int = 10):
+    """Reciprocal-rank fusion of multiple retriever rankings (the
+    standard hybrid lexical+dense merge, Cormack/Clarke/Buettcher SIGIR
+    2009): fused(d) = sum over retrievers of 1 / (k0 + rank_r(d) + 1).
+
+    ``rankings`` is a list of ``(table, id_column)`` pairs where each
+    table carries (query_id, rank, <id_column>) - the K-BOUNDED output
+    of ``bm25_topk`` / ``similarity.brute_force_topk``.  Each input is
+    at most Q*k rows by construction (the heavy distributed work - the
+    corpus scans and partial top-k merges - already happened inside the
+    retrievers), so fusing on the driver is O(Q*k*retrievers), not a
+    data-plane pass.
+
+    Determinism: each reciprocal term is quantized as the INTEGER
+    ``10**9 // (k0 + rank + 1)`` before summing - integer sums are
+    associative and exactly mirrored by the sequential oracle; ties
+    break toward the smaller id.  Returns (query_id, doc_id, rrf_e9,
+    rank)."""
+    scores: dict[tuple[int, int], int] = {}
+    for table, id_column in rankings:
+        if not isinstance(table, pa.Table):
+            # a k-bounded Dataset result (e.g. bm25_topk) - tiny by
+            # contract, safe to collect
+            table = pa.Table.from_pandas(
+                table.to_pandas(), preserve_index=False
+            )
+        qs = table.column("query_id").to_pylist()
+        ids = table.column(id_column).to_pylist()
+        rks = table.column("rank").to_pylist()
+        for q, i, r in zip(qs, ids, rks):
+            key = (int(q), int(i))
+            scores[key] = scores.get(key, 0) + 10**9 // (k0 + int(r) + 1)
+    o_q, o_id, o_s, o_r = [], [], [], []
+    by_q: dict[int, list[tuple[int, int]]] = {}
+    for (q, i), s in scores.items():
+        by_q.setdefault(q, []).append((-s, i))
+    for q in sorted(by_q):
+        for rank, (neg_s, i) in enumerate(sorted(by_q[q])[:topk]):
+            o_q.append(q)
+            o_id.append(i)
+            o_s.append(-neg_s)
+            o_r.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(o_q, pa.int64()),
+            "doc_id": pa.array(o_id, pa.int64()),
+            "rrf_e9": pa.array(o_s, pa.int64()),
+            "rank": pa.array(o_r, pa.int64()),
+        }
+    )
