@@ -945,6 +945,15 @@ def _q_cdx_surt(sf_dir: str):
     return surt_index(read_pages(sf_dir, num_blocks=16, columns=["url"]))
 
 
+def _q_revisit_schedule(sf_dir: str):
+    """Per-host recrawl scheduling from the snapshot diff: change-rate
+    tiers (fast/medium/slow) via a combiner pass + one small
+    groupby(host).sum.  Pure-SQL oracle over the same derived diff."""
+    from topicrawler_ray.stages.snapshot import revisit_schedule
+
+    return revisit_schedule(_q_snapshot_diff(sf_dir))
+
+
 def _q_host_rollup(sf_dir: str):
     """Per-host page stats (n_pages, n_robots, html_bytes): per-batch
     partial aggregation before one small groupby(host).sum — the
@@ -2852,6 +2861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_dup_rate": _q_host_dup_rate,
         "snapshot_diff": _q_snapshot_diff,
         "cdx_surt": _q_cdx_surt,
+        "revisit_schedule": _q_revisit_schedule,
         "link_ppr": _q_link_ppr,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,
@@ -3438,6 +3448,42 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER (PARTITION BY host_key "
             "ORDER BY host_key || ')' || path, url) - 1 AS BIGINT) AS pos "
             "FROM s" % _PAGES_SF001
+        ),
+        "revisit_schedule": (
+            "WITH a AS (SELECT url, md5(text) AS digest_a "
+            "FROM read_parquet('%s')), "
+            "d AS (SELECT url, text, ascii(substr(md5(url), 1, 1)) %% 4 "
+            "AS bucket FROM read_parquet('%s')), "
+            "b AS ("
+            "SELECT url, md5(text || '#v2') AS digest_b FROM d WHERE bucket = 1 "
+            "UNION ALL SELECT url, md5(text) FROM d WHERE bucket >= 2 "
+            "UNION ALL SELECT url || '#mirror', md5(text) FROM d "
+            "WHERE bucket = 3), "
+            "j AS (SELECT coalesce(a.url, b.url) AS url, digest_a, digest_b "
+            "FROM a FULL OUTER JOIN b ON a.url = b.url), "
+            "diff AS (SELECT url, CASE WHEN digest_a IS NULL THEN 'new' "
+            "WHEN digest_b IS NULL THEN 'gone' "
+            "WHEN digest_a = digest_b THEN 'same' ELSE 'changed' END AS status "
+            "FROM j), "
+            "g AS (SELECT regexp_extract(url, "
+            "'^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host, "
+            "CAST(count(*) AS BIGINT) AS n_urls, "
+            "CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed, "
+            "CAST(sum(CASE WHEN status = 'same' THEN 1 ELSE 0 END) AS BIGINT) AS n_same, "
+            "CAST(sum(CASE WHEN status = 'gone' THEN 1 ELSE 0 END) AS BIGINT) AS n_gone, "
+            "CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new "
+            "FROM diff GROUP BY 1) "
+            "SELECT host, n_urls, n_changed, n_same, n_gone, n_new, "
+            "CASE WHEN n_changed + n_same = 0 THEN 0 "
+            "ELSE CAST(floor(n_changed * 1e6 / (n_changed + n_same)) AS BIGINT) "
+            "END AS change_rate_e6, "
+            "CASE WHEN (CASE WHEN n_changed + n_same = 0 THEN 0 "
+            "ELSE CAST(floor(n_changed * 1e6 / (n_changed + n_same)) AS BIGINT) END) "
+            ">= 500000 THEN 'fast' "
+            "WHEN (CASE WHEN n_changed + n_same = 0 THEN 0 "
+            "ELSE CAST(floor(n_changed * 1e6 / (n_changed + n_same)) AS BIGINT) END) "
+            ">= 100000 THEN 'medium' ELSE 'slow' END AS revisit_tier "
+            "FROM g" % (_PAGES_SF001, _PAGES_SF001)
         ),
         "snapshot_diff": (
             "WITH a AS (SELECT url, md5(text) AS digest_a "

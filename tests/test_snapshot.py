@@ -50,6 +50,36 @@ class TestSnapshotDiff:
             assert md5_hex(s) == expected
         assert md5_hex(None) == hashlib.md5(b"").hexdigest()
 
+    def test_revisit_schedule_tiers(self, ray_session):
+        from topicrawler_ray.stages.snapshot import revisit_schedule
+
+        rows = []
+        # fast.example: 2 changed / 1 same -> rate 666666
+        for i, st in enumerate(["changed", "changed", "same"]):
+            rows.append({"url": "http://fast.example/p%d" % i, "status": st})
+        # slow.example: 0 changed / 3 same -> rate 0
+        for i in range(3):
+            rows.append({"url": "http://slow.example/p%d" % i, "status": "same"})
+        # churn.example: only gone/new -> denominator 0 -> rate 0, slow
+        rows.append({"url": "http://churn.example/a", "status": "gone"})
+        rows.append({"url": "http://churn.example/b", "status": "new"})
+        # med.example: 1 changed / 4 same -> rate 200000 -> medium
+        rows.append({"url": "http://med.example/c", "status": "changed"})
+        for i in range(4):
+            rows.append({"url": "http://med.example/s%d" % i, "status": "same"})
+
+        out = revisit_schedule(ray.data.from_items(rows)).to_pandas()
+        by_host = {r.host: r for r in out.itertuples()}
+        assert by_host["fast.example"].revisit_tier == "fast"
+        assert by_host["fast.example"].change_rate_e6 == 666666
+        assert by_host["slow.example"].revisit_tier == "slow"
+        assert by_host["churn.example"].change_rate_e6 == 0
+        assert by_host["churn.example"].revisit_tier == "slow"
+        assert by_host["churn.example"].n_gone == 1
+        assert by_host["churn.example"].n_new == 1
+        assert by_host["med.example"].revisit_tier == "medium"
+        assert by_host["med.example"].change_rate_e6 == 200000
+
     def test_add_digest_slim_projection(self, ray_session):
         ds = ray.data.from_items(
             [{"url": "u", "text": "hello", "html": b"<p>hello</p>"}]

@@ -83,6 +83,83 @@ def _classify(batch: pa.Table) -> pa.Table:
     )
 
 
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://(?P<host>[^/?#]+)"
+
+
+def revisit_schedule(diff_ds):
+    """Per-host recrawl scheduling from a snapshot diff (Cho &
+    Garcia-Molina "Effective Page Refresh Policies"): hosts whose
+    content churns get short revisit intervals, static hosts long ones.
+
+    ``change_rate_e6 = floor(1e6 * changed / (changed + same))`` over
+    the URLs present in BOTH snapshots; tiers: >= 0.5 -> 'fast',
+    >= 0.1 -> 'medium', else 'slow'.
+
+    Scale shape: one vectorized pass emits per-batch indicator counts
+    (the combiner), then ONE small ``groupby(host).sum`` - identical
+    to the ``politeness.host_rollup`` discipline; the final
+    rate/tier arithmetic is vectorized Arrow over host rows."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        host = pc.extract_regex(
+            pc.cast(batch.column("url"), pa.string()), _HOST_RE
+        )
+        host = pc.fill_null(pc.struct_field(host, "host"), "")
+        status = batch.column("status")
+        cols = {"host": host, "n_urls": pa.array([1] * len(batch), pa.int64())}
+        for s in ("changed", "same", "gone", "new"):
+            cols["n_" + s] = pc.cast(pc.equal(status, s), pa.int64())
+        return pa.table(cols)
+
+    agg = (
+        diff_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .sum(["n_urls", "n_changed", "n_same", "n_gone", "n_new"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        changed = batch.column("sum(n_changed)")
+        same = batch.column("sum(n_same)")
+        denom = pc.add(changed, same)
+        rate = pc.if_else(
+            pc.equal(denom, 0),
+            pa.scalar(0, pa.int64()),
+            pc.cast(
+                pc.floor(
+                    pc.divide(
+                        pc.multiply(pc.cast(changed, pa.float64()), 1e6),
+                        pc.cast(pc.max_element_wise(denom, 1), pa.float64()),
+                    )
+                ),
+                pa.int64(),
+            ),
+        )
+        tier = pc.if_else(
+            pc.greater_equal(rate, 500000),
+            pa.scalar("fast", pa.string()),
+            pc.if_else(
+                pc.greater_equal(rate, 100000),
+                pa.scalar("medium", pa.string()),
+                pa.scalar("slow", pa.string()),
+            ),
+        )
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_urls": batch.column("sum(n_urls)"),
+                "n_changed": changed,
+                "n_same": same,
+                "n_gone": batch.column("sum(n_gone)"),
+                "n_new": batch.column("sum(n_new)"),
+                "change_rate_e6": rate,
+                "revisit_tier": tier,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def snapshot_diff(a_ds, b_ds, num_partitions: int | None = None):
     """Diff two ``(url, digest_a)`` / ``(url, digest_b)`` snapshot
     datasets.  Returns one row per URL in either snapshot with
