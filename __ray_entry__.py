@@ -648,6 +648,25 @@ def _q_decontaminate_fuzzy(sf_dir: str):
     )
 
 
+def _q_decontaminate_scrub(sf_dir: str):
+    """Scrubbing decontamination (PaLM-style window excision): bench =
+    docs with doc_id % 37 == 0; every corpus word covered by a shared
+    word 3-gram is removed; clean_text keeps the rest.  Pure-SQL
+    oracle re-derives the covered positions with string grams."""
+    import pyarrow as pa
+
+    from topicrawler_ray.stages.decontam import decontaminate_scrub
+
+    def bench_only(batch):
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 37 == 0))
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    bench = ds.map_batches(bench_only, batch_format="pyarrow")
+    out = decontaminate_scrub(ds, bench, n=3, concurrency=2)
+    return out.select_columns(["doc_id", "clean_text", "n_tokens", "n_removed"])
+
+
 def _q_mixture_sample(sf_dir: str):
     """Token-budget data mixing: per source, keep docs in deterministic
     hash order until that source's token budget is met.  Runs the
@@ -2801,6 +2820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perp_buckets": _q_perp_buckets,
         "decontaminate": _q_decontaminate,
         "decontaminate_fuzzy": _q_decontaminate_fuzzy,
+        "decontaminate_scrub": _q_decontaminate_scrub,
         "doc_quantiles": _q_doc_quantiles,
         "mixture_sample": _q_mixture_sample,
         "dup_spans": _q_dup_spans,
@@ -3310,6 +3330,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated, "
             "COALESCE(h.n, 0) > 0 AS contaminated "
             "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"
+        ),
+        "decontaminate_scrub": (
+            "WITH doc AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "w AS (SELECT doc_id, unnest(ws) AS w, "
+            "generate_subscripts(ws, 1) AS pos FROM doc), "
+            "g AS (SELECT a.doc_id, a.pos, a.w || ' ' || b.w || ' ' || c.w AS g "
+            "FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2), "
+            "bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 37 = 0), "
+            "hit AS (SELECT DISTINCT g.doc_id, g.pos FROM g "
+            "JOIN bg ON g.g = bg.g), "
+            "cover AS (SELECT DISTINCT h.doc_id, h.pos + j AS pos "
+            "FROM hit h, generate_series(0, 2) t(j)), "
+            "kept AS (SELECT w.doc_id, w.pos, w.w FROM w "
+            "LEFT JOIN cover c ON c.doc_id = w.doc_id AND c.pos = w.pos "
+            "WHERE c.pos IS NULL), "
+            "agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) "
+            "AS clean_text, count(*) AS n_kept FROM kept GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text, "
+            "CAST(len(d.ws) AS BIGINT) AS n_tokens, "
+            "CAST(len(d.ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed "
+            "FROM doc d LEFT JOIN agg a ON a.doc_id = d.doc_id"
         ),
         "mixture_sample": (
             "WITH h AS (SELECT doc_id, source, n_chars, "

@@ -49,6 +49,29 @@ class TestFuzzyDecontam:
         assert rows[1]["contaminated"]  # identical text survives any bar
         assert not rows[2]["contaminated"]  # paraphrase falls below
 
+    def test_scrub_windows(self, ray_session):
+        from topicrawler_ray.stages.decontam import decontaminate_scrub
+
+        bench = ray.data.from_items([{"doc_id": 100, "text": "b c d"}])
+        corpus = ray.data.from_items(
+            [
+                # one hit at pos 1: words b,c,d removed
+                {"doc_id": 1, "text": "a b c d e"},
+                # overlapping hits (b c d at 1 and 2): union removed
+                {"doc_id": 2, "text": "a b c d b c d e"},
+                {"doc_id": 3, "text": "x y z"},
+                {"doc_id": 4, "text": ""},
+                {"doc_id": 5, "text": "b c d"},  # fully scrubbed
+            ]
+        )
+        out = decontaminate_scrub(corpus, bench, n=3, concurrency=1).take_all()
+        rows = {r["doc_id"]: r for r in out}
+        assert rows[1]["clean_text"] == "a e" and rows[1]["n_removed"] == 3
+        assert rows[2]["clean_text"] == "a e" and rows[2]["n_removed"] == 6
+        assert rows[3]["clean_text"] == "x y z" and rows[3]["n_removed"] == 0
+        assert rows[4]["clean_text"] == "" and rows[4]["n_tokens"] == 1
+        assert rows[5]["clean_text"] == "" and rows[5]["n_removed"] == 3
+
     def test_empty_bench(self, ray_session):
         corpus = ray.data.from_items([{"doc_id": 1, "text": BENCH}])
         bench = corpus.filter(lambda r: False)

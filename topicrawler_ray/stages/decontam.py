@@ -100,6 +100,62 @@ class Decontaminator:
         )
 
 
+class Scrubber:
+    """Actor-pool scrub stage (PaLM-style): instead of dropping a
+    contaminated document wholesale, remove every word covered by a
+    benchmark-overlapping n-gram window and keep the rest.  Appends
+    ``clean_text`` / ``n_tokens`` / ``n_removed``."""
+
+    def __init__(self, bench_ref, n: int = 3, column: str = "text"):
+        import ray
+
+        self._bench = ray.get(bench_ref)
+        self._n = n
+        self._column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        clean, n_tok, n_rm = [], [], []
+        for t in batch.column(self._column).to_pylist():
+            words = (t or "").split(" ")
+            grams = word_ngrams(t or "", self._n)
+            mask = np.zeros(len(words), dtype=bool)
+            if grams and self._bench.size:
+                hits = np.isin(_hash_grams(grams), self._bench)
+                idx = np.flatnonzero(hits)
+                for k in range(self._n):
+                    mask[idx + k] = True
+            clean.append(" ".join(w for w, m in zip(words, mask) if not m))
+            n_tok.append(len(words))
+            n_rm.append(int(mask.sum()))
+        return (
+            batch.append_column("clean_text", pa.array(clean, pa.string()))
+            .append_column("n_tokens", pa.array(n_tok, pa.int64()))
+            .append_column("n_removed", pa.array(n_rm, pa.int64()))
+        )
+
+
+def decontaminate_scrub(
+    corpus_ds,
+    bench_ds,
+    n: int = 3,
+    column: str = "text",
+    concurrency: int = 4,
+):
+    """Scrubbing decontamination: same broadcast bench n-gram hash set
+    as :func:`decontaminate`, but contaminated WINDOWS are excised from
+    the text instead of flagging the whole document.  Same scale shape:
+    one streaming corpus pass, no shuffle."""
+    import ray
+
+    bench_ref = ray.put(benchmark_ngram_hashes(bench_ds, n=n, column=column))
+    return corpus_ds.map_batches(
+        Scrubber,
+        fn_constructor_kwargs={"bench_ref": bench_ref, "n": n, "column": column},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
 def build_bench_lsh(
     bench_ds,
     num_perm: int = 128,
