@@ -217,3 +217,62 @@ class TestCurateCLI:
         summary = json.loads(r.stdout.strip().splitlines()[-1])
         assert summary["rows_curated"] > 0
         assert summary["rows_curated"] <= summary["rows_in"]
+
+
+class TestSnapshotCli:
+    def test_snapshot_diff_and_schedule(self):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tmp = tempfile.mkdtemp(prefix="cli_snap_")
+        try:
+            old = pa.table(
+                {
+                    "url": ["http://h.example/a", "http://h.example/b"],
+                    "text": ["one", "two"],
+                }
+            )
+            new = pa.table(
+                {
+                    "url": ["http://h.example/b", "http://h.example/c"],
+                    "text": ["two CHANGED", "three"],
+                }
+            )
+            pq.write_table(old, os.path.join(tmp, "old.parquet"))
+            pq.write_table(new, os.path.join(tmp, "new.parquet"))
+            r = _run(
+                [
+                    "snapshot",
+                    "--old", os.path.join(tmp, "old.parquet"),
+                    "--new", os.path.join(tmp, "new.parquet"),
+                    "--num-cpus", "4",
+                ]
+            )
+            assert r.returncode == 0, r.stderr[-2000:]
+            res = json.loads(r.stdout.strip().splitlines()[-1])
+            assert res["status"] == {"gone": 1, "changed": 1, "new": 1}
+
+            out = os.path.join(tmp, "sched")
+            r = _run(
+                [
+                    "snapshot",
+                    "--old", os.path.join(tmp, "old.parquet"),
+                    "--new", os.path.join(tmp, "new.parquet"),
+                    "--schedule",
+                    "--out", out,
+                    "--num-cpus", "4",
+                ]
+            )
+            assert r.returncode == 0, r.stderr[-2000:]
+            import glob
+
+            files = glob.glob(os.path.join(out, "*.parquet"))
+            rows = pa.concat_tables([pq.read_table(f) for f in files]).to_pylist()
+            assert len(rows) == 1
+            row = rows[0]
+            assert row["host"] == "h.example"
+            # 1 changed / 0 same -> rate 1e6 -> fast tier
+            assert row["change_rate_e6"] == 1000000
+            assert row["revisit_tier"] == "fast"
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)

@@ -162,6 +162,54 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    """Diff two crawl snapshots (parquet with url + text, or url +
+    precomputed digest) into new/gone/changed/same per URL; with
+    --schedule, roll the diff up into per-host revisit tiers."""
+    _init_ray(args.num_cpus)
+    import ray
+
+    from .stages.snapshot import add_digest, revisit_schedule, snapshot_diff
+
+    old = _rp_clean(args.old)
+    new = _rp_clean(args.new)
+    if args.digest_column:
+        import pyarrow as pa
+
+        def _select(out_name):
+            def fn(batch):
+                return pa.table(
+                    {
+                        "url": batch.column("url"),
+                        out_name: batch.column(args.digest_column),
+                    }
+                )
+
+            return fn
+
+        a = old.map_batches(_select("digest_a"), batch_format="pyarrow")
+        b = new.map_batches(_select("digest_b"), batch_format="pyarrow")
+    else:
+        a = add_digest(old, text_column=args.text_column, out="digest_a")
+        b = add_digest(new, text_column=args.text_column, out="digest_b")
+    diff = snapshot_diff(a, b)
+    out = revisit_schedule(diff) if args.schedule else diff
+    if args.out:
+        out.write_parquet(args.out)
+        print(json.dumps({"out": args.out}))
+    else:
+        if args.schedule:
+            print(json.dumps({"hosts": out.count()}))
+        else:
+            counts = {
+                r["status"]: r["count()"]
+                for r in out.groupby("status").count().take_all()
+            }
+            print(json.dumps({"rows": sum(counts.values()), "status": counts}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Webtext curation chain over a parquet documents table: exact
     dedup (hash-aggregate) -> quality + gopher -> langid -> gates ->
@@ -539,6 +587,18 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--out", default=None)
     d.add_argument("--num-cpus", type=int, default=None)
     d.set_defaults(fn=cmd_dedup)
+
+    sn = sub.add_parser("snapshot", help="diff two crawl snapshots / revisit tiers")
+    sn.add_argument("--old", required=True)
+    sn.add_argument("--new", required=True)
+    sn.add_argument("--text-column", default="text")
+    sn.add_argument("--digest-column", default=None,
+                    help="use a precomputed digest column instead of hashing text")
+    sn.add_argument("--schedule", action="store_true",
+                    help="emit per-host revisit tiers instead of the raw diff")
+    sn.add_argument("--out", default=None)
+    sn.add_argument("--num-cpus", type=int, default=None)
+    sn.set_defaults(fn=cmd_snapshot)
 
     u = sub.add_parser("curate", help="dedup+quality+langid curation chain")
     u.add_argument("--input", required=True)
