@@ -964,6 +964,52 @@ def _q_cdx_surt(sf_dir: str):
     return surt_index(read_pages(sf_dir, num_blocks=16, columns=["url"]))
 
 
+def _q_snapshot_drift(sf_dir: str):
+    """Drift magnitude for the 'changed' snapshot slice (bucket 1 of
+    the snapshot_diff rule; the derived B text drops the first word):
+    word-3-gram Jaccard, minor/major classification.  Pure-SQL oracle
+    (string grams + group joins in DuckDB)."""
+    import pyarrow as pa
+
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.snapshot import md5_hex, snapshot_drift
+
+    def changed_a(batch: pa.Table) -> pa.Table:
+        urls, texts = [], []
+        for u, t in zip(
+            batch.column("url").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if ord(md5_hex(u)[0]) % 4 == 1 and len((t or "").split(" ")) >= 4:
+                urls.append(u)
+                texts.append(t or "")
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "text_a": pa.array(texts, pa.string()),
+            }
+        )
+
+    def changed_b(batch: pa.Table) -> pa.Table:
+        t = changed_a(batch)
+        texts_b = [
+            " ".join(x.split(" ")[1:]) for x in t.column("text_a").to_pylist()
+        ]
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "text_b": pa.array(texts_b, pa.string()),
+            }
+        )
+
+    a = read_pages(sf_dir, num_blocks=16, columns=["url", "text"]).map_batches(
+        changed_a, batch_format="pyarrow"
+    )
+    b = read_pages(sf_dir, num_blocks=16, columns=["url", "text"]).map_batches(
+        changed_b, batch_format="pyarrow"
+    )
+    return snapshot_drift(a, b)
+
+
 def _q_revisit_schedule(sf_dir: str):
     """Per-host recrawl scheduling from the snapshot diff: change-rate
     tiers (fast/medium/slow) via a combiner pass + one small
@@ -2882,6 +2928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "cdx_surt": _q_cdx_surt,
         "revisit_schedule": _q_revisit_schedule,
+        "snapshot_drift": _q_snapshot_drift,
         "link_ppr": _q_link_ppr,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,
@@ -3527,6 +3574,36 @@ def oracle_sql() -> dict[str, str]:
             "ELSE CAST(floor(n_changed * 1e6 / (n_changed + n_same)) AS BIGINT) END) "
             ">= 100000 THEN 'medium' ELSE 'slow' END AS revisit_tier "
             "FROM g" % (_PAGES_SF001, _PAGES_SF001)
+        ),
+        "snapshot_drift": (
+            "WITH d AS (SELECT url, text, "
+            "ascii(substr(md5(url), 1, 1)) %% 4 AS bucket, "
+            "string_split(text, ' ') AS ws FROM read_parquet('%s')), "
+            "c AS (SELECT url, text AS ta, array_to_string(ws[2:], ' ') AS tb "
+            "FROM d WHERE bucket = 1 AND len(ws) >= 4), "
+            "wa AS (SELECT url, unnest(string_split(ta, ' ')) AS w, "
+            "generate_subscripts(string_split(ta, ' '), 1) AS pos FROM c), "
+            "ga AS (SELECT DISTINCT a.url, a.w || ' ' || b.w || ' ' || x.w AS g "
+            "FROM wa a JOIN wa b ON b.url = a.url AND b.pos = a.pos + 1 "
+            "JOIN wa x ON x.url = a.url AND x.pos = a.pos + 2), "
+            "wb AS (SELECT url, unnest(string_split(tb, ' ')) AS w, "
+            "generate_subscripts(string_split(tb, ' '), 1) AS pos FROM c), "
+            "gb AS (SELECT DISTINCT a.url, a.w || ' ' || b.w || ' ' || x.w AS g "
+            "FROM wb a JOIN wb b ON b.url = a.url AND b.pos = a.pos + 1 "
+            "JOIN wb x ON x.url = a.url AND x.pos = a.pos + 2), "
+            "ia AS (SELECT url, count(*) AS na FROM ga GROUP BY url), "
+            "ib AS (SELECT url, count(*) AS nb FROM gb GROUP BY url), "
+            "ii AS (SELECT ga.url, count(*) AS ni FROM ga "
+            "JOIN gb ON gb.url = ga.url AND gb.g = ga.g GROUP BY ga.url), "
+            "m AS (SELECT c.url, coalesce(ii.ni, 0) AS ni, "
+            "ia.na + ib.nb - coalesce(ii.ni, 0) AS un "
+            "FROM c JOIN ia ON ia.url = c.url JOIN ib ON ib.url = c.url "
+            "LEFT JOIN ii ON ii.url = c.url) "
+            "SELECT url, CAST(floor((ni / CAST(un AS DOUBLE)) * 1e4) AS BIGINT) "
+            "AS jaccard_e4, "
+            "CASE WHEN CAST(floor((ni / CAST(un AS DOUBLE)) * 1e4) AS BIGINT) "
+            ">= 5000 THEN 'minor' ELSE 'major' END AS change_class "
+            "FROM m" % _PAGES_SF001
         ),
         "snapshot_diff": (
             "WITH a AS (SELECT url, md5(text) AS digest_a "

@@ -80,6 +80,36 @@ class TestSnapshotDiff:
         assert by_host["med.example"].revisit_tier == "medium"
         assert by_host["med.example"].change_rate_e6 == 200000
 
+    def test_snapshot_drift_classes(self, ray_session):
+        from topicrawler_ray.stages.snapshot import snapshot_drift
+
+        base = " ".join("w%d" % i for i in range(20))
+        minor = " ".join("w%d" % i for i in range(1, 20))  # first word gone
+        major = " ".join("z%d" % i for i in range(20))  # full rewrite
+        a = ray.data.from_items(
+            [
+                {"url": "u_minor", "text_a": base},
+                {"url": "u_major", "text_a": base},
+                {"url": "u_same", "text_a": base},
+            ]
+        )
+        b = ray.data.from_items(
+            [
+                {"url": "u_minor", "text_b": minor},
+                {"url": "u_major", "text_b": major},
+                {"url": "u_same", "text_b": base},
+                {"url": "u_only_b", "text_b": major},  # dropped by inner join
+            ]
+        )
+        out = {r["url"]: r for r in snapshot_drift(a, b).take_all()}
+        assert set(out) == {"u_minor", "u_major", "u_same"}
+        # 18 grams vs 17, 17 shared: j = 17/18 = 0.9444
+        assert out["u_minor"]["jaccard_e4"] == 9444
+        assert out["u_minor"]["change_class"] == "minor"
+        assert out["u_major"]["jaccard_e4"] == 0
+        assert out["u_major"]["change_class"] == "major"
+        assert out["u_same"]["jaccard_e4"] == 10000
+
     def test_add_digest_slim_projection(self, ray_session):
         ds = ray.data.from_items(
             [{"url": "u", "text": "hello", "html": b"<p>hello</p>"}]

@@ -83,6 +83,61 @@ def _classify(batch: pa.Table) -> pa.Table:
     )
 
 
+def _string_grams(text: str, n: int = 3) -> set[str]:
+    """Distinct word n-grams as STRINGS (single-space split, matching
+    the SQL oracle's ``string_split(text, ' ')`` exactly - no hashing,
+    so engine and oracle compare literally identical sets)."""
+    words = (text or "").split(" ")
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def _drift_classify(batch: pa.Table) -> pa.Table:
+    import math
+
+    urls, o_j, o_c = [], [], []
+    for url, ta, tb in zip(
+        batch.column("url").to_pylist(),
+        batch.column("text_a").to_pylist(),
+        batch.column("text_b").to_pylist(),
+    ):
+        ga, gb = _string_grams(ta), _string_grams(tb)
+        inter = len(ga & gb)
+        union = len(ga) + len(gb) - inter
+        j_e4 = int(math.floor((inter / float(union)) * 1e4)) if union else 0
+        urls.append(url)
+        o_j.append(j_e4)
+        o_c.append("minor" if j_e4 >= 5000 else "major")
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "jaccard_e4": pa.array(o_j, pa.int64()),
+            "change_class": pa.array(o_c, pa.string()),
+        }
+    )
+
+
+def snapshot_drift(a_ds, b_ds, num_partitions: int | None = None):
+    """Content-drift magnitude for URLs present in both snapshots:
+    word-3-gram Jaccard between the old and new text, classified
+    minor (>= 0.5) / major.  The recrawl-policy refinement on top of
+    :func:`snapshot_diff`'s boolean 'changed' - template/boilerplate
+    edits score minor, rewrites score major.
+
+    ``a_ds`` carries (url, text_a), ``b_ds`` (url, text_b) - feed it
+    the CHANGED subset only (both sides pre-filtered), so unlike the
+    digest diff this join does move text, but only for the changed
+    slice.  One hash-partitioned inner join, then a streaming
+    per-row set-similarity pass (C-level set ops on short gram
+    lists)."""
+    from .dedup import _default_partitions
+
+    n = _default_partitions(num_partitions)
+    a_ds = a_ds.repartition(n)
+    b_ds = b_ds.repartition(n)
+    joined = a_ds.join(b_ds, "inner", num_partitions=n, on=("url",))
+    return joined.map_batches(_drift_classify, batch_format="pyarrow")
+
+
 _HOST_RE = r"^[a-z][a-z0-9+.-]*://(?P<host>[^/?#]+)"
 
 
