@@ -1040,6 +1040,16 @@ def _q_link_ppr(sf_dir: str):
     return personalized_pagerank(edges, default_seeds(sf_dir), iterations=5)
 
 
+def _q_host_link_spam(sf_dir: str):
+    """Per-host link-density spam signal (link-farm detector for tiered
+    crawl budgets): anchors fold to per-host partials inside the
+    extraction task, ONE small groupby(host).sum, pure-integer ratios."""
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.politeness import host_link_spam
+
+    return host_link_spam(read_pages(sf_dir, num_blocks=16, columns=["url", "html"]))
+
+
 def _q_host_dup_rate(sf_dir: str):
     """Per-host duplicate-content rate (session-id/mirror detector for
     tiered budget allocation): one (host, body_hash) groupby, integer
@@ -2929,6 +2939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_surt": _q_cdx_surt,
         "revisit_schedule": _q_revisit_schedule,
         "snapshot_drift": _q_snapshot_drift,
+        "host_link_spam": _q_host_link_spam,
         "link_ppr": _q_link_ppr,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,

@@ -1599,6 +1599,43 @@ def _b_bm25_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_host_link_spam(sf_dir: str) -> pa.Table:
+    """Sequential per-host link-density derivation (shares only the
+    outlink-extraction parsing primitives with the engine - the
+    combiner/groupby/ratio algebra is re-derived as dict loops with
+    the same pure-integer divisions)."""
+    from .functions.urls import extract_outlinks, host_of_url
+    from .stages.extract import decode_page_bytes, is_robots_url
+
+    counts: dict[str, list[int]] = {}
+    for url, _ts, html in _pages_rows(sf_dir):
+        if is_robots_url(url) or not html:
+            continue
+        host = host_of_url(url)
+        links = extract_outlinks(decode_page_bytes(url, html), url)
+        c = counts.setdefault(host, [0, 0, 0])
+        c[0] += 1
+        c[1] += len(links)
+        c[2] += sum(1 for d in links if host_of_url(d) != host)
+    hosts = sorted(counts)
+    n_pages = [counts[h][0] for h in hosts]
+    n_links = [counts[h][1] for h in hosts]
+    n_off = [counts[h][2] for h in hosts]
+    lpp = [10**4 * l // p if p else 0 for l, p in zip(n_links, n_pages)]
+    osr = [10**4 * o // l if l else 0 for o, l in zip(n_off, n_links)]
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "n_pages": pa.array(n_pages, pa.int64()),
+            "n_links": pa.array(n_links, pa.int64()),
+            "n_offsite": pa.array(n_off, pa.int64()),
+            "links_per_page_e4": pa.array(lpp, pa.int64()),
+            "offsite_ratio_e4": pa.array(osr, pa.int64()),
+            "spam": pa.array([x >= 39000 for x in lpp], pa.bool_()),
+        }
+    )
+
+
 def _b_anchor_texts(sf_dir: str) -> pa.Table:
     """Sequential inbound anchor-text aggregation (shares only the
     extract_anchors parsing primitive with the engine — the
@@ -2305,6 +2342,7 @@ BUILDERS = {
     "link_depths": _b_link_depths,
     "link_ppr": _b_link_ppr,
     "anchor_texts": _b_anchor_texts,
+    "host_link_spam": _b_host_link_spam,
     "bm25_topk": _b_bm25_topk,
     "retrieval_rrf": _b_retrieval_rrf,
     # disk-backed serving must rank bit-identically to the scan path;

@@ -264,3 +264,76 @@ def host_dup_rate(pages_ds, num_partitions: int | None = None):
         )
 
     return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+def host_link_spam(
+    pages_ds,
+    spam_links_per_page_e4: int = 39000,
+    num_partitions: int | None = None,
+):
+    """Per-host link-density spam signal (the classic link-farm /
+    navigation-shell detector feeding tiered crawl budgets alongside
+    :func:`host_dup_rate`): raw outlink count and offsite share per
+    host, pure-integer ratios, and a spam flag at
+    ``links_per_page_e4 >= spam_links_per_page_e4``.
+
+    Scale shape: the anchors never leave the extraction task - each
+    batch folds to per-host partial counts (combiner), then ONE small
+    ``groupby(host).sum`` over ~#hosts rows; ratios are integer
+    division (associativity-exact, mirrored by the sequential
+    oracle)."""
+    from .dedup import _default_partitions
+    from .extract import decode_page_bytes, is_robots_url
+    from ..functions.urls import extract_outlinks, host_of_url
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, list[int]] = {}
+        for url, html in zip(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            if is_robots_url(url) or not html:
+                continue
+            host = host_of_url(url)
+            links = extract_outlinks(decode_page_bytes(url, html), url)
+            c = counts.setdefault(host, [0, 0, 0])
+            c[0] += 1
+            c[1] += len(links)
+            c[2] += sum(1 for d in links if host_of_url(d) != host)
+        hosts = sorted(counts)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "n_pages": pa.array([counts[h][0] for h in hosts], pa.int64()),
+                "n_links": pa.array([counts[h][1] for h in hosts], pa.int64()),
+                "n_offsite": pa.array([counts[h][2] for h in hosts], pa.int64()),
+            }
+        )
+
+    agg = (
+        pages_ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(_default_partitions(num_partitions))
+        .groupby("host")
+        .sum(["n_pages", "n_links", "n_offsite"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_pages = batch.column("sum(n_pages)").to_pylist()
+        n_links = batch.column("sum(n_links)").to_pylist()
+        n_off = batch.column("sum(n_offsite)").to_pylist()
+        lpp = [10**4 * l // p if p else 0 for l, p in zip(n_links, n_pages)]
+        osr = [10**4 * o // l if l else 0 for o, l in zip(n_off, n_links)]
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_pages": pa.array(n_pages, pa.int64()),
+                "n_links": pa.array(n_links, pa.int64()),
+                "n_offsite": pa.array(n_off, pa.int64()),
+                "links_per_page_e4": pa.array(lpp, pa.int64()),
+                "offsite_ratio_e4": pa.array(osr, pa.int64()),
+                "spam": pa.array(
+                    [x >= spam_links_per_page_e4 for x in lpp], pa.bool_()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
