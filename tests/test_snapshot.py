@@ -110,6 +110,32 @@ class TestSnapshotDiff:
         assert out["u_major"]["change_class"] == "major"
         assert out["u_same"]["jaccard_e4"] == 10000
 
+    def test_randomized_parity_vs_sequential(self, ray_session):
+        """Distributed diff == sequential dict derivation on random
+        snapshot pairs (fixed seed)."""
+        import random
+
+        rng = random.Random(42)
+        for trial in range(3):
+            urls = ["u%d" % i for i in range(rng.randint(1, 120))]
+            a_rows = [(u, "d%d" % rng.randint(0, 3)) for u in urls if rng.random() < 0.8]
+            b_rows = [(u, "d%d" % rng.randint(0, 3)) for u in urls if rng.random() < 0.8]
+            got, _ = _diff(a_rows, b_rows) if a_rows and b_rows else ({}, None)
+            if not (a_rows and b_rows):
+                continue
+            da, db = dict(a_rows), dict(b_rows)
+            expected = {}
+            for u in set(da) | set(db):
+                if u not in da:
+                    expected[u] = "new"
+                elif u not in db:
+                    expected[u] = "gone"
+                elif da[u] == db[u]:
+                    expected[u] = "same"
+                else:
+                    expected[u] = "changed"
+            assert got == expected, "trial %d" % trial
+
     def test_add_digest_slim_projection(self, ray_session):
         ds = ray.data.from_items(
             [{"url": "u", "text": "hello", "html": b"<p>hello</p>"}]
