@@ -714,6 +714,19 @@ def _q_link_pagerank(sf_dir: str):
     return pagerank(edges, iterations=5)
 
 
+def _q_host_pagerank(sf_dir: str):
+    """Host-graph authority (the Common-Crawl host-level-webgraph
+    analog feeding tiered crawl budgets): URL edges collapse to
+    distinct OFFSITE host pairs inside the extraction task, then the
+    same exact-integer PageRank kernel iterates over a substrate
+    orders of magnitude smaller than the URL graph."""
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.graph import host_edges, pagerank
+
+    edges = host_edges(read_pages(sf_dir, num_blocks=16, columns=["url", "html"]))
+    return pagerank(edges, iterations=5)
+
+
 def _q_doc_compress(sf_dir: str):
     """Compressibility quality signal (RefinedWeb-style): utf-8 and
     zlib-compressed byte lengths per doc, stateless Arrow map."""
@@ -2882,6 +2895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "near_dup_clusters": _q_near_dup_clusters,
         "link_pagerank": _q_link_pagerank,
+        "host_pagerank": _q_host_pagerank,
         "anchor_texts": _q_anchor_texts,
         "bm25_topk": _q_bm25_topk,
         "retrieval_rrf": _q_retrieval_rrf,

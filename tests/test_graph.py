@@ -108,6 +108,61 @@ class TestPageEdges:
         assert len(got) > 0
 
 
+class TestHostEdges:
+    def test_offsite_host_pairs_match_sequential_extraction(
+        self, ray_session, sf_dir
+    ):
+        from topicrawler_ray.functions.urls import extract_outlinks, host_of_url
+        from topicrawler_ray.sources.pages import read_pages
+        from topicrawler_ray.stages.extract import decode_page_bytes, is_robots_url
+        from topicrawler_ray.stages.graph import host_edges
+
+        got = {
+            (r["src"], r["dst"])
+            for r in host_edges(read_pages(sf_dir, num_blocks=8)).take_all()
+        }
+
+        import pyarrow.parquet as pq
+
+        from topicrawler_ray.sources.pages import pages_path
+
+        t = pq.read_table(pages_path(sf_dir), columns=["url", "html"])
+        exp = set()
+        for url, html in zip(
+            t.column("url").to_pylist(), t.column("html").to_pylist()
+        ):
+            if is_robots_url(url) or not html:
+                continue
+            src_host = host_of_url(url)
+            for dst in extract_outlinks(decode_page_bytes(url, html), url):
+                dst_host = host_of_url(dst)
+                if dst_host != src_host:
+                    exp.add((src_host, dst_host))
+        assert got == exp
+        assert len(got) > 0
+        assert all(s != d for s, d in got)
+
+    def test_host_pagerank_matches_sequential_on_host_graph(
+        self, ray_session, sf_dir
+    ):
+        from topicrawler_ray.oracles import _b_host_pagerank
+        from topicrawler_ray.sources.pages import read_pages
+        from topicrawler_ray.stages.graph import host_edges, pagerank
+
+        out = pagerank(
+            host_edges(read_pages(sf_dir, num_blocks=8)), iterations=5
+        )
+        got = {r["node"]: r["rank"] for r in out.take_all()}
+        exp_t = _b_host_pagerank(sf_dir)
+        exp = dict(
+            zip(
+                exp_t.column("node").to_pylist(),
+                exp_t.column("rank").to_pylist(),
+            )
+        )
+        assert got == exp
+
+
 class TestHits:
     def test_matches_sequential_reference(self, ray_session):
         from topicrawler_ray.stages.graph import hits

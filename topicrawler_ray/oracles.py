@@ -1333,6 +1333,49 @@ def _b_link_pagerank(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_host_pagerank(sf_dir: str) -> pa.Table:
+    """Sequential integer PageRank over the OFFSITE host graph (the
+    Common-Crawl host-level-webgraph analog).  Shares only the link
+    extraction + host parsing primitives with the engine; edge
+    collapse and the rank iteration are re-derived as dict loops with
+    the same integer semantics as :func:`_b_link_pagerank`."""
+    from .functions.urls import extract_outlinks, host_of_url
+    from .stages.extract import decode_page_bytes, is_robots_url
+
+    edges: set[tuple[str, str]] = set()
+    for url, _ts, html in _pages_rows(sf_dir):
+        if is_robots_url(url) or not html:
+            continue
+        src_host = host_of_url(url)
+        for dst in extract_outlinks(decode_page_bytes(url, html), url):
+            dst_host = host_of_url(dst)
+            if dst_host != src_host:
+                edges.add((src_host, dst_host))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg: dict[str, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    scale, alpha_num, alpha_den, iterations = 10**12, 85, 100, 5
+    init = scale // n
+    base = ((alpha_den - alpha_num) * init) // alpha_den
+    rank = {u: init for u in nodes}
+    for _ in range(iterations):
+        share = sum(r for u, r in rank.items() if outdeg.get(u, 0) == 0) // n
+        ins = dict.fromkeys(nodes, 0)
+        for s, d in edges:
+            ins[d] += rank[s] // outdeg[s]
+        rank = {
+            u: base + (alpha_num * (ins[u] + share)) // alpha_den for u in nodes
+        }
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.string()),
+            "rank": pa.array([rank[u] for u in nodes], pa.int64()),
+        }
+    )
+
+
 def _b_link_ppr(sf_dir: str) -> pa.Table:
     """Sequential personalized PageRank (teleport set = crawl seeds)
     with plain dict loops - mirrors stages/graph.py's integer
@@ -2339,6 +2382,7 @@ BUILDERS = {
     "sample_diverse": _b_sample_diverse,
     "doc_novelty": _b_doc_novelty,
     "link_pagerank": _b_link_pagerank,
+    "host_pagerank": _b_host_pagerank,
     "link_depths": _b_link_depths,
     "link_ppr": _b_link_ppr,
     "anchor_texts": _b_anchor_texts,
