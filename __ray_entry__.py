@@ -727,6 +727,28 @@ def _q_host_pagerank(sf_dir: str):
     return pagerank(edges, iterations=5)
 
 
+def _q_crawl_budgets(sf_dir: str):
+    """Tiered per-host crawl-budget allocation: quality tiers (mean
+    page perplexity ntile) x host-graph PageRank authority -> exact
+    integer largest-remainder fetch budgets per host.  The batch form
+    of the budget the reference's Heritrix frontier implies through
+    per-queue rotation + decisive-value ordering.  Host-level inputs
+    only; one slim left_outer join + one 4-group allocation."""
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.graph import host_edges, pagerank
+    from topicrawler_ray.stages.politeness import (
+        allocate_crawl_budgets,
+        host_quality_tiers,
+    )
+
+    tiers = host_quality_tiers(_q_doc_perp(sf_dir), n_tiers=4)
+    ranks = pagerank(
+        host_edges(read_pages(sf_dir, num_blocks=16, columns=["url", "html"])),
+        iterations=5,
+    )
+    return allocate_crawl_budgets(tiers, ranks, total_budget=1_000_000)
+
+
 def _q_doc_compress(sf_dir: str):
     """Compressibility quality signal (RefinedWeb-style): utf-8 and
     zlib-compressed byte lengths per doc, stateless Arrow map."""
@@ -2896,6 +2918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "link_pagerank": _q_link_pagerank,
         "host_pagerank": _q_host_pagerank,
+        "crawl_budgets": _q_crawl_budgets,
         "anchor_texts": _q_anchor_texts,
         "bm25_topk": _q_bm25_topk,
         "retrieval_rrf": _q_retrieval_rrf,

@@ -1342,3 +1342,76 @@ class TestInt8Topk:
             b = set(exact[exact.query_id == qi]["vec_id"])
             agree += len(a & b)
         assert agree >= 32  # >=80% overlap across 40 slots
+
+
+class TestAllocateCrawlBudgets:
+    def _tiers_and_ranks(self, ray_session):
+        import ray.data
+
+        tiers = ray.data.from_items(
+            [
+                {"host": "a.example", "tier": 1},
+                {"host": "b.example", "tier": 1},
+                {"host": "c.example", "tier": 2},
+                {"host": "d.example", "tier": 4},
+            ]
+        )
+        # c.example has no rank row -> authority defaults to 0
+        ranks = ray.data.from_items(
+            [
+                {"node": "a.example", "rank": 3_000_000},
+                {"node": "b.example", "rank": 1_000_000},
+                {"node": "d.example", "rank": 500_000},
+                {"node": "offgraph.example", "rank": 9_999_999},
+            ]
+        )
+        return tiers, ranks
+
+    def test_exact_hand_computed_allocation(self, ray_session):
+        from topicrawler_ray.stages.politeness import allocate_crawl_budgets
+
+        tiers, ranks = self._tiers_and_ranks(ray_session)
+        out = (
+            allocate_crawl_budgets(tiers, ranks, total_budget=1000)
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        # tiers present {1, 2, 4}: weights 8, 4, 1 -> W = 13
+        # base: t1 = 8000//13 = 615 r5, t2 = 4000//13 = 307 r9,
+        #       t4 = 1000//13 = 76 r12; leftover 2 -> t4 (r12) = 77, t2 (r9) = 308
+        # t1 budget 615 over w = (3e6+1, 1e6+1): a = 461, b = 153,
+        #   leftover 1 -> larger remainder (b) => a 461, b 154
+        a_w, b_w = 3_000_001, 1_000_001
+        w_t = a_w + b_w
+        a_base, b_base = 615 * a_w // w_t, 615 * b_w // w_t
+        extra_to_a = 615 * a_w % w_t >= 615 * b_w % w_t
+        assert out.host.tolist() == [
+            "a.example", "b.example", "c.example", "d.example"
+        ]
+        assert out.tier.tolist() == [1, 1, 2, 4]
+        assert out.authority.tolist() == [3_000_000, 1_000_000, 0, 500_000]
+        exp_a = a_base + (1 if extra_to_a else 0)
+        exp_b = b_base + (0 if extra_to_a else 1)
+        assert out.budget.tolist() == [exp_a, exp_b, 308, 77]
+        assert out.budget.sum() == 1000
+
+    def test_matches_sequential_oracle(self, ray_session, sf_dir):
+        from topicrawler_ray.oracles import _b_crawl_budgets
+
+        import __ray_entry__ as e
+
+        got = (
+            e.queries()["crawl_budgets"](sf_dir)
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        exp = (
+            _b_crawl_budgets(sf_dir)
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        assert got.equals(exp)
+        assert got.budget.sum() == 1_000_000

@@ -1376,6 +1376,78 @@ def _b_host_pagerank(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_crawl_budgets(sf_dir: str) -> pa.Table:
+    """Sequential tiered crawl-budget allocation, pure Python ints.
+
+    Re-derives the whole chain independently of the engine stages:
+    host = ``url.split('/')[2].lower()`` straight off the doc_perp
+    fixture (itself an independent sequential derivation), ntile by
+    explicit sorted slicing, authority from :func:`_b_host_pagerank`
+    (the already-certified sequential host-rank oracle), and
+    largest-remainder quotas as dict/list loops with arbitrary-
+    precision ints — no numpy, no shared allocation code with
+    ``stages/politeness.py::allocate_crawl_budgets``."""
+    import math
+
+    total_budget, n_tiers = 1_000_000, 4
+    t = pq.read_table(oracle_path(sf_dir, "doc_perp"), columns=["url", "perp"])
+    per_host: dict[str, list[int]] = {}
+    for url, perp in zip(
+        t.column("url").to_pylist(), t.column("perp").to_pylist()
+    ):
+        q = math.floor(perp * 1e6)
+        if q < 0:
+            continue
+        c = per_host.setdefault(url.split("/")[2].lower(), [0, 0])
+        c[0] += 1
+        c[1] += q
+    ordered = sorted(per_host, key=lambda h: (per_host[h][1] // per_host[h][0], h))
+    n, size, extra = len(ordered), len(ordered) // n_tiers, len(ordered) % n_tiers
+    tier_of: dict[str, int] = {}
+    pos = 0
+    for tnum in range(1, n_tiers + 1):
+        cnt = size + (1 if tnum <= extra else 0)
+        for h in ordered[pos : pos + cnt]:
+            tier_of[h] = tnum
+        pos += cnt
+    ranks = _b_host_pagerank(sf_dir)
+    authority = dict(
+        zip(ranks.column("node").to_pylist(), ranks.column("rank").to_pylist())
+    )
+    present = sorted({tier_of[h] for h in tier_of})
+    weights = {tnum: 2 ** (n_tiers - tnum) for tnum in present}
+    w_sum = sum(weights.values())
+    tier_budget = {
+        tnum: total_budget * w // w_sum for tnum, w in weights.items()
+    }
+    for tnum in sorted(
+        present, key=lambda tn: (-(total_budget * weights[tn] % w_sum), tn)
+    )[: total_budget - sum(tier_budget.values())]:
+        tier_budget[tnum] += 1
+    rows = []
+    for tnum in present:
+        hosts = sorted(h for h in tier_of if tier_of[h] == tnum)
+        w = [authority.get(h, 0) + 1 for h in hosts]
+        w_t, tb = sum(w), tier_budget[tnum]
+        budget = [tb * wi // w_t for wi in w]
+        rem = [tb * wi % w_t for wi in w]
+        order = sorted(range(len(hosts)), key=lambda i: (-rem[i], hosts[i]))
+        for i in order[: tb - sum(budget)]:
+            budget[i] += 1
+        rows.extend(
+            (h, tnum, authority.get(h, 0), b)
+            for h, b in zip(hosts, budget)
+        )
+    return pa.table(
+        {
+            "host": pa.array([r[0] for r in rows], pa.string()),
+            "tier": pa.array([r[1] for r in rows], pa.int64()),
+            "authority": pa.array([r[2] for r in rows], pa.int64()),
+            "budget": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
 def _b_link_ppr(sf_dir: str) -> pa.Table:
     """Sequential personalized PageRank (teleport set = crawl seeds)
     with plain dict loops - mirrors stages/graph.py's integer
@@ -2383,6 +2455,7 @@ BUILDERS = {
     "doc_novelty": _b_doc_novelty,
     "link_pagerank": _b_link_pagerank,
     "host_pagerank": _b_host_pagerank,
+    "crawl_budgets": _b_crawl_budgets,
     "link_depths": _b_link_depths,
     "link_ppr": _b_link_ppr,
     "anchor_texts": _b_anchor_texts,

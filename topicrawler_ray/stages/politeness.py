@@ -337,3 +337,132 @@ def host_link_spam(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def allocate_crawl_budgets(
+    tiers_ds,
+    authority_ds,
+    total_budget: int = 1_000_000,
+    n_tiers: int = 4,
+    num_partitions: int | None = None,
+):
+    """Tiered per-host crawl-budget allocation — the operator that turns
+    the two host signals this engine computes (quality tiers from mean
+    page perplexity, authority from host-graph PageRank) into the
+    integer fetch budget a next crawl cycle hands each host.
+
+    Reference context: lt.ltbot budgets hosts implicitly through the
+    Heritrix frontier's per-queue rotation + decisive-value ordering
+    (cxml candidates/disposition chains); production tiered crawls
+    (and Common Crawl's host-rank-driven seed selection) make the
+    budget explicit.  This is the batch form.
+
+    Allocation is EXACT integer largest-remainder (Hamilton) at both
+    levels, so the distributed result is bit-identical under any
+    partitioning and a sequential dict-loop oracle can certify it:
+
+    1. tier budgets: weight ``2^(n_tiers - tier)`` over the tiers that
+       HAVE hosts (tier 1 = best quality = biggest share); quotas
+       ``total_budget * w // W`` plus one unit to the largest
+       remainders (ties -> lower tier first).
+    2. within a tier: host weight = PageRank authority (int64
+       micro-units) + 1 — the +1 floor keeps zero-authority hosts
+       crawlable; quotas ``tier_budget * w_i // W_t`` plus one unit to
+       the largest remainders (ties -> host ASC).
+
+    Shape: the inputs are HOST-level rollups (already reduced by
+    orders of magnitude from pages/edges), so one slim
+    ``left_outer`` hash join tiers⟕authority, a driver-side 4-row
+    tier census, then ONE ``groupby(tier).map_groups`` whose group
+    fn is a vectorized numpy lexsort per tier.  At 10^8+ hosts per
+    tier the group step would switch to per-shard proportional
+    sub-budgets (same remainder algebra, one extra tiny exchange);
+    documented, not needed at any tested scale.
+
+    -> (host, tier, authority, budget); sum(budget) == total_budget
+    whenever any host exists.
+    """
+    import numpy as np
+
+    from .dedup import _default_partitions
+
+    nparts = _default_partitions(num_partitions)
+
+    auth = authority_ds.map_batches(
+        lambda b: pa.table(
+            {"host": b.column("node"), "authority": b.column("rank")}
+        ),
+        batch_format="pyarrow",
+    ).repartition(nparts)
+    joined = (
+        tiers_ds.select_columns(["host", "tier"])
+        .repartition(nparts)  # clear empty 0-column aggregate blocks
+        .join(auth, join_type="left_outer", num_partitions=nparts, on=("host",))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "host": b.column("host"),
+                    "tier": b.column("tier").cast(pa.int64()),
+                    "authority": b.column("authority")
+                    .cast(pa.int64())
+                    .fill_null(0),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # consumed twice: tier census + allocation
+    )
+
+    # tier census: <= n_tiers rows on the driver — O(1) state.
+    present = sorted(
+        r["tier"] for r in joined.groupby("tier").count().take_all()
+    )
+    if not present:
+        return joined.map_batches(
+            lambda b: b.append_column("budget", pa.array([], pa.int64())),
+            batch_format="pyarrow",
+        )
+    weights = {t: 1 << (n_tiers - t) for t in present}
+    w_sum = sum(weights.values())
+    base = {t: total_budget * w // w_sum for t, w in weights.items()}
+    leftover = total_budget - sum(base.values())
+    for t in sorted(
+        present, key=lambda t: (-(total_budget * weights[t] % w_sum), t)
+    )[:leftover]:
+        base[t] += 1
+    tier_budget = base  # exact: sum == total_budget
+
+    def alloc(g: pd.DataFrame) -> pd.DataFrame:
+        tb = tier_budget[int(g["tier"].iloc[0])]
+        w = g["authority"].to_numpy(dtype=np.int64) + 1
+        w_t = int(w.sum())
+        assert tb <= 2**62 // max(int(w.max()), 1), "budget*weight overflow"
+        quota = tb * w  # int64-safe under the assert
+        budget = quota // w_t
+        rem = quota % w_t
+        left = tb - int(budget.sum())
+        # largest remainder, ties -> host ASC (lexsort: last key primary)
+        order = np.lexsort(
+            (g["host"].to_numpy(dtype=object), -rem)
+        )
+        budget[order[:left]] += 1
+        out = pd.DataFrame(
+            {
+                "host": g["host"].to_numpy(dtype=object),
+                "tier": g["tier"].to_numpy(dtype=np.int64),
+                "authority": g["authority"].to_numpy(dtype=np.int64),
+                "budget": budget,
+            }
+        )
+        return out
+
+    # clamp partitions to the group count: sort-range partitions beyond
+    # the distinct tiers emit schema-less empty bundles (ray-2.49 quirk)
+    grouped = (
+        joined.repartition(min(nparts, len(present)))
+        .groupby("tier")
+        .map_groups(alloc)
+    )
+    return grouped.map_batches(
+        lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+    )
