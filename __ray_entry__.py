@@ -727,6 +727,21 @@ def _q_host_pagerank(sf_dir: str):
     return pagerank(edges, iterations=5)
 
 
+def _q_host_harmonic(sf_dir: str):
+    """HyperBall harmonic centrality over the offsite host graph —
+    the published algorithm behind Common Crawl's host ranks (Boldi &
+    Vigna 2013).  One HLL counter per node as int64 register COLUMNS
+    merged by the built-in vectorized groupby.max each hop; ball-size
+    estimates floored to int64; the 1/d harmonic sum accumulated as
+    exact integer rationals (denominator lcm(1..max_iters)) — fully
+    deterministic under any partitioning."""
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.graph import harmonic_centrality, host_edges
+
+    edges = host_edges(read_pages(sf_dir, num_blocks=16, columns=["url", "html"]))
+    return harmonic_centrality(edges, p=4, max_iters=8)
+
+
 def _q_crawl_budgets(sf_dir: str):
     """Tiered per-host crawl-budget allocation: quality tiers (mean
     page perplexity ntile) x host-graph PageRank authority -> exact
@@ -2919,6 +2934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pagerank": _q_link_pagerank,
         "host_pagerank": _q_host_pagerank,
         "crawl_budgets": _q_crawl_budgets,
+        "host_harmonic": _q_host_harmonic,
         "anchor_texts": _q_anchor_texts,
         "bm25_topk": _q_bm25_topk,
         "retrieval_rrf": _q_retrieval_rrf,

@@ -332,3 +332,123 @@ class TestPersonalizedPagerank:
                 for u in nodes
             }
         assert got == rank
+
+
+class TestHarmonicCentrality:
+    def _engine_est(self, regs):
+        import numpy as np
+
+        from topicrawler_ray.stages.graph import harmonic_centrality  # noqa: F401
+        # re-create the engine's batch estimator inline (it is a
+        # closure); keep in lockstep with stages/graph.py::est_batch
+        m = regs.shape[1]
+        den = np.zeros(len(regs), dtype=np.float64)
+        for j in range(m):
+            den += np.exp2(-regs[:, j].astype(np.float64))
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        e = alpha * m * m / den
+        v = (regs == 0).sum(axis=1)
+        small = (e <= 2.5 * m) & (v > 0)
+        if small.any():
+            e = np.where(small, m * np.log(m / np.maximum(v, 1)), e)
+        return np.floor(e).astype(np.int64)
+
+    def test_estimator_lockstep_with_oracle(self):
+        """The oracle's scalar estimator and the engine's vectorized
+        one must floor to the same int64 on random register arrays."""
+        import math
+
+        import numpy as np
+
+        m = 16
+        rng = np.random.RandomState(7)
+        regs = rng.randint(0, 61, size=(500, m)).astype(np.int64)
+        regs[:50] = 0  # all-zero rows (fresh counters)
+        regs[50:100, : m - 1] = 0  # nearly-empty (LC branch)
+
+        def oracle_est(reg):
+            den = np.float64(0.0)
+            for j in range(m):
+                den += np.exp2(np.float64(-reg[j]))
+            alpha = 0.7213 / (1.0 + 1.079 / m)
+            e = alpha * m * m / den
+            v = sum(1 for r in reg if r == 0)
+            if e <= 2.5 * m and v > 0:
+                e = m * np.log(m / np.float64(v))
+            return int(np.floor(e))
+
+        got = self._engine_est(regs)
+        exp = [oracle_est(list(r)) for r in regs]
+        assert got.tolist() == exp
+
+    def test_path_graph_harmonic_close_to_exact(self, ray_session):
+        """On a 6-node path a->b->...->f the TRUE harmonic centrality
+        of node k is sum(1/d for d in 1..k).  The HLL balls are tiny
+        (<= 6 nodes), where the estimator's relative error can reach
+        ~35% at m=16 — assert ordering + coarse value agreement."""
+        import ray.data
+
+        from topicrawler_ray.stages.graph import harmonic_centrality
+
+        names = ["a", "b", "c", "d", "e", "f"]
+        edges = ray.data.from_items(
+            [
+                {"src": s, "dst": d}
+                for s, d in zip(names, names[1:])
+            ]
+        )
+        out = {
+            r["node"]: r["harmonic_e6"] / 1e6
+            for r in harmonic_centrality(edges, p=4, max_iters=8).take_all()
+        }
+        exact = {
+            n: sum(1.0 / d for d in range(1, k + 1))
+            for k, n in enumerate(names)
+        }
+        assert out["a"] == 0.0
+        # strict monotonicity is NOT guaranteed (the estimator's
+        # discrete jumps at tiny ball sizes) — assert coarse value
+        # agreement per node and that the head is clearly separated
+        # from the tail
+        for n in names[1:]:
+            assert abs(out[n] - exact[n]) / exact[n] < 0.4
+        assert out["f"] > out["b"] > out["a"]
+
+    def test_partitioning_invariance(self, ray_session, sf_dir):
+        from topicrawler_ray.sources.pages import read_pages
+        from topicrawler_ray.stages.graph import harmonic_centrality, host_edges
+
+        def run(nparts, nblocks):
+            edges = host_edges(
+                read_pages(sf_dir, num_blocks=nblocks, columns=["url", "html"])
+            )
+            return sorted(
+                (r["node"], r["reach"], r["harmonic_e6"])
+                for r in harmonic_centrality(
+                    edges, p=4, max_iters=8, num_partitions=nparts
+                ).take_all()
+            )
+
+        a = run(2, 3)
+        b = run(7, 16)
+        assert a == b
+        assert len(a) > 0
+
+    def test_matches_sequential_oracle(self, ray_session, sf_dir):
+        from topicrawler_ray.oracles import _b_host_harmonic
+
+        import __ray_entry__ as e
+
+        got = (
+            e.queries()["host_harmonic"](sf_dir)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        exp = (
+            _b_host_harmonic(sf_dir)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert got.equals(exp)

@@ -1448,6 +1448,97 @@ def _b_crawl_budgets(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_host_harmonic(sf_dir: str) -> pa.Table:
+    """Sequential HyperBall harmonic centrality over the offsite host
+    graph, plain-python register loops (Boldi & Vigna 2013).
+
+    Registers are re-derived independently with ``int.bit_length``
+    loops (the HLL-oracle precedent); only ``pd.util.hash_array``
+    (a library primitive, fixed SipHash key) and the published
+    estimator expression are in lockstep with
+    ``stages/graph.py::harmonic_centrality``.  The ball growth is a
+    dict loop over the edge set; merges are per-register ``max``."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from .functions.urls import extract_outlinks, host_of_url
+    from .stages.extract import decode_page_bytes, is_robots_url
+
+    p, max_iters = 4, 8
+    m = 1 << p
+    lcm = math.lcm(*range(1, max_iters + 1))
+
+    edges: set[tuple[str, str]] = set()
+    for url, _ts, html in _pages_rows(sf_dir):
+        if is_robots_url(url) or not html:
+            continue
+        src_host = host_of_url(url)
+        for dst in extract_outlinks(decode_page_bytes(url, html), url):
+            dst_host = host_of_url(dst)
+            if dst_host != src_host:
+                edges.add((src_host, dst_host))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    if not nodes:
+        return pa.table(
+            {
+                "node": pa.array([], pa.string()),
+                "reach": pa.array([], pa.int64()),
+                "harmonic_e6": pa.array([], pa.int64()),
+            }
+        )
+
+    def estimate(reg: list[int]) -> int:
+        den = np.float64(0.0)
+        for j in range(m):
+            den += np.exp2(np.float64(-reg[j]))
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        e = alpha * m * m / den
+        v = sum(1 for r in reg if r == 0)
+        if e <= 2.5 * m and v > 0:
+            e = m * np.log(m / np.float64(v))
+        return int(np.floor(e))
+
+    hashes = pd.util.hash_array(np.array(nodes, dtype=object))
+    regs: dict[str, list[int]] = {}
+    for u, h in zip(nodes, hashes):
+        reg = [0] * m
+        h = int(h)
+        idx = h >> (64 - p)
+        w = (h << p) & ((1 << 64) - 1)
+        reg[idx] = min(64 - w.bit_length() + 1, 64 - p + 1)
+        regs[u] = reg
+    est = {u: estimate(regs[u]) for u in nodes}
+    hacc = dict.fromkeys(nodes, 0)
+    prev_total = sum(sum(r) for r in regs.values())
+    for t in range(1, max_iters + 1):
+        new_regs = {u: list(regs[u]) for u in nodes}
+        for s, d in edges:
+            tgt, src = new_regs[d], regs[s]
+            for j in range(m):
+                if src[j] > tgt[j]:
+                    tgt[j] = src[j]
+        regs = new_regs
+        for u in nodes:
+            e_new = estimate(regs[u])
+            hacc[u] += max(0, e_new - est[u]) * (lcm // t)
+            est[u] = e_new
+        total = sum(sum(r) for r in regs.values())
+        if total == prev_total:
+            break
+        prev_total = total
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.string()),
+            "reach": pa.array([est[u] for u in nodes], pa.int64()),
+            "harmonic_e6": pa.array(
+                [hacc[u] * 10**6 // lcm for u in nodes], pa.int64()
+            ),
+        }
+    )
+
+
 def _b_link_ppr(sf_dir: str) -> pa.Table:
     """Sequential personalized PageRank (teleport set = crawl seeds)
     with plain dict loops - mirrors stages/graph.py's integer
@@ -2456,6 +2547,7 @@ BUILDERS = {
     "link_pagerank": _b_link_pagerank,
     "host_pagerank": _b_host_pagerank,
     "crawl_budgets": _b_crawl_budgets,
+    "host_harmonic": _b_host_harmonic,
     "link_depths": _b_link_depths,
     "link_ppr": _b_link_ppr,
     "anchor_texts": _b_anchor_texts,

@@ -816,3 +816,196 @@ def personalized_pagerank(
         )
 
     return ranks.select_columns(["node", "rank"])
+
+
+def harmonic_centrality(
+    edges,
+    *,
+    p: int = 4,
+    max_iters: int = 8,
+    num_partitions: int | None = None,
+):
+    """HyperBall harmonic centrality over an (src, dst) edge Dataset
+    (Boldi & Vigna 2013, the published algorithm behind Common Crawl's
+    host-rank releases).
+
+    Harmonic centrality of ``v`` = sum over reachable ``u != v`` of
+    ``1 / d(u, v)`` (incoming distance).  Exact all-pairs BFS is
+    quadratic; HyperBall keeps ONE ``m = 2**p``-register HyperLogLog
+    counter per node holding ~|ball(v, t)| and grows every ball one
+    hop per round, because HLL counters merge by element-wise MAX —
+    associative, commutative, idempotent, so the distributed merge is
+    bit-identical under ANY block order / partitioning.
+
+    Exactness discipline (the repo's integer-reduce rule):
+
+    * registers are int64 columns ``r00..r{m-1}``, merged by the
+      built-in vectorized ``groupby(node).max(...)`` — no float ever
+      crosses an exchange;
+    * the ball-size estimate is FLOORED to int64 per round via the
+      published estimator in a fixed left-to-right accumulation
+      (kept in lockstep with the sequential oracle, like
+      ``stages/sketches.py``);
+    * the harmonic sum accumulates ``max(0, est_t - est_{t-1}) *
+      (L // t)`` in int64 with ``L = lcm(1..max_iters)`` — exact
+      rational arithmetic, no float-order hazard (estimates are
+      monotonized like HyperBall's systolic variant);
+    * hashing is ``pd.util.hash_array`` (SipHash, fixed key), the
+      same primitive the HLL aggregate uses.
+
+    Per round: one ``edges ⋈ state`` hash join + one ``groupby.max``
+    — the pagerank exchange shape; state is O(nodes · m), edges
+    stream.  Rounds stop early when the global register sum (a tiny
+    scalar reduce) stops growing, i.e. every ball is complete.
+    -> (node: str, reach: int64, harmonic_e6: int64)
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    num_partitions = _default_partitions(num_partitions)
+    m = 1 << p
+    rcols = ["r%02d" % j for j in range(m)]
+    lcm = math.lcm(*range(1, max_iters + 1))
+
+    edges = edges.materialize()
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch.column("src").combine_chunks().cast(pa.string()),
+                        batch.column("dst").combine_chunks().cast(pa.string()),
+                    ]
+                )
+            }
+        )
+
+    nodes = (
+        edges.map_batches(node_rows, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .select_columns(["node"])
+        .repartition(num_partitions)
+    )
+
+    def est_batch(regs: np.ndarray) -> np.ndarray:
+        """Published HLL estimator, batch-vectorized; strict
+        left-to-right register accumulation (oracle lockstep)."""
+        den = np.zeros(len(regs), dtype=np.float64)
+        for j in range(m):
+            den += np.exp2(-regs[:, j].astype(np.float64))
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        e = alpha * m * m / den
+        v = (regs == 0).sum(axis=1)
+        small = (e <= 2.5 * m) & (v > 0)
+        if small.any():
+            e = np.where(small, m * np.log(m / np.maximum(v, 1)), e)
+        return np.floor(e).astype(np.int64)
+
+    def init_state(batch: pa.Table) -> pa.Table:
+        from .sketches import _hash64, _ranks
+
+        names = batch.column("node").to_numpy(zero_copy_only=False)
+        regs = np.zeros((len(names), m), dtype=np.int64)
+        if len(names):
+            idx, rank = _ranks(_hash64(names.astype(object)), p)
+            regs[np.arange(len(names)), idx] = rank.astype(np.int64)
+        cols = {"node": batch.column("node")}
+        for j, rc in enumerate(rcols):
+            cols[rc] = pa.array(regs[:, j], pa.int64())
+        cols["est"] = pa.array(est_batch(regs), pa.int64())
+        cols["hacc"] = pa.array(np.zeros(len(names), dtype=np.int64), pa.int64())
+        return pa.table(cols)
+
+    state = nodes.map_batches(init_state, batch_format="pyarrow").materialize()
+    if state.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "reach": pa.array([], pa.int64()),
+                    "harmonic_e6": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def reg_total(ds) -> int:
+        sums = ds.sum(rcols, ignore_nulls=True)
+        return sum(int(sums["sum(%s)" % rc]) for rc in rcols)
+
+    prev_total = reg_total(state)
+
+    for t in range(1, max_iters + 1):
+        joined = edges.join(
+            state.select_columns(["node"] + rcols),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("node",),
+        )
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            neg = pa.array([-1] * batch.num_rows, pa.int64())
+            cols = {"node": batch.column("dst")}
+            for rc in rcols:
+                cols[rc] = _int64(batch.column(rc))
+            cols["est"] = neg
+            cols["hacc"] = neg
+            return pa.table(cols)
+
+        merged = (
+            joined.map_batches(contrib, batch_format="pyarrow")
+            .union(state)
+            .groupby("node")
+            .max(rcols + ["est", "hacc"])
+        )
+
+        def update(batch: pa.Table, _t=t) -> pa.Table:
+            regs = np.stack(
+                [
+                    batch.column("max(%s)" % rc).to_numpy(zero_copy_only=False)
+                    for rc in rcols
+                ],
+                axis=1,
+            ).astype(np.int64)
+            est_prev = batch.column("max(est)").to_numpy(zero_copy_only=False)
+            hacc = batch.column("max(hacc)").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            est_new = est_batch(regs)
+            delta = np.maximum(0, est_new - est_prev.astype(np.int64))
+            hacc = hacc + delta * (lcm // _t)
+            cols = {"node": batch.column("node")}
+            for j, rc in enumerate(rcols):
+                cols[rc] = pa.array(regs[:, j], pa.int64())
+            cols["est"] = pa.array(est_new, pa.int64())
+            cols["hacc"] = pa.array(hacc, pa.int64())
+            return pa.table(cols)
+
+        state = (
+            merged.map_batches(update, batch_format="pyarrow")
+            .repartition(num_partitions)
+            .materialize()
+        )
+        total = reg_total(state)
+        if total == prev_total:
+            break  # every ball is complete — later rounds are no-ops
+        prev_total = total
+
+    def finish(batch: pa.Table) -> pa.Table:
+        hacc = batch.column("hacc").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "reach": _int64(batch.column("est")),
+                "harmonic_e6": pa.array(
+                    hacc.astype(object) * 10**6 // lcm, pa.int64()
+                ),
+            }
+        )
+
+    return state.map_batches(finish, batch_format="pyarrow")
