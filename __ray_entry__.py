@@ -727,6 +727,23 @@ def _q_host_pagerank(sf_dir: str):
     return pagerank(edges, iterations=5)
 
 
+def _q_politeness_audit(sf_dir: str):
+    """Politeness-compliance audit over the crawl decision log: per
+    host, fetch/wave counts and the min/max wave gap between
+    consecutive fetches, plus the one-fetch-per-wave invariant flag
+    (the Heritrix one-connection-per-queue rule the wave engine must
+    uphold).  One groupby(host) of slim log rows; pure-SQL lag-window
+    oracle."""
+    import ray.data
+
+    from topicrawler_ray.stages.politeness import politeness_audit
+
+    log = _q_crawl_log(sf_dir)  # pa.Table (cached crawl artifact)
+    return politeness_audit(
+        ray.data.from_arrow(log.select(["host", "wave", "fetch_seq"]))
+    )
+
+
 def _q_host_harmonic(sf_dir: str):
     """HyperBall harmonic centrality over the offsite host graph —
     the published algorithm behind Common Crawl's host ranks (Boldi &
@@ -2935,6 +2952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _q_host_pagerank,
         "crawl_budgets": _q_crawl_budgets,
         "host_harmonic": _q_host_harmonic,
+        "politeness_audit": _q_politeness_audit,
         "anchor_texts": _q_anchor_texts,
         "bm25_topk": _q_bm25_topk,
         "retrieval_rrf": _q_retrieval_rrf,
@@ -3759,6 +3777,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(bucket AS BIGINT) AS bucket, new_words, "
             "CAST(sum(new_words) OVER (ORDER BY bucket) AS BIGINT) "
             "AS cum_vocab FROM b ORDER BY bucket"
+        ),
+        "politeness_audit": (
+            "WITH g AS ("
+            "SELECT host, wave, "
+            "wave - lag(wave) OVER (PARTITION BY host ORDER BY fetch_seq) "
+            "AS gap FROM read_parquet('%s')) "
+            "SELECT host, CAST(count(*) AS BIGINT) AS n_fetches, "
+            "CAST(count(DISTINCT wave) AS BIGINT) AS n_waves, "
+            "CAST(coalesce(min(gap), 0) AS BIGINT) AS min_wave_gap, "
+            "CAST(coalesce(max(gap), 0) AS BIGINT) AS max_wave_gap, "
+            "count(*) = count(DISTINCT wave) AS one_per_wave "
+            "FROM g GROUP BY host"
+            % _ORACLES_SF001["crawl_log"]
         ),
         "host_tiers": (
             "WITH perp AS ("

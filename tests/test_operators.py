@@ -1415,3 +1415,46 @@ class TestAllocateCrawlBudgets:
         )
         assert got.equals(exp)
         assert got.budget.sum() == 1_000_000
+
+
+class TestPolitenessAudit:
+    def test_hand_computed_gaps(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.politeness import politeness_audit
+
+        rows = [
+            # host a: waves 0, 2, 5 -> gaps 2, 3
+            {"host": "a", "wave": 0, "fetch_seq": 1},
+            {"host": "a", "wave": 2, "fetch_seq": 2},
+            {"host": "a", "wave": 5, "fetch_seq": 3},
+            # host b: single fetch -> gaps empty
+            {"host": "b", "wave": 4, "fetch_seq": 4},
+            # host c: VIOLATION - two fetches in wave 1
+            {"host": "c", "wave": 1, "fetch_seq": 5},
+            {"host": "c", "wave": 1, "fetch_seq": 6},
+        ]
+        out = (
+            politeness_audit(ray.data.from_items(rows))
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        assert out.host.tolist() == ["a", "b", "c"]
+        assert out.n_fetches.tolist() == [3, 1, 2]
+        assert out.n_waves.tolist() == [3, 1, 1]
+        assert out.min_wave_gap.tolist() == [2, 0, 0]
+        assert out.max_wave_gap.tolist() == [3, 0, 0]
+        assert out.one_per_wave.tolist() == [True, True, False]
+
+    def test_real_crawl_upholds_one_per_wave(self, ray_session, sf_dir):
+        """The wave engine must never fetch one host twice in a wave —
+        the audit operator proves the Heritrix invariant end-to-end."""
+        import __ray_entry__ as e
+
+        out = e.queries()["politeness_audit"](sf_dir).to_pandas()
+        assert len(out) > 0
+        assert out.one_per_wave.all()
+        # consecutive fetches of a host always advance the wave clock
+        multi = out[out.n_fetches > 1]
+        assert (multi.min_wave_gap >= 1).all()

@@ -466,3 +466,57 @@ def allocate_crawl_budgets(
     return grouped.map_batches(
         lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
     )
+
+
+def politeness_audit(log_ds, num_partitions: int | None = None):
+    """Per-host politeness-compliance audit over a crawl decision log —
+    the invariant proof a tiered scheduler owes its operator: every
+    host was fetched at most once per wave (Heritrix's one-connection-
+    per-queue rule, cxml disposition chain) and the wave gaps between
+    consecutive fetches of a host are reported so robots Crawl-delay
+    hosts can be spot-checked.
+
+    Shape: the audit is naturally host-partitioned — ONE
+    ``groupby(host)`` shuffle of slim (host, wave, fetch_seq) rows,
+    then a vectorized per-group sort + diff.  Output is host-level.
+    Pure-SQL window oracle (lag OVER PARTITION BY host).
+
+    -> (host, n_fetches, n_waves, min_wave_gap, max_wave_gap,
+        one_per_wave)
+    """
+    import numpy as np
+
+    from .dedup import _default_partitions
+
+    nparts = _default_partitions(num_partitions)
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("fetch_seq")
+        waves = g["wave"].to_numpy(dtype=np.int64)
+        gaps = np.diff(waves)
+        return pd.DataFrame(
+            {
+                "host": [g["host"].iloc[0]],
+                "n_fetches": np.array([len(waves)], dtype=np.int64),
+                "n_waves": np.array(
+                    [len(np.unique(waves))], dtype=np.int64
+                ),
+                "min_wave_gap": np.array(
+                    [int(gaps.min()) if len(gaps) else 0], dtype=np.int64
+                ),
+                "max_wave_gap": np.array(
+                    [int(gaps.max()) if len(gaps) else 0], dtype=np.int64
+                ),
+                "one_per_wave": [len(np.unique(waves)) == len(waves)],
+            }
+        )
+
+    out = (
+        log_ds.select_columns(["host", "wave", "fetch_seq"])
+        .repartition(nparts)
+        .groupby("host")
+        .map_groups(audit)
+    )
+    return out.map_batches(
+        lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+    )
