@@ -759,6 +759,27 @@ def _q_host_harmonic(sf_dir: str):
     return harmonic_centrality(edges, p=4, max_iters=8)
 
 
+def _q_seed_selection(sf_dir: str):
+    """Common-Crawl-style seed selection for the next crawl cycle:
+    hosts ranked by HyperBall harmonic centrality, link-spam and
+    high-duplication hosts gated out, exact top-k with deterministic
+    ties.  Composes three certified host signals with two slim
+    host-level joins."""
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.graph import harmonic_centrality, host_edges
+    from topicrawler_ray.stages.politeness import (
+        host_dup_rate,
+        host_link_spam,
+        select_seed_hosts,
+    )
+
+    pages = read_pages(sf_dir, num_blocks=16, columns=["url", "html"])
+    harmonic = harmonic_centrality(host_edges(pages), p=4, max_iters=8)
+    return select_seed_hosts(
+        harmonic, host_dup_rate(pages), host_link_spam(pages), k=5
+    )
+
+
 def _q_crawl_budgets(sf_dir: str):
     """Tiered per-host crawl-budget allocation: quality tiers (mean
     page perplexity ntile) x host-graph PageRank authority -> exact
@@ -2953,6 +2974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_budgets": _q_crawl_budgets,
         "host_harmonic": _q_host_harmonic,
         "politeness_audit": _q_politeness_audit,
+        "seed_selection": _q_seed_selection,
         "anchor_texts": _q_anchor_texts,
         "bm25_topk": _q_bm25_topk,
         "retrieval_rrf": _q_retrieval_rrf,

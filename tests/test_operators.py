@@ -1458,3 +1458,46 @@ class TestPolitenessAudit:
         # consecutive fetches of a host always advance the wave clock
         multi = out[out.n_fetches > 1]
         assert (multi.min_wave_gap >= 1).all()
+
+
+class TestSelectSeedHosts:
+    def test_gate_and_topk_hand_computed(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.politeness import select_seed_hosts
+
+        harmonic = ray.data.from_items(
+            [
+                {"node": "a", "reach": 9, "harmonic_e6": 900},
+                {"node": "b", "reach": 9, "harmonic_e6": 800},
+                {"node": "c", "reach": 9, "harmonic_e6": 700},
+                {"node": "d", "reach": 9, "harmonic_e6": 700},  # tie with c
+                {"node": "e", "reach": 9, "harmonic_e6": 600},
+                # f: link-known only — absent from dup/spam tables
+                {"node": "f", "reach": 9, "harmonic_e6": 650},
+            ]
+        )
+        dup = ray.data.from_items(
+            [
+                {"host": "a", "dup_pct_e4": 9000},  # gated: dup >= 5000
+                {"host": "b", "dup_pct_e4": 0},
+                {"host": "c", "dup_pct_e4": 100},
+                {"host": "d", "dup_pct_e4": 100},
+                {"host": "e", "dup_pct_e4": 0},
+            ]
+        )
+        spam = ray.data.from_items(
+            [
+                {"host": "a", "spam": False},
+                {"host": "b", "spam": True},  # gated: spam
+                {"host": "c", "spam": False},
+                {"host": "d", "spam": False},
+                {"host": "e", "spam": False},
+            ]
+        )
+        out = select_seed_hosts(harmonic, dup, spam, k=3).to_pandas()
+        # survivors: c(700) d(700) e(600) f(650); top-3 by
+        # (harmonic DESC, host ASC) = c, d, f
+        assert out["rank"].tolist() == [1, 2, 3]
+        assert out.host.tolist() == ["c", "d", "f"]
+        assert out.harmonic_e6.tolist() == [700, 700, 650]

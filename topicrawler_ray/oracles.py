@@ -1539,6 +1539,52 @@ def _b_host_harmonic(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_seed_selection(sf_dir: str) -> pa.Table:
+    """Sequential seed-host selection: harmonic ranks from
+    :func:`_b_host_harmonic`, dup rate from the pages fixture's STORED
+    text column (the independent extraction oracle), spam from
+    :func:`_b_host_link_spam` — then the same gate + top-k as plain
+    sorted lists."""
+    from .sources.pages import pages_path
+
+    k, max_dup_pct_e4 = 5, 5000
+    h = _b_host_harmonic(sf_dir)
+    harmonic = dict(
+        zip(h.column("node").to_pylist(), h.column("harmonic_e6").to_pylist())
+    )
+    t = pq.read_table(pages_path(sf_dir), columns=["url", "text"])
+    per_host: dict[str, list] = {}
+    for url, text in zip(
+        t.column("url").to_pylist(), t.column("text").to_pylist()
+    ):
+        if url.endswith("robots.txt"):
+            continue
+        c = per_host.setdefault(url.split("/")[2].lower(), [0, set()])
+        c[0] += 1
+        c[1].add(text)
+    dup_pct = {
+        host: (c[0] - len(c[1])) * 10000 // c[0] for host, c in per_host.items()
+    }
+    s = _b_host_link_spam(sf_dir)
+    spam = dict(
+        zip(s.column("host").to_pylist(), s.column("spam").to_pylist())
+    )
+    survivors = [
+        (host, hv)
+        for host, hv in harmonic.items()
+        if not spam.get(host, False) and dup_pct.get(host, 0) < max_dup_pct_e4
+    ]
+    survivors.sort(key=lambda r: (-r[1], r[0]))
+    top = survivors[:k]
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(top) + 1), pa.int64()),
+            "host": pa.array([r[0] for r in top], pa.string()),
+            "harmonic_e6": pa.array([r[1] for r in top], pa.int64()),
+        }
+    )
+
+
 def _b_link_ppr(sf_dir: str) -> pa.Table:
     """Sequential personalized PageRank (teleport set = crawl seeds)
     with plain dict loops - mirrors stages/graph.py's integer
@@ -2548,6 +2594,7 @@ BUILDERS = {
     "host_pagerank": _b_host_pagerank,
     "crawl_budgets": _b_crawl_budgets,
     "host_harmonic": _b_host_harmonic,
+    "seed_selection": _b_seed_selection,
     "link_depths": _b_link_depths,
     "link_ppr": _b_link_ppr,
     "anchor_texts": _b_anchor_texts,

@@ -520,3 +520,81 @@ def politeness_audit(log_ds, num_partitions: int | None = None):
     return out.map_batches(
         lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
     )
+
+
+def select_seed_hosts(
+    harmonic_ds,
+    dup_ds,
+    spam_ds,
+    k: int = 5,
+    max_dup_pct_e4: int = 5000,
+    num_partitions: int | None = None,
+):
+    """Next-cycle seed-host selection, the Common-Crawl recipe: rank
+    hosts by harmonic centrality (their published host-rank signal),
+    drop link-spam hosts and hosts serving mostly duplicate bodies,
+    take the top ``k``.
+
+    Inputs are the three HOST-level signals this engine certifies
+    separately: :func:`~topicrawler_ray.stages.graph.harmonic_centrality`
+    (node, reach, harmonic_e6), :func:`host_dup_rate` (host,
+    dup_pct_e4), :func:`host_link_spam` (host, spam).  Hosts known
+    only from links (never fetched) keep dup=0 / spam=False — they
+    are prime seed candidates, exactly how CC seeds from rank alone.
+
+    Shape: two slim ``left_outer`` hash joins of host-level tables, a
+    vectorized gate, ONE distributed sort of the surviving host rows
+    (O(hosts), orders below page scale), ``limit(k)`` streamed — the
+    driver holds exactly ``k`` rows to stamp ranks.
+    -> (rank 1..k, host, harmonic_e6)
+    """
+    import ray
+
+    from .dedup import _default_partitions
+
+    nparts = _default_partitions(num_partitions)
+
+    base = harmonic_ds.map_batches(
+        lambda b: pa.table(
+            {"host": b.column("node"), "harmonic_e6": b.column("harmonic_e6")}
+        ),
+        batch_format="pyarrow",
+    ).repartition(nparts)
+    dup = dup_ds.select_columns(["host", "dup_pct_e4"]).repartition(nparts)
+    spam = spam_ds.select_columns(["host", "spam"]).repartition(nparts)
+    joined = base.join(
+        dup, join_type="left_outer", num_partitions=nparts, on=("host",)
+    ).join(spam, join_type="left_outer", num_partitions=nparts, on=("host",))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dup_pct = batch.column("dup_pct_e4").cast(pa.int64()).fill_null(0)
+        is_spam = batch.column("spam").fill_null(False)
+        keep = pc.and_(
+            pc.invert(is_spam), pc.less(dup_pct, max_dup_pct_e4)
+        )
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "harmonic_e6": batch.column("harmonic_e6").cast(pa.int64()),
+            }
+        ).filter(keep)
+
+    top = (
+        joined.map_batches(gate, batch_format="pyarrow")
+        .sort(["harmonic_e6", "host"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array(range(1, len(top) + 1), pa.int64()),
+                "host": pa.array([r["host"] for r in top], pa.string()),
+                "harmonic_e6": pa.array(
+                    [r["harmonic_e6"] for r in top], pa.int64()
+                ),
+            }
+        )
+    )
