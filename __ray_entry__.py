@@ -759,6 +759,41 @@ def _q_host_harmonic(sf_dir: str):
     return harmonic_centrality(edges, p=4, max_iters=8)
 
 
+def _q_knn_recall(sf_dir: str):
+    """ANN quality evaluation: recall@10 of each approximate similarity
+    path (int8 scan, IVF, LSH) against the exact brute-force top-10,
+    per query.  The heavy retrieval work is the four distributed knn
+    pipelines; the recall merge touches only their O(methods x Q x k)
+    result rows on the driver (bounded by construction)."""
+    import pyarrow as pa
+
+    brute_df = _q_knn_bruteforce(sf_dir)
+    exact: dict[int, set] = {}
+    for qid, vid in zip(brute_df["query_id"], brute_df["vec_id"]):
+        exact.setdefault(int(qid), set()).add(vid)
+    methods = {
+        "int8": _q_knn_int8,
+        "ivf": _q_knn_ivf,
+        "lsh": _q_knn_lsh,
+    }
+    rows = []
+    for mname in sorted(methods):
+        df = methods[mname](sf_dir)
+        got: dict[int, set] = {}
+        for qid, vid in zip(df["query_id"], df["vec_id"]):
+            got.setdefault(int(qid), set()).add(vid)
+        for qid in sorted(exact):
+            hit = len(exact[qid] & got.get(qid, set()))
+            rows.append((mname, qid, hit * 10000 // 10))
+    return pa.table(
+        {
+            "method": pa.array([r[0] for r in rows], pa.string()),
+            "query_id": pa.array([r[1] for r in rows], pa.int64()),
+            "recall_e4": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
 def _q_seed_selection(sf_dir: str):
     """Common-Crawl-style seed selection for the next crawl cycle:
     hosts ranked by HyperBall harmonic centrality, link-spam and
@@ -2975,6 +3010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_harmonic": _q_host_harmonic,
         "politeness_audit": _q_politeness_audit,
         "seed_selection": _q_seed_selection,
+        "knn_recall": _q_knn_recall,
         "anchor_texts": _q_anchor_texts,
         "bm25_topk": _q_bm25_topk,
         "retrieval_rrf": _q_retrieval_rrf,

@@ -1501,3 +1501,14 @@ class TestSelectSeedHosts:
         assert out["rank"].tolist() == [1, 2, 3]
         assert out.host.tolist() == ["c", "d", "f"]
         assert out.harmonic_e6.tolist() == [700, 700, 650]
+
+
+class TestKnnRecall:
+    def test_recall_values_sane_and_int8_exactish(self, ray_session, sf_dir):
+        import __ray_entry__ as e
+
+        df = e.queries()["knn_recall"](sf_dir).to_pandas()
+        assert set(df.method) == {"int8", "ivf", "lsh"}
+        assert ((df.recall_e4 >= 0) & (df.recall_e4 <= 10000)).all()
+        # int8 quantized scan is near-exact: recall@10 >= 0.8 per query
+        assert (df[df.method == "int8"].recall_e4 >= 8000).all()

@@ -1539,6 +1539,59 @@ def _b_host_harmonic(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_knn_recall(sf_dir: str) -> pa.Table:
+    """Sequential recall@10 of the approximate ANN paths against exact
+    brute force.  The exact side is computed by DuckDB (the same SQL
+    the knn_bruteforce oracle uses — an independent engine); the
+    approximate sides come from this module's own sequential/golden
+    derivations (:func:`_b_knn_ivf`, :func:`_b_knn_lsh`,
+    :func:`_b_knn_int8`), so nothing is shared with the distributed
+    kernels being certified."""
+    import duckdb
+
+    con = duckdb.connect()
+    brute = con.execute(
+        "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe "
+        "FROM read_parquet('%s') WHERE vec_id < 5), "
+        "s AS (SELECT q.qid, e.vec_id, "
+        "list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS c "
+        "FROM q CROSS JOIN read_parquet('%s') e) "
+        "SELECT CAST(qid AS BIGINT) AS query_id, vec_id FROM s "
+        "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY c DESC, "
+        "vec_id ASC) <= 10"
+        % ((sf_dir + "/embeddings.parquet",) * 2)
+    ).fetch_arrow_table()
+    con.close()
+    exact: dict[int, set] = {}
+    for qid, vid in zip(
+        brute.column("query_id").to_pylist(), brute.column("vec_id").to_pylist()
+    ):
+        exact.setdefault(qid, set()).add(vid)
+    methods = {
+        "int8": _b_knn_int8,
+        "ivf": _b_knn_ivf,
+        "lsh": _b_knn_lsh,
+    }
+    rows = []
+    for mname in sorted(methods):
+        t = methods[mname](sf_dir)
+        got: dict[int, set] = {}
+        for qid, vid in zip(
+            t.column("query_id").to_pylist(), t.column("vec_id").to_pylist()
+        ):
+            got.setdefault(int(qid), set()).add(vid)
+        for qid in sorted(exact):
+            hit = len(exact[qid] & got.get(qid, set()))
+            rows.append((mname, qid, hit * 10000 // 10))
+    return pa.table(
+        {
+            "method": pa.array([r[0] for r in rows], pa.string()),
+            "query_id": pa.array([r[1] for r in rows], pa.int64()),
+            "recall_e4": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
 def _b_seed_selection(sf_dir: str) -> pa.Table:
     """Sequential seed-host selection: harmonic ranks from
     :func:`_b_host_harmonic`, dup rate from the pages fixture's STORED
@@ -2595,6 +2648,7 @@ BUILDERS = {
     "crawl_budgets": _b_crawl_budgets,
     "host_harmonic": _b_host_harmonic,
     "seed_selection": _b_seed_selection,
+    "knn_recall": _b_knn_recall,
     "link_depths": _b_link_depths,
     "link_ppr": _b_link_ppr,
     "anchor_texts": _b_anchor_texts,
