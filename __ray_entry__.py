@@ -759,6 +759,19 @@ def _q_host_harmonic(sf_dir: str):
     return harmonic_centrality(edges, p=4, max_iters=8)
 
 
+def _q_host_degrees(sf_dir: str):
+    """Per-host in/out-degree over the offsite host graph (the degree
+    distribution crawl operations read before budgeting): host-pair
+    collapse in the extraction task, then ONE seed-row groupby —
+    no join."""
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.graph import degrees, host_edges
+
+    return degrees(
+        host_edges(read_pages(sf_dir, num_blocks=16, columns=["url", "html"]))
+    )
+
+
 def _q_knn_recall(sf_dir: str):
     """ANN quality evaluation: recall@10 of each approximate similarity
     path (int8 scan, IVF, LSH) against the exact brute-force top-10,
@@ -3011,6 +3024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "politeness_audit": _q_politeness_audit,
         "seed_selection": _q_seed_selection,
         "knn_recall": _q_knn_recall,
+        "host_degrees": _q_host_degrees,
         "anchor_texts": _q_anchor_texts,
         "bm25_topk": _q_bm25_topk,
         "retrieval_rrf": _q_retrieval_rrf,

@@ -452,3 +452,28 @@ class TestHarmonicCentrality:
             .reset_index(drop=True)
         )
         assert got.equals(exp)
+
+
+class TestDegrees:
+    def test_hand_graph(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.graph import degrees
+
+        edges = ray.data.from_items(
+            [
+                {"src": "a", "dst": "b"},
+                {"src": "a", "dst": "c"},
+                {"src": "b", "dst": "c"},
+                {"src": "c", "dst": "a"},
+            ]
+        )
+        out = (
+            degrees(edges)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert out.node.tolist() == ["a", "b", "c"]
+        assert out.outdeg.tolist() == [2, 1, 1]
+        assert out.indeg.tolist() == [1, 1, 2]

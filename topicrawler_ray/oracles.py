@@ -1539,6 +1539,37 @@ def _b_host_harmonic(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_host_degrees(sf_dir: str) -> pa.Table:
+    """Sequential in/out-degree over the offsite host edge set (same
+    independent edge derivation as :func:`_b_host_pagerank`; the
+    degree fold is plain dict loops)."""
+    from .functions.urls import extract_outlinks, host_of_url
+    from .stages.extract import decode_page_bytes, is_robots_url
+
+    edges: set[tuple[str, str]] = set()
+    for url, _ts, html in _pages_rows(sf_dir):
+        if is_robots_url(url) or not html:
+            continue
+        src_host = host_of_url(url)
+        for dst in extract_outlinks(decode_page_bytes(url, html), url):
+            dst_host = host_of_url(dst)
+            if dst_host != src_host:
+                edges.add((src_host, dst_host))
+    outdeg: dict[str, int] = {}
+    indeg: dict[str, int] = {}
+    for s, d in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+        indeg[d] = indeg.get(d, 0) + 1
+    nodes = sorted(set(outdeg) | set(indeg))
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.string()),
+            "outdeg": pa.array([outdeg.get(u, 0) for u in nodes], pa.int64()),
+            "indeg": pa.array([indeg.get(u, 0) for u in nodes], pa.int64()),
+        }
+    )
+
+
 def _b_knn_recall(sf_dir: str) -> pa.Table:
     """Sequential recall@10 of the approximate ANN paths against exact
     brute force.  The exact side is computed by DuckDB (the same SQL
@@ -2649,6 +2680,7 @@ BUILDERS = {
     "host_harmonic": _b_host_harmonic,
     "seed_selection": _b_seed_selection,
     "knn_recall": _b_knn_recall,
+    "host_degrees": _b_host_degrees,
     "link_depths": _b_link_depths,
     "link_ppr": _b_link_ppr,
     "anchor_texts": _b_anchor_texts,

@@ -1009,3 +1009,47 @@ def harmonic_centrality(
         )
 
     return state.map_batches(finish, batch_format="pyarrow")
+
+
+def degrees(edges, num_partitions: int | None = None):
+    """Per-node in/out-degree over a distinct (src, dst) edge Dataset —
+    the degree-distribution signal (power-law tail, mega-host fan-in)
+    crawl operations read before budgeting.  ONE aggregate: every edge
+    emits (src, od=1, id=0) and (dst, od=0, id=1) rows; a single
+    ``groupby(node).sum`` yields the complete node table (the pagerank
+    seed-row discipline — no join).
+    -> (node, outdeg, indeg)
+    """
+    num_partitions = _default_partitions(num_partitions)
+
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        ns = batch.num_rows
+        one = pa.array([1] * ns, pa.int64())
+        zero = pa.array([0] * ns, pa.int64())
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {"node": batch.column("src"), "od": one, "id": zero}
+                ),
+                pa.table(
+                    {"node": batch.column("dst"), "od": zero, "id": one}
+                ),
+            ]
+        )
+
+    return (
+        edges.map_batches(deg_rows, batch_format="pyarrow")
+        .groupby("node")
+        .sum(["od", "id"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b.column("node"),
+                    "outdeg": b.column("sum(od)").cast(pa.int64()),
+                    "indeg": b.column("sum(id)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(num_partitions)
+    )
