@@ -23,6 +23,7 @@ _PAGES_SF001 = pages_path("/root/testdata/sf0.01")
 # materialise the sequential-oracle fixtures (VERDICT r1 item 1): every
 # query below is hash-checked by the driver against an independently
 # executed single-process derivation (see topicrawler_ray/oracles.py)
+from topicrawler_ray.oracles import KNN_BRUTE_SQL as _KNN_BRUTE_SQL
 from topicrawler_ray.oracles import materialize_all as _materialize_oracles
 
 _ORACLES_SF001 = _materialize_oracles("/root/testdata/sf0.01")
@@ -797,7 +798,8 @@ def _q_knn_recall(sf_dir: str):
             got.setdefault(int(qid), set()).add(vid)
         for qid in sorted(exact):
             hit = len(exact[qid] & got.get(qid, set()))
-            rows.append((mname, qid, hit * 10000 // 10))
+            # denominator = |exact top-k| (can be < k on tiny tables)
+            rows.append((mname, qid, hit * 10000 // len(exact[qid])))
     return pa.table(
         {
             "method": pa.array([r[0] for r in rows], pa.string()),
@@ -3351,18 +3353,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(b.embedding AS DOUBLE[])) >= 0.4 "
             "ORDER BY id_a, id_b"
         ),
-        "knn_bruteforce": (
-            "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe "
-            "FROM embeddings WHERE vec_id < 5), "
-            "s AS (SELECT q.qid, e.vec_id, "
-            "list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS c "
-            "FROM q CROSS JOIN embeddings e) "
-            "SELECT CAST(qid AS BIGINT) AS query_id, "
-            "CAST(row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) - 1 "
-            "AS BIGINT) AS rank, vec_id, "
-            "CAST(floor(c * 10000) AS BIGINT) AS cosine_e4 FROM s "
-            "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) <= 10"
-        ),
+        # single source of truth shared with _b_knn_recall's exact side
+        "knn_bruteforce": _KNN_BRUTE_SQL.format(tbl="embeddings"),
         "token_counts": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
             "AS n_ws_tokens FROM documents"

@@ -336,22 +336,11 @@ class TestPersonalizedPagerank:
 
 class TestHarmonicCentrality:
     def _engine_est(self, regs):
-        import numpy as np
+        # the ACTUAL engine kernel — any estimator drift in
+        # stages/graph.py is caught here against the scalar oracle
+        from topicrawler_ray.stages.graph import hll_estimate_batch
 
-        from topicrawler_ray.stages.graph import harmonic_centrality  # noqa: F401
-        # re-create the engine's batch estimator inline (it is a
-        # closure); keep in lockstep with stages/graph.py::est_batch
-        m = regs.shape[1]
-        den = np.zeros(len(regs), dtype=np.float64)
-        for j in range(m):
-            den += np.exp2(-regs[:, j].astype(np.float64))
-        alpha = 0.7213 / (1.0 + 1.079 / m)
-        e = alpha * m * m / den
-        v = (regs == 0).sum(axis=1)
-        small = (e <= 2.5 * m) & (v > 0)
-        if small.any():
-            e = np.where(small, m * np.log(m / np.maximum(v, 1)), e)
-        return np.floor(e).astype(np.int64)
+        return hll_estimate_batch(regs)
 
     def test_estimator_lockstep_with_oracle(self):
         """The oracle's scalar estimator and the engine's vectorized

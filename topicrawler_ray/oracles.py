@@ -1333,12 +1333,12 @@ def _b_link_pagerank(sf_dir: str) -> pa.Table:
     )
 
 
-def _b_host_pagerank(sf_dir: str) -> pa.Table:
-    """Sequential integer PageRank over the OFFSITE host graph (the
-    Common-Crawl host-level-webgraph analog).  Shares only the link
-    extraction + host parsing primitives with the engine; edge
-    collapse and the rank iteration are re-derived as dict loops with
-    the same integer semantics as :func:`_b_link_pagerank`."""
+@_lru_cache(maxsize=4)
+def _host_edge_set(sf_dir: str) -> frozenset:
+    """Distinct OFFSITE host-pair edges, derived once per sf dir (the
+    robots/empty-html/self-loop filters live HERE so every host-graph
+    builder certifies against the same edge semantics).  Shares only
+    the link-extraction + host-parsing primitives with the engine."""
     from .functions.urls import extract_outlinks, host_of_url
     from .stages.extract import decode_page_bytes, is_robots_url
 
@@ -1351,6 +1351,16 @@ def _b_host_pagerank(sf_dir: str) -> pa.Table:
             dst_host = host_of_url(dst)
             if dst_host != src_host:
                 edges.add((src_host, dst_host))
+    return frozenset(edges)
+
+
+def _b_host_pagerank(sf_dir: str) -> pa.Table:
+    """Sequential integer PageRank over the OFFSITE host graph (the
+    Common-Crawl host-level-webgraph analog).  Shares only the link
+    extraction + host parsing primitives with the engine; edge
+    collapse and the rank iteration are re-derived as dict loops with
+    the same integer semantics as :func:`_b_link_pagerank`."""
+    edges = _host_edge_set(sf_dir)
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
     outdeg: dict[str, int] = {}
     for s, _ in edges:
@@ -1410,7 +1420,7 @@ def _b_crawl_budgets(sf_dir: str) -> pa.Table:
         for h in ordered[pos : pos + cnt]:
             tier_of[h] = tnum
         pos += cnt
-    ranks = _b_host_pagerank(sf_dir)
+    ranks = pq.read_table(oracle_path(sf_dir, "host_pagerank"))
     authority = dict(
         zip(ranks.column("node").to_pylist(), ranks.column("rank").to_pylist())
     )
@@ -1463,22 +1473,11 @@ def _b_host_harmonic(sf_dir: str) -> pa.Table:
     import numpy as np
     import pandas as pd
 
-    from .functions.urls import extract_outlinks, host_of_url
-    from .stages.extract import decode_page_bytes, is_robots_url
-
     p, max_iters = 4, 8
     m = 1 << p
     lcm = math.lcm(*range(1, max_iters + 1))
 
-    edges: set[tuple[str, str]] = set()
-    for url, _ts, html in _pages_rows(sf_dir):
-        if is_robots_url(url) or not html:
-            continue
-        src_host = host_of_url(url)
-        for dst in extract_outlinks(decode_page_bytes(url, html), url):
-            dst_host = host_of_url(dst)
-            if dst_host != src_host:
-                edges.add((src_host, dst_host))
+    edges = _host_edge_set(sf_dir)
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
     if not nodes:
         return pa.table(
@@ -1543,18 +1542,7 @@ def _b_host_degrees(sf_dir: str) -> pa.Table:
     """Sequential in/out-degree over the offsite host edge set (same
     independent edge derivation as :func:`_b_host_pagerank`; the
     degree fold is plain dict loops)."""
-    from .functions.urls import extract_outlinks, host_of_url
-    from .stages.extract import decode_page_bytes, is_robots_url
-
-    edges: set[tuple[str, str]] = set()
-    for url, _ts, html in _pages_rows(sf_dir):
-        if is_robots_url(url) or not html:
-            continue
-        src_host = host_of_url(url)
-        for dst in extract_outlinks(decode_page_bytes(url, html), url):
-            dst_host = host_of_url(dst)
-            if dst_host != src_host:
-                edges.add((src_host, dst_host))
+    edges = _host_edge_set(sf_dir)
     outdeg: dict[str, int] = {}
     indeg: dict[str, int] = {}
     for s, d in edges:
@@ -1570,6 +1558,25 @@ def _b_host_degrees(sf_dir: str) -> pa.Table:
     )
 
 
+# the ONE definition of the exact brute-force top-10 (query set,
+# tie-break, quantization) — oracle_sql()["knn_bruteforce"] and
+# _b_knn_recall's exact side both format this template, so the ground
+# truth cannot drift between them.  {tbl} is the embeddings relation
+# (a registered view or a read_parquet(...) expression).
+KNN_BRUTE_SQL = (
+    "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe "
+    "FROM {tbl} WHERE vec_id < 5), "
+    "s AS (SELECT q.qid, e.vec_id, "
+    "list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS c "
+    "FROM q CROSS JOIN {tbl} e) "
+    "SELECT CAST(qid AS BIGINT) AS query_id, "
+    "CAST(row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) - 1 "
+    "AS BIGINT) AS rank, vec_id, "
+    "CAST(floor(c * 10000) AS BIGINT) AS cosine_e4 FROM s "
+    "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) <= 10"
+)
+
+
 def _b_knn_recall(sf_dir: str) -> pa.Table:
     """Sequential recall@10 of the approximate ANN paths against exact
     brute force.  The exact side is computed by DuckDB (the same SQL
@@ -1582,15 +1589,9 @@ def _b_knn_recall(sf_dir: str) -> pa.Table:
 
     con = duckdb.connect()
     brute = con.execute(
-        "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe "
-        "FROM read_parquet('%s') WHERE vec_id < 5), "
-        "s AS (SELECT q.qid, e.vec_id, "
-        "list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS c "
-        "FROM q CROSS JOIN read_parquet('%s') e) "
-        "SELECT CAST(qid AS BIGINT) AS query_id, vec_id FROM s "
-        "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY c DESC, "
-        "vec_id ASC) <= 10"
-        % ((sf_dir + "/embeddings.parquet",) * 2)
+        KNN_BRUTE_SQL.format(
+            tbl="read_parquet('%s')" % (sf_dir + "/embeddings.parquet")
+        )
     ).fetch_arrow_table()
     con.close()
     exact: dict[int, set] = {}
@@ -1613,7 +1614,8 @@ def _b_knn_recall(sf_dir: str) -> pa.Table:
             got.setdefault(int(qid), set()).add(vid)
         for qid in sorted(exact):
             hit = len(exact[qid] & got.get(qid, set()))
-            rows.append((mname, qid, hit * 10000 // 10))
+            # denominator = |exact top-k| (can be < k on tiny tables)
+            rows.append((mname, qid, hit * 10000 // len(exact[qid])))
     return pa.table(
         {
             "method": pa.array([r[0] for r in rows], pa.string()),
@@ -1632,7 +1634,7 @@ def _b_seed_selection(sf_dir: str) -> pa.Table:
     from .sources.pages import pages_path
 
     k, max_dup_pct_e4 = 5, 5000
-    h = _b_host_harmonic(sf_dir)
+    h = pq.read_table(oracle_path(sf_dir, "host_harmonic"))
     harmonic = dict(
         zip(h.column("node").to_pylist(), h.column("harmonic_e6").to_pylist())
     )

@@ -818,6 +818,27 @@ def personalized_pagerank(
     return ranks.select_columns(["node", "rank"])
 
 
+def hll_estimate_batch(regs):
+    """Published HLL estimator over a (rows x m) int register matrix,
+    batch-vectorized; strict left-to-right register accumulation and
+    fixed expression order — kept in LOCKSTEP with the sequential
+    scalar oracle (oracles.py::_b_host_harmonic.estimate); the
+    estimator-parity pytest compares this very function."""
+    import numpy as np
+
+    m = regs.shape[1]
+    den = np.zeros(len(regs), dtype=np.float64)
+    for j in range(m):
+        den += np.exp2(-regs[:, j].astype(np.float64))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / den
+    v = (regs == 0).sum(axis=1)
+    small = (e <= 2.5 * m) & (v > 0)
+    if small.any():
+        e = np.where(small, m * np.log(m / np.maximum(v, 1)), e)
+    return np.floor(e).astype(np.int64)
+
+
 def harmonic_centrality(
     edges,
     *,
@@ -869,6 +890,7 @@ def harmonic_centrality(
     m = 1 << p
     rcols = ["r%02d" % j for j in range(m)]
     lcm = math.lcm(*range(1, max_iters + 1))
+    est_batch = hll_estimate_batch
 
     edges = edges.materialize()
 
@@ -891,20 +913,6 @@ def harmonic_centrality(
         .select_columns(["node"])
         .repartition(num_partitions)
     )
-
-    def est_batch(regs: np.ndarray) -> np.ndarray:
-        """Published HLL estimator, batch-vectorized; strict
-        left-to-right register accumulation (oracle lockstep)."""
-        den = np.zeros(len(regs), dtype=np.float64)
-        for j in range(m):
-            den += np.exp2(-regs[:, j].astype(np.float64))
-        alpha = 0.7213 / (1.0 + 1.079 / m)
-        e = alpha * m * m / den
-        v = (regs == 0).sum(axis=1)
-        small = (e <= 2.5 * m) & (v > 0)
-        if small.any():
-            e = np.where(small, m * np.log(m / np.maximum(v, 1)), e)
-        return np.floor(e).astype(np.int64)
 
     def init_state(batch: pa.Table) -> pa.Table:
         from .sketches import _hash64, _ranks
