@@ -2980,6 +2980,133 @@ def _q_doc_novelty(sf_dir: str):
         shutil.rmtree(registry, ignore_errors=True)
 
 
+def _trap_urls(sf_dir: str):
+    """Deterministic trap-shaped URL table synthesised from the events
+    fixture (the pages fixture's URLs are flat): per-host trap class
+    derives from the host number so signals are host-consistent —
+    hosts with hn%7==0 are calendar archives, hn%7==1 session-id
+    hosts, the rest a uniform mix.  The oracle SQL re-derives the
+    identical strings from the same arithmetic."""
+    import pyarrow as pa
+
+    ds = _read_parquet(sf_dir + "/events.parquet", columns=["event_id", "user_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        urls = []
+        for e, u in zip(
+            batch.column("event_id").to_pylist(),
+            batch.column("user_id").to_pylist(),
+        ):
+            hn = u % 40
+            cls = hn % 7
+            b = 0 if cls == 0 else (2 if cls == 1 else e % 5)
+            if b == 0:
+                path = "/cal/%d/%d/%d" % (2000 + e % 25, 1 + e % 12, 1 + e % 28)
+            elif b == 1:
+                path = "/" + "page/" * (1 + e % 4) + "x"
+            elif b == 2:
+                path = "/item?sid=%d" % e
+            elif b == 3:
+                path = "/a%d" % (e % 50)
+            else:
+                path = "/b%d/c%d" % (e % 50, u % 10)
+            urls.append("http://h%d.example%s" % (hn, path))
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    # materialized: host_trap_signals folds it twice (numeric signals
+    # + the distinct-qval exchange) and the synth is one slim column
+    return ds.map_batches(synth, batch_format="pyarrow").materialize()
+
+
+def _q_crawl_traps(sf_dir: str):
+    """Crawl-trap detection (Heritrix pathological-path analog): per
+    host URL-structure signals — calendar-archive segments, adjacent
+    repeated path segments, session-id query explosion — folded per
+    batch (combiner), ONE mixed Sum/Max groupby + one distinct-qval
+    exchange, integer-threshold trap flags."""
+    from topicrawler_ray.stages.traps import host_trap_signals
+
+    return host_trap_signals(_trap_urls(sf_dir))
+
+
+def _q_host_capped_sample(sf_dir: str):
+    """Diversity-capped quality selection (the curation sampler that
+    stops one mega-source from dominating a training mix): top-10 docs
+    per source by (n_chars DESC, doc_id), then the global top-50 over
+    the capped survivors.  The global sort ranks only sources x 10
+    rows — bounded by construction, never the corpus."""
+    from topicrawler_ray.stages.ranking import topk_per_group
+
+    capped = topk_per_group(
+        _docs(sf_dir, ["doc_id", "source", "n_chars"]),
+        "source",
+        "n_chars",
+        "doc_id",
+        k=10,
+    ).select_columns(["doc_id", "source", "n_chars"])
+    return capped.sort(["n_chars", "doc_id"], descending=[True, False]).limit(50)
+
+
+def _q_host_triangles(sf_dir: str):
+    """Webgraph clustering: per-host triangle count + local clustering
+    coefficient over the undirected offsite host graph (link-farm /
+    mesh detection).  Node-ordered triangle enumeration — one
+    wedge self-join + one closure join, seed-row degree fold.  The
+    fixture host graph is complete (every host links to every other),
+    so a deterministic md5 edge sparsifier (drop directed edges with
+    digest % 3 == 0, same rule in the sequential oracle) makes the
+    clustering coefficients actually vary."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.graph import host_edges, host_triangles
+
+    edges = host_edges(read_pages(sf_dir, num_blocks=16, columns=["url", "html"]))
+
+    def sparsify(batch: pa.Table) -> pa.Table:
+        keep = [
+            int(
+                hashlib.md5(("%s>%s" % (s, d)).encode("utf-8")).hexdigest()[:8], 16
+            )
+            % 3
+            != 0
+            for s, d in zip(
+                batch.column("src").to_pylist(), batch.column("dst").to_pylist()
+            )
+        ]
+        return batch.filter(pa.array(keep))
+
+    return host_triangles(edges.map_batches(sparsify, batch_format="pyarrow"))
+
+
+def _q_shard_plan(sf_dir: str):
+    """Balanced output-shard plan over per-host bytes: LPT greedy
+    packing for the top-6 heavy hosts (exact, driver sees top-H rows
+    only), deterministic md5 hash for the tail — n_shards=4 so the
+    packing actually has to balance at fixture scale."""
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.shardplan import plan_shards
+
+    return plan_shards(
+        read_pages(sf_dir, num_blocks=16, columns=["url", "html"]),
+        n_shards=4,
+        top_hosts=6,
+    )
+
+
+def _q_bpe_fertility(sf_dir: str):
+    """Per-language BPE fertility (tokens/word, bytes/token) under the
+    shared 200-merge vocabulary: broadcast merge ranks, actor-pool
+    per-(batch, lang) fold, ONE groupby(lang).sum of integer rows."""
+    from topicrawler_ray.stages.bpe import bpe_fertility, train_bpe
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    merges = train_bpe(docs, num_merges=200, min_count=2)
+    return bpe_fertility(docs, merges)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -3027,6 +3154,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seed_selection": _q_seed_selection,
         "knn_recall": _q_knn_recall,
         "host_degrees": _q_host_degrees,
+        "crawl_traps": _q_crawl_traps,
+        "host_capped_sample": _q_host_capped_sample,
+        "host_triangles": _q_host_triangles,
+        "shard_plan": _q_shard_plan,
+        "bpe_fertility": _q_bpe_fertility,
         "anchor_texts": _q_anchor_texts,
         "bm25_topk": _q_bm25_topk,
         "retrieval_rrf": _q_retrieval_rrf,
@@ -3841,6 +3973,69 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(bucket AS BIGINT) AS bucket, new_words, "
             "CAST(sum(new_words) OVER (ORDER BY bucket) AS BIGINT) "
             "AS cum_vocab FROM b ORDER BY bucket"
+        ),
+        # crawl-trap signals over the synthesized URL table: the SQL
+        # re-derives the identical URL strings from the same event
+        # arithmetic, then re-parses them with its own string/regex
+        # machinery (adjacent-repeat via the unnest+subscript self-join
+        # pattern — RE2 has no backreferences)
+        "crawl_traps": (
+            "WITH u AS (SELECT event_id AS e, user_id AS uid, "
+            "user_id % 40 AS hn, "
+            "CASE WHEN (user_id % 40) % 7 = 0 THEN 0 "
+            "WHEN (user_id % 40) % 7 = 1 THEN 2 "
+            "ELSE event_id % 5 END AS b FROM events), "
+            "raw AS (SELECT e, 'http://h' || hn || '.example' || "
+            "CASE b WHEN 0 THEN '/cal/' || (2000 + e % 25) || '/' || "
+            "(1 + e % 12) || '/' || (1 + e % 28) "
+            "WHEN 1 THEN '/' || repeat('page/', 1 + e % 4) || 'x' "
+            "WHEN 2 THEN '/item?sid=' || e "
+            "WHEN 3 THEN '/a' || (e % 50) "
+            "ELSE '/b' || (e % 50) || '/c' || (uid % 10) END AS url FROM u), "
+            "parsed AS (SELECT e, lower(string_split(url, '/')[3]) AS host, "
+            "substr(url, 8 + length(string_split(url, '/')[3])) AS path_q "
+            "FROM raw), "
+            "sp AS (SELECT e, host, "
+            "CASE WHEN instr(path_q, '?') > 0 "
+            "THEN substr(path_q, 1, instr(path_q, '?') - 1) "
+            "ELSE path_q END AS path, "
+            "CASE WHEN instr(path_q, '?') > 0 "
+            "THEN substr(path_q, instr(path_q, '?') + 1) "
+            "ELSE NULL END AS qval FROM parsed), "
+            "segs AS (SELECT e, host, path, qval, "
+            "string_split(substr(path, 2), '/') AS ws FROM sp), "
+            "flat AS (SELECT e, unnest(ws) AS seg, "
+            "generate_subscripts(ws, 1) AS pos FROM segs), "
+            "adj AS (SELECT DISTINCT s.e FROM flat s JOIN flat t "
+            "ON t.e = s.e AND t.pos = s.pos + 1 AND t.seg = s.seg), "
+            "per AS (SELECT g.host, count(*) AS n_urls, "
+            "sum(CASE WHEN regexp_matches(g.path, "
+            "'/(19|20)[0-9]{2}(/|$)') THEN 1 ELSE 0 END) AS n_cal, "
+            "sum(CASE WHEN a.e IS NOT NULL THEN 1 ELSE 0 END) AS n_rep, "
+            "sum(CASE WHEN g.qval IS NOT NULL THEN 1 ELSE 0 END) AS n_query, "
+            "count(DISTINCT g.qval) AS n_qvals, "
+            "max(len(g.ws)) AS max_depth "
+            "FROM segs g LEFT JOIN adj a ON a.e = g.e GROUP BY g.host) "
+            "SELECT host, CAST(n_urls AS BIGINT) AS n_urls, "
+            "CAST(n_cal AS BIGINT) AS n_cal, "
+            "CAST(n_rep AS BIGINT) AS n_rep, "
+            "CAST(n_query AS BIGINT) AS n_query, "
+            "CAST(n_qvals AS BIGINT) AS n_qvals, "
+            "CAST(max_depth AS BIGINT) AS max_depth, "
+            "2 * n_cal >= n_urls AS cal_trap, "
+            "2 * n_rep >= n_urls AS rep_trap, "
+            "(2 * n_query >= n_urls AND 10 * n_qvals >= 9 * n_query) "
+            "AS sess_trap, "
+            "(2 * n_cal >= n_urls OR 2 * n_rep >= n_urls OR "
+            "(2 * n_query >= n_urls AND 10 * n_qvals >= 9 * n_query)) "
+            "AS is_trap FROM per"
+        ),
+        "host_capped_sample": (
+            "WITH r AS (SELECT doc_id, source, n_chars, "
+            "row_number() OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC, doc_id) AS rn FROM documents) "
+            "SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars "
+            "FROM r WHERE rn <= 10 ORDER BY n_chars DESC, doc_id LIMIT 50"
         ),
         "politeness_audit": (
             "WITH g AS ("

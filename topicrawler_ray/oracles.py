@@ -2112,16 +2112,12 @@ def _b_nb_lang(sf_dir: str) -> pa.Table:
     )
 
 
-def _b_bpe_tokens(sf_dir: str) -> pa.Table:
-    """Sequential BPE (Sennrich 2016): word-frequency dict -> merge
-    loop (ties lexicographic) -> greedy lowest-rank encode.  Plain
+def _seq_bpe_enc(texts):
+    """Sequential BPE (Sennrich 2016) shared by the bpe_tokens and
+    bpe_fertility builders: word-frequency dict -> merge loop (ties
+    lexicographic) -> greedy lowest-rank encoder closure.  Plain
     loops; imports nothing from stages/bpe.py."""
-    NUM_MERGES, MIN_COUNT, HEAD, END_ = 200, 2, 30, "</w>"
-    tab = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    ids = tab.column("doc_id").to_pylist()
-    texts = tab.column("text").to_pylist()
+    NUM_MERGES, MIN_COUNT, END_ = 200, 2, "</w>"
 
     freqs: dict[str, int] = {}
     for t in texts:
@@ -2176,6 +2172,20 @@ def _b_bpe_tokens(sf_dir: str) -> pa.Table:
             sym[bi : bi + 2] = [sym[bi] + sym[bi + 1]]
         memo[w] = sym
         return sym
+
+    return enc
+
+
+def _b_bpe_tokens(sf_dir: str) -> pa.Table:
+    """Sequential BPE token counts per document (see
+    :func:`_seq_bpe_enc` for the shared trainer/encoder)."""
+    HEAD = 30
+    tab = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = tab.column("doc_id").to_pylist()
+    texts = tab.column("text").to_pylist()
+    enc = _seq_bpe_enc(texts)
 
     n_toks, heads = [], []
     for t in texts:
@@ -2659,9 +2669,145 @@ def _b_distinct_users_hll(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_host_triangles(sf_dir: str) -> pa.Table:
+    """Sequential per-host triangle count + clustering coefficient
+    over the undirected offsite host graph.  Shares only the edge
+    derivation (:func:`_host_edge_set`) with the engine; the
+    canonicalization, adjacency fold and triangle walk are plain
+    set/dict loops (no node-ordered join decomposition).  Directed
+    edges with md5 % 3 == 0 are dropped first (same deterministic
+    sparsifier as the query — the fixture host graph is complete, so
+    unsparsified clustering is uniformly 1)."""
+    import hashlib
+
+    edges = {
+        (s, d)
+        for s, d in _host_edge_set(sf_dir)
+        if int(hashlib.md5(("%s>%s" % (s, d)).encode("utf-8")).hexdigest()[:8], 16)
+        % 3
+        != 0
+    }
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    adj: dict[str, set] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = dict.fromkeys(adj, 0)
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+    hosts = sorted(adj)
+    degs = [len(adj[h]) for h in hosts]
+    wedges = [d * (d - 1) // 2 for d in degs]
+    cc = [
+        (tri[h] * 10**6 // w if w > 0 else 0)
+        for h, w in zip(hosts, wedges)
+    ]
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "degree": pa.array(degs, pa.int64()),
+            "triangles": pa.array([tri[h] for h in hosts], pa.int64()),
+            "wedges": pa.array(wedges, pa.int64()),
+            "cc_e6": pa.array(cc, pa.int64()),
+        }
+    )
+
+
+def _b_shard_plan(sf_dir: str) -> pa.Table:
+    """Sequential hybrid shard plan (LPT head + md5-hash tail) over
+    per-host page bytes.  Independent derivation: host parsing, byte
+    fold, the LPT heap and the tail hash are all re-implemented here
+    (imports nothing from stages/shardplan.py or politeness.py); the
+    parameters mirror the query (n_shards=4, top_hosts=6)."""
+    import hashlib
+    import heapq
+
+    N_SHARDS, TOP_HOSTS = 4, 6
+    sizes: dict[str, int] = {}
+    for url, _ts, html in _pages_rows(sf_dir):
+        rest = url.split("://", 1)[-1]
+        host = rest.split("/", 1)[0].lower()
+        sizes[host] = sizes.get(host, 0) + (len(html) if html else 0)
+    ordered = sorted(sizes.items(), key=lambda r: (-r[1], r[0]))
+    heavy = ordered[:TOP_HOSTS]
+    loads = [(0, s) for s in range(N_SHARDS)]
+    heapq.heapify(loads)
+    plan: dict[str, int] = {}
+    for host, nbytes in heavy:
+        load, shard = heapq.heappop(loads)
+        plan[host] = shard
+        heapq.heappush(loads, (load + nbytes, shard))
+    hosts = sorted(sizes)
+    shards, methods = [], []
+    for h in hosts:
+        if h in plan:
+            shards.append(plan[h])
+            methods.append("lpt")
+        else:
+            shards.append(
+                int(hashlib.md5(h.encode("utf-8")).hexdigest()[:8], 16) % N_SHARDS
+            )
+            methods.append("hash")
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "host_bytes": pa.array([sizes[h] for h in hosts], pa.int64()),
+            "shard": pa.array(shards, pa.int64()),
+            "method": pa.array(methods, pa.string()),
+        }
+    )
+
+
+def _b_bpe_fertility(sf_dir: str) -> pa.Table:
+    """Sequential per-language BPE fertility: the shared sequential
+    trainer/encoder (:func:`_seq_bpe_enc`) over the full corpus, then
+    plain dict folds per language."""
+    tab = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text", "lang"]
+    )
+    texts = tab.column("text").to_pylist()
+    langs = tab.column("lang").to_pylist()
+    enc = _seq_bpe_enc(texts)
+    fold: dict[str, list[int]] = {}
+    for lang, t in zip(langs, texts):
+        words = (t or "").split(" ")
+        c = fold.setdefault(lang, [0, 0, 0, 0])
+        c[0] += 1
+        c[1] += len(words)
+        c[2] += sum(len(enc(w)) for w in words)
+        c[3] += len((t or "").encode("utf-8"))
+    out_langs = sorted(fold)
+    nd = [fold[l][0] for l in out_langs]
+    nw = [fold[l][1] for l in out_langs]
+    nt = [fold[l][2] for l in out_langs]
+    nb = [fold[l][3] for l in out_langs]
+    return pa.table(
+        {
+            "lang": pa.array(out_langs, pa.string()),
+            "n_docs": pa.array(nd, pa.int64()),
+            "n_words": pa.array(nw, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "n_bytes": pa.array(nb, pa.int64()),
+            "tokens_per_100w": pa.array(
+                [t * 100 // max(w, 1) for t, w in zip(nt, nw)], pa.int64()
+            ),
+            "bytes_per_token_e2": pa.array(
+                [b * 100 // max(t, 1) for b, t in zip(nb, nt)], pa.int64()
+            ),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 
 BUILDERS = {
+    "host_triangles": _b_host_triangles,
+    "shard_plan": _b_shard_plan,
+    "bpe_fertility": _b_bpe_fertility,
     "distinct_users_hll": _b_distinct_users_hll,
     "dsir_select": _b_dsir_select,
     "nb_lang": _b_nb_lang,

@@ -190,3 +190,117 @@ def bpe_tokenize(ds, merges, column: str = "text", head: int = 30,
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+class _FertilityFold:
+    """Actor-pool fold: per-language BPE fertility partials.
+
+    Fertility (subword tokens per word) and compression (bytes per
+    token) are the standard per-language tokenizer health metrics for
+    a multilingual training corpus — a language whose fertility
+    explodes under a shared BPE vocabulary is being under-served by
+    the merge table.  Merge ranks load once per actor; per-word
+    encodings are memoized across batches (same discipline as
+    :class:`BpeTokenizer`)."""
+
+    def __init__(self, merges_ref, column: str, lang_column: str):
+        import ray
+
+        merges = ray.get(merges_ref)
+        self.ranks = {pair: i for i, pair in enumerate(merges)}
+        self.column = column
+        self.lang_column = lang_column
+        self.memo: dict[str, int] = {}
+
+    def _ntok(self, w: str) -> int:
+        got = self.memo.get(w)
+        if got is None:
+            got = self.memo[w] = len(_encode_word(w, self.ranks))
+        return got
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fold: dict[str, list[int]] = {}
+        for lang, t in zip(
+            batch.column(self.lang_column).to_pylist(),
+            batch.column(self.column).to_pylist(),
+        ):
+            words = (t or "").split(" ")
+            c = fold.setdefault(lang, [0, 0, 0, 0])
+            c[0] += 1
+            c[1] += len(words)
+            c[2] += sum(self._ntok(w) for w in words)
+            c[3] += len((t or "").encode("utf-8"))
+        langs = sorted(fold)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "n_docs": pa.array([fold[l][0] for l in langs], pa.int64()),
+                "n_words": pa.array([fold[l][1] for l in langs], pa.int64()),
+                "n_tokens": pa.array([fold[l][2] for l in langs], pa.int64()),
+                "n_bytes": pa.array([fold[l][3] for l in langs], pa.int64()),
+            }
+        )
+
+
+def bpe_fertility(ds, merges, column: str = "text", lang_column: str = "lang",
+                  concurrency: int | None = None):
+    """Per-language BPE fertility rollup.
+
+    -> (lang, n_docs, n_words, n_tokens, n_bytes, tokens_per_100w,
+    bytes_per_token_e2) — the ratios are exact floor-integer
+    ``100*n_tokens/n_words`` and ``100*n_bytes/n_tokens``.
+
+    Shape: broadcast merge table (``ray.put`` once), actor-pool fold
+    to per-(batch, lang) partials, ONE ``groupby(lang).sum`` of slim
+    integer rows — the combiner discipline; the shuffle is languages
+    x batches rows regardless of corpus size.
+    """
+    import ray
+
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(1, min(8, cpus // 2))
+    merges_ref = ray.put(list(merges))
+    partials = ds.map_batches(
+        _FertilityFold,
+        fn_constructor_kwargs={
+            "merges_ref": merges_ref,
+            "column": column,
+            "lang_column": lang_column,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    # few-group aggregate over many partial blocks: coalesce first so
+    # range partitions holding no language don't emit schema-less
+    # empty bundles (the cdx_surt precedent — executor warning)
+    folded = (
+        partials.repartition(2)
+        .groupby("lang")
+        .sum(["n_docs", "n_words", "n_tokens", "n_bytes"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nd = batch.column("sum(n_docs)").cast(pa.int64())
+        nw = batch.column("sum(n_words)").cast(pa.int64())
+        nt = batch.column("sum(n_tokens)").cast(pa.int64())
+        nb = batch.column("sum(n_bytes)").cast(pa.int64())
+        hundred = pa.scalar(100, pa.int64())
+        one = pa.scalar(1, pa.int64())
+        safe_w = pc.if_else(pc.greater(nw, pa.scalar(0, pa.int64())), nw, one)
+        safe_t = pc.if_else(pc.greater(nt, pa.scalar(0, pa.int64())), nt, one)
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_docs": nd,
+                "n_words": nw,
+                "n_tokens": nt,
+                "n_bytes": nb,
+                "tokens_per_100w": pc.divide(pc.multiply(nt, hundred), safe_w),
+                "bytes_per_token_e2": pc.divide(pc.multiply(nb, hundred), safe_t),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")

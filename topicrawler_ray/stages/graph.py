@@ -1061,3 +1061,136 @@ def degrees(edges, num_partitions: int | None = None):
         )
         .repartition(num_partitions)
     )
+
+
+def undirected_host_edges(edges, num_partitions: int | None = None):
+    """Canonical undirected edge set: (a, b) with a < b, distinct.
+
+    Folds the directed offsite host graph (``host_edges``) so that
+    ``a -> b`` and ``b -> a`` collapse to one row — the substrate
+    triangle counting and clustering coefficients are defined over.
+    """
+    num_partitions = _default_partitions(num_partitions)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        src, dst = batch.column("src"), batch.column("dst")
+        lt = pc.less(src, dst)
+        a = pc.if_else(lt, src, dst)
+        b = pc.if_else(lt, dst, src)
+        return pa.table({"a": a, "b": b})
+
+    return (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+        .repartition(num_partitions)
+    )
+
+
+def host_triangles(edges, num_partitions: int | None = None):
+    """Per-host triangle count + clustering coefficient over the
+    undirected offsite host graph.
+
+    The local clustering coefficient is the classic webgraph
+    community/link-farm signal (a host whose neighbours all
+    interlink is a mesh, not an organic hub).  Distributed shape is
+    the standard node-ordered triangle enumeration (Suri & Vassilvitskii
+    2011 "Counting Triangles and the Curse of the Last Reducer"):
+    canonical edges ``a < b`` make every triangle ``a < b < c`` count
+    exactly once — wedges come from ONE self-join on the middle node,
+    closure from ONE join back onto the edge set, so the exchanges
+    move edge/wedge rows only, never adjacency lists, and the
+    node-ordering bounds wedge fan-out by the *smaller*-id endpoint's
+    degree.  Per-host totals then ride the pagerank seed-row
+    discipline: triangles emit 3 unit rows, edges emit 2 degree seed
+    rows, ONE ``groupby.sum`` builds the complete node table with no
+    outer join.
+
+    -> (host, degree, triangles, wedges, cc_e6) where
+    ``wedges = degree*(degree-1)/2`` and
+    ``cc_e6 = floor(1e6 * triangles / wedges)`` (0 when degree < 2).
+    """
+    num_partitions = _default_partitions(num_partitions)
+    und = undirected_host_edges(edges, num_partitions).materialize()
+
+    mid = und.map_batches(
+        lambda b: b.rename_columns(["b", "c"]), batch_format="pyarrow"
+    )
+    # wedge (a, b, c): a < b from the left edge, b < c from the right
+    wedges = und.join(
+        mid,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("b",),
+    )
+    closing = und.map_batches(
+        lambda b: b.rename_columns(["ca", "cc"]), batch_format="pyarrow"
+    )
+    tris = wedges.join(
+        closing,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("a", "c"),
+        right_on=("ca", "cc"),
+    )
+
+    def tri_rows(batch: pa.Table) -> pa.Table:
+        zero = pa.array([0] * batch.num_rows, pa.int64())
+        one = pa.array([1] * batch.num_rows, pa.int64())
+        return pa.concat_tables(
+            [
+                pa.table({"host": batch.column(k), "tri": one, "deg": zero})
+                for k in ("a", "b", "c")
+            ]
+        )
+
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        zero = pa.array([0] * batch.num_rows, pa.int64())
+        one = pa.array([1] * batch.num_rows, pa.int64())
+        return pa.concat_tables(
+            [
+                pa.table({"host": batch.column(k), "tri": zero, "deg": one})
+                for k in ("a", "b")
+            ]
+        )
+
+    folded = (
+        tris.map_batches(tri_rows, batch_format="pyarrow")
+        .union(und.map_batches(deg_rows, batch_format="pyarrow"))
+        .groupby("host")
+        .sum(["tri", "deg"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tri = batch.column("sum(tri)").cast(pa.int64())
+        deg = batch.column("sum(deg)").cast(pa.int64())
+        two = pa.scalar(2, pa.int64())
+        wedge = pc.divide(
+            pc.multiply(deg, pc.subtract(deg, pa.scalar(1, pa.int64()))), two
+        )
+        safe_w = pc.if_else(
+            pc.greater(wedge, pa.scalar(0, pa.int64())),
+            wedge,
+            pa.scalar(1, pa.int64()),
+        )
+        cc = pc.if_else(
+            pc.greater(wedge, pa.scalar(0, pa.int64())),
+            pc.divide(pc.multiply(tri, pa.scalar(10**6, pa.int64())), safe_w),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "degree": deg,
+                "triangles": tri,
+                "wedges": wedge,
+                "cc_e6": cc,
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")

@@ -72,6 +72,8 @@ def host_rollup(pages_ds, num_partitions: int | None = None):
     from ..stages.dedup import _default_partitions
     from ..stages.extract import is_robots_url
 
+    num_partitions = _default_partitions(num_partitions)
+
     def partial(batch: pa.Table) -> pa.Table:
         counts: dict[str, list[int]] = {}
         for url, html in zip(
@@ -91,8 +93,14 @@ def host_rollup(pages_ds, num_partitions: int | None = None):
             }
         )
 
+    # coalesce the partial blocks to cluster-sized partitions before
+    # the aggregate: one range partition per input block would leave
+    # partitions holding no host group, which emit schema-less empty
+    # bundles (executor warning — the cdx_surt precedent).  At real
+    # scale hosts >> partitions and every partition is non-empty.
     out = (
         pages_ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(num_partitions)
         .groupby("host")
         .sum(["n_pages", "n_robots", "html_bytes"])
     )
