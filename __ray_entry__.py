@@ -3047,21 +3047,19 @@ def _q_host_capped_sample(sf_dir: str):
     return capped.sort(["n_chars", "doc_id"], descending=[True, False]).limit(50)
 
 
-def _q_host_triangles(sf_dir: str):
-    """Webgraph clustering: per-host triangle count + local clustering
-    coefficient over the undirected offsite host graph (link-farm /
-    mesh detection).  Node-ordered triangle enumeration — one
-    wedge self-join + one closure join, seed-row degree fold.  The
-    fixture host graph is complete (every host links to every other),
-    so a deterministic md5 edge sparsifier (drop directed edges with
-    digest % 3 == 0, same rule in the sequential oracle) makes the
-    clustering coefficients actually vary."""
+def _sparse_host_edges(sf_dir: str):
+    """Directed offsite host edges with the deterministic md5
+    sparsifier (drop edges with digest % 3 == 0; the sequential
+    oracles apply the same rule).  The fixture host graph is complete
+    in both directions, so unsparsified triangle/k-core/reciprocity
+    signals would be uniform — the sparsifier makes them vary while
+    staying exactly reproducible."""
     import hashlib
 
     import pyarrow as pa
 
     from topicrawler_ray.sources.pages import read_pages
-    from topicrawler_ray.stages.graph import host_edges, host_triangles
+    from topicrawler_ray.stages.graph import host_edges
 
     edges = host_edges(read_pages(sf_dir, num_blocks=16, columns=["url", "html"]))
 
@@ -3078,7 +3076,59 @@ def _q_host_triangles(sf_dir: str):
         ]
         return batch.filter(pa.array(keep))
 
-    return host_triangles(edges.map_batches(sparsify, batch_format="pyarrow"))
+    return edges.map_batches(sparsify, batch_format="pyarrow")
+
+
+def _q_host_triangles(sf_dir: str):
+    """Webgraph clustering: per-host triangle count + local clustering
+    coefficient over the undirected offsite host graph (link-farm /
+    mesh detection).  Node-ordered triangle enumeration — one
+    wedge self-join + one closure join, seed-row degree fold."""
+    from topicrawler_ray.stages.graph import host_triangles
+
+    return host_triangles(_sparse_host_edges(sf_dir))
+
+
+def _q_host_reciprocity(sf_dir: str):
+    """Per-host link reciprocity (mutual-linking community vs one-way
+    link dump): one pair-key bit-OR groupby + one seed-row host
+    aggregate, no joins, integer ratio output."""
+    from topicrawler_ray.stages.graph import host_reciprocity
+
+    return host_reciprocity(_sparse_host_edges(sf_dir))
+
+
+def _q_host_kcore(sf_dir: str):
+    """7-core of the host graph (dense-community crawl-seed substrate):
+    iterative peel — per round one seed-row degree aggregate, a
+    broadcast of the (small) round-drop set, an edge filter; the edge
+    set only shrinks."""
+    from topicrawler_ray.stages.graph import host_kcore
+
+    return host_kcore(_sparse_host_edges(sf_dir), k=7)
+
+
+def _q_events_retention(sf_dir: str):
+    """Cohort retention matrix over the event stream (first-activity
+    day x active-day offset -> distinct users): slim (user, epoch-day)
+    dedup, groupby-min cohorts, one hash join, one counting groupby —
+    every exchange is 2-int rows.  Pure-SQL window-free oracle."""
+    from topicrawler_ray.stages.timeseries import cohort_retention
+
+    ev = _read_parquet(sf_dir + "/events.parquet", columns=["ts", "user_id"])
+    return cohort_retention(ev)
+
+
+def _q_char_diversity(sf_dir: str):
+    """Character-diversity quality signal with exact integer Simpson
+    index (the log-free entropy cousin: keyboard-mash spam collapses
+    it, binary junk inflates distinct counts).  Stateless vectorized
+    map — no shuffle at all.  Pure-SQL oracle via unnest+regexp."""
+    from topicrawler_ray.stages.textstats import char_diversity_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        char_diversity_batch, batch_format="pyarrow"
+    )
 
 
 def _q_shard_plan(sf_dir: str):
@@ -3157,6 +3207,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_traps": _q_crawl_traps,
         "host_capped_sample": _q_host_capped_sample,
         "host_triangles": _q_host_triangles,
+        "host_reciprocity": _q_host_reciprocity,
+        "host_kcore": _q_host_kcore,
+        "events_retention": _q_events_retention,
+        "char_diversity": _q_char_diversity,
         "shard_plan": _q_shard_plan,
         "bpe_fertility": _q_bpe_fertility,
         "anchor_texts": _q_anchor_texts,
@@ -4029,6 +4083,31 @@ def oracle_sql() -> dict[str, str]:
             "(2 * n_cal >= n_urls OR 2 * n_rep >= n_urls OR "
             "(2 * n_query >= n_urls AND 10 * n_qvals >= 9 * n_query)) "
             "AS is_trap FROM per"
+        ),
+        "events_retention": (
+            "WITH ud AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS d FROM events), "
+            "f AS (SELECT user_id, min(d) AS d0 FROM ud GROUP BY user_id) "
+            "SELECT CAST(f.d0 AS BIGINT) AS cohort_day, "
+            "CAST(ud.d - f.d0 AS BIGINT) AS day_offset, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM ud JOIN f ON ud.user_id = f.user_id GROUP BY 1, 2"
+        ),
+        # [\s\S] instead of '.': RE2's '.' skips newlines; the engine
+        # counts every codepoint
+        "char_diversity": (
+            "WITH ch AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '[\\s\\S]')) AS c FROM documents), "
+            "cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2), "
+            "agg AS (SELECT doc_id, sum(k) AS n, count(*) AS nd, "
+            "sum(k * k) AS m FROM cnt GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_cp, "
+            "CAST(coalesce(a.nd, 0) AS BIGINT) AS n_distinct_cp, "
+            "CAST(coalesce(a.m, 0) AS BIGINT) AS collision_mass, "
+            "CAST(CASE WHEN coalesce(a.n, 0) > 0 THEN "
+            "(a.n * a.n - a.m) * 1000000 // (a.n * a.n) ELSE 0 END AS BIGINT) "
+            "AS simpson_e6 "
+            "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
         ),
         "host_capped_sample": (
             "WITH r AS (SELECT doc_id, source, n_chars, "

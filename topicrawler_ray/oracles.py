@@ -2678,15 +2678,7 @@ def _b_host_triangles(sf_dir: str) -> pa.Table:
     edges with md5 % 3 == 0 are dropped first (same deterministic
     sparsifier as the query — the fixture host graph is complete, so
     unsparsified clustering is uniformly 1)."""
-    import hashlib
-
-    edges = {
-        (s, d)
-        for s, d in _host_edge_set(sf_dir)
-        if int(hashlib.md5(("%s>%s" % (s, d)).encode("utf-8")).hexdigest()[:8], 16)
-        % 3
-        != 0
-    }
+    edges = _sparse_host_edge_set(sf_dir)
     und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
     adj: dict[str, set] = {}
     for a, b in und:
@@ -2713,6 +2705,77 @@ def _b_host_triangles(sf_dir: str) -> pa.Table:
             "triangles": pa.array([tri[h] for h in hosts], pa.int64()),
             "wedges": pa.array(wedges, pa.int64()),
             "cc_e6": pa.array(cc, pa.int64()),
+        }
+    )
+
+
+def _sparse_host_edge_set(sf_dir: str) -> set:
+    """The md5-sparsified directed host edge set (digest % 3 == 0
+    dropped) — same deterministic rule as the triangle/k-core/
+    reciprocity queries apply to their edge substrate."""
+    import hashlib
+
+    return {
+        (s, d)
+        for s, d in _host_edge_set(sf_dir)
+        if int(hashlib.md5(("%s>%s" % (s, d)).encode("utf-8")).hexdigest()[:8], 16)
+        % 3
+        != 0
+    }
+
+
+def _b_host_reciprocity(sf_dir: str) -> pa.Table:
+    """Sequential per-host link reciprocity over the sparsified
+    directed host graph: plain set-membership loops (no pair-key
+    fold)."""
+    edges = _sparse_host_edge_set(sf_dir)
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n_out = dict.fromkeys(nodes, 0)
+    n_recip = dict.fromkeys(nodes, 0)
+    for s, d in edges:
+        n_out[s] += 1
+        if (d, s) in edges:
+            n_recip[s] += 1
+    return pa.table(
+        {
+            "host": pa.array(nodes, pa.string()),
+            "n_out": pa.array([n_out[h] for h in nodes], pa.int64()),
+            "n_recip": pa.array([n_recip[h] for h in nodes], pa.int64()),
+            "recip_e6": pa.array(
+                [
+                    (n_recip[h] * 10**6 // n_out[h]) if n_out[h] else 0
+                    for h in nodes
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def _b_host_kcore(sf_dir: str) -> pa.Table:
+    """Sequential k-core (k=7) peel over the sparsified undirected
+    host graph: plain adjacency-dict peel loop (Batagelj & Zaversnik
+    shape), independent of the engine's broadcast/filter rounds."""
+    K = 7
+    und = {(min(s, d), max(s, d)) for s, d in _sparse_host_edge_set(sf_dir)}
+    adj: dict[str, set] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for h in list(adj):
+            if h in adj and len(adj[h]) < K:
+                for nb in adj.pop(h):
+                    if nb in adj:
+                        adj[nb].discard(h)
+                changed = True
+    hosts = sorted(adj)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "core_degree": pa.array([len(adj[h]) for h in hosts], pa.int64()),
         }
     )
 
@@ -2806,6 +2869,8 @@ def _b_bpe_fertility(sf_dir: str) -> pa.Table:
 
 BUILDERS = {
     "host_triangles": _b_host_triangles,
+    "host_reciprocity": _b_host_reciprocity,
+    "host_kcore": _b_host_kcore,
     "shard_plan": _b_shard_plan,
     "bpe_fertility": _b_bpe_fertility,
     "distinct_users_hll": _b_distinct_users_hll,

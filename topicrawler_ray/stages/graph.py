@@ -1194,3 +1194,181 @@ def host_triangles(edges, num_partitions: int | None = None):
         )
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def host_reciprocity(edges, num_partitions: int | None = None):
+    """Per-host link reciprocity over the directed offsite host graph.
+
+    Reciprocity (the fraction of a host's out-links whose target links
+    back) separates organic mutual communities from one-way link dumps
+    — a classic webgraph spam feature alongside the clustering
+    coefficient.  Shape: fold both directions of each unordered pair
+    into ONE ``groupby(a, b)`` bit-OR exchange (direction bits 1 and
+    2), then emit per-endpoint seed rows (n_out, n_recip) and build
+    the host table with ONE ``groupby(host).sum`` — no join anywhere.
+
+    -> (host, n_out, n_recip, recip_e6) with
+    ``recip_e6 = floor(1e6 * n_recip / n_out)`` (0 when n_out = 0,
+    which only happens for hosts that never appear as a source).
+    """
+    num_partitions = _default_partitions(num_partitions)
+
+    def pair_bits(batch: pa.Table) -> pa.Table:
+        src, dst = batch.column("src"), batch.column("dst")
+        lt = pc.less(src, dst)
+        a = pc.if_else(lt, src, dst)
+        b = pc.if_else(lt, dst, src)
+        bit = pc.if_else(
+            lt, pa.scalar(1, pa.int64()), pa.scalar(2, pa.int64())
+        )
+        return pa.table({"a": a, "b": b, "bit": bit})
+
+    pairs = (
+        edges.map_batches(pair_bits, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .sum("bit")
+    )
+
+    def endpoint_rows(batch: pa.Table) -> pa.Table:
+        bits = batch.column("sum(bit)").cast(pa.int64())
+        fwd = pc.cast(
+            pc.equal(pc.bit_wise_and(bits, pa.scalar(1, pa.int64())),
+                     pa.scalar(1, pa.int64())),
+            pa.int64(),
+        )
+        rev = pc.cast(
+            pc.equal(pc.bit_wise_and(bits, pa.scalar(2, pa.int64())),
+                     pa.scalar(2, pa.int64())),
+            pa.int64(),
+        )
+        both = pc.multiply(fwd, rev)
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {"host": batch.column("a"), "n_out": fwd, "n_recip": both}
+                ),
+                pa.table(
+                    {"host": batch.column("b"), "n_out": rev, "n_recip": both}
+                ),
+            ]
+        )
+
+    folded = (
+        pairs.map_batches(endpoint_rows, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("host")
+        .sum(["n_out", "n_recip"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_out = batch.column("sum(n_out)").cast(pa.int64())
+        n_recip = batch.column("sum(n_recip)").cast(pa.int64())
+        one = pa.scalar(1, pa.int64())
+        safe = pc.if_else(pc.greater(n_out, pa.scalar(0, pa.int64())), n_out, one)
+        recip = pc.if_else(
+            pc.greater(n_out, pa.scalar(0, pa.int64())),
+            pc.divide(pc.multiply(n_recip, pa.scalar(10**6, pa.int64())), safe),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_out": n_out,
+                "n_recip": n_recip,
+                "recip_e6": recip,
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def host_kcore(edges, k: int, num_partitions: int | None = None,
+               max_iters: int = 64):
+    """k-core decomposition (fixed k) over the undirected offsite host
+    graph: iteratively peel hosts with degree < k until fixpoint;
+    return the surviving hosts with their within-core degree.
+
+    The k-core is the standard "dense seed community" extractor for
+    webgraphs (Seidman 1983; Batagelj & Zaversnik 2003 for the peel) —
+    crawl seeding wants hosts embedded in a dense mutual neighbourhood,
+    not pendant leaves.  Distributed shape per round: ONE seed-row
+    degree aggregate over the surviving edge set, broadcast of the
+    (shrinking) drop set via ``ray.put``, edge filter inside
+    ``map_batches`` — the edge set only ever shrinks, and the loop
+    exchanges degree rows, never adjacency lists.  The broadcast is of
+    *dropped-this-round* hosts only (the usual peel frontier, small
+    after round 1); a 10^8-host graph would swap it for a semijoin.
+
+    -> (host, core_degree), empty when the graph has no k-core.
+    """
+    import ray
+
+    num_partitions = _default_partitions(num_partitions)
+    und = undirected_host_edges(edges, num_partitions).materialize()
+
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        one = pa.array([1] * batch.num_rows, pa.int64())
+        return pa.concat_tables(
+            [
+                pa.table({"host": batch.column("a"), "deg": one}),
+                pa.table({"host": batch.column("b"), "deg": one}),
+            ]
+        )
+
+    for _ in range(max_iters):
+        degs = (
+            und.map_batches(deg_rows, batch_format="pyarrow")
+            .repartition(num_partitions)
+            .groupby("host")
+            .sum("deg")
+        )
+        # the peel frontier: hosts failing the bar THIS round — small
+        # by construction after the first round (bounded by the number
+        # of rows whose degree just dropped below k)
+        def below_bar(batch: pa.Table) -> pa.Table:
+            d = batch.column("sum(deg)").cast(pa.int64())
+            return batch.filter(pc.less(d, pa.scalar(k, pa.int64()))).select(
+                ["host"]
+            )
+
+        drop = [
+            r["host"]
+            for r in degs.map_batches(
+                below_bar, batch_format="pyarrow"
+            ).take_all()
+        ]
+        if not drop:
+            def finish(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "host": batch.column("host"),
+                        "core_degree": batch.column("sum(deg)").cast(pa.int64()),
+                    }
+                )
+
+            return degs.map_batches(finish, batch_format="pyarrow")
+        drop_ref = ray.put(set(drop))
+
+        def keep(batch: pa.Table, _ref=drop_ref) -> pa.Table:
+            dropped = ray.get(_ref)
+            mask = [
+                a not in dropped and b not in dropped
+                for a, b in zip(
+                    batch.column("a").to_pylist(), batch.column("b").to_pylist()
+                )
+            ]
+            return batch.filter(pa.array(mask))
+
+        und = und.map_batches(keep, batch_format="pyarrow").materialize()
+        if und.count() == 0:
+            import ray.data as rd
+
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "host": pa.array([], pa.string()),
+                        "core_degree": pa.array([], pa.int64()),
+                    }
+                )
+            )
+    raise RuntimeError("k-core peel did not converge in %d rounds" % max_iters)

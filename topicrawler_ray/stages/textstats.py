@@ -547,3 +547,39 @@ def normalize_text_batch(batch: pa.Table, column: str = "text") -> pa.Table:
         for t in texts
     ]
     return batch.append_column("norm_text", pa.array(out, pa.string()))
+
+
+def char_diversity_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Per-document character-diversity signal with EXACT integer
+    arithmetic: codepoint count ``n``, distinct codepoints, collision
+    mass ``sum(c_i^2)`` and the Simpson diversity index
+    ``simpson_e6 = floor(1e6 * (n^2 - sum c_i^2) / n^2)`` (0 for empty
+    text).
+
+    Simpson diversity is the log-free cousin of character entropy —
+    machine-generated/keyboard-mash spam has collapsed diversity,
+    binary-junk extractions have inflated distinct counts — and the
+    integer collision-mass formulation keeps the oracle comparison
+    exact where an entropy's floating log10 sums would drift.
+    """
+    from collections import Counter
+
+    ns, dist, coll, simp = [], [], [], []
+    for t in batch.column(column).to_pylist():
+        t = t or ""
+        n = len(t)
+        c = Counter(t)
+        m = sum(v * v for v in c.values())
+        ns.append(n)
+        dist.append(len(c))
+        coll.append(m)
+        simp.append((n * n - m) * 10**6 // (n * n) if n else 0)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_cp": pa.array(ns, pa.int64()),
+            "n_distinct_cp": pa.array(dist, pa.int64()),
+            "collision_mass": pa.array(coll, pa.int64()),
+            "simpson_e6": pa.array(simp, pa.int64()),
+        }
+    )

@@ -798,3 +798,96 @@ def per_key_cumsum(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def cohort_retention(events_ds, ts_column: str = "ts",
+                     user_column: str = "user_id",
+                     num_partitions: int | None = None):
+    """Classic cohort retention matrix over an event stream: users
+    grouped by their first-activity day, counted on each later active
+    day as an offset from that first day.
+
+    -> (cohort_day, day_offset, n_users) where days are integer epoch
+    days (``floor(epoch_us / 86_400_000_000)`` — exact integers on
+    both engine and oracle sides, no timezone/format surface).
+
+    Shape: one per-batch dedup to slim ``(user, day)`` rows + a
+    distinct groupby (activity set), ONE ``groupby(user).min`` for the
+    cohorts, ONE hash join user->cohort, ONE counting groupby — every
+    exchange moves 2-int rows.  Distinct (user, day) rows make the
+    final count(*) a count-distinct-users for free.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .dedup import _default_partitions
+
+    num_partitions = _default_partitions(num_partitions)
+    US_PER_DAY = 86_400_000_000
+
+    def user_days(batch: pa.Table) -> pa.Table:
+        d = pc.divide(
+            batch.column(ts_column).cast(pa.int64()),
+            pa.scalar(US_PER_DAY, pa.int64()),
+        )
+        t = pa.table(
+            {"user_id": batch.column(user_column), "d": d}
+        )
+        # in-batch combiner: the global distinct groupby still runs,
+        # but the exchange shrinks to unique rows per batch first
+        return t.group_by(["user_id", "d"]).aggregate([]).select(
+            ["user_id", "d"]
+        )
+
+    ud = (
+        events_ds.map_batches(user_days, batch_format="pyarrow")
+        .groupby(["user_id", "d"])
+        .count()
+        .select_columns(["user_id", "d"])
+        .repartition(num_partitions)
+    )
+    firsts = (
+        ud.groupby("user_id")
+        .min("d")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "user_id": b.column("user_id"),
+                    "d0": b.column("min(d)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(num_partitions)
+    )
+    joined = ud.join(
+        firsts, join_type="inner", num_partitions=num_partitions, on=("user_id",)
+    )
+
+    def offsets(batch: pa.Table) -> pa.Table:
+        d = batch.column("d").cast(pa.int64())
+        d0 = batch.column("d0").cast(pa.int64())
+        return pa.table(
+            {
+                "cohort_day": d0,
+                "day_offset": pc.subtract(d, d0),
+                "n_users": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+
+    out = (
+        joined.map_batches(offsets, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby(["cohort_day", "day_offset"])
+        .sum("n_users")
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "cohort_day": b.column("cohort_day").cast(pa.int64()),
+                "day_offset": b.column("day_offset").cast(pa.int64()),
+                "n_users": b.column("sum(n_users)").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
