@@ -144,3 +144,86 @@ class TestCharDiversity:
             assert r["simpson_e6"] == ((n * n - m) * 10**6 // (n * n) if n else 0)
         assert rows[2]["simpson_e6"] == 0  # aaaa: zero diversity
         assert rows[1]["simpson_e6"] == 750000  # abcd: 1 - 4/16
+
+
+class TestRandomizedGraphParity:
+    """Seeded random digraphs: the distributed triangle / k-core /
+    reciprocity kernels must agree exactly with plain dict/set loops
+    computed right here (independent of both the engine and the
+    oracles module)."""
+
+    def _random_pairs(self, seed, n_nodes=14, n_edges=60):
+        import random
+
+        rng = random.Random(seed)
+        pairs = set()
+        while len(pairs) < n_edges:
+            a = "n%02d" % rng.randrange(n_nodes)
+            b = "n%02d" % rng.randrange(n_nodes)
+            if a != b:
+                pairs.add((a, b))
+        return sorted(pairs)
+
+    def test_triangles_parity(self, ray_session):
+        from topicrawler_ray.stages.graph import host_triangles
+
+        for seed in (1, 7, 42):
+            pairs = self._random_pairs(seed)
+            und = {(min(a, b), max(a, b)) for a, b in pairs}
+            adj = {}
+            for a, b in und:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            tri = dict.fromkeys(adj, 0)
+            for a, b in und:
+                for c in adj[a] & adj[b]:
+                    if c > b:
+                        tri[a] += 1
+                        tri[b] += 1
+                        tri[c] += 1
+            rows = {r["host"]: r for r in host_triangles(_edges(pairs)).take_all()}
+            assert set(rows) == set(adj)
+            for h in adj:
+                assert rows[h]["degree"] == len(adj[h]), (seed, h)
+                assert rows[h]["triangles"] == tri[h], (seed, h)
+
+    def test_kcore_parity(self, ray_session):
+        from topicrawler_ray.stages.graph import host_kcore
+
+        for seed, k in ((3, 3), (11, 4), (23, 5)):
+            pairs = self._random_pairs(seed)
+            adj = {}
+            for a, b in {(min(a, b), max(a, b)) for a, b in pairs}:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            changed = True
+            while changed:
+                changed = False
+                for h in list(adj):
+                    if h in adj and len(adj[h]) < k:
+                        for nb in adj.pop(h):
+                            if nb in adj:
+                                adj[nb].discard(h)
+                        changed = True
+            rows = {
+                r["host"]: r["core_degree"]
+                for r in host_kcore(_edges(pairs), k=k).take_all()
+            }
+            assert rows == {h: len(adj[h]) for h in adj}, (seed, k)
+
+    def test_reciprocity_parity(self, ray_session):
+        from topicrawler_ray.stages.graph import host_reciprocity
+
+        for seed in (5, 19):
+            pairs = self._random_pairs(seed)
+            eset = set(pairs)
+            nodes = {a for a, _ in pairs} | {b for _, b in pairs}
+            rows = {
+                r["host"]: r for r in host_reciprocity(_edges(pairs)).take_all()
+            }
+            assert set(rows) == nodes
+            for h in nodes:
+                out = [(a, b) for a, b in pairs if a == h]
+                rec = [e for e in out if (e[1], e[0]) in eset]
+                assert rows[h]["n_out"] == len(out), (seed, h)
+                assert rows[h]["n_recip"] == len(rec), (seed, h)
