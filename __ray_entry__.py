@@ -3146,6 +3146,35 @@ def _q_shard_plan(sf_dir: str):
     )
 
 
+def _q_phrase_search(sf_dir: str):
+    """Exact positional phrase search (the positional complement to
+    the BM25 bag-of-words ranker): three 3-token phrases drawn
+    deterministically from the corpus itself (words 2-4 of docs 37,
+    74, 111 — only those that exist and have >= 4 words, so the same
+    rule holds at every scale), matched with ONE stateless no-shuffle
+    map_batches; overlapping occurrences counted.  The pure-SQL
+    oracle re-derives the phrases and re-counts via a token-position
+    self-join chain."""
+    import pyarrow.compute as pc_
+
+    from topicrawler_ray.stages.retrieval import phrase_search
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    src = docs.map_batches(
+        lambda b: b.filter(
+            pc_.is_in(b.column("doc_id"), value_set=__import__("pyarrow").array(
+                [37, 74, 111]))
+        ),
+        batch_format="pyarrow",
+    ).take_all()  # <= 3 rows by construction
+    phrases = []
+    for r in sorted(src, key=lambda r: r["doc_id"]):
+        ws = (r["text"] or "").split(" ")
+        if len(ws) >= 4:
+            phrases.append((r["doc_id"] // 37 - 1, ws[1:4]))
+    return phrase_search(docs, phrases)
+
+
 def _q_bpe_fertility(sf_dir: str):
     """Per-language BPE fertility (tokens/word, bytes/token) under the
     shared 200-merge vocabulary: broadcast merge ranks, actor-pool
@@ -3211,6 +3240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_kcore": _q_host_kcore,
         "events_retention": _q_events_retention,
         "char_diversity": _q_char_diversity,
+        "phrase_search": _q_phrase_search,
         "shard_plan": _q_shard_plan,
         "bpe_fertility": _q_bpe_fertility,
         "anchor_texts": _q_anchor_texts,
@@ -4083,6 +4113,24 @@ def oracle_sql() -> dict[str, str]:
             "(2 * n_cal >= n_urls OR 2 * n_rep >= n_urls OR "
             "(2 * n_query >= n_urls AND 10 * n_qvals >= 9 * n_query)) "
             "AS is_trap FROM per"
+        ),
+        "phrase_search": (
+            "WITH src AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents WHERE doc_id IN (37, 74, 111) "
+            "AND len(string_split(text, ' ')) >= 4), "
+            "ph AS (SELECT CAST(doc_id // 37 - 1 AS BIGINT) AS pid, "
+            "ws[2] AS w1, ws[3] AS w2, ws[4] AS w3 FROM src), "
+            "flat AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w, "
+            "generate_subscripts(string_split(text, ' '), 1) AS pos "
+            "FROM documents) "
+            "SELECT p.pid AS phrase_id, a.doc_id, "
+            "CAST(count(*) AS BIGINT) AS n_matches "
+            "FROM ph p JOIN flat a ON a.w = p.w1 "
+            "JOIN flat b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "AND b.w = p.w2 "
+            "JOIN flat c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 "
+            "AND c.w = p.w3 "
+            "GROUP BY 1, 2"
         ),
         "events_retention": (
             "WITH ud AS (SELECT DISTINCT user_id, "

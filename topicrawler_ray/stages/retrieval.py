@@ -614,3 +614,64 @@ def rrf_fuse(rankings, k0: int = 60, topk: int = 10):
             "rank": pa.array(o_r, pa.int64()),
         }
     )
+
+
+def phrase_search(ds, phrases, id_column: str = "doc_id",
+                  text_column: str = "text"):
+    """Exact positional phrase search: which documents contain each
+    consecutive-token phrase, and how many times (overlapping
+    occurrences counted — 'a a' occurs twice in 'a a a').
+
+    The positional complement to :func:`bm25_topk` (a bag-of-words
+    ranker): phrase/proximity constraints are what positional postings
+    exist for in every web-scale index.  Shape: the phrase list is
+    tiny (broadcast once via ``ray.put``); matching is embarrassingly
+    per-document, so the whole operator is ONE stateless
+    ``map_batches`` with NO shuffle — token equality masks are
+    vectorized pyarrow/numpy kernels over the batch-exploded token
+    array, window conjunction is m-1 shifted ANDs, per-doc counts a
+    bincount.
+
+    ``phrases``: list of ``(phrase_id, [w1, w2, ...])``.
+    -> (phrase_id, doc_id, n_matches), matching docs only.
+    """
+    import ray
+
+    ref = ray.put([(int(pid), tuple(ws)) for pid, ws in phrases])
+
+    def find(batch: pa.Table, _ref=ref) -> pa.Table:
+        plist = ray.get(_ref)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        flat, doc_idx, _dl = _explode_tokens(batch.column(text_column))
+        L = len(flat)
+        o_pid, o_doc, o_n = [], [], []
+        for pid, words in plist:
+            m = len(words)
+            if m == 0 or L < m:
+                continue
+            ok = pc.equal(flat, words[0]).to_numpy(zero_copy_only=False)[
+                : L - m + 1
+            ].copy()
+            for j in range(1, m):
+                ok &= pc.equal(flat, words[j]).to_numpy(zero_copy_only=False)[
+                    j : L - m + 1 + j
+                ]
+            # the window must not straddle a document boundary
+            ok &= doc_idx[: L - m + 1] == doc_idx[m - 1 : L]
+            hit_docs = doc_idx[: L - m + 1][ok]
+            if hit_docs.size == 0:
+                continue
+            counts = np.bincount(hit_docs, minlength=len(ids))
+            nz = np.nonzero(counts)[0]
+            o_pid.extend([pid] * len(nz))
+            o_doc.extend(ids[nz].tolist())
+            o_n.extend(counts[nz].tolist())
+        return pa.table(
+            {
+                "phrase_id": pa.array(o_pid, pa.int64()),
+                "doc_id": pa.array(o_doc, pa.int64()),
+                "n_matches": pa.array(o_n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(find, batch_format="pyarrow")
