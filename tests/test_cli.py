@@ -276,3 +276,47 @@ class TestSnapshotCli:
             assert row["revisit_tier"] == "fast"
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestGraphCommand:
+    def test_graph_metrics_over_fixture_pages(self):
+        import pyarrow.parquet as pq
+
+        from topicrawler_ray.sources.pages import pages_path
+
+        tmp = tempfile.mkdtemp(prefix="cli_graph_")
+        try:
+            src = pages_path("/root/testdata/sf0.001")
+            out = os.path.join(tmp, "tri")
+            r = _run(
+                [
+                    "graph",
+                    "--input", src,
+                    "--metric", "triangles",
+                    "--out", out,
+                    "--num-cpus", "4",
+                ]
+            )
+            assert r.returncode == 0, r.stderr[-2000:]
+            info = json.loads(r.stdout.strip().splitlines()[-1])
+            assert info["hosts"] > 0
+            t = pq.read_table(out)
+            assert set(t.column_names) == {
+                "host", "degree", "triangles", "wedges", "cc_e6"
+            }
+            assert t.num_rows == info["hosts"]
+
+            r2 = _run(
+                [
+                    "graph",
+                    "--input", src,
+                    "--metric", "kcore",
+                    "--k", "3",
+                    "--num-cpus", "4",
+                ]
+            )
+            assert r2.returncode == 0, r2.stderr[-2000:]
+            info2 = json.loads(r2.stdout.strip().splitlines()[-1])
+            assert info2["metric"] == "kcore" and info2["hosts"] > 0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)

@@ -210,6 +210,47 @@ def cmd_snapshot(args) -> int:
     return 0
 
 
+def cmd_graph(args) -> int:
+    """Host-graph analytics over a pages parquet (url + html): extract
+    the offsite host graph once, then emit the requested metric —
+    pagerank / harmonic / degrees / triangles / kcore / reciprocity —
+    as parquet (or a JSON row-count summary to stdout)."""
+    _init_ray(args.num_cpus)
+    import ray
+
+    from .stages.graph import (
+        degrees,
+        harmonic_centrality,
+        host_edges,
+        host_kcore,
+        host_reciprocity,
+        host_triangles,
+        pagerank,
+    )
+
+    pages = _rp_clean(args.input, columns=["url", "html"])
+    edges = host_edges(pages)
+    if args.metric == "pagerank":
+        out = pagerank(edges, iterations=args.iterations)
+    elif args.metric == "harmonic":
+        out = harmonic_centrality(edges)
+    elif args.metric == "degrees":
+        out = degrees(edges)
+    elif args.metric == "triangles":
+        out = host_triangles(edges)
+    elif args.metric == "kcore":
+        out = host_kcore(edges, k=args.k)
+    else:  # reciprocity
+        out = host_reciprocity(edges)
+    if args.out:
+        out.write_parquet(args.out)
+        print(json.dumps({"out": args.out, "hosts": out.count()}))
+    else:
+        print(json.dumps({"metric": args.metric, "hosts": out.count()}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Webtext curation chain over a parquet documents table: exact
     dedup (hash-aggregate) -> quality + gopher -> langid -> gates ->
@@ -599,6 +640,20 @@ def main(argv: list[str] | None = None) -> int:
     sn.add_argument("--out", default=None)
     sn.add_argument("--num-cpus", type=int, default=None)
     sn.set_defaults(fn=cmd_snapshot)
+
+    gr = sub.add_parser("graph", help="host-graph analytics over a pages table")
+    gr.add_argument("--input", required=True, help="pages parquet (url + html)")
+    gr.add_argument(
+        "--metric",
+        choices=["pagerank", "harmonic", "degrees", "triangles", "kcore",
+                 "reciprocity"],
+        default="pagerank",
+    )
+    gr.add_argument("--iterations", type=int, default=5)
+    gr.add_argument("--k", type=int, default=4, help="k for --metric kcore")
+    gr.add_argument("--out", default=None)
+    gr.add_argument("--num-cpus", type=int, default=None)
+    gr.set_defaults(fn=cmd_graph)
 
     u = sub.add_parser("curate", help="dedup+quality+langid curation chain")
     u.add_argument("--input", required=True)
