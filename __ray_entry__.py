@@ -2645,6 +2645,28 @@ def _q_top_suppliers(sf_dir: str):
     return out.map_batches(widen, batch_format="pyarrow")
 
 
+def _q_lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary (the classic scan-heavy
+    aggregate): pruned 6-column read, per-batch pyarrow combiner
+    collapsing each block to <= groups rows, ONE tiny groupby merge.
+    Every measure is floor(x*100)-quantized int64 — associative and
+    exact; the oracle runs the identical integer algebra in SQL."""
+    from topicrawler_ray.stages.relational import pricing_summary
+
+    li = _read_parquet(
+        sf_dir + "/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        ],
+    )
+    return pricing_summary(li)
+
+
 def _q_parts_by_brand(sf_dir: str):
     """Per-brand part stats (counts, size sum, retail cents sum) - the
     part table through the combiner-first groupby.  Pure-SQL oracle."""
@@ -3279,6 +3301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outliers": _q_events_outliers,
         "top_suppliers": _q_top_suppliers,
         "parts_by_brand": _q_parts_by_brand,
+        "lineitem_pricing": _q_lineitem_pricing,
         "events_trend": _q_events_trend,
         "events_funnel": _q_events_funnel,
         "event_transitions": _q_event_transitions,
@@ -3415,6 +3438,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS size_sum, "
             "CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) "
             "AS price_e2_sum FROM part GROUP BY 1"
+        ),
+        "lineitem_pricing": (
+            "WITH q AS (SELECT l_returnflag, l_linestatus, "
+            "CAST(floor(l_quantity * 100) AS BIGINT) AS qty_e2, "
+            "CAST(floor(l_extendedprice * 100) AS BIGINT) AS base_e2, "
+            "CAST(floor(l_discount * 100) AS BIGINT) AS disc_e2, "
+            "CAST(floor(l_tax * 100) AS BIGINT) AS tax_e2 FROM lineitem) "
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(qty_e2) AS BIGINT) AS sum_qty_e2, "
+            "CAST(sum(base_e2) AS BIGINT) AS sum_base_e2, "
+            "CAST(sum(base_e2 * (100 - disc_e2)) AS BIGINT) AS sum_disc_e4, "
+            "CAST(sum(base_e2 * (100 - disc_e2) * (100 + tax_e2)) AS BIGINT) "
+            "AS sum_charge_e6 FROM q GROUP BY 1, 2"
         ),
         "source_lang_mix": (
             "WITH p AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c "

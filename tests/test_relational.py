@@ -72,3 +72,77 @@ class TestRollup:
         assert rows[("y", "__all__")] == (4, 1)
         assert rows[("__all__", "__all__")] == (7, 3)
         assert len(rows) == 6
+
+
+class TestPricingSummary:
+    def _rows(self):
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        for i in range(200):
+            rows.append(
+                {
+                    "l_returnflag": rng.choice(["A", "N", "R"]),
+                    "l_linestatus": rng.choice(["O", "F"]),
+                    "l_quantity": float(rng.randint(1, 50)),
+                    "l_extendedprice": round(rng.uniform(900.0, 105000.0), 2),
+                    "l_discount": rng.randint(0, 10) / 100.0,
+                    "l_tax": rng.randint(0, 8) / 100.0,
+                }
+            )
+        return rows
+
+    def test_matches_sequential_integer_algebra(self, ray_session):
+        import math
+
+        import ray.data
+
+        from topicrawler_ray.stages.relational import pricing_summary
+
+        rows = self._rows()
+        exp = {}
+        for r in rows:
+            key = (r["l_returnflag"], r["l_linestatus"])
+            base = math.floor(r["l_extendedprice"] * 100.0)
+            qty = math.floor(r["l_quantity"] * 100.0)
+            disc = math.floor(r["l_discount"] * 100.0)
+            tax = math.floor(r["l_tax"] * 100.0)
+            e = exp.setdefault(key, [0, 0, 0, 0, 0])
+            e[0] += 1
+            e[1] += qty
+            e[2] += base
+            e[3] += base * (100 - disc)
+            e[4] += base * (100 - disc) * (100 + tax)
+        out = pricing_summary(ray.data.from_items(rows).repartition(5)).take_all()
+        assert len(out) == len(exp)
+        for row in out:
+            e = exp[(row["l_returnflag"], row["l_linestatus"])]
+            got = [
+                row["n_rows"],
+                row["sum_qty_e2"],
+                row["sum_base_e2"],
+                row["sum_disc_e4"],
+                row["sum_charge_e6"],
+            ]
+            assert got == e, (row, e)
+
+    def test_overflow_guard_trips(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.relational import pricing_summary
+
+        rows = [
+            {
+                "l_returnflag": "A",
+                "l_linestatus": "O",
+                "l_quantity": 1.0,
+                # base_e2 ~ 9.2e17 so one row's charge_e6 overflows the
+                # asserted 2^62 bound after the (100-disc)*(100+tax) factor
+                "l_extendedprice": 9.2e15,
+                "l_discount": 0.0,
+                "l_tax": 0.0,
+            }
+        ]
+        with pytest.raises(Exception):
+            pricing_summary(ray.data.from_items(rows)).take_all()

@@ -110,6 +110,101 @@ def broadcast_lookup_join(
     )
 
 
+def pricing_summary(lineitem_ds):
+    """TPC-H-Q1-shaped pricing summary: per (l_returnflag, l_linestatus)
+    row count plus exact-integer sums of quantity, base price, discounted
+    price and tax-charged price.
+
+    Scale shape: every float measure is quantized ONCE per row with the
+    repo-wide ``floor(x * 100)`` discipline (identical IEEE arithmetic in
+    numpy and DuckDB), then the whole aggregation is associative int64
+    algebra — a per-batch ``pyarrow`` group_by combiner collapses each
+    block to at most |flags|x|statuses| partial rows, and ONE tiny
+    ``groupby`` merges the partials.  The exchange moves O(groups x
+    blocks) rows regardless of fact-table size.
+
+    int64 headroom: charge_e6 is base_e2 (< 2^24) x discount factor
+    (<= 100) x tax factor (<= 108) < 2^38 per row, so ~2^25 rows per
+    GROUP per BATCH would be needed to overflow a partial — far beyond
+    any block size; the final merge sums blocks x groups partials and
+    stays exact to ~2^62 total, asserted below.
+    """
+
+    def fold(batch: pa.Table) -> pa.Table:
+        base = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        qty = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc = np.floor(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        tax = np.floor(
+            batch.column("l_tax").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc_e4 = base * (100 - disc)
+        charge_e6 = disc_e4 * (100 + tax)
+        part = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "n_rows": pa.array(np.ones(len(base), np.int64)),
+                "sum_qty_e2": pa.array(qty),
+                "sum_base_e2": pa.array(base),
+                "sum_disc_e4": pa.array(disc_e4),
+                "sum_charge_e6": pa.array(charge_e6),
+            }
+        )
+        out = part.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("n_rows", "sum"),
+                ("sum_qty_e2", "sum"),
+                ("sum_base_e2", "sum"),
+                ("sum_disc_e4", "sum"),
+                ("sum_charge_e6", "sum"),
+            ]
+        )
+        return out.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "n_rows",
+                "sum_qty_e2",
+                "sum_base_e2",
+                "sum_disc_e4",
+                "sum_charge_e6",
+            ]
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = lineitem_ds.map_batches(fold, batch_format="pyarrow")
+    # few-group aggregate: TPC-H Q1 has |returnflag| x |linestatus| ~ 6
+    # groups total, so a cluster-wide exchange would emit mostly empty
+    # schema-less blocks (executor schema-divergence warnings); two
+    # partitions keep both merge tasks non-empty and the exchange is
+    # O(groups x blocks) rows either way
+    partials = partials.repartition(2)
+    merged = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("sum_qty_e2", alias_name="sum_qty_e2"),
+        Sum("sum_base_e2", alias_name="sum_base_e2"),
+        Sum("sum_disc_e4", alias_name="sum_disc_e4"),
+        Sum("sum_charge_e6", alias_name="sum_charge_e6"),
+    )
+
+    def guard(batch: pa.Table) -> pa.Table:
+        charges = batch.column("sum_charge_e6").to_numpy(zero_copy_only=False)
+        assert (np.abs(charges) < (1 << 62)).all(), (
+            "sum_charge_e6 nearing int64 overflow: shard the fact table "
+            "per date range before the pricing summary"
+        )
+        return batch
+
+    return merged.map_batches(guard, batch_format="pyarrow")
+
+
 def rollup_aggregate(ds, group_columns: list[str], sum_column: str,
                      total_label: str = "__all__"):
     """GROUPING SETS rollup of an int64 measure: one fact-table shuffle
