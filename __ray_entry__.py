@@ -3040,6 +3040,56 @@ def _trap_urls(sf_dir: str):
     return ds.map_batches(synth, batch_format="pyarrow").materialize()
 
 
+def _param_urls(sf_dir: str):
+    """Deterministic parameterized-URL table synthesised from the
+    events fixture (the pages fixture's URLs carry no query strings):
+    every URL has a content-id param, and the tracking-class params
+    (utm / sess / ref) attach on fixed event-id residues so the audit
+    has both strip-worthy and content-addressing keys.  The oracle SQL
+    re-derives the identical strings from the same arithmetic."""
+    import pyarrow as pa
+
+    ds = _read_parquet(sf_dir + "/events.parquet", columns=["event_id", "user_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        urls = []
+        for e, u in zip(
+            batch.column("event_id").to_pylist(),
+            batch.column("user_id").to_pylist(),
+        ):
+            s = "http://ph%d.example/p%d?id=%d" % (u % 23, e % 97, e % 1000)
+            if e % 2 == 0:
+                s += "&utm=s%d" % (e % 7)
+            if e % 3 == 0:
+                s += "&sess=%d" % e
+            if e % 5 == 0:
+                s += "&ref=r%d" % (u % 13)
+            urls.append(s)
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    return ds.map_batches(synth, batch_format="pyarrow")
+
+
+def _q_url_depths(sf_dir: str):
+    """Per-(host, path-depth) URL histogram over the trap-shaped URL
+    set (the Heritrix max-path-depth budget input): vectorized '?'/'/'
+    list kernels, per-batch combiner, ONE slim integer groupby."""
+    from topicrawler_ray.stages.urlstats import url_depth_histogram
+
+    return url_depth_histogram(_trap_urls(sf_dir))
+
+
+def _q_url_params(sf_dir: str):
+    """Tracking-parameter audit for the URL canonicalizer: per
+    (host, query key) URL count + distinct-value count + strip flag
+    (cardinality tracking the URL count = session/tracking param).
+    Vectorized kv explosion, (host,key,val) counting groupby, slim
+    (host,key) merge."""
+    from topicrawler_ray.stages.urlstats import url_param_audit
+
+    return url_param_audit(_param_urls(sf_dir))
+
+
 def _q_crawl_traps(sf_dir: str):
     """Crawl-trap detection (Heritrix pathological-path analog): per
     host URL-structure signals — calendar-archive segments, adjacent
@@ -3256,6 +3306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_recall": _q_knn_recall,
         "host_degrees": _q_host_degrees,
         "crawl_traps": _q_crawl_traps,
+        "url_depths": _q_url_depths,
+        "url_params": _q_url_params,
         "host_capped_sample": _q_host_capped_sample,
         "host_triangles": _q_host_triangles,
         "host_reciprocity": _q_host_reciprocity,
@@ -4100,6 +4152,43 @@ def oracle_sql() -> dict[str, str]:
         # arithmetic, then re-parses them with its own string/regex
         # machinery (adjacent-repeat via the unnest+subscript self-join
         # pattern — RE2 has no backreferences)
+        "url_depths": (
+            "WITH u AS (SELECT event_id AS e, user_id AS uid, "
+            "user_id % 40 AS hn, CASE WHEN (user_id % 40) % 7 = 0 THEN 0 "
+            "WHEN (user_id % 40) % 7 = 1 THEN 2 ELSE event_id % 5 END AS b "
+            "FROM events), "
+            "raw AS (SELECT e, 'http://h' || hn || '.example' || "
+            "CASE b WHEN 0 THEN '/cal/' || (2000 + e % 25) || '/' || "
+            "(1 + e % 12) || '/' || (1 + e % 28) "
+            "WHEN 1 THEN '/' || repeat('page/', 1 + e % 4) || 'x' "
+            "WHEN 2 THEN '/item?sid=' || e "
+            "WHEN 3 THEN '/a' || (e % 50) "
+            "ELSE '/b' || (e % 50) || '/c' || (uid % 10) END AS url FROM u) "
+            "SELECT lower(string_split(url, '/')[3]) AS host, "
+            "CAST(len(string_split(split_part(url, '?', 1), '/')) - 3 "
+            "AS BIGINT) AS depth, CAST(count(*) AS BIGINT) AS n_urls "
+            "FROM raw GROUP BY 1, 2"
+        ),
+        "url_params": (
+            "WITH raw AS (SELECT 'http://ph' || (user_id % 23) || "
+            "'.example/p' || (event_id % 97) || '?id=' || (event_id % 1000) "
+            "|| CASE WHEN event_id % 2 = 0 THEN '&utm=s' || (event_id % 7) "
+            "ELSE '' END "
+            "|| CASE WHEN event_id % 3 = 0 THEN '&sess=' || event_id "
+            "ELSE '' END "
+            "|| CASE WHEN event_id % 5 = 0 THEN '&ref=r' || (user_id % 13) "
+            "ELSE '' END AS url FROM events), "
+            "kv AS (SELECT lower(string_split(url, '/')[3]) AS host, "
+            "unnest(string_split(split_part(url, '?', 2), '&')) AS kvp "
+            "FROM raw), "
+            "pk AS (SELECT host, split_part(kvp, '=', 1) AS \"key\", "
+            "split_part(kvp, '=', 2) AS val FROM kv), "
+            "agg AS (SELECT host, \"key\", CAST(count(*) AS BIGINT) AS "
+            "n_urls, CAST(count(DISTINCT val) AS BIGINT) AS n_distinct_vals "
+            "FROM pk GROUP BY 1, 2) "
+            "SELECT host, \"key\", n_urls, n_distinct_vals, "
+            "2 * n_distinct_vals >= n_urls AS is_tracking FROM agg"
+        ),
         "crawl_traps": (
             "WITH u AS (SELECT event_id AS e, user_id AS uid, "
             "user_id % 40 AS hn, "
