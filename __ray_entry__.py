@@ -3040,6 +3040,31 @@ def _trap_urls(sf_dir: str):
     return ds.map_batches(synth, batch_format="pyarrow").materialize()
 
 
+def _q_warc_roundtrip(sf_dir: str):
+    """WARC/1.0 archive roundtrip (the Heritrix WARCWriterProcessor
+    analog, S4/S5 made real): pages -> per-task .warc.gz files (one
+    gzip member per record, deterministic bytes) -> parsed back into
+    (url, payload_len, payload_md5).  The oracle recomputes length +
+    md5(to_hex(payload)) straight off the parquet store, so a single
+    flipped byte anywhere in the write->read path breaks the hash."""
+    import os
+    import shutil
+
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.warc import read_warc_records, write_warc
+
+    out_dir = "/tmp/topicrawler_ray_warc/%s" % os.path.basename(
+        sf_dir.rstrip("/")
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    manifest = write_warc(
+        read_pages(sf_dir, columns=["url", "warc_ts", "html"]), out_dir
+    )
+    n = manifest.count()  # force the writes before reading back
+    assert n > 0
+    return read_warc_records(out_dir)
+
+
 def _param_urls(sf_dir: str):
     """Deterministic parameterized-URL table synthesised from the
     events fixture (the pages fixture's URLs carry no query strings):
@@ -3308,6 +3333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_traps": _q_crawl_traps,
         "url_depths": _q_url_depths,
         "url_params": _q_url_params,
+        "warc_roundtrip": _q_warc_roundtrip,
         "host_capped_sample": _q_host_capped_sample,
         "host_triangles": _q_host_triangles,
         "host_reciprocity": _q_host_reciprocity,
@@ -4152,6 +4178,11 @@ def oracle_sql() -> dict[str, str]:
         # arithmetic, then re-parses them with its own string/regex
         # machinery (adjacent-repeat via the unnest+subscript self-join
         # pattern — RE2 has no backreferences)
+        "warc_roundtrip": (
+            "SELECT url, CAST(octet_length(html) AS BIGINT) AS payload_len, "
+            "md5(to_hex(html)) AS payload_md5 FROM read_parquet('%s')"
+            % _PAGES_SF001
+        ),
         "url_depths": (
             "WITH u AS (SELECT event_id AS e, user_id AS uid, "
             "user_id % 40 AS hn, CASE WHEN (user_id % 40) % 7 = 0 THEN 0 "
