@@ -3205,6 +3205,32 @@ def _q_host_kcore(sf_dir: str):
     return host_kcore(_sparse_host_edges(sf_dir), k=7)
 
 
+def _q_host_assortativity(sf_dir: str):
+    """Degree assortativity of the host graph (hub-and-spoke vs
+    link-farm mesh): broadcast degree lookups onto the edge set,
+    exact integer moments, one-row driver finish."""
+    from topicrawler_ray.stages.graph import host_assortativity
+
+    return host_assortativity(_sparse_host_edges(sf_dir))
+
+
+def _q_host_clustering(sf_dir: str):
+    """Global transitivity (3T / wedges) over the certified
+    host-triangle kernel: one extra single-row aggregate."""
+    from topicrawler_ray.stages.graph import host_clustering
+
+    return host_clustering(_sparse_host_edges(sf_dir))
+
+
+def _q_host_mirrors(sf_dir: str):
+    """Mirror/alias-host detection: out-neighbour-set Jaccard for
+    host pairs sharing >= 1 outlink target — co-source pair emission
+    per target, ONE (a,b) counting groupby, broadcast out-degrees."""
+    from topicrawler_ray.stages.graph import host_mirror_pairs
+
+    return host_mirror_pairs(_sparse_host_edges(sf_dir))
+
+
 def _q_events_retention(sf_dir: str):
     """Cohort retention matrix over the event stream (first-activity
     day x active-day offset -> distinct users): slim (user, epoch-day)
@@ -3338,6 +3364,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_triangles": _q_host_triangles,
         "host_reciprocity": _q_host_reciprocity,
         "host_kcore": _q_host_kcore,
+        "host_assortativity": _q_host_assortativity,
+        "host_clustering": _q_host_clustering,
+        "host_mirrors": _q_host_mirrors,
         "events_retention": _q_events_retention,
         "char_diversity": _q_char_diversity,
         "phrase_search": _q_phrase_search,

@@ -466,3 +466,142 @@ class TestDegrees:
         assert out.node.tolist() == ["a", "b", "c"]
         assert out.outdeg.tolist() == [2, 1, 1]
         assert out.indeg.tolist() == [1, 1, 2]
+
+
+def _random_edges(seed: int, n_hosts: int = 14, p_keep: int = 55):
+    """Deterministic random directed host edge set (no self-loops)."""
+    import random
+
+    rng = random.Random(seed)
+    edges = [
+        ("h%d" % i, "h%d" % j)
+        for i in range(n_hosts)
+        for j in range(n_hosts)
+        if i != j and rng.randrange(100) < p_keep
+    ]
+    return edges
+
+
+def _edges_ds(edges):
+    import pyarrow as pa
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([s for s, _ in edges], pa.string()),
+                "dst": pa.array([d for _, d in edges], pa.string()),
+            }
+        )
+    ).repartition(4)
+
+
+class TestAssortativity:
+    def test_matches_sequential_moments(self, ray_session):
+        from topicrawler_ray.stages.graph import host_assortativity
+
+        for seed in (3, 11):
+            edges = _random_edges(seed)
+            und = {(min(s, d), max(s, d)) for s, d in edges}
+            deg = {}
+            for a, b in und:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            m = len(und)
+            s1 = sum(deg[a] * deg[b] for a, b in und)
+            s2 = sum(deg[a] + deg[b] for a, b in und)
+            s3 = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in und)
+            num = 4 * m * s1 - s2 * s2
+            den = 2 * m * s3 - s2 * s2
+            df = host_assortativity(_edges_ds(edges))
+            row = df.iloc[0]
+            assert (
+                row["n_edges"],
+                row["sum_jk"],
+                row["sum_j_plus_k"],
+                row["sum_j2_plus_k2"],
+                row["r_e9"],
+            ) == (m, s1, s2, s3, (num * 10**9) // den if den else 0)
+
+    def test_star_graph_is_perfectly_disassortative(self, ray_session):
+        from topicrawler_ray.stages.graph import host_assortativity
+
+        edges = [("hub", "leaf%d" % i) for i in range(6)]
+        df = host_assortativity(_edges_ds(edges))
+        assert df.iloc[0]["r_e9"] == -(10**9)
+
+
+class TestGlobalClustering:
+    def test_matches_sequential_transitivity(self, ray_session):
+        from topicrawler_ray.stages.graph import host_clustering
+
+        edges = _random_edges(7)
+        und = {(min(s, d), max(s, d)) for s, d in edges}
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        closed = sum(len(adj[a] & adj[b]) for a, b in und)
+        wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+        df = host_clustering(_edges_ds(edges))
+        row = df.iloc[0]
+        assert (row["n_hosts"], row["sum_closed"], row["sum_wedges"]) == (
+            len(adj),
+            closed,
+            wedges,
+        )
+        assert row["gcc_e6"] == (closed * 10**6) // wedges
+
+    def test_triangle_graph_gcc_is_one(self, ray_session):
+        from topicrawler_ray.stages.graph import host_clustering
+
+        edges = [("a", "b"), ("b", "c"), ("c", "a")]
+        assert host_clustering(_edges_ds(edges)).iloc[0]["gcc_e6"] == 10**6
+
+
+class TestMirrorPairs:
+    def _sequential(self, edges):
+        outs = {}
+        for s, d in set(edges):
+            outs.setdefault(s, set()).add(d)
+        hosts = sorted(outs)
+        exp = {}
+        for i, a in enumerate(hosts):
+            for b in hosts[i + 1 :]:
+                c = len(outs[a] & outs[b])
+                if c:
+                    u = len(outs[a]) + len(outs[b]) - c
+                    exp[(a, b)] = (c, len(outs[a]), len(outs[b]), c * 10**6 // u)
+        return exp
+
+    def test_matches_sequential_jaccard(self, ray_session):
+        from topicrawler_ray.stages.graph import host_mirror_pairs
+
+        edges = _random_edges(19, n_hosts=10, p_keep=40)
+        # duplicate some edges: the kernel must dedup before counting
+        edges = edges + edges[::3]
+        exp = self._sequential(edges)
+        got = {
+            (r["a"], r["b"]): (
+                r["n_common"],
+                r["outdeg_a"],
+                r["outdeg_b"],
+                r["jaccard_e6"],
+            )
+            for r in host_mirror_pairs(_edges_ds(edges)).take_all()
+        }
+        assert got == exp
+
+    def test_max_fan_drops_mega_target_pairs(self, ray_session):
+        from topicrawler_ray.stages.graph import host_mirror_pairs
+
+        # every host links to 'mega'; a/b also share a private target
+        edges = [("s%d" % i, "mega") for i in range(8)]
+        edges += [("s0", "t"), ("s1", "t")]
+        got = {
+            (r["a"], r["b"]): r["n_common"]
+            for r in host_mirror_pairs(_edges_ds(edges), max_fan=4).take_all()
+        }
+        # the mega-target group (fan 8 > 4) contributes no pairs; only
+        # the private shared target survives
+        assert got == {("s0", "s1"): 1}

@@ -2867,8 +2867,95 @@ def _b_bpe_fertility(sf_dir: str) -> pa.Table:
 
 # ---------------------------------------------------------------------------
 
+def _b_host_assortativity(sf_dir: str) -> pa.Table:
+    """Sequential degree assortativity over the sparsified undirected
+    host graph: set/dict loops + arbitrary-precision integer moments
+    (no numpy, no broadcast join — nothing shared with the engine
+    beyond the edge derivation)."""
+    edges = _sparse_host_edge_set(sf_dir)
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    deg: dict[str, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    m = len(und)
+    s1 = sum(deg[a] * deg[b] for a, b in und)
+    s2 = sum(deg[a] + deg[b] for a, b in und)
+    s3 = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in und)
+    num = 4 * m * s1 - s2 * s2
+    den = 2 * m * s3 - s2 * s2
+    return pa.table(
+        {
+            "n_edges": pa.array([m], pa.int64()),
+            "sum_jk": pa.array([s1], pa.int64()),
+            "sum_j_plus_k": pa.array([s2], pa.int64()),
+            "sum_j2_plus_k2": pa.array([s3], pa.int64()),
+            "r_e9": pa.array([(num * 10**9) // den if den else 0], pa.int64()),
+        }
+    )
+
+
+def _b_host_clustering(sf_dir: str) -> pa.Table:
+    """Sequential global transitivity: adjacency dict, closed-wedge
+    walk, exact integer quotient."""
+    edges = _sparse_host_edge_set(sf_dir)
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    adj: dict[str, set] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    closed = 0
+    for a, b in und:
+        closed += len(adj[a] & adj[b])  # counts each triangle 3x over edges
+    wedges = sum(len(ns) * (len(ns) - 1) // 2 for ns in adj.values())
+    return pa.table(
+        {
+            "n_hosts": pa.array([len(adj)], pa.int64()),
+            "sum_closed": pa.array([closed], pa.int64()),
+            "sum_wedges": pa.array([wedges], pa.int64()),
+            "gcc_e6": pa.array(
+                [(closed * 10**6) // wedges if wedges else 0], pa.int64()
+            ),
+        }
+    )
+
+
+def _b_host_mirrors(sf_dir: str) -> pa.Table:
+    """Sequential mirror-pair Jaccard: out-neighbour sets as plain
+    dicts, all-pairs intersection over hosts sharing >= 1 target."""
+    edges = _sparse_host_edge_set(sf_dir)
+    outs: dict[str, set] = {}
+    for s, d in edges:
+        outs.setdefault(s, set()).add(d)
+    hosts = sorted(outs)
+    rows = []
+    for i, a in enumerate(hosts):
+        for b in hosts[i + 1 :]:
+            common = len(outs[a] & outs[b])
+            if common == 0:
+                continue
+            union = len(outs[a]) + len(outs[b]) - common
+            rows.append(
+                (a, b, common, len(outs[a]), len(outs[b]),
+                 common * 10**6 // union)
+            )
+    return pa.table(
+        {
+            "a": pa.array([r[0] for r in rows], pa.string()),
+            "b": pa.array([r[1] for r in rows], pa.string()),
+            "n_common": pa.array([r[2] for r in rows], pa.int64()),
+            "outdeg_a": pa.array([r[3] for r in rows], pa.int64()),
+            "outdeg_b": pa.array([r[4] for r in rows], pa.int64()),
+            "jaccard_e6": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )
+
+
 BUILDERS = {
     "host_triangles": _b_host_triangles,
+    "host_assortativity": _b_host_assortativity,
+    "host_clustering": _b_host_clustering,
+    "host_mirrors": _b_host_mirrors,
     "host_reciprocity": _b_host_reciprocity,
     "host_kcore": _b_host_kcore,
     "shard_plan": _b_shard_plan,

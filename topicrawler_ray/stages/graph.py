@@ -1372,3 +1372,244 @@ def host_kcore(edges, k: int, num_partitions: int | None = None,
                 )
             )
     raise RuntimeError("k-core peel did not converge in %d rounds" % max_iters)
+
+
+def host_assortativity(edges, num_partitions: int | None = None):
+    """Degree assortativity (Newman 2002) of the undirected offsite
+    host graph — ONE number separating hub-and-spoke webs (r < 0,
+    organic) from degree-homophilous meshes (r > 0, link farms wire
+    similar-degree peers together).
+
+    Distributed shape: distinct undirected edges -> endpoint seed rows
+    -> ONE ``groupby(host).sum`` degree table -> the (small) degree
+    table is BROADCAST back onto the edge set (relational.DimLookup:
+    ``ray.put`` once, vectorized searchsorted per block — at open-web
+    scale where the host-degree table outgrows a worker heap, swap the
+    two lookups for hash joins on a/b) -> per-batch integer partial
+    sums -> one driver-side O(1) finish.  All moments are exact Python
+    ints; the correlation is quantized ``floor(num * 1e9 / den)``.
+
+    -> one row (n_edges, sum_jk, sum_j_plus_k, sum_j2_plus_k2, r_e9).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .relational import broadcast_lookup_join
+
+    num_partitions = _default_partitions(num_partitions)
+    und = undirected_host_edges(edges, num_partitions).materialize()
+
+    def endpoint_rows(batch: pa.Table) -> pa.Table:
+        one = pa.array([1] * batch.num_rows, pa.int64())
+        return pa.concat_tables(
+            [
+                pa.table({"host": batch.column("a"), "deg": one}),
+                pa.table({"host": batch.column("b"), "deg": one}),
+            ]
+        )
+
+    degs = (
+        und.map_batches(endpoint_rows, batch_format="pyarrow")
+        .groupby("host")
+        .sum("deg")
+    )
+    deg_a = degs.map_batches(
+        lambda b: b.rename_columns(["host", "deg_a"]), batch_format="pyarrow"
+    )
+    deg_b = degs.map_batches(
+        lambda b: b.rename_columns(["host", "deg_b"]), batch_format="pyarrow"
+    )
+    # two CHAINED lookup pools: cap each well below cpus//2 so the pair
+    # of pools + upstream tasks can't starve each other (the r4
+    # near-full-width actor-pool deadlock)
+    withdeg = broadcast_lookup_join(
+        und, deg_a, "a", "host", ["deg_a"], concurrency=2
+    )
+    withdeg = broadcast_lookup_join(
+        withdeg, deg_b, "b", "host", ["deg_b"], concurrency=2
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        ja = batch.column("deg_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        jb = batch.column("deg_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_edges": pa.array([len(ja)], pa.int64()),
+                "sum_jk": pa.array([int((ja * jb).sum())], pa.int64()),
+                "sum_j_plus_k": pa.array([int((ja + jb).sum())], pa.int64()),
+                "sum_j2_plus_k2": pa.array(
+                    [int((ja * ja + jb * jb).sum())], pa.int64()
+                ),
+            }
+        )
+
+    parts = withdeg.map_batches(fold, batch_format="pyarrow")
+    m = parts.sum(["n_edges", "sum_jk", "sum_j_plus_k", "sum_j2_plus_k2"])
+    n_edges = int(m["sum(n_edges)"])
+    s1 = int(m["sum(sum_jk)"])
+    s2 = int(m["sum(sum_j_plus_k)"])
+    s3 = int(m["sum(sum_j2_plus_k2)"])
+    num = 4 * n_edges * s1 - s2 * s2
+    den = 2 * n_edges * s3 - s2 * s2
+    r_e9 = (num * 10**9) // den if den != 0 else 0
+    return pd.DataFrame(
+        [
+            {
+                "n_edges": n_edges,
+                "sum_jk": s1,
+                "sum_j_plus_k": s2,
+                "sum_j2_plus_k2": s3,
+                "r_e9": r_e9,
+            }
+        ]
+    )
+
+
+def host_clustering(edges, num_partitions: int | None = None):
+    """Global clustering coefficient (transitivity) of the undirected
+    offsite host graph: ``3 * triangles / wedges`` — the corpus-level
+    mesh-density gauge next to the per-host table from
+    :func:`host_triangles` (whose per-host triangle column already
+    counts each triangle once per corner, so its plain sum IS
+    ``3 * T``).  One extra single-row aggregate over that certified
+    kernel; exact integers, ``gcc_e6 = floor(1e6 * sum_tri / sum_wedges)``.
+
+    -> one row (n_hosts, sum_closed, sum_wedges, gcc_e6).
+    """
+    import pandas as pd
+
+    # materialize: the per-host table is |hosts| rows and feeds TWO
+    # consumers (sum + count) — without this the triangle DAG runs twice
+    per_host = host_triangles(edges, num_partitions).materialize()
+    m = per_host.sum(["triangles", "wedges"])
+    cnt = per_host.count()
+    closed = int(m["sum(triangles)"])
+    wedges = int(m["sum(wedges)"])
+    return pd.DataFrame(
+        [
+            {
+                "n_hosts": int(cnt),
+                "sum_closed": closed,
+                "sum_wedges": wedges,
+                "gcc_e6": (closed * 10**6) // wedges if wedges else 0,
+            }
+        ]
+    )
+
+
+def host_mirror_pairs(edges, num_partitions: int | None = None,
+                      max_fan: int | None = None):
+    """Mirror/alias-host detection: out-neighbour-set Jaccard for every
+    unordered host pair sharing at least one outlink target.
+
+    Shape: distinct directed edges -> ``groupby(dst)`` co-source pair
+    emission (each shared target contributes its within-group pairs;
+    the node-ordered a < b convention counts each pair once per shared
+    target) -> ONE ``groupby(a, b).sum`` common-neighbour table ->
+    broadcast out-degree lookups -> vectorized Jaccard.  The pair
+    fan-out is quadratic in a target's IN-degree, so ``max_fan`` caps
+    it: groups wider than the cap are dropped WITH a loud per-group
+    marker row (host '~overflow~') rather than silently — the
+    common-neighbour pruning convention for mega-targets (everyone
+    links to google.com; sharing it is no mirror evidence).
+
+    -> (a, b, n_common, outdeg_a, outdeg_b, jaccard_e6).
+    """
+    from .relational import broadcast_lookup_join
+
+    num_partitions = _default_partitions(num_partitions)
+    distinct = (
+        edges.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+    ).materialize()
+
+    outdeg = (
+        distinct.map_batches(
+            lambda b: pa.table(
+                {
+                    "host": b.column("src"),
+                    "deg": pa.array([1] * b.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("host")
+        .sum("deg")
+    )
+
+    def pairs_of_group(group: pa.Table) -> pa.Table:
+        srcs = sorted(group.column("src").to_pylist())
+        if max_fan is not None and len(srcs) > max_fan:
+            return pa.table(
+                {
+                    "a": pa.array(["~overflow~"], pa.string()),
+                    "b": pa.array([group.column("dst")[0].as_py()], pa.string()),
+                    "n": pa.array([len(srcs)], pa.int64()),
+                }
+            )
+        aa, bb = [], []
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                aa.append(srcs[i])
+                bb.append(srcs[j])
+        return pa.table(
+            {
+                "a": pa.array(aa, pa.string()),
+                "b": pa.array(bb, pa.string()),
+                "n": pa.array([1] * len(aa), pa.int64()),
+            }
+        )
+
+    common = (
+        distinct.groupby("dst")
+        .map_groups(pairs_of_group, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby(["a", "b"])
+        .sum("n")
+    )
+
+    def drop_overflow(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch.column("a"), "~overflow~")
+        return batch.filter(keep).rename_columns(["a", "b", "n_common"])
+
+    # materialize the pair table so the Sort/Repartition/Aggregate
+    # exchanges finish BEFORE the lookup pools launch: fusing them into
+    # one plan deadlocks a narrow cluster (the pools pre-launch 4
+    # actors which hold every CPU while the sort's boundary-sampling
+    # tasks wait for one).  The candidate-pair table is far smaller
+    # than the edge set (only hosts sharing >= 1 target, capped by
+    # max_fan), so this is a cheap, spillable pinch point.
+    common = common.map_batches(
+        drop_overflow, batch_format="pyarrow"
+    ).materialize()
+    deg_a = outdeg.map_batches(
+        lambda b: b.rename_columns(["host", "outdeg_a"]), batch_format="pyarrow"
+    )
+    deg_b = outdeg.map_batches(
+        lambda b: b.rename_columns(["host", "outdeg_b"]), batch_format="pyarrow"
+    )
+    # chained pools: capped (see host_assortativity)
+    withdeg = broadcast_lookup_join(
+        common, deg_a, "a", "host", ["outdeg_a"], concurrency=2
+    )
+    withdeg = broadcast_lookup_join(
+        withdeg, deg_b, "b", "host", ["outdeg_b"], concurrency=2
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_common").cast(pa.int64())
+        da = batch.column("outdeg_a").cast(pa.int64())
+        db = batch.column("outdeg_b").cast(pa.int64())
+        union = pc.subtract(pc.add(da, db), nc)
+        jac = pc.divide(pc.multiply(nc, pa.scalar(10**6, pa.int64())), union)
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "n_common": nc,
+                "outdeg_a": da,
+                "outdeg_b": db,
+                "jaccard_e6": jac,
+            }
+        )
+
+    return withdeg.map_batches(finish, batch_format="pyarrow")
