@@ -3231,6 +3231,24 @@ def _q_host_mirrors(sf_dir: str):
     return host_mirror_pairs(_sparse_host_edges(sf_dir))
 
 
+def _q_frontier_residue(sf_dir: str):
+    """Frontier residue of a wave-capped crawl: every entry (heap +
+    overflow of every shard) still queued when the politeness clock
+    hits the cap — the frontier OBJECT itself made hash-checkable,
+    complementing crawl_log (what was fetched) and crawl_seen (what
+    was deduped).  Certified against the independent simulator's
+    leftover frontier (pipelines/simulate.py shares no frontier /
+    seen / wave code with the engine)."""
+    from topicrawler_ray.config import CrawlConfig
+    from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+
+    eng = RayCrawlEngine(sf_dir, CrawlConfig(max_waves=40))
+    eng.run()
+    out = eng.dump_frontier()
+    eng.release_actors()
+    return out
+
+
 def _q_events_retention(sf_dir: str):
     """Cohort retention matrix over the event stream (first-activity
     day x active-day offset -> distinct users): slim (user, epoch-day)
@@ -3367,6 +3385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_assortativity": _q_host_assortativity,
         "host_clustering": _q_host_clustering,
         "host_mirrors": _q_host_mirrors,
+        "frontier_residue": _q_frontier_residue,
         "events_retention": _q_events_retention,
         "char_diversity": _q_char_diversity,
         "phrase_search": _q_phrase_search,

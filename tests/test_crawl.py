@@ -531,3 +531,49 @@ class TestReleaseActors:
         assert res.seen_keys == sim_result.seen_keys
         n = eng.log_dataset().count()
         assert n == len(res.log)
+
+
+class TestFrontierResidue:
+    def test_capped_run_residue_matches_simulator(self, ray_session, sf_dir):
+        """A wave-capped run's leftover frontier (dump_entries across
+        shards) must hold exactly the simulator's residual entries —
+        the frontier OBJECT itself certified, not just the fetch log."""
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+        from topicrawler_ray.pipelines.simulate import simulate_crawl
+
+        cfg = CrawlConfig(max_waves=40, **_SMALL)
+        sim = simulate_crawl(sf_dir, config=cfg)
+        assert sim.frontier_residue, "cap must leave residue for the test"
+        eng = RayCrawlEngine(sf_dir, cfg)
+        eng.run()
+        got = [tuple(r.values()) for r in eng.dump_frontier().to_pylist()]
+        eng.release_actors()
+        assert got == sim.frontier_residue
+
+    def test_residue_identical_under_disk_spill(self, ray_session, sf_dir):
+        """dump_entries must read spilled overflow non-destructively:
+        with a 4-entry head budget + disk spill the residue is the
+        same set, and dumping twice gives the same answer (the spill
+        files survive the first read)."""
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+        from topicrawler_ray.pipelines.simulate import simulate_crawl
+
+        spill = tempfile.mkdtemp(prefix="topicrawler_residue_spill_")
+        try:
+            cfg = CrawlConfig(
+                max_waves=40,
+                frontier_head_budget=4,
+                frontier_spill_dir=spill,
+                **_SMALL,
+            )
+            sim = simulate_crawl(sf_dir, config=cfg)
+            eng = RayCrawlEngine(sf_dir, cfg)
+            res = eng.run()
+            assert sum(f["spilled"] for f in res.stats["frontier"]) > 0
+            first = [tuple(r.values()) for r in eng.dump_frontier().to_pylist()]
+            second = [tuple(r.values()) for r in eng.dump_frontier().to_pylist()]
+            eng.release_actors()
+            assert first == sim.frontier_residue
+            assert second == first
+        finally:
+            shutil.rmtree(spill, ignore_errors=True)

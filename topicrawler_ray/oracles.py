@@ -473,6 +473,30 @@ def _b_crawl_seen(sf_dir: str) -> pa.Table:
     return pa.table({"seen_key": pa.array(keys, pa.int64())})
 
 
+def _b_frontier_residue(sf_dir: str) -> pa.Table:
+    """Leftover frontier of a wave-capped (max_waves=40) simulator run:
+    the engine's dump_frontier() must hold exactly these entries."""
+    from .config import CrawlConfig
+    from .pipelines.simulate import simulate_crawl
+
+    rows = simulate_crawl(
+        sf_dir, config=CrawlConfig(max_waves=40)
+    ).frontier_residue
+    return pa.table(
+        {
+            "host": pa.array([r[0] for r in rows], pa.string()),
+            "directive": pa.array([r[1] for r in rows], pa.int64()),
+            "cost": pa.array([r[2] for r in rows], pa.int64()),
+            "seq": pa.array([r[3] for r in rows], pa.int64()),
+            "url": pa.array([r[4] for r in rows], pa.string()),
+            "via": pa.array([r[5] for r in rows], pa.string()),
+            "perp_via_str": pa.array([r[6] for r in rows], pa.string()),
+            "hops": pa.array([r[7] for r in rows], pa.int64()),
+            "retries": pa.array([r[8] for r in rows], pa.int64()),
+        }
+    )
+
+
 def _b_crawl_metrics(sf_dir: str) -> pa.Table:
     waves: dict[int, dict[str, int]] = {}
     for r in _sim(sf_dir).rows:
@@ -3025,6 +3049,7 @@ BUILDERS = {
     "distinct_sentences": _b_distinct_sentences,
     "perp_stats": _b_perp_stats,
     "crawl_log": _b_crawl_log,
+    "frontier_residue": _b_frontier_residue,
     "crawl_seen": _b_crawl_seen,
     "crawl_metrics": _b_crawl_metrics,
     "langid": _b_langid,

@@ -569,6 +569,35 @@ class RayCrawlEngine:
                 break
         return self.result()
 
+    def dump_frontier(self) -> pa.Table:
+        """The remaining frontier contents (heap + overflow of every
+        shard) as a table — the residue a wave-capped run leaves
+        behind, hash-comparable against the independent simulator's
+        leftover frontier.  Gathers per shard; fixture-scale helper
+        (at a 10^10-URL frontier you dump shards to parquet instead of
+        concatenating on the driver)."""
+        ray = self.ray
+        if self._pending:
+            ray.get(self._pending)
+            self._pending = []
+        rows: list[tuple] = []
+        for got in ray.get([a.dump_entries.remote() for a in self.frontier]):
+            rows.extend(got)
+        rows.sort()
+        return pa.table(
+            {
+                "host": pa.array([r[0] for r in rows], pa.string()),
+                "directive": pa.array([r[1] for r in rows], pa.int64()),
+                "cost": pa.array([r[2] for r in rows], pa.int64()),
+                "seq": pa.array([r[3] for r in rows], pa.int64()),
+                "url": pa.array([r[4] for r in rows], pa.string()),
+                "via": pa.array([r[5] for r in rows], pa.string()),
+                "perp_via_str": pa.array([r[6] for r in rows], pa.string()),
+                "hops": pa.array([r[7] for r in rows], pa.int64()),
+                "retries": pa.array([r[8] for r in rows], pa.int64()),
+            }
+        )
+
     def release_actors(self) -> None:
         """Kill the crawl's actor plane (frontier shards, page stores,
         workers) once results are materialized.  A finished-but-cached

@@ -37,6 +37,10 @@ class SimResult:
     n_robots_rejected: int = 0
     n_domain_rejected: int = 0
     n_hops_rejected: int = 0
+    # frontier residue of a wave-capped run: (host, directive, cost,
+    # seq, url, via, perp_via_str, hops, retries) rows still queued
+    # when the loop stopped (empty for a run-to-completion crawl)
+    frontier_residue: list = field(default_factory=list)
 
 
 def simulate_crawl(
@@ -221,4 +225,10 @@ def simulate_crawl(
             )
         wave += 1
 
+    for host, entries in frontier.items():
+        for d, c, seq, url, via, pvs, hops, retries in entries:
+            res.frontier_residue.append(
+                (host, d, c, seq, url, via, pvs, hops, retries)
+            )
+    res.frontier_residue.sort()
     return res

@@ -637,6 +637,40 @@ class FrontierShardState:
             self._overflow_count.values()
         )
 
+    def dump_entries(self) -> list[tuple]:
+        """Every queued entry this shard still holds — heap AND overflow
+        (in-memory run or disk spill), read NON-destructively — as
+        ``(host, directive, cost, seq, url, via, perp_via_str, hops,
+        retries)`` rows.  The frontier-residue inspection surface: what
+        a wave-capped crawl leaves behind, comparable against the
+        independent simulator's leftover frontier.  O(pending) — at a
+        10^10-URL frontier consumers dump per shard and stream, never
+        gather all shards on one driver."""
+        rows: list[tuple] = []
+        for host, q in self.queues.items():
+            for d, c, seq, url, via, pvs, _is_seed, hops, retries in q:
+                rows.append((host, d, c, seq, url, via, pvs, hops, retries))
+        for host in self._overflow_count:
+            if self.spill_dir:
+                import os
+
+                path = self._spill_path(host)
+                spilled: list[tuple] = []
+                if os.path.exists(path):
+                    with open(path, "rb") as f:
+                        while True:
+                            try:
+                                spilled.extend(pickle.load(f))
+                            except EOFError:
+                                break
+                else:
+                    spilled = list(self._overflow_mem.get(host, []))
+            else:
+                spilled = list(self._overflow_mem.get(host, []))
+            for d, c, seq, url, via, pvs, _is_seed, hops, retries in spilled:
+                rows.append((host, d, c, seq, url, via, pvs, hops, retries))
+        return rows
+
     def has_work(self) -> bool:
         return bool(self.queues) or bool(self._overflow_count)
 
@@ -783,6 +817,9 @@ def make_frontier_actors(num_shards: int, seen_capacity: int = 1 << 16,
 
         def pending(self):
             return self.state.pending()
+
+        def dump_entries(self):
+            return self.state.dump_entries()
 
         def stats(self):
             return {
