@@ -3231,6 +3231,59 @@ def _q_host_mirrors(sf_dir: str):
     return host_mirror_pairs(_sparse_host_edges(sf_dir))
 
 
+def _q_page_titles(sf_dir: str):
+    """<title> metadata extraction: per-row charset-aware decode (the
+    M1 kernel, byte-parity-certified via extract_text) + ONE vectorized
+    RE2 scan per batch (pc.extract_regex).  The pure-SQL oracle
+    re-derives every expected title from the fixture SPEC (url -> doc
+    id/host arithmetic, sources/pages.py:213) — nothing shared with the
+    engine's html path."""
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.extract import titles_batch
+
+    return read_pages(sf_dir, num_blocks=8, columns=["url", "html"]).map_batches(
+        titles_batch, batch_format="pyarrow"
+    )
+
+
+def _q_robots_rules(sf_dir: str):
+    """Per-host robots.txt policy table (Disallow prefixes, Crawl-delay
+    ms, politeness period in wave slots) — the wave scheduler's inputs
+    surfaced as data.  Pure-SQL oracle re-parses the same bodies with
+    DuckDB string ops (decode + line split), sharing nothing with
+    parse_robots."""
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.politeness import robots_rules
+
+    return robots_rules(read_pages(sf_dir, num_blocks=8, columns=["url", "html"]))
+
+
+def _q_lang_confusion(sf_dir: str):
+    """LangID quality gauge: confusion matrix of the distributed NB
+    classifier's predictions against the gold ``lang`` column — (gold,
+    pred, n) cells.  The oracle joins the certified nb_lang fixture
+    with the documents table in pure SQL."""
+    import pyarrow as pa
+
+    from topicrawler_ray.stages.classify import (
+        naive_bayes_classify,
+        train_naive_bayes,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    model = train_naive_bayes(docs, "text", "lang", dim=4096)
+    out = naive_bayes_classify(docs, model, text_column="text")
+    cells = (
+        out.select_columns(["lang", "pred_label"])
+        .groupby(["lang", "pred_label"])
+        .count()
+    )
+    return cells.map_batches(
+        lambda b: b.rename_columns(["gold", "pred", "n"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_frontier_residue(sf_dir: str):
     """Frontier residue of a wave-capped crawl: every entry (heap +
     overflow of every shard) still queued when the politeness clock
@@ -3385,6 +3438,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_assortativity": _q_host_assortativity,
         "host_clustering": _q_host_clustering,
         "host_mirrors": _q_host_mirrors,
+        "page_titles": _q_page_titles,
+        "robots_rules": _q_robots_rules,
+        "lang_confusion": _q_lang_confusion,
         "frontier_residue": _q_frontier_residue,
         "events_retention": _q_events_retention,
         "char_diversity": _q_char_diversity,
@@ -4401,6 +4457,55 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ntile(3) OVER (ORDER BY CAST(floor(perp * 1e6) AS BIGINT), url) "
             "AS BIGINT) AS bucket FROM read_parquet('%s')"
             % _ORACLES_SF001["doc_perp"]
+        ),
+        # titles re-derived from the fixture SPEC (url -> doc id/host
+        # arithmetic, sources/pages.py:288-310), never touching the html
+        # bytes the engine decodes: empty when the page is the empty
+        # variant (id %% 11 == 7) OR declares the unresolvable charset
+        # (id %% 47 == 31, decode yields the reference error string with
+        # no <title>) UNLESS the latin-1 branch shadows it (id %% 43 == 21
+        # is tested first and decodes fine)
+        "page_titles": (
+            "WITH p AS (SELECT url, "
+            "CAST(regexp_extract(url, 'p(\\d+)$', 1) AS BIGINT) AS doc_id, "
+            "CAST(regexp_extract(url, 'http://host(\\d+)\\.', 1) AS BIGINT) AS h "
+            "FROM read_parquet('%s') WHERE url NOT LIKE '%%robots.txt') "
+            "SELECT url, CASE WHEN doc_id %% 11 = 7 THEN '' "
+            "WHEN doc_id %% 47 = 31 AND doc_id %% 43 <> 21 THEN '' "
+            "ELSE 'Doc ' || doc_id || ' host' || h END AS title FROM p"
+            % _PAGES_SF001
+        ),
+        # robots bodies re-parsed with DuckDB string ops (independent of
+        # state/frontier.parse_robots); period clamp per cxml:30-31
+        "robots_rules": (
+            "WITH r AS (SELECT regexp_extract(url, 'http://([^/]+)/', 1) "
+            "AS host, decode(html) AS body FROM read_parquet('%s') "
+            "WHERE url LIKE '%%robots.txt'), "
+            "l AS (SELECT host, unnest(string_split(body, chr(10))) AS line "
+            "FROM r), "
+            "d AS (SELECT host, "
+            "CAST(count(*) FILTER (WHERE line LIKE 'Disallow: %%' AND "
+            "trim(substr(line, 11)) <> '') AS BIGINT) AS n_disallow, "
+            "coalesce(string_agg(trim(substr(line, 11)), ',' "
+            "ORDER BY trim(substr(line, 11))) FILTER (WHERE line LIKE "
+            "'Disallow: %%' AND trim(substr(line, 11)) <> ''), '') "
+            "AS disallow_prefixes, "
+            "max(try_cast(regexp_extract(line, 'Crawl-delay: (.*)', 1) "
+            "AS DOUBLE)) AS delay FROM l GROUP BY host) "
+            "SELECT host, n_disallow, disallow_prefixes, "
+            "CASE WHEN delay IS NULL THEN -1 "
+            "ELSE CAST(round(delay * 1000) AS BIGINT) END AS crawl_delay_ms, "
+            "CASE WHEN delay IS NULL OR delay <= 0 THEN 1 "
+            "ELSE greatest(1, CAST(ceil(least(delay, 180.0) * 10) AS BIGINT)) "
+            "END AS period_waves FROM d"
+            % _PAGES_SF001
+        ),
+        "lang_confusion": (
+            "SELECT d.lang AS gold, p.pred_label AS pred, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM documents d JOIN read_parquet('%s') p USING (doc_id) "
+            "GROUP BY 1, 2"
+            % _ORACLES_SF001["nb_lang"]
         ),
         # at import time (topicrawler_ray/oracles.py).  The driver's
         # DuckDB compare then certifies the distributed execution.

@@ -131,3 +131,35 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         .append_column("score_text", pa.array(score_texts, pa.large_string()))
         .append_column("text_abbr", pa.array(abbrs, pa.string()))
     )
+
+
+def titles_batch(batch: pa.Table) -> pa.Table:
+    """``<title>`` metadata extraction: the charset-aware decode (M1
+    kernel, byte-parity-certified via extract_text) runs per row, then
+    the title scan is ONE vectorized RE2 pass over the decoded column
+    (``pc.extract_regex``) — no per-row Python parsing.  Robots pages
+    are dropped; a page without a title yields ''.
+
+    -> (url, title).
+    """
+    import pyarrow.compute as pc
+
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    keep_urls: list[str] = []
+    texts: list[str] = []
+    for url, html in zip(urls, htmls):
+        if is_robots_url(url):
+            continue
+        keep_urls.append(url)
+        texts.append(decode_page_bytes(url, html))
+    m = pc.extract_regex(
+        pa.array(texts, pa.large_string()), "<title>(?P<t>[^<]*)</title>"
+    )
+    titles = pc.fill_null(pc.struct_field(m, "t"), "")
+    return pa.table(
+        {
+            "url": pa.array(keep_urls, pa.string()),
+            "title": titles.cast(pa.string()),
+        }
+    )

@@ -606,3 +606,46 @@ def select_seed_hosts(
             }
         )
     )
+
+
+def robots_rules(pages_ds):
+    """Per-host robots.txt policy table: the crawl scheduler's
+    politeness inputs surfaced as data — Disallow prefix count (and the
+    sorted prefixes themselves), Crawl-delay in milliseconds (-1 when
+    absent) and the resulting politeness period in 100ms wave slots
+    (``crawl_delay_period``, the clamp the wave engine actually applies,
+    cxml:30-31).
+
+    Stateless map over the (pruned url+html) pages stream — one row per
+    robots.txt page; hosts serve one robots file each, so no groupby.
+
+    -> (host, n_disallow, disallow_prefixes, crawl_delay_ms, period_waves).
+    """
+    from ..state.frontier import crawl_delay_period, parse_robots
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        hosts, nd, prefixes, delays, periods = [], [], [], [], []
+        for url, html in zip(urls, htmls):
+            if not url.endswith("/robots.txt"):
+                continue
+            rules, delay = parse_robots(
+                (html or b"").decode("utf-8", "replace")
+            )
+            hosts.append(host_of_url(url))
+            nd.append(len(rules))
+            prefixes.append(",".join(sorted(rules)))
+            delays.append(int(round(delay * 1000)) if delay is not None else -1)
+            periods.append(crawl_delay_period(delay))
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "n_disallow": pa.array(nd, pa.int64()),
+                "disallow_prefixes": pa.array(prefixes, pa.string()),
+                "crawl_delay_ms": pa.array(delays, pa.int64()),
+                "period_waves": pa.array(periods, pa.int64()),
+            }
+        )
+
+    return pages_ds.map_batches(parse, batch_format="pyarrow")
