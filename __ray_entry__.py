@@ -3231,6 +3231,53 @@ def _q_host_mirrors(sf_dir: str):
     return host_mirror_pairs(_sparse_host_edges(sf_dir))
 
 
+def _q_knn_filtered(sf_dir: str):
+    """Metadata-filtered vector search: top-10 cosine among candidates
+    sharing the query's label, the filter pushed into the candidate
+    scan before the matmul (not post-filtering a wider top-k).  Same
+    quantization discipline as knn_bruteforce; pure-SQL oracle via
+    list_cosine_similarity with the label equijoin."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from topicrawler_ray.stages.similarity import label_filtered_topk
+
+    qt = pq.read_table(
+        sf_dir + "/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    qrows = sorted(
+        (i, l, e)
+        for i, e, l in zip(
+            qt["vec_id"].to_pylist(),
+            qt["embedding"].to_pylist(),
+            qt["label"].to_pylist(),
+        )
+        if i < 5
+    )
+    t = label_filtered_topk(
+        _embs(sf_dir, ["vec_id", "embedding", "label"]), qrows, k=10
+    )
+    # cosine_e4 comes from the exact rational floor (boundary-correct at
+    # self-pairs, where float32 GEMM noise straddles the 1.0 boundary)
+    df = t.to_pandas().drop(columns=["cosine"])
+    df["query_id"] = df["query_id"].astype("int64")
+    df["rank"] = df["rank"].astype("int64")
+    return df
+
+
+def _q_kwic(sf_dir: str):
+    """KWIC concordance for the token 'table' (window 3): the
+    corpus-inspection primitive, distributed as a stateless flat map.
+    Pure-SQL oracle re-derives contexts via unnest + list slicing."""
+    from functools import partial
+
+    from topicrawler_ray.stages.textstats import kwic_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial(kwic_batch, term="table", window=3), batch_format="pyarrow"
+    )
+
+
 def _q_page_titles(sf_dir: str):
     """<title> metadata extraction: per-row charset-aware decode (the
     M1 kernel, byte-parity-certified via extract_text) + ONE vectorized
@@ -3438,6 +3485,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_assortativity": _q_host_assortativity,
         "host_clustering": _q_host_clustering,
         "host_mirrors": _q_host_mirrors,
+        "knn_filtered": _q_knn_filtered,
+        "kwic": _q_kwic,
         "page_titles": _q_page_titles,
         "robots_rules": _q_robots_rules,
         "lang_confusion": _q_lang_confusion,
@@ -3790,6 +3839,31 @@ def oracle_sql() -> dict[str, str]:
         ),
         # single source of truth shared with _b_knn_recall's exact side
         "knn_bruteforce": _KNN_BRUTE_SQL.format(tbl="embeddings"),
+        "knn_filtered": (
+            "WITH q AS (SELECT vec_id AS qid, label AS qlabel, "
+            "CAST(embedding AS DOUBLE[]) AS qe FROM embeddings "
+            "WHERE vec_id < 5), "
+            "s AS (SELECT q.qid, e.vec_id, "
+            "list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS c "
+            "FROM q JOIN embeddings e ON e.label = q.qlabel) "
+            "SELECT CAST(qid AS BIGINT) AS query_id, "
+            "CAST(row_number() OVER (PARTITION BY qid "
+            "ORDER BY c DESC, vec_id ASC) - 1 AS BIGINT) AS rank, vec_id, "
+            "CAST(floor(c * 10000) AS BIGINT) AS cosine_e4 FROM s "
+            "QUALIFY row_number() OVER (PARTITION BY qid "
+            "ORDER BY c DESC, vec_id ASC) <= 10"
+        ),
+        "kwic": (
+            "WITH doc AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "w AS (SELECT doc_id, ws, unnest(ws) AS w, "
+            "generate_subscripts(ws, 1) AS pos FROM doc) "
+            "SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos0, "
+            "coalesce(array_to_string(ws[greatest(pos - 3, 1):pos - 1], ' '), "
+            "'') AS left_ctx, "
+            "coalesce(array_to_string(ws[pos + 1:least(pos + 3, len(ws))], "
+            "' '), '') AS right_ctx FROM w WHERE w = 'table'"
+        ),
         "token_counts": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
             "AS n_ws_tokens FROM documents"

@@ -1512,3 +1512,88 @@ class TestKnnRecall:
         assert ((df.recall_e4 >= 0) & (df.recall_e4 <= 10000)).all()
         # int8 quantized scan is near-exact: recall@10 >= 0.8 per query
         assert (df[df.method == "int8"].recall_e4 >= 8000).all()
+
+
+class TestFilteredKnn:
+    def test_label_filter_restricts_candidates(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.similarity import label_filtered_topk
+
+        rng = np.random.default_rng(11)
+        vecs = rng.standard_normal((60, 8)).astype(np.float32)
+        labels = [i % 3 for i in range(60)]
+        ds = ray.data.from_items(
+            [
+                {"vec_id": i, "embedding": vecs[i].tolist(), "label": labels[i]}
+                for i in range(60)
+            ]
+        ).repartition(4)
+        qrows = [(i, labels[i], vecs[i].tolist()) for i in range(3)]
+        out = label_filtered_topk(ds, qrows, k=5).to_pandas()
+        # every returned candidate shares the query's label; rank 0 is
+        # the query itself with the boundary-exact quantization 10000
+        for qid in range(3):
+            sub = out[out.query_id == qid].sort_values("rank")
+            assert len(sub) == 5
+            assert all(labels[v] == labels[qid] for v in sub.vec_id)
+            assert sub.iloc[0]["vec_id"] == qid
+            assert sub.iloc[0]["cosine_e4"] == 10000
+        # numpy oracle per label partition
+        vn = vecs.astype(np.float64)
+        vn = vn / np.linalg.norm(vn, axis=1, keepdims=True)
+        for qid in range(3):
+            cand = [i for i in range(60) if labels[i] == labels[qid]]
+            sims = vn[cand] @ vn[qid]
+            expect = [cand[j] for j in np.argsort(-sims, kind="stable")[:5]]
+            got = (
+                out[out.query_id == qid].sort_values("rank").vec_id.tolist()
+            )
+            assert got == expect
+
+    def test_exact_floor_e4_boundary(self):
+        from topicrawler_ray.stages.similarity import _exact_floor_e4
+
+        a = np.array([0.3, -0.7, 1.1], dtype=np.float64)
+        # identical vectors: exactly 10000 regardless of float noise
+        assert _exact_floor_e4(a, a) == 10000
+        assert _exact_floor_e4(a, 2.0 * a) == 10000  # scale-invariant
+        assert _exact_floor_e4(a, -a) == -10000
+        # orthogonal pair: exactly 0
+        assert _exact_floor_e4(
+            np.array([1.0, 0.0]), np.array([0.0, 1.0])
+        ) == 0
+        # generic pair agrees with the float64 computation
+        b = np.array([0.5, 0.2, -0.4], dtype=np.float64)
+        c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert _exact_floor_e4(a, b) == int(np.floor(c * 10000))
+
+
+class TestKwic:
+    def test_contexts_match_python(self, ray_session):
+        import ray.data
+        from functools import partial
+
+        from topicrawler_ray.stages.textstats import kwic_batch
+
+        docs = [
+            (0, "a b table c d e table"),
+            (1, "table x y"),
+            (2, "no hits here"),
+            (3, ""),
+        ]
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in docs]
+        )
+        rows = sorted(
+            (r["doc_id"], r["pos0"], r["left_ctx"], r["right_ctx"])
+            for r in ds.map_batches(
+                partial(kwic_batch, term="table", window=3),
+                batch_format="pyarrow",
+            ).take_all()
+        )
+        assert rows == [
+            (0, 2, "a b", "c d e"),
+            (0, 6, "c d e", ""),
+            (1, 0, "", "x y"),
+        ]

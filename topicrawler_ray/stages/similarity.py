@@ -241,26 +241,84 @@ def int8_topk(
     )
 
 
+def _exact_floor_e4(a: np.ndarray, b: np.ndarray) -> int:
+    """``floor(1e4 * cos(a, b))`` decided by EXACT rational arithmetic
+    over the float values (every float converts to a Fraction exactly).
+
+    Float cosine quantization is knife-edged precisely where it matters
+    structurally: a self-pair's cosine is exactly 1.0, and float32 GEMM
+    layout noise can land at 0.99999994 (floor -> 9999) while a float64
+    oracle sees 1.0 (-> 10000).  The integer test
+    ``t <= 1e4 * dot / sqrt(na * nb)  <=>  sign-aware t^2 * na * nb vs
+    (1e4 * dot)^2`` removes the sqrt and the rounding, so the boundary
+    case is decided correctly regardless of summation order."""
+    import math
+    from fractions import Fraction
+
+    fa = [Fraction(float(x)) for x in a]
+    fb = [Fraction(float(x)) for x in b]
+    num = 10**4 * sum(x * y for x, y in zip(fa, fb))
+    p = sum(x * x for x in fa) * sum(y * y for y in fb)
+    if p == 0:
+        return 0
+
+    def le(t: int) -> bool:  # t <= num / sqrt(p) ?
+        if num >= 0:
+            return t <= 0 or t * t * p <= num * num
+        return t < 0 and t * t * p >= num * num
+
+    t = int(math.floor(float(num) / math.sqrt(float(p))))
+    while not le(t):
+        t -= 1
+    while le(t + 1):
+        t += 1
+    return t
+
+
 def brute_force_topk(
     ds,
     queries: np.ndarray,
     k: int = 10,
     id_column: str = "vec_id",
     vec_column: str = "embedding",
+    where: tuple | None = None,
+    exact_e4: bool = False,
 ):
     """Exact top-k by cosine: returns a pyarrow Table
-    (query_id, rank, vec_id, cosine), ties broken by smaller vec_id."""
+    (query_id, rank, vec_id, cosine), ties broken by smaller vec_id.
+    ``where=(column, value)`` applies a vectorized equality prefilter
+    INSIDE the scan task, before the matmul (filtered vector search);
+    fully-filtered batches emit an empty table in the OUTPUT schema so
+    the streaming executor sees one schema throughout.  ``exact_e4``
+    appends a ``cosine_e4`` column holding ``floor(1e4 * cosine)``
+    decided by exact rational arithmetic for the k selected pairs per
+    batch (see :func:`_exact_floor_e4`); ranking stays float32."""
     import ray
 
+    q64 = np.asarray(queries, dtype=np.float64)
     q = _normalize(np.asarray(queries, dtype=np.float32))
-    q_ref = ray.put(q)
+    q_ref = ray.put((q, q64.astype(np.float32).astype(np.float64)))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        qm = ray.get(q_ref)
+        if where is not None:
+            import pyarrow.compute as _pc
+
+            batch = batch.filter(_pc.equal(batch.column(where[0]), where[1]))
+        if batch.num_rows == 0:
+            cols = {
+                "query_id": pa.array([], pa.int32()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+            if exact_e4:
+                cols["cosine_e4"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        qm, qraw = ray.get(q_ref)
         ids = np.asarray(batch.column(id_column).to_pylist(), dtype=np.int64)
-        mat = _normalize(np.array(batch.column(vec_column).to_pylist(), dtype=np.float32))
+        raw = np.array(batch.column(vec_column).to_pylist(), dtype=np.float32)
+        mat = _normalize(raw)
         sims = qm @ mat.T  # (Q, B)
-        o_q, o_id, o_c = [], [], []
+        o_q, o_id, o_c, o_e4 = [], [], [], []
         kk = min(k, sims.shape[1])
         for qi in range(sims.shape[0]):
             # partial top-k inside the batch (combiner before the merge)
@@ -269,39 +327,92 @@ def brute_force_topk(
                 o_q.append(qi)
                 o_id.append(int(ids[j]))
                 o_c.append(float(sims[qi, j]))
-        return pa.table(
-            {
-                "query_id": pa.array(o_q, pa.int32()),
-                "vec_id": pa.array(o_id, pa.int64()),
-                "cosine": pa.array(o_c, pa.float64()),
-            }
-        )
+                if exact_e4:
+                    o_e4.append(
+                        _exact_floor_e4(qraw[qi], raw[j].astype(np.float64))
+                    )
+        cols = {
+            "query_id": pa.array(o_q, pa.int32()),
+            "vec_id": pa.array(o_id, pa.int64()),
+            "cosine": pa.array(o_c, pa.float64()),
+        }
+        if exact_e4:
+            cols["cosine_e4"] = pa.array(o_e4, pa.int64())
+        return pa.table(cols)
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
     heaps: dict[int, list] = {}
     for r in partials:
         # heap key: (cosine, -vec_id) so ties prefer the SMALLER vec_id
         heapq.heappush(
-            heaps.setdefault(r["query_id"], []), (r["cosine"], -r["vec_id"])
+            heaps.setdefault(r["query_id"], []),
+            (r["cosine"], -r["vec_id"], r.get("cosine_e4", 0)),
         )
         if len(heaps[r["query_id"]]) > k:
             heapq.heappop(heaps[r["query_id"]])
-    o_q, o_rank, o_id, o_c = [], [], [], []
+    o_q, o_rank, o_id, o_c, o_e4 = [], [], [], [], []
     for qi in sorted(heaps):
         best = sorted(heaps[qi], key=lambda t: (-t[0], -t[1]))
-        for rank, (c, nid) in enumerate(best):
+        for rank, (c, nid, e4) in enumerate(best):
             o_q.append(qi)
             o_rank.append(rank)
             o_id.append(-nid)
             o_c.append(c)
-    return pa.table(
-        {
-            "query_id": pa.array(o_q, pa.int32()),
-            "rank": pa.array(o_rank, pa.int32()),
-            "vec_id": pa.array(o_id, pa.int64()),
-            "cosine": pa.array(o_c, pa.float64()),
-        }
-    )
+            o_e4.append(e4)
+    cols = {
+        "query_id": pa.array(o_q, pa.int32()),
+        "rank": pa.array(o_rank, pa.int32()),
+        "vec_id": pa.array(o_id, pa.int64()),
+        "cosine": pa.array(o_c, pa.float64()),
+    }
+    if exact_e4:
+        cols["cosine_e4"] = pa.array(o_e4, pa.int64())
+    return pa.table(cols)
+
+
+def label_filtered_topk(
+    ds,
+    query_rows: list,
+    k: int = 10,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    label_column: str = "label",
+) -> pa.Table:
+    """Metadata-filtered vector search: each query sees only candidates
+    sharing its label.  The predicate is pushed INTO the candidate scan
+    (one vectorized Arrow mask per batch, BEFORE the matmul) rather
+    than post-filtering a wider unfiltered top-k — post-filtering can
+    silently return fewer than k survivors and wastes distance compute
+    on rows the filter would drop.  Queries are grouped by label so
+    each label's candidate scan runs once (|distinct labels| passes;
+    at open-web scale you'd instead partition the corpus by the filter
+    key once and route each query group to its partition).
+
+    ``query_rows``: [(query_id, label, vector)];
+    -> (query_id, rank, vec_id, cosine) with true query ids.
+    """
+    by_label: dict = {}
+    for qid, lab, vec in query_rows:
+        by_label.setdefault(lab, []).append((qid, vec))
+    tables = []
+    for lab in sorted(by_label):
+        group = sorted(by_label[lab])
+        t = brute_force_topk(
+            ds,
+            np.array([v for _, v in group], dtype=np.float64),
+            k=k,
+            id_column=id_column,
+            vec_column=vec_column,
+            where=(label_column, lab),
+            exact_e4=True,
+        )
+        qids = pa.array(
+            [group[i][0] for i in t.column("query_id").to_pylist()], pa.int32()
+        )
+        tables.append(
+            t.set_column(t.schema.get_field_index("query_id"), "query_id", qids)
+        )
+    return pa.concat_tables(tables)
 
 
 def train_centroids(ds, n_lists: int = 16, vec_column: str = "embedding",

@@ -583,3 +583,42 @@ def char_diversity_batch(batch: pa.Table, column: str = "text") -> pa.Table:
             "simpson_e6": pa.array(simp, pa.int64()),
         }
     )
+
+
+def kwic_batch(
+    batch: pa.Table,
+    term: str,
+    window: int = 3,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> pa.Table:
+    """KWIC concordance rows for one term: every occurrence of ``term``
+    as a whitespace token, with up to ``window`` tokens of context on
+    each side — the corpus-inspection primitive behind "show me this
+    word in use".  Per-doc token scan via numpy (split once, one
+    vectorized equality), context joins only at the (sparse) hits.
+
+    -> (doc_id, pos0, left_ctx, right_ctx) per occurrence.
+    """
+    import numpy as np
+
+    ids = batch.column(id_column).to_pylist()
+    texts = batch.column(text_column).to_pylist()
+    o_id, o_pos, o_l, o_r = [], [], [], []
+    for did, text in zip(ids, texts):
+        toks = (text or "").split(" ")
+        arr = np.asarray(toks, dtype=object)
+        for pos in np.flatnonzero(arr == term):
+            pos = int(pos)
+            o_id.append(did)
+            o_pos.append(pos)
+            o_l.append(" ".join(toks[max(pos - window, 0) : pos]))
+            o_r.append(" ".join(toks[pos + 1 : pos + 1 + window]))
+    return pa.table(
+        {
+            "doc_id": pa.array(o_id, pa.int64()),
+            "pos0": pa.array(o_pos, pa.int64()),
+            "left_ctx": pa.array(o_l, pa.string()),
+            "right_ctx": pa.array(o_r, pa.string()),
+        }
+    )
