@@ -3231,6 +3231,19 @@ def _q_host_mirrors(sf_dir: str):
     return host_mirror_pairs(_sparse_host_edges(sf_dir))
 
 
+def _q_lm_generate(sf_dir: str):
+    """Greedy deterministic trigram generation (the n-gram-index
+    continuation surface as a batch op): distributed argmax-model
+    build (combiner fold -> one groupby -> per-context argmax), then
+    actor-pool walks over the broadcast model.  Certified against a
+    sequential dict derivation."""
+    from topicrawler_ray.lm.generate import greedy_continuations
+
+    return greedy_continuations(
+        _docs(sf_dir, ["text"]), n_seeds=5, min_count=20, steps=12
+    )
+
+
 def _q_knn_filtered(sf_dir: str):
     """Metadata-filtered vector search: top-10 cosine among candidates
     sharing the query's label, the filter pushed into the candidate
@@ -3485,6 +3498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_assortativity": _q_host_assortativity,
         "host_clustering": _q_host_clustering,
         "host_mirrors": _q_host_mirrors,
+        "lm_generate": _q_lm_generate,
         "knn_filtered": _q_knn_filtered,
         "kwic": _q_kwic,
         "page_titles": _q_page_titles,

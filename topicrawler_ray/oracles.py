@@ -2975,8 +2975,52 @@ def _b_host_mirrors(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_lm_generate(sf_dir: str) -> pa.Table:
+    """Sequential greedy trigram generation: plain dict counts over
+    whitespace tokens, argmax by (count DESC, token ASC), the 5
+    lexicographically-smallest contexts with total mass >= 20 as
+    seeds, 12 steps each.  Shares nothing with lm/generate.py."""
+    tab = _docs_table(sf_dir)
+    counts: dict[tuple, int] = {}
+    for text in tab.column("text").to_pylist():
+        toks = (text or "").split(" ")
+        for i in range(len(toks) - 2):
+            k = (toks[i], toks[i + 1], toks[i + 2])
+            counts[k] = counts.get(k, 0) + 1
+    by_ctx: dict[tuple, list] = {}
+    for (w1, w2, w3), n in counts.items():
+        by_ctx.setdefault((w1, w2), []).append((n, w3))
+    nxt = {
+        ctx: min(lst, key=lambda t: (-t[0], t[1]))[1]
+        for ctx, lst in by_ctx.items()
+    }
+    totals = {ctx: sum(n for n, _ in lst) for ctx, lst in by_ctx.items()}
+    seeds = sorted(c for c in by_ctx if totals[c] >= 20)[:5]
+    o_sid, o_seed, o_step, o_tok = [], [], [], []
+    for sid, (w1, w2) in enumerate(seeds):
+        ctx = (w1, w2)
+        for step in range(12):
+            w = nxt.get(ctx)
+            if w is None:
+                break
+            o_sid.append(sid)
+            o_seed.append("%s %s" % (w1, w2))
+            o_step.append(step)
+            o_tok.append(w)
+            ctx = (ctx[1], w)
+    return pa.table(
+        {
+            "seed_id": pa.array(o_sid, pa.int64()),
+            "seed": pa.array(o_seed, pa.string()),
+            "step": pa.array(o_step, pa.int64()),
+            "token": pa.array(o_tok, pa.string()),
+        }
+    )
+
+
 BUILDERS = {
     "host_triangles": _b_host_triangles,
+    "lm_generate": _b_lm_generate,
     "host_assortativity": _b_host_assortativity,
     "host_clustering": _b_host_clustering,
     "host_mirrors": _b_host_mirrors,
