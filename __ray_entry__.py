@@ -3231,6 +3231,120 @@ def _q_host_mirrors(sf_dir: str):
     return host_mirror_pairs(_sparse_host_edges(sf_dir))
 
 
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-shaped shipping priority: segment-filtered customers
+    semijoin into date-filtered orders (broadcast Bloom + exact verify,
+    the big side never shuffles), per-row exact-integer revenue
+    quantization in the lineitem scan, ONE order-key lookup join
+    (date-bounded orders are the small side; at unbounded scale this
+    swaps for a hash join), one groupby, per-block partial top-10 +
+    driver merge.  Pure-SQL oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from topicrawler_ray.stages.joins import bloom_semijoin
+    from topicrawler_ray.stages.relational import broadcast_lookup_join
+
+    import datetime as _dt
+
+    cutoff_us = int(
+        _dt.datetime(1998, 6, 1, tzinfo=_dt.timezone.utc).timestamp() * 1_000_000
+    )
+
+    # Arrow-mask filter (not Dataset.filter(expr=...)): Ray's Filter op
+    # passes fully-filtered blocks through schema-less, tripping the
+    # executor's schema-divergence warning downstream
+    cust = _read_parquet(
+        sf_dir + "/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING")),
+        batch_format="pyarrow",
+    )
+
+    orders = _read_parquet(
+        sf_dir + "/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def orders_slim(batch: pa.Table) -> pa.Table:
+        us = batch.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        keep = pc.less(us, cutoff_us)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_custkey": batch.column("o_custkey"),
+                "o_orderdate_us": us,
+            }
+        ).filter(keep)
+
+    orders = orders.map_batches(orders_slim, batch_format="pyarrow")
+    orders = bloom_semijoin(orders, cust, key="o_custkey", right_key="c_custkey")
+    orders = orders.select_columns(["o_orderkey", "o_orderdate_us"])
+
+    line = _read_parquet(
+        sf_dir + "/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def line_slim(batch: pa.Table) -> pa.Table:
+        us = batch.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        keep = pc.greater(us, cutoff_us).to_numpy(zero_copy_only=False)
+        base = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)[keep]
+        disc = np.floor(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)[keep]
+        keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(keys, pa.int64()),
+                "rev_e4": pa.array(base * (100 - disc), pa.int64()),
+            }
+        )
+
+    line = line.map_batches(line_slim, batch_format="pyarrow")
+    joined = broadcast_lookup_join(
+        line, orders, "l_orderkey", "o_orderkey", ["o_orderdate_us"], concurrency=2
+    )
+    grouped = (
+        joined.groupby(["l_orderkey", "o_orderdate_us"]).sum("rev_e4")
+    )
+
+    def partial_top(batch: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(
+                batch.column("sum(rev_e4)").to_pylist(),
+                batch.column("o_orderdate_us").to_pylist(),
+                batch.column("l_orderkey").to_pylist(),
+            ),
+            key=lambda r: (-r[0], r[1], r[2]),
+        )[:10]
+        return pa.table(
+            {
+                "l_orderkey": pa.array([r[2] for r in rows], pa.int64()),
+                "o_orderdate_us": pa.array([r[1] for r in rows], pa.int64()),
+                "revenue_e4": pa.array([r[0] for r in rows], pa.int64()),
+            }
+        )
+
+    partials = grouped.map_batches(partial_top, batch_format="pyarrow").take_all()
+    best = sorted(
+        partials, key=lambda r: (-r["revenue_e4"], r["o_orderdate_us"], r["l_orderkey"])
+    )[:10]
+    return pa.table(
+        {
+            "rank": pa.array(range(len(best)), pa.int64()),
+            "l_orderkey": pa.array([r["l_orderkey"] for r in best], pa.int64()),
+            "o_orderdate_us": pa.array(
+                [r["o_orderdate_us"] for r in best], pa.int64()
+            ),
+            "revenue_e4": pa.array([r["revenue_e4"] for r in best], pa.int64()),
+        }
+    )
+
+
 def _q_lm_generate(sf_dir: str):
     """Greedy deterministic trigram generation (the n-gram-index
     continuation surface as a batch op): distributed argmax-model
@@ -3498,6 +3612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_assortativity": _q_host_assortativity,
         "host_clustering": _q_host_clustering,
         "host_mirrors": _q_host_mirrors,
+        "shipping_priority": _q_shipping_priority,
         "lm_generate": _q_lm_generate,
         "knn_filtered": _q_knn_filtered,
         "kwic": _q_kwic,
@@ -3683,6 +3798,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS size_sum, "
             "CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) "
             "AS price_e2_sum FROM part GROUP BY 1"
+        ),
+        "shipping_priority": (
+            "WITH l AS (SELECT l_orderkey, "
+            "CAST(floor(l_extendedprice * 100) AS BIGINT) AS base_e2, "
+            "CAST(floor(l_discount * 100) AS BIGINT) AS disc_e2 "
+            "FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01'), "
+            "o AS (SELECT o_orderkey, "
+            "CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us "
+            "FROM orders WHERE o_orderdate < TIMESTAMP '1998-06-01' "
+            "AND o_custkey IN (SELECT c_custkey FROM customer "
+            "WHERE c_mktsegment = 'BUILDING')), "
+            "g AS (SELECT l.l_orderkey, o.o_orderdate_us, "
+            "CAST(sum(base_e2 * (100 - disc_e2)) AS BIGINT) AS revenue_e4 "
+            "FROM l JOIN o ON l.l_orderkey = o.o_orderkey GROUP BY 1, 2) "
+            "SELECT CAST(row_number() OVER w - 1 AS BIGINT) AS rank, "
+            "l_orderkey, o_orderdate_us, revenue_e4 FROM g "
+            "WINDOW w AS (ORDER BY revenue_e4 DESC, o_orderdate_us, l_orderkey) "
+            "QUALIFY row_number() OVER w <= 10"
         ),
         "lineitem_pricing": (
             "WITH q AS (SELECT l_returnflag, l_linestatus, "

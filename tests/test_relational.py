@@ -146,3 +146,32 @@ class TestPricingSummary:
         ]
         with pytest.raises(Exception):
             pricing_summary(ray.data.from_items(rows)).take_all()
+
+
+class TestShippingPriority:
+    def test_matches_duckdb_oracle(self, ray_session, sf_dir):
+        """The TPC-H-Q3-shaped query and its SQL oracle agree end-to-end
+        (semijoin + lookup join + exact-integer revenue + top-10)."""
+        import sys
+        from pathlib import Path
+
+        import duckdb
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        import __ray_entry__ as e
+
+        got = e.queries()["shipping_priority"](sf_dir).to_pandas()
+        con = duckdb.connect()
+        for t in ("customer", "orders", "lineitem"):
+            con.execute(
+                "CREATE VIEW %s AS SELECT * FROM read_parquet('%s/%s.parquet')"
+                % (t, sf_dir, t)
+            )
+        exp = con.execute(e.oracle_sql()["shipping_priority"]).df()
+        cols = sorted(got.columns)
+        assert sorted(exp.columns) == cols
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = exp[cols].sort_values(cols).reset_index(drop=True)
+        assert len(a) == len(b) and len(a) > 0
+        for c in cols:
+            assert (a[c].astype(str) == b[c].astype(str)).all(), c
