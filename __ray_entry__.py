@@ -3405,6 +3405,18 @@ def _q_kwic(sf_dir: str):
     )
 
 
+def _q_zipf_law(sf_dir: str):
+    """Zipf rank-frequency head: the 40 most frequent whitespace
+    tokens per language with exact corpus frequencies and dense ranks
+    (freq DESC, word ASC) - the corpus-composition fingerprint.
+    Combiner folds (lang, word) partials per batch; ONE slim groupby
+    exchange; topk_per_group ranks only per-block survivors.  Pure-SQL
+    oracle via string_split + QUALIFY row_number."""
+    from topicrawler_ray.stages.ranking import zipf_head
+
+    return zipf_head(_docs(sf_dir, ["lang", "text"]), k=40)
+
+
 def _q_page_titles(sf_dir: str):
     """<title> metadata extraction: per-row charset-aware decode (the
     M1 kernel, byte-parity-certified via extract_text) + ONE vectorized
@@ -3616,6 +3628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_generate": _q_lm_generate,
         "knn_filtered": _q_knn_filtered,
         "kwic": _q_kwic,
+        "zipf_law": _q_zipf_law,
         "page_titles": _q_page_titles,
         "robots_rules": _q_robots_rules,
         "lang_confusion": _q_lang_confusion,
@@ -4010,6 +4023,17 @@ def oracle_sql() -> dict[str, str]:
             "'') AS left_ctx, "
             "coalesce(array_to_string(ws[pos + 1:least(pos + 3, len(ws))], "
             "' '), '') AS right_ctx FROM w WHERE w = 'table'"
+        ),
+        "zipf_law": (
+            "WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word "
+            "FROM documents WHERE text IS NOT NULL AND length(text) > 0), "
+            "c AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS freq "
+            "FROM w GROUP BY 1, 2) "
+            "SELECT lang, word, freq, "
+            "CAST(row_number() OVER (PARTITION BY lang "
+            "ORDER BY freq DESC, word ASC) - 1 AS BIGINT) AS rank FROM c "
+            "QUALIFY row_number() OVER (PARTITION BY lang "
+            "ORDER BY freq DESC, word ASC) <= 40"
         ),
         "token_counts": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "

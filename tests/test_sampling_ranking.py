@@ -512,3 +512,63 @@ class TestDiverseSample:
         }
         assert all(len(s) == 1 for s in sides.values())
         assert sides[0] != sides[1]
+
+
+class TestZipfHead:
+    def test_matches_counter_reference_and_partitioning(self, ray_session):
+        from collections import Counter
+
+        import pandas as pd
+        import ray.data
+
+        from topicrawler_ray.stages.ranking import zipf_head
+
+        rng = np.random.default_rng(23)
+        vocab = ["a", "bb", "ccc", "dd", "e", "", "zz", "q"]
+        langs = ["en", "de", "fr"]
+        rows = []
+        for i in range(400):
+            words = list(rng.choice(vocab, size=rng.integers(0, 12)))
+            rows.append(
+                {
+                    "lang": str(rng.choice(langs)),
+                    "text": " ".join(words),
+                }
+            )
+        # empty + None texts must contribute nothing
+        rows.append({"lang": "en", "text": ""})
+        rows.append({"lang": "de", "text": None})
+        df = pd.DataFrame(rows)
+
+        ref_counts = Counter()
+        for r in rows:
+            if r["text"]:
+                for w in r["text"].split(" "):
+                    ref_counts[(r["lang"], w)] += 1
+        ref = pd.DataFrame(
+            [
+                {"lang": lang, "word": w, "freq": c}
+                for (lang, w), c in ref_counts.items()
+            ]
+        )
+        ref = ref.sort_values(
+            ["lang", "freq", "word"], ascending=[True, False, True]
+        )
+        ref = ref.groupby("lang", sort=True).head(5).reset_index(drop=True)
+
+        for blocks in (1, 7):
+            out = (
+                zipf_head(
+                    ray.data.from_pandas(df).repartition(blocks), k=5
+                )
+                .to_pandas()
+                .sort_values(["lang", "rank"])
+                .reset_index(drop=True)
+            )
+            assert list(out.lang) == list(ref.lang)
+            assert list(out.word) == list(ref.word)
+            assert list(out.freq) == list(ref.freq)
+            assert all(
+                list(sub["rank"]) == list(range(len(sub)))
+                for _, sub in out.groupby("lang")
+            )

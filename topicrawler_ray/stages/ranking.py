@@ -440,3 +440,93 @@ def vocab_growth(ds, bucket_size: int = 50, id_column: str = "doc_id",
             "cum_vocab": pa.array(cum, pa.int64()),
         }
     )
+
+
+def zipf_head(ds, k: int = 40, group_column: str = "lang",
+              column: str = "text"):
+    """Zipf rank-frequency head per language: the ``k`` most frequent
+    whitespace tokens of each ``group_column`` value with their exact
+    corpus frequencies and dense 0-based ranks (freq DESC, word ASC) -
+    the standard corpus-composition fingerprint (is the crawl's token
+    mass distributed like natural language, or spiked by boilerplate?).
+
+    Ray shape: per-batch (lang, word) partial counts (vectorized: one
+    Arrow split per batch, dictionary codes for both keys packed into
+    one int64, ``np.bincount``), ONE ``groupby([lang, word]).sum``
+    exchange of slim partial rows, then ``topk_per_group`` ranks only
+    the per-block survivors (<= k rows per lang per block reach the
+    final per-lang sort).  The corpus itself never sorts or shuffles.
+
+    Token semantics match ``text.split(" ")`` exactly (empty tokens
+    from runs of spaces count; empty/null texts contribute nothing) so
+    the DuckDB ``string_split`` oracle is bit-exact.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column(group_column)
+        texts = batch.column(column)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        if pa.types.is_null(texts.type):
+            texts = texts.cast(pa.string())
+        nonempty = pc.and_kleene(
+            texts.is_valid(), pc.greater(pc.utf8_length(texts), 0)
+        )
+        mask = np.asarray(
+            nonempty.combine_chunks()
+            if isinstance(nonempty, pa.ChunkedArray) else nonempty
+        )
+        empty = pa.table(
+            {
+                group_column: pa.array([], pa.string()),
+                "word": pa.array([], pa.string()),
+                "tf_part": pa.array([], pa.int64()),
+            }
+        )
+        if not mask.any():
+            return empty
+        texts = texts.filter(nonempty)
+        langs = langs.filter(nonempty)
+        words = pc.split_pattern(texts, " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        counts = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(words)
+        wenc = pc.dictionary_encode(flat)
+        lenc = pc.dictionary_encode(langs)
+        if isinstance(wenc, pa.ChunkedArray):
+            wenc = wenc.combine_chunks()
+        if isinstance(lenc, pa.ChunkedArray):
+            lenc = lenc.combine_chunks()
+        wcodes = np.asarray(wenc.indices, dtype=np.int64)
+        lcodes = np.repeat(
+            np.asarray(lenc.indices, dtype=np.int64), counts
+        )
+        n_w = len(wenc.dictionary)
+        packed = lcodes * np.int64(n_w) + wcodes
+        tf = np.bincount(packed, minlength=len(lenc.dictionary) * n_w)
+        nz = np.flatnonzero(tf)
+        if len(nz) == 0:
+            return empty
+        return pa.table(
+            {
+                group_column: lenc.dictionary.take(
+                    pa.array(nz // n_w, pa.int64())
+                ),
+                "word": wenc.dictionary.take(pa.array(nz % n_w, pa.int64())),
+                "tf_part": pa.array(tf[nz], pa.int64()),
+            }
+        )
+
+    freqs = (
+        ds.select_columns([group_column, column])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([group_column, "word"])
+        .aggregate(Sum("tf_part", alias_name="freq"))
+    )
+    return topk_per_group(freqs, group_column, "freq", "word", k)
