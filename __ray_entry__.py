@@ -3417,6 +3417,18 @@ def _q_zipf_law(sf_dir: str):
     return zipf_head(_docs(sf_dir, ["lang", "text"]), k=40)
 
 
+def _q_readability(sf_dir: str):
+    """Flesch-Kincaid-style readability per document in exact integer
+    rationals (grade_num/grade_den) - no float anywhere, so the DuckDB
+    regexp_extract_all oracle is bit-exact.  Stateless vectorized map
+    (3 RE2 scans per batch), no shuffle."""
+    from topicrawler_ray.stages.textstats import readability_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        readability_batch, batch_format="pyarrow"
+    )
+
+
 def _q_page_titles(sf_dir: str):
     """<title> metadata extraction: per-row charset-aware decode (the
     M1 kernel, byte-parity-certified via extract_text) + ONE vectorized
@@ -3629,6 +3641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_filtered": _q_knn_filtered,
         "kwic": _q_kwic,
         "zipf_law": _q_zipf_law,
+        "readability": _q_readability,
         "page_titles": _q_page_titles,
         "robots_rules": _q_robots_rules,
         "lang_confusion": _q_lang_confusion,
@@ -4034,6 +4047,18 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY freq DESC, word ASC) - 1 AS BIGINT) AS rank FROM c "
             "QUALIFY row_number() OVER (PARTITION BY lang "
             "ORDER BY freq DESC, word ASC) <= 40"
+        ),
+        "readability": (
+            "WITH c AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w, "
+            "CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s, "
+            "CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) "
+            "AS y FROM documents) "
+            "SELECT doc_id, w AS n_words, s AS n_sents, y AS n_syll, "
+            "CAST(39 * w * w + 1180 * y * greatest(s, 1) "
+            "- 1559 * greatest(s, 1) * w AS BIGINT) AS grade_num, "
+            "CAST(100 * greatest(s, 1) * greatest(w, 1) AS BIGINT) "
+            "AS grade_den FROM c"
         ),
         "token_counts": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "

@@ -65,3 +65,44 @@ class TestGroupedRegression:
             ds = ray.data.from_items(rows).repartition(parts)
             outs.append(grouped_regression(ds, "g", "x", "y").to_pylist())
         assert outs[0] == outs[1]
+
+
+class TestReadability:
+    def test_integer_rational_matches_python_reference(self, ray_session):
+        import re
+
+        import pandas as pd
+        import pyarrow as pa
+
+        from topicrawler_ray.stages.textstats import readability_batch
+
+        texts = [
+            "The cat sat. The dog ran! Did it?",
+            "supercalifragilistic expialidocious",
+            "",
+            None,
+            "no terminal punctuation here",
+            "a.b.c...d!!e?? ok",
+            "Y y Y rhythm myth",
+        ]
+        batch = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        out = readability_batch(batch).to_pandas()
+        for i, t in enumerate(texts):
+            t = t or ""
+            w = len(re.findall(r"\S+", t))
+            s = len(re.findall(r"[.!?]+", t))
+            y = len(re.findall(r"[aeiouyAEIOUY]+", t))
+            s1, w1 = max(s, 1), max(w, 1)
+            row = out.iloc[i]
+            assert row.n_words == w and row.n_sents == s and row.n_syll == y
+            assert row.grade_num == 39 * w * w + 1180 * y * s1 - 1559 * s1 * w
+            assert row.grade_den == 100 * s1 * w1
+            # rational reproduces the float formula when defined
+            if w and s:
+                grade = 0.39 * w / s + 11.8 * y / w - 15.59
+                assert abs(row.grade_num / row.grade_den - grade) < 1e-9

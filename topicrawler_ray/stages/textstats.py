@@ -622,3 +622,53 @@ def kwic_batch(
             "right_ctx": pa.array(o_r, pa.string()),
         }
     )
+
+
+def readability_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Per-document Flesch-Kincaid-style readability in EXACT integer
+    algebra — the classic webtext quality gate (Kincaid et al. 1975):
+
+        grade = 0.39 * W/S + 11.8 * Y/W - 15.59
+
+    with W = non-space token count (``\\S+`` runs), S = sentence count
+    (maximal ``[.!?]+`` runs, floored at 1), Y = syllable proxy
+    (maximal ``[aeiouyAEIOUY]+`` vowel-group runs, the standard
+    dictionary-free heuristic).  Instead of emitting the floating
+    grade, the operator emits the exact rational
+
+        grade_num = 39*W*W + 1180*Y*S - 1559*S*W,  grade_den = 100*S*W
+
+    (W floored at 1 for the denominator) so distributed == sequential
+    == SQL bit-for-bit with no float drift anywhere.  Fully vectorized:
+    three RE2 scans per batch (``pc.count_substring_regex``), integer
+    numpy algebra — no per-row Python.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    texts = batch.column(column)
+
+    def runs(pattern: str) -> "np.ndarray":
+        c = pc.fill_null(pc.count_substring_regex(texts, pattern), 0)
+        return np.asarray(
+            c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c,
+            dtype=np.int64,
+        )
+
+    w = runs(r"\S+")
+    s = runs(r"[.!?]+")
+    y = runs(r"[aeiouyAEIOUY]+")
+    w1 = np.maximum(w, 1)
+    s1 = np.maximum(s, 1)
+    num = 39 * w * w + 1180 * y * s1 - 1559 * s1 * w
+    den = 100 * s1 * w1
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(w, pa.int64()),
+            "n_sents": pa.array(s, pa.int64()),
+            "n_syll": pa.array(y, pa.int64()),
+            "grade_num": pa.array(num, pa.int64()),
+            "grade_den": pa.array(den, pa.int64()),
+        }
+    )
