@@ -344,6 +344,17 @@ def _q_dedup_minhash(sf_dir: str):
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _q_minhash_accuracy(sf_dir: str):
+    """MinHash estimator accuracy over every LSH candidate pair: the
+    dedup family's quality gauge (analog of knn_recall) - signature
+    estimate vs exact shingle Jaccard as cross-multiplied exact
+    integers.  Certified against a sequential bucket+signature
+    derivation (oracles._b_minhash_accuracy)."""
+    from topicrawler_ray.stages.dedup import minhash_accuracy_pairs
+
+    return minhash_accuracy_pairs(_perturbed_docs_ds(sf_dir, "minhash"))
+
+
 def _q_dedup_simhash(sf_dir: str):
     """SimHash near-dup pairs over documents + perturbed copies."""
     from topicrawler_ray.stages.dedup import simhash_near_dup_pairs
@@ -3595,6 +3606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_sharded": _q_dedup_sharded,
         "curated_docs": _q_curated_docs,
         "dedup_minhash": _q_dedup_minhash,
+        "minhash_accuracy": _q_minhash_accuracy,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_ppjoin": _q_dedup_ppjoin,

@@ -201,6 +201,40 @@ class TestDedup:
         pairs = minhash_near_dup_pairs(ds, threshold=0.7).to_pandas()
         assert set(zip(pairs.id_a, pairs.id_b)) == {(1, 2)}
 
+    def test_minhash_accuracy_pairs_exact_integers(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.dedup import (
+            minhash_accuracy_pairs,
+            minhash_signature,
+            word_shingles,
+        )
+
+        base = "tok%d " * 120 % tuple(range(120))
+        near = base.replace("tok5", "x5").replace("tok50", "x50")
+        texts = {1: base, 2: near, 3: base + "tail extra words here"}
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in texts.items()]
+        )
+        out = minhash_accuracy_pairs(ds).to_pandas().sort_values(
+            ["id_a", "id_b"]
+        )
+        assert (1, 2) in set(zip(out.id_a, out.id_b))
+        sh = {i: word_shingles(t) for i, t in texts.items()}
+        sig = {i: minhash_signature(sh[i]) for i in texts}
+        for _, r in out.iterrows():
+            a, b = int(r.id_a), int(r.id_b)
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a]) + len(sh[b]) - inter
+            est = int((sig[a] == sig[b]).sum())
+            assert r.inter == inter and r.union_sz == union
+            assert r.est_matches == est
+            assert r.err_num == abs(est * union - inter * 128)
+            assert r.err_den == 128 * max(union, 1)
+            # the estimator should be in the right neighbourhood on
+            # these high-overlap pairs
+            assert abs(est / 128 - inter / union) < 0.15
+
     def test_embedding_near_dup_bruteforce_vs_numpy(self, ray_session):
         import ray.data
 

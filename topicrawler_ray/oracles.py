@@ -829,6 +829,51 @@ def _b_dedup_minhash(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_minhash_accuracy(sf_dir: str) -> pa.Table:
+    """Sequential MinHash-accuracy derivation: same corpus / band
+    scheme / candidate buckets as _b_dedup_minhash, but for EVERY
+    candidate pair emit the signature-match estimate next to the exact
+    shingle Jaccard as cross-multiplied integers (no threshold)."""
+    from .functions.hashing import murmur3_x64_128
+    from .stages.dedup import minhash_signature, word_shingles
+
+    docs = _minhash_docs(sf_dir)
+    num_perm, bands = 128, 16
+    rows_per_band = num_perm // bands
+    buckets: dict[tuple[int, int], list[int]] = {}
+    shingles = {i: word_shingles(t or "") for i, t in docs}
+    sigs = {}
+    for i, _t in docs:
+        sig = minhash_signature(shingles[i], num_perm)
+        sigs[i] = sig
+        for b in range(bands):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            h = murmur3_x64_128(chunk.tobytes())[0] - (1 << 63)
+            buckets.setdefault((b, h), []).append(i)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        for a in members:
+            for b in members:
+                if a < b:
+                    cand.add((a, b))
+    o = {k: [] for k in
+         ("id_a", "id_b", "inter", "union_sz", "est_matches",
+          "err_num", "err_den")}
+    for a, b in sorted(cand):
+        sa, sb = shingles[a], shingles[b]
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        est = int((sigs[a] == sigs[b]).sum())
+        o["id_a"].append(a)
+        o["id_b"].append(b)
+        o["inter"].append(inter)
+        o["union_sz"].append(union)
+        o["est_matches"].append(est)
+        o["err_num"].append(abs(est * union - inter * num_perm))
+        o["err_den"].append(num_perm * max(union, 1))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in o.items()})
+
+
 def _b_decontaminate_fuzzy(sf_dir: str) -> pa.Table:
     """Sequential LSH-probe derivation: bench = originals with
     doc_id % 37 == 0, corpus = originals + perturbed copies; same band
@@ -3103,6 +3148,7 @@ BUILDERS = {
     "media_features": _b_media_features,
     "export_manifest": _b_export_manifest,
     "dedup_minhash": _b_dedup_minhash,
+    "minhash_accuracy": _b_minhash_accuracy,
     "decontaminate_fuzzy": _b_decontaminate_fuzzy,
     "dedup_simhash": _b_dedup_simhash,
     "dedup_ngram_jaccard": _b_dedup_ngram_jaccard,

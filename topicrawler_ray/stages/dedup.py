@@ -1439,3 +1439,106 @@ def semantic_dedup(
     return assigned.groupby("cluster_id").map_groups(
         dedup_cluster, batch_format="pandas"
     )
+
+
+def minhash_accuracy_pairs(
+    ds,
+    column: str = "text",
+    id_column: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 16,
+    num_partitions: int | None = None,
+):
+    """MinHash estimator accuracy gauge - the dedup family's analog of
+    ``knn_recall``: for every LSH candidate pair, the signature-match
+    estimate of Jaccard next to the EXACT shingle Jaccard, plus the
+    cross-multiplied integer error
+
+        err_num = |est_matches * union - inter * num_perm|
+        err_den = num_perm * max(union, 1)
+
+    so the whole table is exact integers (distributed == sequential
+    bit-for-bit).  Ray shape: the same partition-joins as
+    ``verify_pairs_exact_jaccard`` (no driver corpus dict, no
+    broadcast); signatures + shingles recomputed per joined row with a
+    per-batch cache.  The pair set is the LSH candidate set - linear
+    in bucket collisions, never all-pairs."""
+    import pyarrow.compute as pc
+
+    num_partitions = _default_partitions(num_partitions)
+    cand = lsh_candidate_pairs(
+        ds, column, id_column, num_perm, bands, num_partitions
+    ).repartition(num_partitions)
+    src = ds.select_columns([id_column, column])
+
+    joined_a = cand.join(
+        src,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("id_a",),
+        right_on=(id_column,),
+        right_suffix="_ra",
+    )
+
+    def keep_a(batch: pa.Table) -> pa.Table:
+        col = column if column in batch.schema.names else column + "_ra"
+        return pa.table(
+            {
+                "id_a": batch.column("id_a"),
+                "id_b": batch.column("id_b"),
+                "text_a": batch.column(col),
+            }
+        )
+
+    joined_b = joined_a.map_batches(keep_a, batch_format="pyarrow").join(
+        src,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("id_b",),
+        right_on=(id_column,),
+        right_suffix="_rb",
+    )
+
+    def measure(batch: pa.Table) -> pa.Table:
+        col = column if column in batch.schema.names else column + "_rb"
+        ids_a = batch.column("id_a").to_pylist()
+        ids_b = batch.column("id_b").to_pylist()
+        texts_a = batch.column("text_a").to_pylist()
+        texts_b = batch.column(col).to_pylist()
+        sh_cache: dict[int, set[int]] = {}
+        sig_cache: dict[int, "np.ndarray"] = {}
+
+        def sh(i: int, t: str) -> set[int]:
+            if i not in sh_cache:
+                sh_cache[i] = word_shingles(t or "")
+            return sh_cache[i]
+
+        def sig(i: int, t: str) -> "np.ndarray":
+            if i not in sig_cache:
+                sig_cache[i] = minhash_signature(sh(i, t), num_perm)
+            return sig_cache[i]
+
+        inter_l, union_l, est_l, en_l, ed_l = [], [], [], [], []
+        for a, b, ta, tb in zip(ids_a, ids_b, texts_a, texts_b):
+            sa, sb = sh(a, ta), sh(b, tb)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            est = int((sig(a, ta) == sig(b, tb)).sum())
+            inter_l.append(inter)
+            union_l.append(union)
+            est_l.append(est)
+            en_l.append(abs(est * union - inter * num_perm))
+            ed_l.append(num_perm * max(union, 1))
+        return pa.table(
+            {
+                "id_a": pa.array(ids_a, pa.int64()),
+                "id_b": pa.array(ids_b, pa.int64()),
+                "inter": pa.array(inter_l, pa.int64()),
+                "union_sz": pa.array(union_l, pa.int64()),
+                "est_matches": pa.array(est_l, pa.int64()),
+                "err_num": pa.array(en_l, pa.int64()),
+                "err_den": pa.array(ed_l, pa.int64()),
+            }
+        )
+
+    return joined_b.map_batches(measure, batch_format="pyarrow")
