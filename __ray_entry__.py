@@ -1054,6 +1054,19 @@ def _q_anchor_texts(sf_dir: str):
     return anchor_text_agg(read_pages(sf_dir, num_blocks=16, columns=["url", "html"]))
 
 
+def _q_anchor_title_match(sf_dir: str):
+    """Anchor-text vs target-title agreement per crawled link target:
+    two slim streams off one pruned pages read, ONE inner join on the
+    target URL, per-batch integer partials, ONE groupby(dst).sum.
+    Certified against a sequential decode+parse derivation."""
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.graph import anchor_title_match
+
+    return anchor_title_match(
+        read_pages(sf_dir, num_blocks=16, columns=["url", "html"])
+    )
+
+
 def _q_snapshot_diff(sf_dir: str):
     """Crawl-snapshot diff (recrawl scheduling): snapshot A is the pages
     fixture; snapshot B is a deterministic md5(url)-bucketed mutation of
@@ -3664,6 +3677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_plan": _q_shard_plan,
         "bpe_fertility": _q_bpe_fertility,
         "anchor_texts": _q_anchor_texts,
+        "anchor_title_match": _q_anchor_title_match,
         "bm25_topk": _q_bm25_topk,
         "retrieval_rrf": _q_retrieval_rrf,
         "link_hits": _q_link_hits,

@@ -605,3 +605,47 @@ class TestMirrorPairs:
         # the mega-target group (fan 8 > 4) contributes no pairs; only
         # the private shared target survives
         assert got == {("s0", "s1"): 1}
+
+
+class TestAnchorTitleMatch:
+    def test_synthetic_pages_counts_and_matches(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.stages.graph import anchor_title_match
+
+        def page(url, title, links):
+            body = "".join(
+                '<a href="%s">%s</a>' % (h, t) for h, t in links
+            )
+            html = (
+                "<html><head><title>%s</title></head><body>%s</body></html>"
+                % (title, body)
+            )
+            return {"url": url, "html": html.encode("utf-8")}
+
+        pages = [
+            page(
+                "http://a.example/",
+                "Alpha Home",
+                [
+                    ("http://b.example/", "Beta page"),   # match
+                    ("http://b.example/", "nope"),        # no match
+                    ("http://c.example/", "anything"),    # target not crawled
+                ],
+            ),
+            page(
+                "http://b.example/",
+                "The Beta Page of record",
+                [("http://a.example/", "alpha HOME")],    # case-insensitive
+            ),
+        ]
+        out = {
+            r["dst"]: (r["n_anchors"], r["n_match"])
+            for r in anchor_title_match(
+                ray.data.from_items(pages).repartition(2)
+            ).take_all()
+        }
+        assert out == {
+            "http://a.example/": (1, 1),
+            "http://b.example/": (2, 1),
+        }

@@ -829,6 +829,48 @@ def _b_dedup_minhash(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_anchor_title_match(sf_dir: str) -> pa.Table:
+    """Sequential anchor-vs-title agreement: decode every page, map
+    url -> first <title> text, walk every anchor in document order,
+    count inbound anchors / case-insensitive verbatim matches per
+    crawled target.  Shares only the parsing primitives with the
+    engine (decode_page_bytes / extract_anchors), not the join or
+    aggregation."""
+    import re as _re
+
+    from .functions.urls import extract_anchors
+    from .stages.extract import decode_page_bytes, is_robots_url
+
+    title_re = _re.compile(r"<title>([^<]*)</title>")
+    titles: dict[str, str] = {}
+    anchors: list[tuple[str, str]] = []
+    for url, _ts, html in _pages_rows(sf_dir):
+        if is_robots_url(url) or not html:
+            continue
+        text = decode_page_bytes(url, html)
+        m = title_re.search(text)
+        titles[url] = m.group(1) if m else ""
+        anchors.extend(extract_anchors(text, url))
+    n: dict[str, int] = {}
+    mt: dict[str, int] = {}
+    for dst, atext in anchors:
+        if dst not in titles:
+            continue
+        n[dst] = n.get(dst, 0) + 1
+        if atext and atext.lower() in titles[dst].lower():
+            mt[dst] = mt.get(dst, 0) + 1
+        else:
+            mt.setdefault(dst, 0)
+    keys = sorted(n)
+    return pa.table(
+        {
+            "dst": pa.array(keys, pa.string()),
+            "n_anchors": pa.array([n[k] for k in keys], pa.int64()),
+            "n_match": pa.array([mt[k] for k in keys], pa.int64()),
+        }
+    )
+
+
 def _b_minhash_accuracy(sf_dir: str) -> pa.Table:
     """Sequential MinHash-accuracy derivation: same corpus / band
     scheme / candidate buckets as _b_dedup_minhash, but for EVERY
@@ -3149,6 +3191,7 @@ BUILDERS = {
     "export_manifest": _b_export_manifest,
     "dedup_minhash": _b_dedup_minhash,
     "minhash_accuracy": _b_minhash_accuracy,
+    "anchor_title_match": _b_anchor_title_match,
     "decontaminate_fuzzy": _b_decontaminate_fuzzy,
     "dedup_simhash": _b_dedup_simhash,
     "dedup_ngram_jaccard": _b_dedup_ngram_jaccard,

@@ -1613,3 +1613,89 @@ def host_mirror_pairs(edges, num_partitions: int | None = None,
         )
 
     return withdeg.map_batches(finish, batch_format="pyarrow")
+
+
+def anchor_title_match(pages_ds, num_partitions: int | None = None):
+    """Anchor-text vs target-title agreement — the classic link-quality
+    signal (does the web describe a page the way the page describes
+    itself?): for every crawled link target, how many inbound anchors
+    exist and how many of their texts appear verbatim
+    (case-insensitive) in the target's ``<title>``.
+
+    Ray shape: two slim streams off the SAME pruned pages read -
+    (dst, anchor_text) rows from the anchor extractor and (url, title)
+    rows from the vectorized title scan - ONE hash-partitioned inner
+    join on the target URL (anchors pointing outside the crawl drop
+    here), then per-batch (dst, n, n_match) partials fold into ONE
+    ``groupby(dst).sum`` of 3-int rows.  The corpus never re-shuffles;
+    the substring test runs on joined anchor rows only (sparse).
+
+    -> (dst, n_anchors, n_match), exact integers.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _default_partitions
+    from .extract import titles_batch
+
+    num_partitions = _default_partitions(num_partitions)
+
+    def anchors(batch: pa.Table) -> pa.Table:
+        from ..functions.urls import extract_anchors
+        from ..stages.extract import decode_page_bytes, is_robots_url
+
+        dsts, texts = [], []
+        for url, html in zip(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            if is_robots_url(url) or not html:
+                continue
+            for dst, text in extract_anchors(decode_page_bytes(url, html), url):
+                dsts.append(dst)
+                texts.append(text)
+        return pa.table(
+            {
+                "dst": pa.array(dsts, pa.string()),
+                "atext": pa.array(texts, pa.string()),
+            }
+        )
+
+    anchors_ds = pages_ds.map_batches(anchors, batch_format="pyarrow")
+    titles_ds = pages_ds.map_batches(titles_batch, batch_format="pyarrow")
+    joined = anchors_ds.join(
+        titles_ds,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("dst",),
+        right_on=("url",),
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import defaultdict
+
+        n: dict[str, int] = defaultdict(int)
+        m: dict[str, int] = defaultdict(int)
+        for dst, atext, title in zip(
+            batch.column("dst").to_pylist(),
+            batch.column("atext").to_pylist(),
+            batch.column("title").to_pylist(),
+        ):
+            n[dst] += 1
+            if atext and atext.lower() in (title or "").lower():
+                m[dst] += 1
+        keys = sorted(n)
+        return pa.table(
+            {
+                "dst": pa.array(keys, pa.string()),
+                "n_part": pa.array([n[k] for k in keys], pa.int64()),
+                "m_part": pa.array([m[k] for k in keys], pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(partials, batch_format="pyarrow")
+        .groupby("dst")
+        .aggregate(
+            Sum("n_part", alias_name="n_anchors"),
+            Sum("m_part", alias_name="n_match"),
+        )
+    )
