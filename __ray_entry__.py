@@ -1803,6 +1803,21 @@ def _q_events_sessions(sf_dir: str):
     return sessionize(ev, by="user_id", on="ts", gap_seconds=1800)
 
 
+def _q_events_paths(sf_dir: str):
+    """Top-20 session navigation paths (ordered event_type sequences
+    under the same strict 30-min gap rule as events_sessions): path
+    partials fold inside the sessionize groups, ONE slim groupby(path)
+    sum, only k rows reach the driver.  Pure-SQL gap-and-island +
+    string_agg oracle."""
+    from topicrawler_ray.stages.timeseries import session_paths
+
+    ev = _read_parquet(
+        sf_dir + "/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return session_paths(ev, k=20)
+
+
 def _q_events_asof_click(sf_dir: str):
     """As-of join (custom operator Ray Data lacks): every non-click
     event joined to the user's latest click at-or-before it.  Checked
@@ -3667,6 +3682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kwic": _q_kwic,
         "zipf_law": _q_zipf_law,
         "readability": _q_readability,
+        "events_paths": _q_events_paths,
         "page_titles": _q_page_titles,
         "robots_rules": _q_robots_rules,
         "lang_confusion": _q_lang_confusion,
@@ -4073,6 +4089,26 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY freq DESC, word ASC) - 1 AS BIGINT) AS rank FROM c "
             "QUALIFY row_number() OVER (PARTITION BY lang "
             "ORDER BY freq DESC, word ASC) <= 40"
+        ),
+        "events_paths": (
+            "WITH o AS (SELECT user_id, event_id, ts, event_type, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts "
+            "FROM events), "
+            "f AS (SELECT *, CASE WHEN pts IS NULL OR "
+            "ts - pts > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS ns FROM o), "
+            "s AS (SELECT user_id, event_type, ts, event_id, "
+            "sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM f), "
+            "p AS (SELECT user_id, sid, "
+            "string_agg(event_type, '>' ORDER BY ts, event_id) AS path "
+            "FROM s GROUP BY 1, 2), "
+            "c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions "
+            "FROM p GROUP BY 1) "
+            "SELECT path, n_sessions, "
+            "CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC) - 1 "
+            "AS BIGINT) AS rank FROM c "
+            "QUALIFY row_number() OVER (ORDER BY n_sessions DESC, path ASC) "
+            "<= 20"
         ),
         "readability": (
             "WITH c AS (SELECT doc_id, "

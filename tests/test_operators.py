@@ -1631,3 +1631,38 @@ class TestKwic:
             (0, 6, "c d e", ""),
             (1, 0, "", "x y"),
         ]
+
+
+class TestSessionPaths:
+    def test_paths_counts_and_rank(self, ray_session):
+        import datetime as dt
+
+        import ray.data
+
+        from topicrawler_ray.stages.timeseries import session_paths
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def ev(i, user, minutes, typ):
+            return {
+                "event_id": i,
+                "user_id": user,
+                "ts": t0 + dt.timedelta(minutes=minutes),
+                "event_type": typ,
+            }
+
+        rows = [
+            # user 1: session A>B, then (gap > 30min) session A>B
+            ev(1, 1, 0, "A"), ev(2, 1, 5, "B"),
+            ev(3, 1, 60, "A"), ev(4, 1, 66, "B"),
+            # user 2: one session A>B, one session C
+            ev(5, 2, 0, "A"), ev(6, 2, 10, "B"),
+            ev(7, 2, 120, "C"),
+            # user 3: exactly-30min gap stays ONE session (strict >)
+            ev(8, 3, 0, "C"), ev(9, 3, 30, "C"),
+        ]
+        df = session_paths(
+            ray.data.from_items(rows).repartition(3), k=10
+        )
+        got = list(zip(df.path, df.n_sessions, df["rank"]))
+        assert got == [("A>B", 3, 0), ("C", 1, 1), ("C>C", 1, 2)]

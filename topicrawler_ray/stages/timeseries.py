@@ -891,3 +891,72 @@ def cohort_retention(events_ds, ts_column: str = "ts",
         ),
         batch_format="pyarrow",
     )
+
+
+def session_paths(
+    ds,
+    k: int = 20,
+    by: str = "user_id",
+    on: str = "ts",
+    type_column: str = "event_type",
+    order_column: str = "event_id",
+    gap_seconds: int = 1800,
+):
+    """Top-k session navigation paths: sessionize each key's events
+    with the same strict-gap rule as :func:`sessionize`, render each
+    session as its ordered ``event_type`` sequence joined by ``>``,
+    count identical paths corpus-wide and keep the ``k`` most frequent
+    (count DESC, path ASC) with dense 0-based ranks — the canonical
+    clickstream product query, here doubling as the crawl-log
+    behaviour fingerprint.
+
+    Ray shape: ONE ``groupby(by)`` shuffle (the sessionize exchange);
+    each group already folds its paths to (path, n_part) partials, so
+    the second ``groupby(path).sum`` moves at most one row per
+    (user, distinct path).  Only the top-k survivors (k rows) reach
+    the driver for rank assignment.
+
+    -> (path, n_sessions, rank), exact integers.
+    """
+    import pandas as pd_
+    from ray.data.aggregate import Sum
+
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def per_key(group: pd.DataFrame) -> pa.Table:
+        group = group.sort_values([on, order_column], kind="mergesort")
+        ts_us = group[on].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_s = np.ones(len(ts_us), dtype=np.int64)
+        if len(ts_us) > 1:
+            new_s[1:] = (np.diff(ts_us) > gap_us).astype(np.int64)
+        sid = np.cumsum(new_s)
+        types = group[type_column].astype(str).to_numpy()
+        counts: dict[str, int] = {}
+        for s in range(1, sid[-1] + 1):
+            path = ">".join(types[sid == s])
+            counts[path] = counts.get(path, 0) + 1
+        keys = sorted(counts)
+        return pa.table(
+            {
+                "path": pa.array(keys, pa.string()),
+                "n_part": pa.array([counts[p] for p in keys], pa.int64()),
+            }
+        )
+
+    from ..stages.dedup import _default_partitions
+
+    counted = (
+        ds.select_columns([by, on, type_column, order_column])
+        .groupby(by)
+        .map_groups(per_key, batch_format="pandas")
+        # few-group aggregate: concatenate away the empty hash
+        # partitions (they emit 0-row/0-column blocks that trip the
+        # executor's schema-divergence warning downstream)
+        .repartition(_default_partitions(None))
+        .groupby("path")
+        .aggregate(Sum("n_part", alias_name="n_sessions"))
+    )
+    top = counted.sort(["n_sessions", "path"], descending=[True, False]).limit(k)
+    df = top.to_pandas().reset_index(drop=True)
+    df["rank"] = np.arange(len(df), dtype=np.int64)
+    return df
