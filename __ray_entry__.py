@@ -2742,6 +2742,37 @@ def _q_parts_by_brand(sf_dir: str):
     )
 
 
+def _q_custdist(sf_dir: str):
+    """TPC-H-Q13-shaped customer distribution (orders-per-customer
+    histogram incl. the zero bucket): two slim combiner+groupby stages
+    over pruned single-column reads; the driver sees only
+    histogram-sized rows plus one Count scalar.  Pure-SQL oracle
+    (LEFT JOIN + double GROUP BY)."""
+    from topicrawler_ray.stages.relational import customer_order_distribution
+
+    orders = _read_parquet(sf_dir + "/orders.parquet", columns=["o_custkey"])
+    cust = _read_parquet(sf_dir + "/customer.parquet", columns=["c_custkey"])
+    return customer_order_distribution(orders, cust)
+
+
+def _q_order_priority(sf_dir: str):
+    """TPC-H-Q4-shaped late-shipment priority counts: EXISTS collapsed
+    to max(l_shipdate) per order BEFORE the join (one slim row per
+    order crosses the exchange, never the lineitem fact table), ONE
+    hash join, vectorized date predicate, histogram-sized priority
+    groupby.  Pure-SQL oracle (correlated EXISTS)."""
+    from topicrawler_ray.stages.relational import late_shipment_priority_counts
+
+    orders = _read_parquet(
+        sf_dir + "/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = _read_parquet(
+        sf_dir + "/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    return late_shipment_priority_counts(orders, li)
+
+
 def _q_events_trend(sf_dir: str):
     """Per-type OLS value trend from exact integer sufficient
     statistics (x = hours since corpus-min ts, y = value cents).
@@ -3730,6 +3761,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_suppliers": _q_top_suppliers,
         "parts_by_brand": _q_parts_by_brand,
         "lineitem_pricing": _q_lineitem_pricing,
+        "custdist": _q_custdist,
+        "order_priority": _q_order_priority,
         "events_trend": _q_events_trend,
         "events_funnel": _q_events_funnel,
         "event_transitions": _q_event_transitions,
@@ -3898,6 +3931,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(base_e2 * (100 - disc_e2)) AS BIGINT) AS sum_disc_e4, "
             "CAST(sum(base_e2 * (100 - disc_e2) * (100 + tax_e2)) AS BIGINT) "
             "AS sum_charge_e6 FROM q GROUP BY 1, 2"
+        ),
+        "custdist": (
+            "WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n "
+            "FROM orders GROUP BY 1), "
+            "j AS (SELECT c.c_custkey, coalesce(oc.n, 0) AS c_count "
+            "FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey) "
+            "SELECT CAST(c_count AS BIGINT) AS c_count, "
+            "CAST(count(*) AS BIGINT) AS custdist FROM j GROUP BY 1"
+        ),
+        "order_priority": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            "AND l.l_shipdate > o.o_orderdate) GROUP BY 1"
         ),
         "source_lang_mix": (
             "WITH p AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c "

@@ -175,3 +175,64 @@ class TestShippingPriority:
         assert len(a) == len(b) and len(a) > 0
         for c in cols:
             assert (a[c].astype(str) == b[c].astype(str)).all(), c
+
+
+class TestCustdistOrderPriority:
+    def _entry(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        import __ray_entry__ as e
+
+        return e
+
+    def _oracle_df(self, e, name, sf_dir):
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ("customer", "orders", "lineitem"):
+            con.execute(
+                "CREATE VIEW %s AS SELECT * FROM read_parquet('%s/%s.parquet')"
+                % (t, sf_dir, t)
+            )
+        return con.execute(e.oracle_sql()[name]).df()
+
+    def _assert_match(self, got, exp):
+        cols = sorted(got.columns)
+        assert sorted(exp.columns) == cols
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = exp[cols].sort_values(cols).reset_index(drop=True)
+        assert len(a) == len(b) and len(a) > 0
+        for c in cols:
+            assert (a[c].astype(str) == b[c].astype(str)).all(), c
+
+    def test_custdist_matches_duckdb_oracle(self, ray_session, sf_dir):
+        e = self._entry()
+        got = e.queries()["custdist"](sf_dir).to_pandas()
+        self._assert_match(got, self._oracle_df(e, "custdist", sf_dir))
+
+    def test_order_priority_matches_duckdb_oracle(self, ray_session, sf_dir):
+        e = self._entry()
+        got = e.queries()["order_priority"](sf_dir).to_pandas()
+        self._assert_match(got, self._oracle_df(e, "order_priority", sf_dir))
+
+    def test_custdist_zero_bucket(self, ray_session):
+        """Customers with no orders land in the c_count=0 bucket; the
+        bucket is absent when every customer ordered."""
+        import ray.data
+
+        from topicrawler_ray.stages.relational import (
+            customer_order_distribution,
+        )
+
+        orders = ray.data.from_items(
+            [{"o_custkey": 1}, {"o_custkey": 1}, {"o_custkey": 2}]
+        )
+        cust = ray.data.from_items([{"c_custkey": k} for k in (1, 2, 3, 4)])
+        out = customer_order_distribution(orders, cust).to_pydict()
+        assert out == {"c_count": [0, 1, 2], "custdist": [2, 1, 1]}
+
+        cust2 = ray.data.from_items([{"c_custkey": k} for k in (1, 2)])
+        out2 = customer_order_distribution(orders, cust2).to_pydict()
+        assert out2 == {"c_count": [1, 2], "custdist": [1, 1]}

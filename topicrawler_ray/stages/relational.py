@@ -253,3 +253,143 @@ def rollup_aggregate(ds, group_columns: list[str], sum_column: str,
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def customer_order_distribution(orders_ds, customer_ds):
+    """TPC-H-Q13-shaped customer distribution: how many customers
+    placed exactly ``c_count`` orders, INCLUDING the zero-order bucket
+    (the classic outer-join-then-histogram shape).
+
+    Ray shape: per-batch pyarrow combiner collapses each orders block
+    to distinct (o_custkey, partial n) rows, ONE slim
+    ``groupby(o_custkey).sum`` exchange, then a second per-batch
+    combiner folds per-customer counts into (c_count, partial
+    customers) partials and ONE histogram-sized groupby merges them.
+    The zero bucket needs exactly two scalars - total customers (a
+    Count aggregate on the pruned customer key column) and customers
+    with >= 1 order (the sum of the histogram itself) - so the driver
+    only ever sees histogram-sized data, never a fact table.
+    """
+    from ray.data.aggregate import Sum
+
+    def per_cust(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return pa.table(
+            {
+                "o_custkey": g.column("o_custkey"),
+                "n_part": pc.cast(g.column("o_custkey_count"), pa.int64()),
+            }
+        )
+
+    per_customer = (
+        orders_ds.map_batches(per_cust, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n_part", alias_name="c_count"))
+    )
+
+    def hist_part(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("c_count").aggregate([("c_count", "count")])
+        return pa.table(
+            {
+                "c_count": g.column("c_count"),
+                "cd_part": pc.cast(g.column("c_count_count"), pa.int64()),
+            }
+        )
+
+    hist = (
+        per_customer.map_batches(hist_part, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("cd_part", alias_name="custdist"))
+    )
+    hist_tab = pa.concat_tables(
+        list(hist.iter_batches(batch_format="pyarrow"))
+    )
+    n_customers = customer_ds.count()
+    n_with_orders = pc.sum(hist_tab.column("custdist")).as_py() or 0
+    n_zero = n_customers - n_with_orders
+    schema = pa.schema([("c_count", pa.int64()), ("custdist", pa.int64())])
+    parts = [hist_tab.cast(schema)]
+    if n_zero > 0:  # the bucket exists only when zero-order customers do
+        parts.append(
+            pa.table(
+                {
+                    "c_count": pa.array([0], pa.int64()),
+                    "custdist": pa.array([n_zero], pa.int64()),
+                }
+            )
+        )
+    return pa.concat_tables(parts).sort_by([("c_count", "ascending")])
+
+
+def late_shipment_priority_counts(orders_ds, lineitem_ds):
+    """TPC-H-Q4-shaped order-priority check: count orders per
+    ``o_orderpriority`` where at least one lineitem shipped AFTER the
+    order date (EXISTS semijoin with a per-pair date predicate).
+
+    Ray shape: the EXISTS collapses to max(l_shipdate) per order BEFORE
+    any join - a per-batch pyarrow combiner then ONE slim
+    ``groupby(l_orderkey).max`` over 16-byte rows, so the join moves
+    one row per order, not one per lineitem.  Then ONE hash join
+    orders ⋈ max-shipdate on the order key (both sides streamed), a
+    vectorized date filter, and a histogram-sized priority groupby.
+    Timestamps travel as int64 epoch-us (acero-friendly join payload).
+    """
+    from ray.data.aggregate import Max, Sum
+
+    from .dedup import _default_partitions
+
+    def li_part(batch: pa.Table) -> pa.Table:
+        ship = pc.cast(batch.column("l_shipdate"), pa.int64())
+        t = pa.table(
+            {"l_orderkey": batch.column("l_orderkey"), "ship_us": ship}
+        )
+        g = t.group_by("l_orderkey").aggregate([("ship_us", "max")])
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "ship_part": g.column("ship_us_max"),
+            }
+        )
+
+    max_ship = (
+        lineitem_ds.map_batches(li_part, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Max("ship_part", alias_name="max_ship_us"))
+    )
+
+    def ord_slim(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "order_us": pc.cast(batch.column("o_orderdate"), pa.int64()),
+                "o_orderpriority": batch.column("o_orderpriority"),
+            }
+        )
+
+    joined = orders_ds.map_batches(ord_slim, batch_format="pyarrow").join(
+        max_ship,
+        join_type="inner",
+        num_partitions=_default_partitions(None),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def prio_part(batch: pa.Table) -> pa.Table:
+        late = batch.filter(
+            pc.greater(batch.column("max_ship_us"), batch.column("order_us"))
+        )
+        g = late.group_by("o_orderpriority").aggregate(
+            [("o_orderpriority", "count")]
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g.column("o_orderpriority"),
+                "n_part": pc.cast(g.column("o_orderpriority_count"), pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(prio_part, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_part", alias_name="n_orders"))
+    )
