@@ -3487,6 +3487,26 @@ def _q_zipf_law(sf_dir: str):
     return zipf_head(_docs(sf_dir, ["lang", "text"]), k=40)
 
 
+def _q_hapax_stats(sf_dir: str):
+    """Per-language vocabulary richness (distinct words, hapax
+    legomena, total tokens): the shared (lang, word) combiner + ONE
+    slim groupby, then a lang-sized integer fold - corpus-health gauge
+    for boilerplate/spam drift.  Pure-SQL oracle."""
+    from topicrawler_ray.stages.ranking import hapax_stats
+
+    return hapax_stats(_docs(sf_dir, ["lang", "text"]))
+
+
+def _q_char_trigrams(sf_dir: str):
+    """Top-20 character trigrams per language (the langid
+    fingerprint, surfaced): batch-vectorized utf-32 window packing +
+    np.unique partials, ONE slim groupby, per-group top-k.  Pure-SQL
+    oracle via lateral unnest(range) + substr."""
+    from topicrawler_ray.stages.ranking import char_trigram_head
+
+    return char_trigram_head(_docs(sf_dir, ["lang", "text"]), k=20)
+
+
 def _q_readability(sf_dir: str):
     """Flesch-Kincaid-style readability per document in exact integer
     rationals (grade_num/grade_den) - no float anywhere, so the DuckDB
@@ -3712,6 +3732,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_filtered": _q_knn_filtered,
         "kwic": _q_kwic,
         "zipf_law": _q_zipf_law,
+        "hapax_stats": _q_hapax_stats,
+        "char_trigrams": _q_char_trigrams,
         "readability": _q_readability,
         "events_paths": _q_events_paths,
         "page_titles": _q_page_titles,
@@ -4125,6 +4147,27 @@ def oracle_sql() -> dict[str, str]:
             "'') AS left_ctx, "
             "coalesce(array_to_string(ws[pos + 1:least(pos + 3, len(ws))], "
             "' '), '') AS right_ctx FROM w WHERE w = 'table'"
+        ),
+        "hapax_stats": (
+            "WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word "
+            "FROM documents WHERE text IS NOT NULL AND length(text) > 0), "
+            "c AS (SELECT lang, word, count(*) AS f FROM w GROUP BY 1, 2) "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_distinct, "
+            "CAST(count(*) FILTER (WHERE f = 1) AS BIGINT) AS n_hapax, "
+            "CAST(sum(f) AS BIGINT) AS n_tokens FROM c GROUP BY 1"
+        ),
+        "char_trigrams": (
+            "WITH t AS (SELECT lang, text FROM documents "
+            "WHERE text IS NOT NULL AND length(text) >= 3), "
+            "g AS (SELECT lang, substr(text, CAST(i AS INTEGER), 3) AS "
+            "trigram FROM t, unnest(range(1, length(text) - 1)) AS u(i)), "
+            "c AS (SELECT lang, trigram, CAST(count(*) AS BIGINT) AS freq "
+            "FROM g GROUP BY 1, 2) "
+            "SELECT lang, trigram, freq, "
+            "CAST(row_number() OVER (PARTITION BY lang "
+            "ORDER BY freq DESC, trigram ASC) - 1 AS BIGINT) AS rank "
+            "FROM c QUALIFY row_number() OVER (PARTITION BY lang "
+            "ORDER BY freq DESC, trigram ASC) <= 20"
         ),
         "zipf_law": (
             "WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word "

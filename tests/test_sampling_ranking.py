@@ -572,3 +572,89 @@ class TestZipfHead:
                 list(sub["rank"]) == list(range(len(sub)))
                 for _, sub in out.groupby("lang")
             )
+
+
+class TestHapaxStats:
+    def test_hand_corpus(self, ray_session):
+        """Hand-computable corpus: distinct/hapax/token counts exact,
+        split(' ') semantics (runs of spaces yield empty tokens)."""
+        import ray.data
+
+        from topicrawler_ray.stages.ranking import hapax_stats
+
+        rows = [
+            {"lang": "en", "text": "a b a"},
+            {"lang": "en", "text": "b  c"},  # double space -> '' token
+            {"lang": "de", "text": "x"},
+            {"lang": "de", "text": ""},  # contributes nothing
+        ]
+        for blocks in (1, 3):
+            out = (
+                hapax_stats(ray.data.from_items(rows).repartition(blocks))
+                .to_pandas()
+                .sort_values("lang")
+                .reset_index(drop=True)
+            )
+            # en: words a(2) b(2) c(1) ''(1) -> 4 distinct, 2 hapax, 6 tokens
+            # de: x(1) -> 1 distinct, 1 hapax, 1 token
+            assert out.to_dict("records") == [
+                {"lang": "de", "n_distinct": 1, "n_hapax": 1, "n_tokens": 1},
+                {"lang": "en", "n_distinct": 4, "n_hapax": 2, "n_tokens": 6},
+            ]
+
+
+class TestCharTrigramHead:
+    def test_hand_corpus_and_ties(self, ray_session):
+        """Windowed trigram counts with (freq DESC, trigram ASC) ranks,
+        partition-invariant."""
+        import ray.data
+
+        from topicrawler_ray.stages.ranking import char_trigram_head
+
+        rows = [
+            {"lang": "en", "text": "abcabc"},  # abc,bca,cab,abc
+            {"lang": "en", "text": "ab"},  # too short
+            {"lang": "de", "text": "zzzz"},  # zzz x2
+        ]
+        for blocks in (1, 3):
+            out = (
+                char_trigram_head(
+                    ray.data.from_items(rows).repartition(blocks), k=2
+                )
+                .to_pandas()
+                .sort_values(["lang", "rank"])
+                .reset_index(drop=True)
+            )
+            assert out.to_dict("records") == [
+                {"lang": "de", "trigram": "zzz", "freq": 2, "rank": 0},
+                {"lang": "en", "trigram": "abc", "freq": 2, "rank": 0},
+                {"lang": "en", "trigram": "bca", "freq": 1, "rank": 1},
+            ]
+
+    def test_nul_slow_path_and_unicode(self, ray_session):
+        """Texts containing NUL take the per-text slow path; both paths
+        agree and non-BMP codepoints pack losslessly."""
+        import ray.data
+
+        from topicrawler_ray.stages.ranking import char_trigram_head
+
+        rows = [
+            {"lang": "x", "text": "q\x00abcd"},  # NUL: windows qNa,Nab excluded? NO:
+            # slow path counts ALL windows incl. those containing NUL
+            {"lang": "x", "text": "abcd"},
+            {"lang": "y", "text": "\U0001F600\U0001F601\U0001F602"},
+        ]
+        out = (
+            char_trigram_head(ray.data.from_items(rows), k=10)
+            .to_pandas()
+            .sort_values(["lang", "rank"])
+            .reset_index(drop=True)
+        )
+        x = out[out.lang == "x"]
+        # fast text: abc,bcd; slow text windows: q\0a, \0ab, abc, bcd
+        assert dict(zip(x.trigram, x.freq))["abc"] == 2
+        assert dict(zip(x.trigram, x.freq))["bcd"] == 2
+        assert dict(zip(x.trigram, x.freq))["q\x00a"] == 1
+        y = out[out.lang == "y"]
+        assert list(y.trigram) == ["\U0001F600\U0001F601\U0001F602"]
+        assert list(y.freq) == [1]

@@ -442,25 +442,15 @@ def vocab_growth(ds, bucket_size: int = 50, id_column: str = "doc_id",
     )
 
 
-def zipf_head(ds, k: int = 40, group_column: str = "lang",
-              column: str = "text"):
-    """Zipf rank-frequency head per language: the ``k`` most frequent
-    whitespace tokens of each ``group_column`` value with their exact
-    corpus frequencies and dense 0-based ranks (freq DESC, word ASC) -
-    the standard corpus-composition fingerprint (is the crawl's token
-    mass distributed like natural language, or spiked by boilerplate?).
-
-    Ray shape: per-batch (lang, word) partial counts (vectorized: one
-    Arrow split per batch, dictionary codes for both keys packed into
-    one int64, ``np.bincount``), ONE ``groupby([lang, word]).sum``
-    exchange of slim partial rows, then ``topk_per_group`` ranks only
-    the per-block survivors (<= k rows per lang per block reach the
-    final per-lang sort).  The corpus itself never sorts or shuffles.
-
+def _word_freqs(ds, group_column: str, column: str):
+    """Exact corpus (group, word) frequency table: per-batch partial
+    counts (vectorized: one Arrow split per batch, dictionary codes
+    for both keys packed into one int64, ``np.bincount``), ONE
+    ``groupby([group, word]).sum`` exchange of slim partial rows.
     Token semantics match ``text.split(" ")`` exactly (empty tokens
     from runs of spaces count; empty/null texts contribute nothing) so
-    the DuckDB ``string_split`` oracle is bit-exact.
-    """
+    DuckDB ``string_split`` oracles are bit-exact.  Shared by
+    ``zipf_head`` and ``hapax_stats``."""
     import numpy as np
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
@@ -523,10 +513,176 @@ def zipf_head(ds, k: int = 40, group_column: str = "lang",
             }
         )
 
-    freqs = (
+    return (
         ds.select_columns([group_column, column])
         .map_batches(partial, batch_format="pyarrow")
         .groupby([group_column, "word"])
         .aggregate(Sum("tf_part", alias_name="freq"))
     )
+
+
+def zipf_head(ds, k: int = 40, group_column: str = "lang",
+              column: str = "text"):
+    """Zipf rank-frequency head per language: the ``k`` most frequent
+    whitespace tokens of each ``group_column`` value with their exact
+    corpus frequencies and dense 0-based ranks (freq DESC, word ASC) -
+    the standard corpus-composition fingerprint (is the crawl's token
+    mass distributed like natural language, or spiked by boilerplate?).
+
+    Ray shape: the shared ``_word_freqs`` combiner+groupby produces the
+    exact (lang, word, freq) table, then ``topk_per_group`` ranks only
+    the per-block survivors (<= k rows per lang per block reach the
+    final per-lang sort).  The corpus itself never sorts or shuffles.
+    """
+    freqs = _word_freqs(ds, group_column, column)
     return topk_per_group(freqs, group_column, "freq", "word", k)
+
+
+def hapax_stats(ds, group_column: str = "lang", column: str = "text"):
+    """Per-language vocabulary-richness summary: distinct words, hapax
+    legomena (corpus frequency exactly 1) and total tokens - the
+    classic corpus-health gauge (a crawl dominated by boilerplate has
+    a collapsing hapax ratio; machine-generated spam spikes it).
+
+    Ray shape: reuses the ``zipf_head`` per-batch (lang, word) partial
+    combiner, ONE slim ``groupby([lang, word]).sum`` exchange, then a
+    second per-batch combiner folds word rows into per-lang
+    (distinct, hapax, tokens) integer partials and ONE lang-sized
+    groupby merges them.  Token semantics are exactly
+    ``text.split(" ")`` so the DuckDB ``string_split`` oracle is
+    bit-exact.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    freqs = _word_freqs(ds, group_column, column)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                group_column: batch.column(group_column),
+                "d_part": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64), pa.int64()
+                ),
+                "h_part": pc.cast(
+                    pc.equal(batch.column("freq"), pa.scalar(1)), pa.int64()
+                ),
+                "t_part": batch.column("freq"),
+            }
+        )
+        g = t.group_by(group_column).aggregate(
+            [("d_part", "sum"), ("h_part", "sum"), ("t_part", "sum")]
+        )
+        return pa.table(
+            {
+                group_column: g.column(group_column),
+                "d_part": g.column("d_part_sum"),
+                "h_part": g.column("h_part_sum"),
+                "t_part": g.column("t_part_sum"),
+            }
+        )
+
+    return (
+        freqs.map_batches(fold, batch_format="pyarrow")
+        .groupby(group_column)
+        .aggregate(
+            Sum("d_part", alias_name="n_distinct"),
+            Sum("h_part", alias_name="n_hapax"),
+            Sum("t_part", alias_name="n_tokens"),
+        )
+    )
+
+
+def char_trigram_head(ds, k: int = 20, group_column: str = "lang",
+                      column: str = "text"):
+    """Top-``k`` character trigrams per language with exact corpus
+    frequencies and 0-based ranks (freq DESC, trigram ASC) - the
+    character-level fingerprint langid models are built from (the
+    distributed analog of the packed-trigram tables in
+    stages/classify.py, surfaced as a certified table).
+
+    Ray shape: per-batch vectorized trigram extraction - every text of
+    the batch is joined into ONE codepoint array (utf-32 view, NUL
+    separators), the three shifted views are packed into a single
+    int64 key (3 x 21 bits; every Unicode scalar < 2^21), and
+    ``np.unique`` folds the batch to (lang, trigram, partial) rows -
+    only the batch's distinct trigrams are ever materialized as
+    strings.  Then ONE slim ``groupby([lang, trigram]).sum`` exchange
+    and ``topk_per_group``; the corpus never sorts or shuffles.
+
+    Trigrams are codepoint-windowed exactly like DuckDB
+    ``substr(text, i, 3)`` so the pure-SQL oracle is bit-exact; texts
+    containing NUL (would collide with the separator) take a per-text
+    slow path with identical semantics.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column(group_column).to_pylist()
+        texts = batch.column(column).to_pylist()
+        counts: dict[tuple[str, int], int] = {}
+        by_lang: dict[str, list[str]] = {}
+        for lang, text in zip(langs, texts):
+            if text and len(text) >= 3:
+                by_lang.setdefault(lang, []).append(text)
+        out_lang: list[str] = []
+        out_tri: list[str] = []
+        out_tf: list[int] = []
+        for lang, group in by_lang.items():
+            slow = [t for t in group if "\x00" in t]
+            fast = [t for t in group if "\x00" not in t]
+            keys_parts = []
+            cnts_parts = []
+            if fast:
+                joined = "\x00".join(fast)
+                arr = np.frombuffer(
+                    joined.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                a, b, c = arr[:-2], arr[1:-1], arr[2:]
+                valid = (a != 0) & (b != 0) & (c != 0)
+                packed = (a << 42) | (b << 21) | c
+                keys, cnts = np.unique(packed[valid], return_counts=True)
+                keys_parts.append(keys)
+                cnts_parts.append(cnts)
+            if slow:
+                tally: dict[int, int] = {}
+                for t in slow:
+                    for i in range(len(t) - 2):
+                        key = (
+                            (ord(t[i]) << 42)
+                            | (ord(t[i + 1]) << 21)
+                            | ord(t[i + 2])
+                        )
+                        tally[key] = tally.get(key, 0) + 1
+                keys_parts.append(np.fromiter(tally.keys(), dtype=np.int64))
+                cnts_parts.append(np.fromiter(tally.values(), dtype=np.int64))
+            keys = np.concatenate(keys_parts)
+            cnts = np.concatenate(cnts_parts)
+            if len(keys_parts) > 1:
+                keys, inv = np.unique(keys, return_inverse=True)
+                cnts = np.bincount(inv, weights=cnts).astype(np.int64)
+            for key, n in zip(keys.tolist(), cnts.tolist()):
+                out_lang.append(lang)
+                out_tri.append(
+                    chr(key >> 42) + chr((key >> 21) & 0x1FFFFF)
+                    + chr(key & 0x1FFFFF)
+                )
+                out_tf.append(int(n))
+        return pa.table(
+            {
+                group_column: pa.array(out_lang, pa.string()),
+                "trigram": pa.array(out_tri, pa.string()),
+                "tf_part": pa.array(out_tf, pa.int64()),
+            }
+        )
+
+    freqs = (
+        ds.select_columns([group_column, column])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([group_column, "trigram"])
+        .aggregate(Sum("tf_part", alias_name="freq"))
+    )
+    return topk_per_group(freqs, group_column, "freq", "trigram", k)
