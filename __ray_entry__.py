@@ -397,6 +397,31 @@ def _q_embedding_near_dup(sf_dir: str):
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _q_kmeans_assign(sf_dir: str):
+    """One exact Lloyd assignment step over the embeddings table: k=8
+    deterministic centroids (vec_id < 8) broadcast once, all-int64
+    squared-L2 via the |a|^2-2ac+|c|^2 matmul expansion, ties to the
+    smallest centroid id.  Zero shuffle; cross-join SQL oracle."""
+    from topicrawler_ray.stages.similarity import kmeans_assign_exact
+
+    return kmeans_assign_exact(_embs(sf_dir, ["vec_id", "embedding"]), k=8)
+
+
+def _q_lang_centroids(sf_dir: str):
+    """Per-language embedding centroid sums in exact integers (long
+    format, one row per (lang, dim)): vectors packed into one int32
+    binary cell before the hash join with the slim (doc_id, lang)
+    stream (no list payload, no 64x explode), per-batch unpack+fold,
+    ONE langs*dims-sized groupby.  Pure-SQL oracle via unnest(range) +
+    subscript."""
+    from topicrawler_ray.stages.similarity import group_centroids
+
+    return group_centroids(
+        _docs(sf_dir, ["doc_id", "lang"]),
+        _embs(sf_dir, ["vec_id", "embedding"]),
+    )
+
+
 def _q_knn_bruteforce(sf_dir: str):
     """Exact cosine top-10 of all vectors against queries vec_id<5."""
     import numpy as np
@@ -3691,6 +3716,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ppjoin": _q_dedup_ppjoin,
         "embedding_near_dup": _q_embedding_near_dup,
         "knn_bruteforce": _q_knn_bruteforce,
+        "kmeans_assign": _q_kmeans_assign,
+        "lang_centroids": _q_lang_centroids,
         "knn_ivf": _q_knn_ivf,
         "knn_lsh": _q_knn_lsh,
         "knn_int8": _q_knn_int8,
@@ -4147,6 +4174,30 @@ def oracle_sql() -> dict[str, str]:
             "'') AS left_ctx, "
             "coalesce(array_to_string(ws[pos + 1:least(pos + 3, len(ws))], "
             "' '), '') AS right_ctx FROM w WHERE w = 'table'"
+        ),
+        "kmeans_assign": (
+            "WITH q AS (SELECT vec_id, list_transform(CAST(embedding AS "
+            "DOUBLE[]), x -> CAST(floor(x * 1000) AS BIGINT)) AS qv "
+            "FROM embeddings), "
+            "c AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8), "
+            "d AS (SELECT q.vec_id, c.cid, CAST(list_sum(list_transform("
+            "list_zip(q.qv, c.cv), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) "
+            "AS d2 FROM q, c) "
+            "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            "CAST(cid AS BIGINT) AS cluster, d2 FROM d "
+            "QUALIFY row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY d2 ASC, cid ASC) = 1"
+        ),
+        "lang_centroids": (
+            "WITH j AS (SELECT d.lang, e.embedding FROM documents d "
+            "JOIN embeddings e ON d.doc_id = e.vec_id), "
+            "q AS (SELECT lang, list_transform(CAST(embedding AS DOUBLE[]), "
+            "x -> CAST(floor(x * 1000) AS BIGINT)) AS qv FROM j), "
+            "x AS (SELECT lang, CAST(i AS BIGINT) - 1 AS dim, "
+            "qv[CAST(i AS INTEGER)] AS v FROM q, "
+            "unnest(range(1, len(qv) + 1)) AS u(i)) "
+            "SELECT lang, dim, CAST(count(*) AS BIGINT) AS n_vecs, "
+            "CAST(sum(v) AS BIGINT) AS sum_q FROM x GROUP BY 1, 2"
         ),
         "hapax_stats": (
             "WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word "

@@ -1666,3 +1666,67 @@ class TestSessionPaths:
         )
         got = list(zip(df.path, df.n_sessions, df["rank"]))
         assert got == [("A>B", 3, 0), ("C", 1, 1), ("C>C", 1, 2)]
+
+
+class TestKmeansAssignExact:
+    def test_hand_vectors_and_ties(self, ray_session):
+        """Exact integer assignment, ties to the smallest centroid id,
+        partition-invariant."""
+        import ray.data
+
+        from topicrawler_ray.stages.similarity import kmeans_assign_exact
+
+        rows = [
+            {"vec_id": 0, "embedding": [0.0, 0.0]},
+            {"vec_id": 1, "embedding": [2.0, 0.0]},
+            {"vec_id": 2, "embedding": [1.0, 0.0]},  # equidistant -> cid 0
+            {"vec_id": 3, "embedding": [1.5009, 0.0]},  # nearer cid 1
+        ]
+        for blocks in (1, 4):
+            out = (
+                kmeans_assign_exact(
+                    ray.data.from_items(rows).repartition(blocks), k=2
+                )
+                .to_pandas()
+                .sort_values("vec_id")
+                .reset_index(drop=True)
+            )
+            assert list(out.cluster) == [0, 1, 0, 1]
+            assert list(out.d2) == [0, 0, 1000**2, 500**2]
+
+
+class TestGroupCentroids:
+    def test_hand_sums(self, ray_session):
+        """Quantized per-group dim sums exact through the packed-binary
+        join, including negative coordinates (floor, not trunc)."""
+        import ray.data
+
+        from topicrawler_ray.stages.similarity import group_centroids
+
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 0, "lang": "en"},
+                {"doc_id": 1, "lang": "en"},
+                {"doc_id": 2, "lang": "de"},
+            ]
+        )
+        embs = ray.data.from_items(
+            [
+                {"vec_id": 0, "embedding": [0.5, -0.25]},
+                {"vec_id": 1, "embedding": [1.0, 0.0015]},
+                {"vec_id": 2, "embedding": [-1.0, 2.0]},
+            ]
+        )
+        out = (
+            group_centroids(docs, embs)
+            .to_pandas()
+            .sort_values(["lang", "dim"])
+            .reset_index(drop=True)
+        )
+        # floor quantization: -0.25->-250, 0.0015->1 (floor(1.5)=1)
+        assert out.to_dict("records") == [
+            {"lang": "de", "dim": 0, "n_vecs": 1, "sum_q": -1000},
+            {"lang": "de", "dim": 1, "n_vecs": 1, "sum_q": 2000},
+            {"lang": "en", "dim": 0, "n_vecs": 2, "sum_q": 1500},
+            {"lang": "en", "dim": 1, "n_vecs": 2, "sum_q": -249},
+        ]

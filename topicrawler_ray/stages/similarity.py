@@ -628,3 +628,172 @@ def hard_negatives(
             "cosine": pa.array(o_c, pa.float64()),
         }
     )
+
+
+def kmeans_assign_exact(
+    ds,
+    k: int = 8,
+    quant: int = 1000,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+):
+    """One exact Lloyd ASSIGN step: every vector is assigned to the
+    nearest of ``k`` deterministic centroids (the vectors with
+    ``id < k``) by squared L2 over floor(x*quant)-quantized int64
+    coordinates - ties break to the smallest centroid id.  All-integer
+    distance algebra, so any partitioning/execution order agrees bit
+    for bit with the cross-join SQL oracle (the building block the IVF
+    index's ``kmeans_lite`` trainer iterates; surfaced here as a
+    certified operator).
+
+    Ray shape: the k centroid rows are collected once (a filtered
+    point read, k rows), quantized, ``ray.put`` broadcast; each batch
+    computes distances via the |a|^2 - 2a.c + |c|^2 expansion in int64
+    matmul (exact - no float dot products) and appends (cluster, d2).
+    Zero shuffle.
+    """
+    import ray
+
+    def _quantize(mat: np.ndarray) -> np.ndarray:
+        q = np.floor(mat.astype(np.float64) * float(quant))
+        assert np.abs(q).max(initial=0.0) < 2**31, "quantized coords overflow"
+        return q.astype(np.int64)
+
+    cent_tab = pa.concat_tables(
+        ds.filter(expr="%s < %d" % (id_column, k))
+        .select_columns([id_column, vec_column])
+        .iter_batches(batch_format="pyarrow")
+    )
+    order = np.argsort(cent_tab.column(id_column).to_numpy(zero_copy_only=False))
+    cents = _quantize(
+        np.stack(
+            [
+                np.asarray(v, dtype=np.float64)
+                for v in cent_tab.column(vec_column).to_pylist()
+            ]
+        )[order]
+    )
+    cent_ids = cent_tab.column(id_column).to_numpy(zero_copy_only=False)[order]
+    cent_ref = ray.put((cent_ids.astype(np.int64), cents))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids, cmat = ray.get(cent_ref)
+        col = batch.column(vec_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.values, dtype=np.float64)
+        mat = _quantize(flat.reshape(batch.num_rows, -1))
+        # |a|^2 - 2 a.c + |c|^2, all int64 (exact)
+        d2 = (
+            (mat * mat).sum(axis=1, keepdims=True)
+            - 2 * (mat @ cmat.T)
+            + (cmat * cmat).sum(axis=1)[None, :]
+        )
+        best = np.argmin(d2, axis=1)  # first occurrence = smallest cid
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                "cluster": pa.array(ids[best], pa.int64()),
+                "d2": pa.array(d2[np.arange(len(best)), best], pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_column, vec_column]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
+def group_centroids(
+    docs_ds,
+    embs_ds,
+    quant: int = 1000,
+    group_column: str = "lang",
+    doc_id_column: str = "doc_id",
+    vec_id_column: str = "vec_id",
+    vec_column: str = "embedding",
+):
+    """Per-group embedding centroid in exact integers: for every
+    ``group_column`` value, the count of vectors and the per-dimension
+    sum of floor(x*quant)-quantized coordinates (long format - one row
+    per (group, dim)).  Downstream consumers divide sum/n for the
+    float centroid; keeping the SUM exact makes the operator
+    associative and certifiable under any partitioning.
+
+    Ray shape: acero cannot carry list<float> as a join payload (see
+    docs_embeddings), and exploding to (vec, dim) rows would inflate
+    the exchange 64x - so each vector is packed into ONE int32 binary
+    cell (dim x 4 bytes) BEFORE the hash join with the slim (doc_id,
+    group) stream.  After the join a per-batch combiner unpacks the
+    buffers (one np.frombuffer per batch) and folds them into (group,
+    dim) partial sums; ONE groups*dims-sized groupby merges partials.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _default_partitions
+
+    def pack(batch: pa.Table) -> pa.Table:
+        col = batch.column(vec_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.values, dtype=np.float64)
+        q = np.floor(flat * float(quant))
+        assert np.abs(q).max(initial=0.0) < 2**31, "quantized coords overflow"
+        mat = q.astype(np.int32).reshape(batch.num_rows, -1)
+        return pa.table(
+            {
+                vec_id_column: batch.column(vec_id_column),
+                "qvec": pa.array([row.tobytes() for row in mat], pa.binary()),
+            }
+        )
+
+    joined = docs_ds.join(
+        embs_ds.map_batches(pack, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=_default_partitions(None),
+        on=(doc_id_column,),
+        right_on=(vec_id_column,),
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        groups = np.asarray(batch.column(group_column).to_pylist(), dtype=object)
+        bufs = batch.column("qvec").to_pylist()
+        if not bufs:
+            return pa.table(
+                {
+                    group_column: pa.array([], pa.string()),
+                    "dim": pa.array([], pa.int64()),
+                    "n_part": pa.array([], pa.int64()),
+                    "sum_part": pa.array([], pa.int64()),
+                }
+            )
+        mat = np.frombuffer(b"".join(bufs), dtype=np.int32).reshape(
+            len(bufs), -1
+        ).astype(np.int64)
+        dims = mat.shape[1]
+        out_g: list[str] = []
+        out_d: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for g in sorted(set(groups.tolist())):
+            sub = mat[groups == g]
+            out_g.extend([g] * dims)
+            out_d.append(np.arange(dims, dtype=np.int64))
+            out_n.append(np.full(dims, len(sub), dtype=np.int64))
+            out_s.append(sub.sum(axis=0))
+        return pa.table(
+            {
+                group_column: pa.array(out_g, pa.string()),
+                "dim": pa.array(np.concatenate(out_d), pa.int64()),
+                "n_part": pa.array(np.concatenate(out_n), pa.int64()),
+                "sum_part": pa.array(np.concatenate(out_s), pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(fold, batch_format="pyarrow")
+        .groupby([group_column, "dim"])
+        .aggregate(
+            Sum("n_part", alias_name="n_vecs"),
+            Sum("sum_part", alias_name="sum_q"),
+        )
+    )
