@@ -1237,6 +1237,20 @@ def _q_host_link_spam(sf_dir: str):
     return host_link_spam(read_pages(sf_dir, num_blocks=16, columns=["url", "html"]))
 
 
+def _q_robots_blocked(sf_dir: str):
+    """Robots audit of outlink candidates per target host (the crawl's
+    shouldProcess gate as data): per-batch (dst_host, dst_path)
+    combiner, ONE hash join with the per-host Disallow stream on the
+    TARGET host, vectorized prefix check, ONE groupby(host).sum.
+    Certified against a sequential parse+dict derivation."""
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.politeness import robots_blocked
+
+    return robots_blocked(
+        read_pages(sf_dir, num_blocks=16, columns=["url", "html"])
+    )
+
+
 def _q_host_dup_rate(sf_dir: str):
     """Per-host duplicate-content rate (session-id/mirror detector for
     tiered budget allocation): one (host, body_hash) groupby, integer
@@ -3834,6 +3848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revisit_schedule": _q_revisit_schedule,
         "snapshot_drift": _q_snapshot_drift,
         "host_link_spam": _q_host_link_spam,
+        "robots_blocked": _q_robots_blocked,
         "link_ppr": _q_link_ppr,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,

@@ -39,3 +39,47 @@ class TestHostLinkSpam:
         assert clean.links_per_page_e4 == 10000
         assert clean.offsite_ratio_e4 == 5000
         assert not bool(clean.spam)
+
+
+class TestRobotsBlocked:
+    def test_prefix_audit(self, ray_session):
+        """Outlink candidates audited against TARGET-host Disallow
+        prefixes; hosts without rules count but never block."""
+        from topicrawler_ray.stages.politeness import robots_blocked
+
+        robots = (
+            b"User-agent: *\nDisallow: /private/\nDisallow: /tmp\n"
+        )
+        rows = [
+            {"url": "http://a.example/robots.txt", "html": robots},
+            # b.example has no Disallow rules
+            {"url": "http://b.example/robots.txt",
+             "html": b"User-agent: *\nDisallow:\n"},
+            _page(
+                "http://b.example/p1",
+                [
+                    "http://a.example/private/x",  # blocked
+                    "http://a.example/tmpfile",    # blocked (prefix /tmp)
+                    "http://a.example/public",     # allowed
+                    "http://b.example/private/y",  # no rules on b -> allowed
+                ],
+            ),
+            _page(
+                "http://a.example/p1",
+                [
+                    "http://a.example/private/x",  # blocked (dup target ok)
+                    "http://c.example/anything",   # host with no robots row
+                ],
+            ),
+        ]
+        for blocks in (1, 4):
+            out = robots_blocked(
+                ray.data.from_items(rows).repartition(blocks)
+            ).to_pandas()
+            by = {r.host: r for r in out.itertuples()}
+            assert set(by) == {"a.example", "b.example", "c.example"}
+            a = by["a.example"]
+            assert (a.n_links, a.n_blocked) == (4, 3)
+            assert a.blocked_ratio_e4 == 7500
+            assert (by["b.example"].n_links, by["b.example"].n_blocked) == (1, 0)
+            assert (by["c.example"].n_links, by["c.example"].n_blocked) == (1, 0)

@@ -2048,6 +2048,48 @@ def _b_bm25_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_robots_blocked(sf_dir: str) -> pa.Table:
+    """Sequential robots audit of outlink candidates (shares only the
+    outlink/robots parsing primitives with the engine - the join +
+    prefix check + ratio algebra is re-derived as dict loops)."""
+    from .functions.urls import extract_outlinks, host_of_url, path_of_url
+    from .stages.extract import decode_page_bytes, is_robots_url
+    from .state.frontier import parse_robots
+
+    rules: dict[str, list[str]] = {}
+    for url, _ts, html in _pages_rows(sf_dir):
+        if is_robots_url(url):
+            r, _delay = parse_robots((html or b"").decode("utf-8", "replace"))
+            if r:
+                rules[host_of_url(url)] = r
+    counts: dict[str, list[int]] = {}
+    for url, _ts, html in _pages_rows(sf_dir):
+        if is_robots_url(url) or not html:
+            continue
+        for dst in extract_outlinks(decode_page_bytes(url, html), url):
+            h = host_of_url(dst)
+            p = path_of_url(dst)
+            c = counts.setdefault(h, [0, 0])
+            c[0] += 1
+            if any(p.startswith(prefix) for prefix in rules.get(h, ())):
+                c[1] += 1
+    hosts = sorted(counts)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "n_links": pa.array([counts[h][0] for h in hosts], pa.int64()),
+            "n_blocked": pa.array([counts[h][1] for h in hosts], pa.int64()),
+            "blocked_ratio_e4": pa.array(
+                [
+                    10**4 * counts[h][1] // counts[h][0] if counts[h][0] else 0
+                    for h in hosts
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def _b_host_link_spam(sf_dir: str) -> pa.Table:
     """Sequential per-host link-density derivation (shares only the
     outlink-extraction parsing primitives with the engine - the
@@ -3140,6 +3182,7 @@ BUILDERS = {
     "link_ppr": _b_link_ppr,
     "anchor_texts": _b_anchor_texts,
     "host_link_spam": _b_host_link_spam,
+    "robots_blocked": _b_robots_blocked,
     "bm25_topk": _b_bm25_topk,
     "retrieval_rrf": _b_retrieval_rrf,
     # disk-backed serving must rank bit-identically to the scan path;

@@ -649,3 +649,138 @@ def robots_rules(pages_ds):
         )
 
     return pages_ds.map_batches(parse, batch_format="pyarrow")
+
+
+def robots_blocked(pages_ds, num_partitions: int | None = None):
+    """Per-target-host robots audit: of all outlink CANDIDATES pointing
+    at a host, how many does that host's robots.txt forbid - the
+    shouldProcess gate of the crawl loop (stages/crawlworker.py)
+    surfaced as a certified table (reference analog: the Disallow check
+    in lt.ltbot's fetch decision).
+
+    Scale shape: anchors never leave the extraction task - each batch
+    folds its outlinks to distinct (dst_host, dst_path, n) partials
+    (combiner), ONE hash join against the tiny per-host rules stream
+    on the TARGET host (rules ride as one comma-joined string payload,
+    no list column through acero), a vectorized ``pc.starts_with`` per
+    distinct ruleset, then per-batch integer partials and ONE
+    ``groupby(host).sum`` over ~#hosts rows.  No broadcast of the
+    rules table: at 10^8-host scale it only ever streams through the
+    join."""
+    import pyarrow.compute as pc
+
+    from .dedup import _default_partitions
+    from .extract import decode_page_bytes, is_robots_url
+    from ..functions.urls import extract_outlinks, host_of_url, path_of_url
+    from ..state.frontier import parse_robots
+
+    def link_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for url, html in zip(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            if is_robots_url(url) or not html:
+                continue
+            for dst in extract_outlinks(decode_page_bytes(url, html), url):
+                key = (host_of_url(dst), path_of_url(dst))
+                counts[key] = counts.get(key, 0) + 1
+        keys = sorted(counts)
+        return pa.table(
+            {
+                "dst_host": pa.array([k[0] for k in keys], pa.string()),
+                "dst_path": pa.array([k[1] for k in keys], pa.string()),
+                "n_part": pa.array([counts[k] for k in keys], pa.int64()),
+            }
+        )
+
+    def rules_partial(batch: pa.Table) -> pa.Table:
+        hosts, prefixes = [], []
+        for url, html in zip(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            if not is_robots_url(url):
+                continue
+            rules, _delay = parse_robots((html or b"").decode("utf-8", "replace"))
+            if rules:  # hosts with no Disallow need no join row
+                hosts.append(host_of_url(url))
+                prefixes.append(",".join(sorted(rules)))
+        return pa.table(
+            {
+                "rule_host": pa.array(hosts, pa.string()),
+                "prefixes": pa.array(prefixes, pa.string()),
+            }
+        )
+
+    n = _default_partitions(num_partitions)
+    # repartition before the join: combiner batches that saw only
+    # robots (or only content) pages emit 0-row blocks that break
+    # acero's join key resolution (snapshot_diff precedent).  When the
+    # rules stream has fewer rows than partitions (fixture scale) the
+    # repartition's own empty output partitions trip the executor's
+    # cosmetic schema-divergence warning - harmless (Ray skips schema
+    # dedup), and gone at real scale where rules >> partitions.
+    links = pages_ds.map_batches(link_partial, batch_format="pyarrow").repartition(n)
+    rules = pages_ds.map_batches(rules_partial, batch_format="pyarrow").repartition(n)
+    joined = links.join(
+        rules,
+        join_type="left_outer",
+        num_partitions=n,
+        on=("dst_host",),
+        right_on=("rule_host",),
+    )
+
+    def check(batch: pa.Table) -> pa.Table:
+        paths = batch.column("dst_path")
+        pref = batch.column("prefixes")
+        if isinstance(pref, pa.ChunkedArray):
+            pref = pref.combine_chunks()
+        blocked = pa.array([False] * batch.num_rows, pa.bool_())
+        for ruleset in set(pref.to_pylist()):
+            if not ruleset:
+                continue
+            in_set = pc.fill_null(pc.equal(pref, ruleset), False)
+            hit = pa.array([False] * batch.num_rows, pa.bool_())
+            for prefix in ruleset.split(","):
+                hit = pc.or_(hit, pc.starts_with(paths, prefix))
+            blocked = pc.or_(blocked, pc.and_(in_set, hit))
+        t = pa.table(
+            {
+                "host": batch.column("dst_host"),
+                "n_part": batch.column("n_part"),
+                "b_part": pc.if_else(
+                    blocked, batch.column("n_part"), pa.scalar(0, pa.int64())
+                ),
+            }
+        )
+        g = t.group_by("host").aggregate([("n_part", "sum"), ("b_part", "sum")])
+        return pa.table(
+            {
+                "host": g.column("host"),
+                "n_part": g.column("n_part_sum"),
+                "b_part": g.column("b_part_sum"),
+            }
+        )
+
+    agg = (
+        joined.map_batches(check, batch_format="pyarrow")
+        .repartition(_default_partitions(num_partitions))
+        .groupby("host")
+        .sum(["n_part", "b_part"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n_part)").to_pylist()
+        b = batch.column("sum(b_part)").to_pylist()
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_links": pa.array(n, pa.int64()),
+                "n_blocked": pa.array(b, pa.int64()),
+                "blocked_ratio_e4": pa.array(
+                    [10**4 * bb // nn if nn else 0 for bb, nn in zip(b, n)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
