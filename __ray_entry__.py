@@ -1237,6 +1237,19 @@ def _q_host_link_spam(sf_dir: str):
     return host_link_spam(read_pages(sf_dir, num_blocks=16, columns=["url", "html"]))
 
 
+def _q_link_lang_matrix(sf_dir: str):
+    """Cross-language link matrix (multilingual seed-selection input):
+    per-batch (dst_url, src_lang) combiner, ONE hash join with the
+    slim (url, lang) stream on the target url, langs^2-sized groupby.
+    Certified against a sequential parse+dict derivation."""
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.graph import link_lang_matrix
+
+    return link_lang_matrix(
+        read_pages(sf_dir, num_blocks=16, columns=["url", "html", "lang"])
+    )
+
+
 def _q_robots_blocked(sf_dir: str):
     """Robots audit of outlink candidates per target host (the crawl's
     shouldProcess gate as data): per-batch (dst_host, dst_path)
@@ -3849,6 +3862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_drift": _q_snapshot_drift,
         "host_link_spam": _q_host_link_spam,
         "robots_blocked": _q_robots_blocked,
+        "link_lang_matrix": _q_link_lang_matrix,
         "link_ppr": _q_link_ppr,
         "dedup_segments": _q_dedup_segments,
         "events_hopping": _q_events_hopping,

@@ -649,3 +649,43 @@ class TestAnchorTitleMatch:
             "http://a.example/": (1, 1),
             "http://b.example/": (2, 1),
         }
+
+
+class TestLinkLangMatrix:
+    def test_hand_graph(self, ray_session):
+        """Inner-join semantics (unknown targets dropped), counts per
+        (src_lang, dst_lang), partition-invariant."""
+        import ray.data
+
+        from topicrawler_ray.stages.graph import link_lang_matrix
+
+        def page(url, lang, hrefs):
+            body = "".join('<a href="%s">x</a>' % h for h in hrefs)
+            return {
+                "url": url,
+                "lang": lang,
+                "html": ("<html><body>%s</body></html>" % body).encode(),
+            }
+
+        rows = [
+            page("http://a.example/p1", "en",
+                 ["http://a.example/p2", "http://b.example/p1",
+                  "http://gone.example/x"]),  # unknown target dropped
+            page("http://a.example/p2", "en", ["http://a.example/p1"]),
+            page("http://b.example/p1", "de",
+                 ["http://a.example/p1", "http://a.example/p1"]),  # x2
+            {"url": "http://a.example/robots.txt", "lang": "xx",
+             "html": b"User-agent: *"},
+        ]
+        for blocks in (1, 4):
+            out = (
+                link_lang_matrix(ray.data.from_items(rows).repartition(blocks))
+                .to_pandas()
+                .sort_values(["src_lang", "dst_lang"])
+                .reset_index(drop=True)
+            )
+            assert out.to_dict("records") == [
+                {"src_lang": "de", "dst_lang": "en", "n_links": 2},
+                {"src_lang": "en", "dst_lang": "de", "n_links": 1},
+                {"src_lang": "en", "dst_lang": "en", "n_links": 2},
+            ]

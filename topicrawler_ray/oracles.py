@@ -2048,6 +2048,50 @@ def _b_bm25_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_link_lang_matrix(sf_dir: str) -> pa.Table:
+    """Sequential cross-language link matrix (shares only the outlink
+    parsing primitives; join + fold re-derived as dict loops).  Targets
+    restricted to non-robots pages of the snapshot (inner-join
+    semantics)."""
+    from .functions.urls import extract_outlinks
+    from .stages.extract import decode_page_bytes, is_robots_url
+
+    lang_of: dict[str, str] = {}
+    rows = []
+    for url, _ts, html in _pages_rows(sf_dir):
+        rows.append((url, html))
+    # lang needs the 4th column: re-read with lang
+    import pyarrow.parquet as pq
+
+    from .sources.pages import pages_path
+
+    tab = pq.read_table(pages_path(sf_dir), columns=["url", "lang"])
+    for url, lang in zip(
+        tab.column("url").to_pylist(), tab.column("lang").to_pylist()
+    ):
+        if not is_robots_url(url):
+            lang_of[url] = lang
+    counts: dict[tuple[str, str], int] = {}
+    for url, html in rows:
+        if is_robots_url(url) or not html:
+            continue
+        src = lang_of.get(url)
+        for dst in extract_outlinks(decode_page_bytes(url, html), url):
+            dl = lang_of.get(dst)
+            if dl is None:
+                continue
+            key = (src, dl)
+            counts[key] = counts.get(key, 0) + 1
+    keys = sorted(counts)
+    return pa.table(
+        {
+            "src_lang": pa.array([k[0] for k in keys], pa.string()),
+            "dst_lang": pa.array([k[1] for k in keys], pa.string()),
+            "n_links": pa.array([counts[k] for k in keys], pa.int64()),
+        }
+    )
+
+
 def _b_robots_blocked(sf_dir: str) -> pa.Table:
     """Sequential robots audit of outlink candidates (shares only the
     outlink/robots parsing primitives with the engine - the join +
@@ -3183,6 +3227,7 @@ BUILDERS = {
     "anchor_texts": _b_anchor_texts,
     "host_link_spam": _b_host_link_spam,
     "robots_blocked": _b_robots_blocked,
+    "link_lang_matrix": _b_link_lang_matrix,
     "bm25_topk": _b_bm25_topk,
     "retrieval_rrf": _b_retrieval_rrf,
     # disk-backed serving must rank bit-identically to the scan path;

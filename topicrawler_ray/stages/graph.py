@@ -1699,3 +1699,101 @@ def anchor_title_match(pages_ds, num_partitions: int | None = None):
             Sum("m_part", alias_name="n_match"),
         )
     )
+
+
+def link_lang_matrix(pages_ds, num_partitions: int | None = None):
+    """Cross-language link matrix: for every (source-page language,
+    target-page language) pair, the number of outlinks whose target is
+    a crawled page - the inter-language connectivity fingerprint that
+    drives multilingual seed selection (does the es crawl reach the fr
+    web, or is each language an island?).
+
+    Scale shape: anchors fold to distinct (dst_url, src_lang, n)
+    partials inside the extraction task (combiner), ONE hash join with
+    the slim non-robots (url, lang) stream on the TARGET url (inner -
+    only crawled targets have a known language), then (src, dst)
+    partials and ONE langs^2-sized groupby.  The pages table is read
+    twice but shuffled never; the join moves one row per distinct
+    (target, src-lang) pair, not one per anchor."""
+    import pyarrow.compute as pc
+
+    from .dedup import _default_partitions
+    from .extract import decode_page_bytes, is_robots_url
+    from ..functions.urls import extract_outlinks
+
+    def link_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for url, html, lang in zip(
+            batch.column("url").to_pylist(),
+            batch.column("html").to_pylist(),
+            batch.column("lang").to_pylist(),
+        ):
+            if is_robots_url(url) or not html:
+                continue
+            for dst in extract_outlinks(decode_page_bytes(url, html), url):
+                key = (dst, lang)
+                counts[key] = counts.get(key, 0) + 1
+        keys = sorted(counts)
+        return pa.table(
+            {
+                "dst_url": pa.array([k[0] for k in keys], pa.string()),
+                "src_lang": pa.array([k[1] for k in keys], pa.string()),
+                "n_part": pa.array([counts[k] for k in keys], pa.int64()),
+            }
+        )
+
+    def target_slim(batch: pa.Table) -> pa.Table:
+        robots = pc.ends_with(batch.column("url"), "/robots.txt")
+        kept = batch.filter(pc.invert(robots))
+        return pa.table(
+            {
+                "url": kept.column("url"),
+                "dst_lang": kept.column("lang"),
+            }
+        )
+
+    n = _default_partitions(num_partitions)
+    links = pages_ds.map_batches(link_partial, batch_format="pyarrow").repartition(n)
+    targets = pages_ds.map_batches(target_slim, batch_format="pyarrow").repartition(n)
+    joined = links.join(
+        targets,
+        join_type="inner",
+        num_partitions=n,
+        on=("dst_url",),
+        right_on=("url",),
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "src_lang": batch.column("src_lang"),
+                "dst_lang": batch.column("dst_lang"),
+                "n_part": batch.column("n_part"),
+            }
+        )
+        g = t.group_by(["src_lang", "dst_lang"]).aggregate([("n_part", "sum")])
+        return pa.table(
+            {
+                "src_lang": g.column("src_lang"),
+                "dst_lang": g.column("dst_lang"),
+                "n_part": g.column("n_part_sum"),
+            }
+        )
+
+    agg = (
+        joined.map_batches(fold, batch_format="pyarrow")
+        .repartition(n)
+        .groupby(["src_lang", "dst_lang"])
+        .sum("n_part")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src_lang": batch.column("src_lang"),
+                "dst_lang": batch.column("dst_lang"),
+                "n_links": batch.column("sum(n_part)"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
