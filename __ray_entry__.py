@@ -1656,6 +1656,45 @@ def _q_dup_substrings(sf_dir: str):
     return duplicate_substring_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_winnow_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS selection rule): per document, the rightmost
+    minimum of every 8-window of 32-byte Rabin k-gram hashes; emits
+    hash/selection counts and an order-independent XOR signature.
+    Stateless vectorized map_batches, no shuffle; certified against an
+    independent sequential O(n*w) derivation sharing only the
+    golden-tested window-hash primitive."""
+    from topicrawler_ray.stages.textstats import winnow_stats_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        winnow_stats_batch, batch_format="pyarrow"
+    )
+
+
+def _q_vocab_coverage(sf_dir: str):
+    """Top-500 vocabulary coverage of the whitespace-token stream (the
+    tokenizer-design gauge): A1 count job -> per-block partial top-v +
+    driver merge -> broadcast vocab set -> one-row coverage fold with
+    the e9-quantized ratio.  Pure-SQL oracle."""
+    from topicrawler_ray.lm.build import vocab_coverage
+
+    return vocab_coverage(_docs(sf_dir, ["text"]), v=500)
+
+
+def _q_crawl_gain_curve(sf_dir: str):
+    """Crawl gain curve: new hosts discovered per wave + running total
+    over the certified crawl decision log — the frontier-saturation
+    signal for tier budgeting.  Two slim groupbys; the driver touches
+    only the histogram-sized per-wave table.  Window-SQL oracle over
+    the crawl_log fixture."""
+    import ray.data
+
+    from topicrawler_ray.stages.politeness import host_gain_curve
+
+    log = _q_crawl_log(sf_dir)  # pa.Table (cached crawl artifact)
+    return host_gain_curve(ray.data.from_arrow(log.select(["host", "wave"])))
+
+
 def _q_ngram_probs(sf_dir: str):
     """NgramProbs app analog (``lt.lm/.../app/NgramProbs.java:51-237``):
     per-ngram log10-probability dump over the segmented corpus with OOV
@@ -2825,6 +2864,87 @@ def _q_order_priority(sf_dir: str):
     return late_shipment_priority_counts(orders, li)
 
 
+def _ts_us(y: int, m: int, d: int) -> int:
+    import datetime as _dt
+
+    return int(
+        _dt.datetime(y, m, d, tzinfo=_dt.timezone.utc).timestamp() * 1_000_000
+    )
+
+
+def _q_revenue_filter(sf_dir: str):
+    """TPC-H-Q6-shaped forecast revenue: predicate-only scan (ship-date
+    year, discount band, quantity cap), zero joins, one slim partial
+    row per block into a single merge task.  Pure-SQL oracle with the
+    identical floor(x*100) integer algebra."""
+    from topicrawler_ray.stages.relational import filtered_revenue
+
+    li = _read_parquet(
+        sf_dir + "/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    return filtered_revenue(
+        li,
+        lo_us=_ts_us(1997, 1, 1),
+        hi_us=_ts_us(1998, 1, 1),
+        disc_lo_e2=5,
+        disc_hi_e2=7,
+        qty_lt=24,
+    )
+
+
+def _q_returned_items(sf_dir: str):
+    """TPC-H-Q10-shaped returned-item report: top-20 customers by exact
+    integer revenue on returned lineitems in a two-quarter order
+    window; window-bounded orders broadcast into the returned-line
+    scan, ONE slim groupby(custkey), dimension attributes attached
+    after the aggregate, per-block partial top-k + driver merge.
+    Pure-SQL oracle."""
+    from topicrawler_ray.stages.relational import returned_customer_revenue
+
+    li = _read_parquet(
+        sf_dir + "/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+    orders = _read_parquet(
+        sf_dir + "/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    cust = _read_parquet(
+        sf_dir + "/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    nation = _read_parquet(
+        sf_dir + "/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    return returned_customer_revenue(
+        li, orders, cust, nation,
+        lo_us=_ts_us(1997, 1, 1), hi_us=_ts_us(1997, 7, 1), k=20,
+    )
+
+
+def _q_promo_revenue(sf_dir: str):
+    """TPC-H-Q14-shaped promotion effect: share of discounted revenue
+    in a one-quarter ship window from parts of type ECONOMY; the part
+    catalog broadcast into the scan, one partial row per block, ratio
+    evaluated once from two exact int64 sums (fixed float expression,
+    e9-quantized identically in the oracle)."""
+    from topicrawler_ray.stages.relational import promo_revenue_ratio
+
+    li = _read_parquet(
+        sf_dir + "/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    part = _read_parquet(
+        sf_dir + "/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    return promo_revenue_ratio(
+        li, part,
+        lo_us=_ts_us(1997, 9, 1), hi_us=_ts_us(1997, 12, 1),
+        promo_type="ECONOMY",
+    )
+
+
 def _q_events_trend(sf_dir: str):
     """Per-type OLS value trend from exact integer sufficient
     statistics (x = hours since corpus-min ts, y = value cents).
@@ -3839,6 +3959,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "custdist": _q_custdist,
         "order_priority": _q_order_priority,
+        "revenue_filter": _q_revenue_filter,
+        "returned_items": _q_returned_items,
+        "promo_revenue": _q_promo_revenue,
         "events_trend": _q_events_trend,
         "events_funnel": _q_events_funnel,
         "event_transitions": _q_event_transitions,
@@ -3889,6 +4012,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_perp": _q_doc_perp,
         "ngram_probs": _q_ngram_probs,
         "dup_substrings": _q_dup_substrings,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "vocab_coverage": _q_vocab_coverage,
+        "crawl_gain_curve": _q_crawl_gain_curve,
         "doc_perp_oovref": _q_doc_perp_oovref,
         "scored_pages_kn": _q_scored_pages_kn,
         "scored_pages_jm": _q_scored_pages_jm,
@@ -4023,6 +4149,54 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l "
             "WHERE l.l_orderkey = o.o_orderkey "
             "AND l.l_shipdate > o.o_orderdate) GROUP BY 1"
+        ),
+        "revenue_filter": (
+            "WITH q AS (SELECT "
+            "CAST(floor(l_extendedprice * 100) AS BIGINT) AS base_e2, "
+            "CAST(floor(l_discount * 100) AS BIGINT) AS disc_e2 "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND CAST(floor(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7 "
+            "AND l_quantity < 24) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(coalesce(sum(base_e2 * disc_e2), 0) AS BIGINT) "
+            "AS revenue_e4 FROM q"
+        ),
+        "returned_items": (
+            "WITH l AS (SELECT l_orderkey, "
+            "CAST(floor(l_extendedprice * 100) AS BIGINT) AS base_e2, "
+            "CAST(floor(l_discount * 100) AS BIGINT) AS disc_e2 "
+            "FROM lineitem WHERE l_returnflag = 'R'), "
+            "o AS (SELECT o_orderkey, o_custkey FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-07-01'), "
+            "g AS (SELECT o.o_custkey AS c_custkey, "
+            "CAST(sum(base_e2 * (100 - disc_e2)) AS BIGINT) AS revenue_e4 "
+            "FROM l JOIN o ON l.l_orderkey = o.o_orderkey GROUP BY 1) "
+            "SELECT CAST(row_number() OVER w - 1 AS BIGINT) AS rank, "
+            "g.c_custkey, c.c_name, "
+            "CAST(floor(c.c_acctbal * 100) AS BIGINT) AS acctbal_e2, "
+            "n.n_name, g.revenue_e4 FROM g "
+            "JOIN customer c ON g.c_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WINDOW w AS (ORDER BY g.revenue_e4 DESC, g.c_custkey) "
+            "QUALIFY row_number() OVER w <= 20"
+        ),
+        "promo_revenue": (
+            "WITH q AS (SELECT p.p_type, "
+            "CAST(floor(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(floor(l_discount * 100) AS BIGINT)) AS rev_e4 "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-09-01' "
+            "AND l_shipdate < TIMESTAMP '1997-12-01'), "
+            "s AS (SELECT CAST(coalesce(sum(CASE WHEN p_type = 'ECONOMY' "
+            "THEN rev_e4 END), 0) AS BIGINT) AS promo_rev_e4, "
+            "CAST(coalesce(sum(rev_e4), 0) AS BIGINT) AS total_rev_e4 FROM q) "
+            "SELECT promo_rev_e4, total_rev_e4, "
+            "CAST(CASE WHEN total_rev_e4 = 0 THEN 0 ELSE "
+            "floor(100.0 * CAST(promo_rev_e4 AS DOUBLE) / "
+            "CAST(total_rev_e4 AS DOUBLE) * 1000000000.0) END AS BIGINT) "
+            "AS promo_pct_e9 FROM s"
         ),
         "source_lang_mix": (
             "WITH p AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c "
@@ -5008,6 +5182,35 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d JOIN read_parquet('%s') p USING (doc_id) "
             "GROUP BY 1, 2"
             % _ORACLES_SF001["nb_lang"]
+        ),
+        "vocab_coverage": (
+            "WITH words AS (SELECT unnest(string_split(text, ' ')) AS w "
+            "FROM documents), "
+            "c AS (SELECT w, CAST(count(*) AS BIGINT) AS num FROM words "
+            "GROUP BY 1), "
+            "v AS (SELECT w, num FROM c "
+            "QUALIFY row_number() OVER (ORDER BY num DESC, w) <= 500), "
+            "s AS (SELECT "
+            "(SELECT CAST(count(*) AS BIGINT) FROM v) AS vocab_size, "
+            "(SELECT CAST(coalesce(sum(num), 0) AS BIGINT) FROM v) "
+            "AS covered_tokens, "
+            "(SELECT CAST(coalesce(sum(num), 0) AS BIGINT) FROM c) "
+            "AS total_tokens) "
+            "SELECT vocab_size, covered_tokens, total_tokens, "
+            "CAST(CASE WHEN total_tokens = 0 THEN 0 ELSE "
+            "floor(CAST(covered_tokens AS DOUBLE) / "
+            "CAST(total_tokens AS DOUBLE) * 1000000000.0) END AS BIGINT) "
+            "AS coverage_e9 FROM s"
+        ),
+        "crawl_gain_curve": (
+            "WITH fh AS (SELECT host, CAST(min(wave) AS BIGINT) AS w0 "
+            "FROM read_parquet('%s') GROUP BY host), "
+            "per AS (SELECT w0 AS wave, CAST(count(*) AS BIGINT) "
+            "AS new_hosts FROM fh GROUP BY 1) "
+            "SELECT wave, new_hosts, "
+            "CAST(sum(new_hosts) OVER (ORDER BY wave) AS BIGINT) "
+            "AS cum_hosts FROM per"
+            % _ORACLES_SF001["crawl_log"]
         ),
         # at import time (topicrawler_ray/oracles.py).  The driver's
         # DuckDB compare then certifies the distributed execution.

@@ -236,3 +236,102 @@ class TestCustdistOrderPriority:
         cust2 = ray.data.from_items([{"c_custkey": k} for k in (1, 2)])
         out2 = customer_order_distribution(orders, cust2).to_pydict()
         assert out2 == {"c_count": [1, 2], "custdist": [1, 1]}
+
+
+class TestQ6Q10Q14:
+    """TPC-H-Q6/Q10/Q14-shaped operators vs their DuckDB oracles, plus
+    unit edge cases on the kernels."""
+
+    def _entry(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        import __ray_entry__ as e
+
+        return e
+
+    def _oracle_df(self, e, name, sf_dir):
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ("customer", "orders", "lineitem", "part", "nation"):
+            con.execute(
+                "CREATE VIEW %s AS SELECT * FROM read_parquet('%s/%s.parquet')"
+                % (t, sf_dir, t)
+            )
+        return con.execute(e.oracle_sql()[name]).df()
+
+    def _assert_match(self, got, exp):
+        cols = sorted(got.columns)
+        assert sorted(exp.columns) == cols
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = exp[cols].sort_values(cols).reset_index(drop=True)
+        assert len(a) == len(b) and len(a) > 0
+        for c in cols:
+            assert (a[c].astype(str) == b[c].astype(str)).all(), c
+
+    def test_revenue_filter_matches_duckdb_oracle(self, ray_session, sf_dir):
+        e = self._entry()
+        got = e.queries()["revenue_filter"](sf_dir).to_pandas()
+        self._assert_match(got, self._oracle_df(e, "revenue_filter", sf_dir))
+
+    def test_returned_items_matches_duckdb_oracle(self, ray_session, sf_dir):
+        e = self._entry()
+        got = e.queries()["returned_items"](sf_dir).to_pandas()
+        self._assert_match(got, self._oracle_df(e, "returned_items", sf_dir))
+
+    def test_promo_revenue_matches_duckdb_oracle(self, ray_session, sf_dir):
+        e = self._entry()
+        got = e.queries()["promo_revenue"](sf_dir).to_pandas()
+        self._assert_match(got, self._oracle_df(e, "promo_revenue", sf_dir))
+
+    def test_revenue_filter_empty_window(self, ray_session):
+        """A window matching no rows yields the (0, 0) scalar row, not
+        an empty table (the oracle's count(*)/coalesce contract)."""
+        import ray.data
+
+        from topicrawler_ray.stages.relational import filtered_revenue
+
+        li = ray.data.from_items(
+            [
+                {
+                    "l_shipdate": __import__("datetime").datetime(1995, 1, 1),
+                    "l_discount": 0.05,
+                    "l_quantity": 1.0,
+                    "l_extendedprice": 100.0,
+                }
+            ]
+        )
+        out = filtered_revenue(
+            li, lo_us=10**18, hi_us=2 * 10**18,
+            disc_lo_e2=5, disc_hi_e2=7, qty_lt=24,
+        ).take_all()
+        assert out == [{"n_rows": 0, "revenue_e4": 0}]
+
+    def test_promo_ratio_zero_total(self, ray_session):
+        """total=0 (empty window) keeps the ratio defined as 0 on both
+        sides of the oracle contract."""
+        import datetime
+
+        import ray.data
+
+        from topicrawler_ray.stages.relational import promo_revenue_ratio
+
+        li = ray.data.from_items(
+            [
+                {
+                    "l_partkey": 1,
+                    "l_shipdate": datetime.datetime(1995, 1, 1),
+                    "l_extendedprice": 100.0,
+                    "l_discount": 0.0,
+                }
+            ]
+        )
+        part = ray.data.from_items([{"p_partkey": 1, "p_type": "ECONOMY"}])
+        out = promo_revenue_ratio(
+            li, part, lo_us=10**18, hi_us=2 * 10**18, promo_type="ECONOMY"
+        ).take_all()
+        assert out == [
+            {"promo_rev_e4": 0, "total_rev_e4": 0, "promo_pct_e9": 0}
+        ]

@@ -612,3 +612,118 @@ class TestDedupBenchReplication:
         # marker insertion perturbs borderline Jaccards, so allow a
         # small slack around exactly rep * base
         assert abs(len(pairs) - rep * base) <= max(2, base // 10)
+
+
+class TestWinnowFingerprints:
+    def test_engine_matches_sequential_oracle(self, ray_session, sf_dir):
+        """Distributed winnowing equals the independent O(n*w) loop."""
+        import ray.data
+
+        from topicrawler_ray.oracles import _b_winnow_fingerprints
+        from topicrawler_ray.stages.textstats import winnow_stats_batch
+
+        import pyarrow.parquet as pq
+
+        docs = ray.data.read_parquet(sf_dir + "/documents.parquet")
+        got = (
+            docs.map_batches(winnow_stats_batch, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = (
+            _b_winnow_fingerprints(sf_dir)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got.equals(exp[got.columns])
+
+    def test_density_bound(self, ray_session):
+        """Winnowing guarantees >= one fingerprint per w-window: the
+        selection density lands in [1/w, 1] for any non-trivial doc."""
+        import numpy as np
+
+        from topicrawler_ray.stages.textstats import (
+            window_hash_array,
+            winnow_select,
+        )
+
+        rng = np.random.default_rng(7)
+        for _ in range(25):
+            n = int(rng.integers(1, 400))
+            text = "".join(
+                chr(97 + int(c)) for c in rng.integers(0, 26, size=n)
+            )
+            hs = window_hash_array(text, 32)
+            pos = winnow_select(hs, 8)
+            if len(hs) == 0:
+                assert len(pos) == 0
+                continue
+            assert 1 <= len(pos) <= len(hs)
+            # every 8-window contains a selected position
+            if len(hs) > 8:
+                sel = np.zeros(len(hs), dtype=bool)
+                sel[pos] = True
+                for i in range(len(hs) - 8 + 1):
+                    assert sel[i : i + 8].any()
+
+    def test_rightmost_tiebreak(self, ray_session):
+        """Equal hashes in a window select the rightmost index (the
+        published winnowing rule), not argmin's leftmost."""
+        import numpy as np
+
+        from topicrawler_ray.stages.textstats import winnow_select
+
+        hs = np.array([5, 5, 5, 5], dtype=np.uint64)
+        pos = winnow_select(hs, 4)
+        assert pos.tolist() == [3]
+
+
+class TestVocabCoverage:
+    def test_tiny_corpus_exact(self, ray_session):
+        """v larger than the vocabulary -> full coverage; v=1 covers
+        exactly the most frequent word's occurrences."""
+        import ray.data
+
+        from topicrawler_ray.lm.build import vocab_coverage
+
+        docs = ray.data.from_items(
+            [{"text": "a b a"}, {"text": "a c"}]
+        )
+        full = vocab_coverage(docs, v=10).take_all()[0]
+        assert full["vocab_size"] == 3
+        assert full["covered_tokens"] == full["total_tokens"] == 5
+        assert full["coverage_e9"] == 10**9
+
+        one = vocab_coverage(
+            ray.data.from_items([{"text": "a b a"}, {"text": "a c"}]), v=1
+        ).take_all()[0]
+        assert one["vocab_size"] == 1
+        assert one["covered_tokens"] == 3  # 'a' x3
+        assert one["total_tokens"] == 5
+
+
+class TestCrawlGainCurve:
+    def test_first_seen_semantics(self, ray_session):
+        """A host counts only at its FIRST wave; cum_hosts is the
+        running total in wave order."""
+        import ray.data
+
+        from topicrawler_ray.stages.politeness import host_gain_curve
+
+        log = ray.data.from_items(
+            [
+                {"host": "a", "wave": 0},
+                {"host": "a", "wave": 3},
+                {"host": "b", "wave": 1},
+                {"host": "c", "wave": 1},
+                {"host": "d", "wave": 4},
+            ]
+        )
+        out = host_gain_curve(log).to_pylist()
+        assert out == [
+            {"wave": 0, "new_hosts": 1, "cum_hosts": 1},
+            {"wave": 1, "new_hosts": 2, "cum_hosts": 3},
+            {"wave": 4, "new_hosts": 1, "cum_hosts": 4},
+        ]

@@ -438,3 +438,77 @@ def build_lm_distributed(ds, order: int, column: str = "text", scorer: str = "st
     if scorer == "kneser_ney":
         return KneserNeyLM(KNStats(counts))
     raise KeyError("unknown scorer %r" % scorer)
+
+
+def vocab_coverage(ds, v: int, column: str = "text"):
+    """Top-``v`` vocabulary coverage: what fraction of all corpus
+    tokens the ``v`` most frequent words cover — the tokenizer-design
+    gauge (how big must a word vocab be before OOV is rare).
+
+    Scale shape: rides the A1 combiner + ONE groupby of the unigram
+    count job (corpus tokens never shuffle, only distinct words); the
+    top-``v`` cut is a per-block partial top-v + an O(v x blocks)
+    driver merge with the (-count, word) tiebreak; the coverage fold
+    then re-scans the SAME counts table against the broadcast top-v
+    set and emits one partial row per block into a single merge task.
+    Output is ONE row — (vocab_size, covered_tokens, total_tokens,
+    coverage_e9), the ratio e9-quantized from exact int64 sums with a
+    fixed float expression (identical in the DuckDB oracle).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    counts = count_word_ngrams_ws(ds, order=1, column=column, mincount=1)
+
+    def partial_top(batch: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(
+                batch.column("num").to_pylist(),
+                batch.column("ngram").to_pylist(),
+            ),
+            key=lambda r: (-r[0], r[1]),
+        )[:v]
+        return pa.table(
+            {
+                "ngram": pa.array([r[1] for r in rows], pa.string()),
+                "num": pa.array([r[0] for r in rows], pa.int64()),
+            }
+        )
+
+    counts = counts.materialize()  # consumed twice: top-v cut + coverage fold
+    partials = counts.map_batches(partial_top, batch_format="pyarrow").take_all()
+    best = sorted(partials, key=lambda r: (-r["num"], r["ngram"]))[:v]
+    vocab = frozenset(r["ngram"] for r in best)
+    vocab_ref = ray.put(vocab)
+
+    def fold(batch: pa.Table, _ref=vocab_ref) -> pa.Table:
+        vset = _ref if isinstance(_ref, frozenset) else ray.get(_ref)
+        words = batch.column("ngram").to_pylist()
+        nums = batch.column("num").to_numpy(zero_copy_only=False)
+        mask = np.fromiter((w in vset for w in words), dtype=bool, count=len(words))
+        return pa.table(
+            {
+                "covered": pa.array([int(nums[mask].sum())], pa.int64()),
+                "total": pa.array([int(nums.sum())], pa.int64()),
+            }
+        )
+
+    merged = counts.map_batches(fold, batch_format="pyarrow").repartition(1)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        covered = int(np.sum(batch.column("covered").to_numpy()))
+        total = int(np.sum(batch.column("total").to_numpy()))
+        cov_e9 = (
+            int(np.floor(float(covered) / float(total) * 1e9)) if total else 0
+        )
+        return pa.table(
+            {
+                "vocab_size": pa.array([len(vocab)], pa.int64()),
+                "covered_tokens": pa.array([covered], pa.int64()),
+                "total_tokens": pa.array([total], pa.int64()),
+                "coverage_e9": pa.array([cov_e9], pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

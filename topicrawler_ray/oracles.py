@@ -777,6 +777,48 @@ def _b_dup_substrings(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_winnow_fingerprints(sf_dir: str) -> pa.Table:
+    """Sequential winnowing derivation (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003, par.4): naive O(n*w) window scan picking the RIGHTMOST
+    minimum of every w-window of k-gram hashes, distinct positions,
+    XOR signature.  Shares only the window-hash primitive
+    (``window_hash_array``, itself golden-tested) with the engine; the
+    selection logic here is an independent plain-python loop."""
+    from .stages.textstats import window_hash_array
+
+    window, w = 32, 8
+    t = _docs_table(sf_dir)
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    out_n, out_s, out_x = [], [], []
+    for text in texts:
+        hs = [int(x) for x in window_hash_array(text or "", window)]
+        m = len(hs)
+        picked: set[int] = set()
+        if m:
+            for i in range(max(1, m - w + 1)):
+                win = hs[i : i + w]
+                best, best_j = None, -1
+                for j, v in enumerate(win):
+                    if best is None or v <= best:  # <= => rightmost min
+                        best, best_j = v, j
+                picked.add(i + best_j)
+        x = 0
+        for p in picked:
+            x ^= hs[p]
+        out_n.append(m)
+        out_s.append(len(picked))
+        out_x.append((x - (1 << 63)) if picked else 0)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_hashes": pa.array(out_n, pa.int64()),
+            "n_selected": pa.array(out_s, pa.int64()),
+            "sig_xor": pa.array(out_x, pa.int64()),
+        }
+    )
+
+
 def _minhash_docs(sf_dir: str) -> list[tuple[int, str]]:
     """Replicates the query's base + perturbed corpus construction."""
     t = _docs_table(sf_dir)
@@ -3265,6 +3307,7 @@ BUILDERS = {
     "doc_perp": _b_doc_perp,
     "ngram_probs": _b_ngram_probs,
     "dup_substrings": _b_dup_substrings,
+    "winnow_fingerprints": _b_winnow_fingerprints,
     "distinct_sentences": _b_distinct_sentences,
     "perp_stats": _b_perp_stats,
     "crawl_log": _b_crawl_log,

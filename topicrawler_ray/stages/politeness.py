@@ -784,3 +784,58 @@ def robots_blocked(pages_ds, num_partitions: int | None = None):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def host_gain_curve(log_ds, num_partitions: int | None = None):
+    """Crawl gain curve: per wave, how many NEW hosts were discovered
+    (first fetch) and the running total — the diminishing-returns
+    signal a tiered crawl budgeter reads to decide when a crawl cycle
+    has saturated its frontier (Heritrix's coverage reports analog).
+
+    Scale shape: ONE ``groupby(host).min(wave)`` of slim (host, wave)
+    rows collapses the log to one row per host; a per-block combiner
+    then folds those to (wave, new_hosts) partials and a second tiny
+    groupby merges them — the driver finally materializes only the
+    histogram-sized per-wave table (O(waves) rows, bounded by crawl
+    rounds, never by fetch volume) to attach the running cumulative
+    sum in wave order.
+
+    -> (wave, new_hosts, cum_hosts)
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min, Sum
+
+    first = (
+        log_ds.select_columns(["host", "wave"])
+        .groupby("host")
+        .aggregate(Min("wave", alias_name="w0"))
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("w0").aggregate([("w0", "count")])
+        return pa.table(
+            {
+                "wave": pc.cast(g.column("w0"), pa.int64()),
+                "new_part": pc.cast(g.column("w0_count"), pa.int64()),
+            }
+        )
+
+    per_wave = (
+        first.map_batches(fold, batch_format="pyarrow")
+        .groupby("wave")
+        .aggregate(Sum("new_part", alias_name="new_hosts"))
+    )
+    rows = per_wave.take_all()  # histogram-sized: one row per wave
+    rows.sort(key=lambda r: r["wave"])
+    waves = np.array([r["wave"] for r in rows], dtype=np.int64)
+    new = np.array([r["new_hosts"] for r in rows], dtype=np.int64)
+    return pa.table(
+        {
+            "wave": pa.array(waves, pa.int64()),
+            "new_hosts": pa.array(new, pa.int64()),
+            "cum_hosts": pa.array(np.cumsum(new), pa.int64()),
+        }
+    )

@@ -393,3 +393,312 @@ def late_shipment_priority_counts(orders_ds, lineitem_ds):
         .groupby("o_orderpriority")
         .aggregate(Sum("n_part", alias_name="n_orders"))
     )
+
+
+def filtered_revenue(lineitem_ds, lo_us: int, hi_us: int,
+                     disc_lo_e2: int, disc_hi_e2: int, qty_lt: int):
+    """TPC-H-Q6-shaped forecast-revenue-change: one predicate-heavy
+    scan, zero joins, zero shuffles of fact rows.
+
+    Scale shape: every block folds to EXACTLY ONE partial row
+    (n_rows, rev_e4) after the vectorized date/discount/quantity mask,
+    so the only exchange is O(blocks) 2-int rows into a single merge
+    task — the canonical "scan + scalar aggregate" plan.  Revenue uses
+    the repo-wide ``floor(x * 100)`` micro-quantization on BOTH the
+    price and the discount, so ``rev_e4 = base_e2 * disc_e2`` is exact
+    int64 algebra identical to the DuckDB oracle expression (headroom:
+    base_e2 < 2^24, disc_e2 <= 10 => < 2^28/row; 60k-row blocks sum to
+    < 2^45 per partial, < 2^62 total).
+
+    Reference context: topicrawler has no relational scan-aggregates;
+    this extends the TPC-H-shaped surface (Q1/Q3/Q4/Q13 analogs in
+    this module) with the pure-filter plan shape.
+    """
+
+    def fold(batch: pa.Table) -> pa.Table:
+        us = batch.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        us = us.to_numpy(zero_copy_only=False)
+        disc = np.floor(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        keep = (
+            (us >= lo_us)
+            & (us < hi_us)
+            & (disc >= disc_lo_e2)
+            & (disc <= disc_hi_e2)
+            & (qty < qty_lt)
+        )
+        base = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+            * 100.0
+        ).astype(np.int64)
+        rev = base * disc[keep]
+        return pa.table(
+            {
+                "n_rows": pa.array([int(keep.sum())], pa.int64()),
+                "revenue_e4": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    import ray.data as _rd
+
+    # zero seed row: keeps the single-row contract even if the source
+    # dataset is empty (Ray's batcher drops empty blocks)
+    seed = _rd.from_items([{"n_rows": 0, "revenue_e4": 0}])
+    partials = (
+        lineitem_ds.map_batches(fold, batch_format="pyarrow")
+        .union(seed)
+        .repartition(1)
+    )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_rows": pa.array(
+                    [int(np.sum(batch.column("n_rows").to_numpy()))], pa.int64()
+                ),
+                "revenue_e4": pa.array(
+                    [int(np.sum(batch.column("revenue_e4").to_numpy()))],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return partials.map_batches(merge, batch_format="pyarrow")
+
+
+def returned_customer_revenue(lineitem_ds, orders_ds, customer_ds, nation_ds,
+                              lo_us: int, hi_us: int, k: int = 20):
+    """TPC-H-Q10-shaped returned-item report: top-k customers by exact
+    integer revenue lost to returned lineitems in a date window, with
+    customer name / account balance / nation name attached.
+
+    Scale shape: the orders side is date-window-bounded BEFORE anything
+    else (a window of orders is the small side by contract — at
+    unbounded window width this swaps for a hash join, documented),
+    then the returned-lineitem scan quantizes revenue per row and folds
+    via a broadcast order->customer lookup; ONE groupby(c_custkey)
+    moves slim (custkey, rev_e4) partials; customer/nation attributes
+    ride broadcast dimension lookups AFTER the aggregate (k' = distinct
+    buying customers, never the fact table); per-block partial top-k +
+    an O(k x blocks) driver merge finish, same discipline as the Q3
+    analog above.
+    """
+    import pyarrow.compute as _pc
+
+    def orders_slim(batch: pa.Table) -> pa.Table:
+        us = batch.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        keep = _pc.and_(_pc.greater_equal(us, lo_us), _pc.less(us, hi_us))
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_custkey": batch.column("o_custkey"),
+            }
+        ).filter(keep)
+
+    orders = orders_ds.map_batches(orders_slim, batch_format="pyarrow")
+
+    def line_slim(batch: pa.Table) -> pa.Table:
+        keep = _pc.equal(batch.column("l_returnflag"), "R").to_numpy(
+            zero_copy_only=False
+        )
+        base = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+            * 100.0
+        ).astype(np.int64)
+        disc = np.floor(
+            batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+            * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(
+                    batch.column("l_orderkey").to_numpy(zero_copy_only=False)[
+                        keep
+                    ],
+                    pa.int64(),
+                ),
+                "rev_e4": pa.array(base * (100 - disc), pa.int64()),
+            }
+        )
+
+    line = lineitem_ds.map_batches(line_slim, batch_format="pyarrow")
+    joined = broadcast_lookup_join(
+        line, orders, "l_orderkey", "o_orderkey", ["o_custkey"], concurrency=2
+    )
+
+    def cust_part(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("o_custkey").aggregate([("rev_e4", "sum")])
+        return pa.table(
+            {
+                "c_custkey": pc.cast(g.column("o_custkey"), pa.int64()),
+                "rev_part": pc.cast(g.column("rev_e4_sum"), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    per_cust = (
+        joined.map_batches(cust_part, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("rev_part", alias_name="revenue_e4"))
+    )
+
+    def partial_top(batch: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(
+                batch.column("revenue_e4").to_pylist(),
+                batch.column("c_custkey").to_pylist(),
+            ),
+            key=lambda r: (-r[0], r[1]),
+        )[:k]
+        return pa.table(
+            {
+                "revenue_e4": pa.array([r[0] for r in rows], pa.int64()),
+                "c_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+
+    partials = per_cust.map_batches(partial_top, batch_format="pyarrow").take_all()
+    best = sorted(partials, key=lambda r: (-r["revenue_e4"], r["c_custkey"]))[:k]
+
+    # attribute fetch for ONLY the k winners: a pruned key-set scan of the
+    # customer table returns <= k rows to the driver (no join stage, no
+    # second actor pool — the attributes never ride the aggregate exchange)
+    win_keys = frozenset(r["c_custkey"] for r in best)
+
+    def pick(batch: pa.Table, _keys=win_keys) -> pa.Table:
+        mask = np.fromiter(
+            (
+                kk in _keys
+                for kk in batch.column("c_custkey").to_numpy(
+                    zero_copy_only=False
+                )
+            ),
+            dtype=bool,
+            count=len(batch),
+        )
+        return batch.filter(pa.array(mask))
+
+    attrs = {
+        r["c_custkey"]: r
+        for r in customer_ds.select_columns(
+            ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+        )
+        .map_batches(pick, batch_format="pyarrow")
+        .take_all()
+    }
+    nations = {
+        r["n_nationkey"]: r["n_name"]
+        for r in nation_ds.select_columns(["n_nationkey", "n_name"]).take_all()
+    }
+    return pa.table(
+        {
+            "rank": pa.array(range(len(best)), pa.int64()),
+            "c_custkey": pa.array([r["c_custkey"] for r in best], pa.int64()),
+            "c_name": pa.array(
+                [attrs[r["c_custkey"]]["c_name"] for r in best], pa.string()
+            ),
+            "acctbal_e2": pa.array(
+                [
+                    int(np.floor(attrs[r["c_custkey"]]["c_acctbal"] * 100.0))
+                    for r in best
+                ],
+                pa.int64(),
+            ),
+            "n_name": pa.array(
+                [
+                    nations[attrs[r["c_custkey"]]["c_nationkey"]]
+                    for r in best
+                ],
+                pa.string(),
+            ),
+            "revenue_e4": pa.array([r["revenue_e4"] for r in best], pa.int64()),
+        }
+    )
+
+
+def promo_revenue_ratio(lineitem_ds, part_ds, lo_us: int, hi_us: int,
+                        promo_type: str):
+    """TPC-H-Q14-shaped promotion-effect ratio: share of discounted
+    revenue in a ship-date window attributable to parts of one type.
+
+    Scale shape: the part table is the dimension side by contract
+    (types/brands catalog) — its (p_partkey -> is_promo) bit rides a
+    broadcast lookup into the month-bounded lineitem scan; every block
+    folds to ONE (promo_rev_e4, total_rev_e4) partial row, merged in a
+    single task; the ratio is evaluated ONCE from the two exact int64
+    sums with a fixed float expression quantized to e9 (identical in
+    the DuckDB oracle).  No fact-side shuffle at any width.
+    """
+
+    def line_slim(batch: pa.Table) -> pa.Table:
+        us = batch.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        us = us.to_numpy(zero_copy_only=False)
+        keep = (us >= lo_us) & (us < hi_us)
+        base = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+            * 100.0
+        ).astype(np.int64)
+        disc = np.floor(
+            batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+            * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": pa.array(
+                    batch.column("l_partkey").to_numpy(zero_copy_only=False)[
+                        keep
+                    ],
+                    pa.int64(),
+                ),
+                "rev_e4": pa.array(base * (100 - disc), pa.int64()),
+            }
+        )
+
+    line = lineitem_ds.map_batches(line_slim, batch_format="pyarrow")
+    joined = broadcast_lookup_join(
+        line, part_ds.select_columns(["p_partkey", "p_type"]),
+        "l_partkey", "p_partkey", ["p_type"], concurrency=2,
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        rev = batch.column("rev_e4").to_numpy(zero_copy_only=False)
+        promo = pc.equal(batch.column("p_type"), promo_type).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "promo_rev_e4": pa.array([int(rev[promo].sum())], pa.int64()),
+                "total_rev_e4": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    import ray.data as _rd
+
+    # zero seed row: Ray's batcher drops empty blocks, so a window
+    # matching nothing would otherwise yield ZERO rows instead of the
+    # oracle's (0, 0, 0) scalar contract
+    seed = _rd.from_items([{"promo_rev_e4": 0, "total_rev_e4": 0}])
+    partials = (
+        joined.map_batches(fold, batch_format="pyarrow")
+        .union(seed)
+        .repartition(1)
+    )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        promo = int(np.sum(batch.column("promo_rev_e4").to_numpy()))
+        total = int(np.sum(batch.column("total_rev_e4").to_numpy()))
+        # fixed float expression, quantized — evaluated identically in SQL
+        pct_e9 = int(np.floor(100.0 * float(promo) / float(total) * 1e9)) \
+            if total else 0
+        return pa.table(
+            {
+                "promo_rev_e4": pa.array([promo], pa.int64()),
+                "total_rev_e4": pa.array([total], pa.int64()),
+                "promo_pct_e9": pa.array([pct_e9], pa.int64()),
+            }
+        )
+
+    return partials.map_batches(merge, batch_format="pyarrow")

@@ -672,3 +672,96 @@ def readability_batch(batch: pa.Table, column: str = "text") -> pa.Table:
             "grade_den": pa.array(den, pa.int64()),
         }
     )
+
+
+def window_hash_array(text: str, window: int = 32) -> "np.ndarray":
+    """All Rabin window hashes of ``text`` as a uint64 array (the full
+    sequence behind :func:`rolling_fingerprints`, without the mod
+    selection).  Shared primitive between the distributed winnowing
+    stage and its sequential oracle."""
+    import numpy as np
+
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n = len(data)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < window:
+        return np.array(
+            [np.uint64(content_hash64(text) + (1 << 63))], dtype=np.uint64
+        )
+    powers = _RABIN_POWER_CACHE.get(window)
+    if powers is None:
+        powers = _RABIN_POWER_CACHE[window] = _rabin_powers(window)
+    n_pos = n - window + 1
+    out = np.empty(n_pos, dtype=np.uint64)
+    chunk = 1 << 16
+    for start in range(0, n_pos, chunk):
+        stop = min(start + chunk, n_pos)
+        win = np.lib.stride_tricks.sliding_window_view(
+            data[start : stop + window - 1], window
+        ).astype(np.uint64)
+        out[start:stop] = (win * powers).sum(axis=1, dtype=np.uint64)
+    return out
+
+
+def winnow_select(hashes: "np.ndarray", w: int) -> "np.ndarray":
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): over every window of ``w`` consecutive k-gram hashes
+    select the minimum, breaking ties by the RIGHTMOST occurrence;
+    return the sorted distinct selected positions.
+
+    Vectorized: the rightmost-min index of each window is
+    ``w - 1 - argmin(window_reversed)`` over a zero-copy
+    sliding-window view (argmin's first-occurrence rule on the
+    reversed axis IS the rightmost rule), then one ``np.unique``.
+    """
+    import numpy as np
+
+    m = len(hashes)
+    if m == 0:
+        return np.empty(0, dtype=np.int64)
+    if m <= w:
+        # fewer hashes than a full window: one fingerprint, the
+        # rightmost minimum of the whole sequence
+        rev = hashes[::-1]
+        return np.array([m - 1 - int(np.argmin(rev))], dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(hashes, w)
+    rm = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+    idx = rm + np.arange(len(win), dtype=np.int64)
+    return np.unique(idx).astype(np.int64)
+
+
+def winnow_stats_batch(batch: pa.Table, column: str = "text",
+                       window: int = 32, w: int = 8) -> pa.Table:
+    """Per-document winnowing signature stats: total k-gram hashes,
+    selected fingerprint count, selection density (guaranteed within
+    [1/w, 1] by the algorithm), and an order-independent XOR signature
+    of the selected hashes (int64, overflow-free by construction).
+
+    Scale shape: stateless per-document numpy kernels inside one
+    map_batches — no shuffle, no state; the signature column is what a
+    downstream MOSS-style containment join would bucket on.
+    """
+    import numpy as np
+
+    ids = batch.column("doc_id")
+    texts = batch.column(column).to_pylist()
+    n_h, n_s, sig = [], [], []
+    for t in texts:
+        hs = window_hash_array(t or "", window)
+        pos = winnow_select(hs, w)
+        n_h.append(len(hs))
+        n_s.append(len(pos))
+        if len(pos):
+            x = np.bitwise_xor.reduce(hs[pos])
+            sig.append(int(int(x) - (1 << 63)))
+        else:
+            sig.append(0)
+    return pa.table(
+        {
+            "doc_id": ids,
+            "n_hashes": pa.array(n_h, pa.int64()),
+            "n_selected": pa.array(n_s, pa.int64()),
+            "sig_xor": pa.array(sig, pa.int64()),
+        }
+    )
