@@ -1656,6 +1656,105 @@ def _q_dup_substrings(sf_dir: str):
     return duplicate_substring_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_sentence_length_hist(sf_dir: str):
+    """Sentence-length histogram over the segmented corpus (S7 rows):
+    whitespace-token counts fully in Arrow (split_pattern +
+    list_value_length), per-block partial counts, one histogram-sized
+    groupby.  SQL oracle over the sentences fixture."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _q_sentences_corpus(sf_dir)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.split_pattern(batch.column("sentence"), " ")
+        )
+        part = pa.table({"n_tokens": pc.cast(n, pa.int64())})
+        g = part.group_by("n_tokens").aggregate([("n_tokens", "count")])
+        return pa.table(
+            {
+                "n_tokens": g.column("n_tokens"),
+                "n_part": pc.cast(g.column("n_tokens_count"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("n_tokens")
+        .aggregate(Sum("n_part", alias_name="n_sentences"))
+    )
+
+
+def _q_host_lang_entropy(sf_dir: str):
+    """Per-host language-mix entropy over crawled pages (the
+    multilingual-host detector for tier routing): per-(host, lang)
+    counts in ONE slim shuffle, each -p*ln(p) term e12-quantized
+    BEFORE the per-host sum (associative reduce; engine and SQL
+    evaluate the same fixed expression — the source_lang_mix
+    discipline applied to the crawl axis).  Pure-SQL oracle over the
+    pages fixture."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    from topicrawler_ray.sources.pages import read_pages
+    from topicrawler_ray.stages.politeness import add_host_column
+
+    pages = read_pages(sf_dir, num_blocks=16, columns=["url", "lang"])
+    pairs = (
+        pages.map_batches(add_host_column, batch_format="pyarrow")
+        .select_columns(["host", "lang"])
+        .groupby(["host", "lang"])
+        .aggregate(Count(alias_name="c"))
+        .repartition(8)
+        .materialize()
+    )
+    totals = (
+        pairs.groupby("host")
+        .aggregate(Sum("c", alias_name="total"))
+        .repartition(8)
+    )
+    j = pairs.join(totals, join_type="inner", num_partitions=8, on=("host",))
+
+    def term(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        t = batch.column("total").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        p = c / t
+        e = np.floor(-(p * np.log(p)) * 1e12).astype(np.int64)
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "term_e12": pa.array(e, pa.int64()),
+                "one": pa.array(np.ones(len(c), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        j.map_batches(term, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("term_e12", alias_name="entropy_e12"),
+            Sum("one", alias_name="n_langs"),
+        )
+    )
+
+
+def _q_ngram_overlap_split(sf_dir: str):
+    """Split-half trigram contamination: distinct word trigrams of each
+    ODD doc counted against the EVEN half's global distinct-gram set —
+    both sides corpus-sized, so the overlap is a hash-partitioned join
+    on the gram key (NOT the broadcast-bench decontaminate shape).
+    Pure-SQL oracle (the decontaminate CTE family)."""
+    from topicrawler_ray.stages.decontam import split_overlap_stats
+
+    return split_overlap_stats(_docs(sf_dir, ["doc_id", "text"]), n=3)
+
+
 def _q_winnow_fingerprints(sf_dir: str):
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS selection rule): per document, the rightmost
@@ -4015,6 +4114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "vocab_coverage": _q_vocab_coverage,
         "crawl_gain_curve": _q_crawl_gain_curve,
+        "sentence_length_hist": _q_sentence_length_hist,
+        "host_lang_entropy": _q_host_lang_entropy,
+        "ngram_overlap_split": _q_ngram_overlap_split,
         "doc_perp_oovref": _q_doc_perp_oovref,
         "scored_pages_kn": _q_scored_pages_kn,
         "scored_pages_jm": _q_scored_pages_jm,
@@ -5211,6 +5313,45 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(new_hosts) OVER (ORDER BY wave) AS BIGINT) "
             "AS cum_hosts FROM per"
             % _ORACLES_SF001["crawl_log"]
+        ),
+        "sentence_length_hist": (
+            "SELECT CAST(len(string_split(sentence, ' ')) AS BIGINT) "
+            "AS n_tokens, CAST(count(*) AS BIGINT) AS n_sentences "
+            "FROM read_parquet('%s') GROUP BY 1"
+            % _ORACLES_SF001["sentences_corpus"]
+        ),
+        "host_lang_entropy": (
+            "WITH p AS (SELECT "
+            "regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) "
+            "AS host, lang, CAST(count(*) AS BIGINT) AS c "
+            "FROM read_parquet('%s') GROUP BY 1, 2), "
+            "t AS (SELECT host, CAST(sum(c) AS BIGINT) AS total FROM p "
+            "GROUP BY 1) "
+            "SELECT p.host, CAST(sum(CAST(floor(-((CAST(p.c AS DOUBLE) / "
+            "CAST(t.total AS DOUBLE)) * ln(CAST(p.c AS DOUBLE) / "
+            "CAST(t.total AS DOUBLE))) * 1000000000000.0) AS BIGINT)) "
+            "AS BIGINT) AS entropy_e12, "
+            "CAST(count(*) AS BIGINT) AS n_langs "
+            "FROM p JOIN t ON p.host = t.host GROUP BY 1"
+            % _PAGES_SF001
+        ),
+        "ngram_overlap_split": (
+            "WITH doc AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "w AS (SELECT doc_id, unnest(ws) AS w, "
+            "generate_subscripts(ws, 1) AS pos FROM doc), "
+            "g AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g "
+            "FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2), "
+            "odd AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 2 = 1), "
+            "ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 2 = 0), "
+            "hits AS (SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n "
+            "FROM odd o JOIN ev ON o.g = ev.g GROUP BY 1), "
+            "base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams "
+            "FROM odd GROUP BY 1) "
+            "SELECT b.doc_id, b.n_grams, "
+            "CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap "
+            "FROM base b LEFT JOIN hits h ON b.doc_id = h.doc_id"
         ),
         # at import time (topicrawler_ray/oracles.py).  The driver's
         # DuckDB compare then certifies the distributed execution.

@@ -77,3 +77,47 @@ class TestFuzzyDecontam:
         bench = corpus.filter(lambda r: False)
         out = decontaminate_fuzzy(corpus, bench, concurrency=1).take_all()
         assert not out[0]["contaminated"] and out[0]["n_matches"] == 0
+
+
+class TestSplitOverlap:
+    def test_known_overlap(self, ray_session):
+        """Hand-computable split-half trigram overlap: odd doc 1 shares
+        exactly one distinct trigram with the even half; odd doc 3
+        shares none; a doc with < 3 tokens emits no grams (absent)."""
+        import ray.data
+
+        from topicrawler_ray.stages.decontam import split_overlap_stats
+
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 0, "text": "a b c d"},       # even: grams {a b c, b c d}
+                {"doc_id": 1, "text": "x y a b c"},     # odd: {x y a, y a b, a b c}
+                {"doc_id": 2, "text": "q r s"},          # even: {q r s}
+                {"doc_id": 3, "text": "u v w x"},        # odd: {u v w, v w x}
+                {"doc_id": 5, "text": "t u"},            # odd, too short
+            ]
+        ).repartition(3)
+        out = {
+            r["doc_id"]: (r["n_grams"], r["n_overlap"])
+            for r in split_overlap_stats(docs, n=3, num_partitions=2).take_all()
+        }
+        assert out == {1: (3, 1), 3: (2, 0)}
+
+    def test_within_doc_duplicates_counted_once(self, ray_session):
+        """Repeated grams inside one doc count once (DISTINCT per doc),
+        matching the SQL oracle's SELECT DISTINCT doc_id, g."""
+        import ray.data
+
+        from topicrawler_ray.stages.decontam import split_overlap_stats
+
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 0, "text": "a b c a b c"},  # even
+                {"doc_id": 1, "text": "a b c a b c a b c"},  # odd
+            ]
+        )
+        out = split_overlap_stats(docs, n=3, num_partitions=2).take_all()
+        assert len(out) == 1
+        r = out[0]
+        # odd doc grams: {a b c, b c a, c a b} each seen multiple times
+        assert r["doc_id"] == 1 and r["n_grams"] == 3 and r["n_overlap"] == 3

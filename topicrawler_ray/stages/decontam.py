@@ -305,3 +305,131 @@ def decontaminate(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def split_overlap_stats(ds, n: int = 3, column: str = "text",
+                        id_column: str = "doc_id",
+                        num_partitions: int = 8):
+    """Split-half n-gram overlap: how many of each ODD document's
+    distinct word n-grams also occur anywhere in the EVEN half — the
+    train/validation contamination gauge when BOTH sides are
+    corpus-sized (the broadcast-bench shape of :func:`decontaminate`
+    does not apply: neither side is small by contract).
+
+    Scale shape: per-document DISTINCT grams are computed locally in
+    the emit fold (no shuffle); odd (doc_id, gram, flag=0) rows and
+    block-deduped even (gram, flag=1) rows union into ONE
+    ``groupby(gram).map_groups`` that emits each odd doc once per gram
+    the even half also holds — the union-tag co-group shape (no
+    ``Dataset.join``: Ray's hash join builds schema-less empty right
+    partitions, which trips Acero's key validation on sparse keys);
+    a slim groupby(doc_id) count plus a join-free union+sum merge with
+    the per-doc gram-count base finish.  Nothing is broadcast, nothing
+    is materialized on the driver.
+
+    -> (doc_id, n_grams, n_overlap)
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_pylist()
+        texts = batch.column(column).to_pylist()
+        o_id, o_g, parity = [], [], []
+        for did, t in zip(ids, texts):
+            grams = set(word_ngrams(t or "", n))
+            o_id.extend([did] * len(grams))
+            o_g.extend(grams)
+            parity.extend([did % 2] * len(grams))
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "gram": pa.array(o_g, pa.string()),
+                "par": pa.array(parity, pa.int8()),
+            }
+        )
+
+    grams = ds.map_batches(emit, batch_format="pyarrow").materialize()
+
+    odd = grams.map_batches(
+        lambda b: b.filter(pc.equal(b.column("par"), 1)).drop_columns(["par"]),
+        batch_format="pyarrow",
+    )
+    def odd_tagged(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "gram": batch.column("gram"),
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "flag": pa.array([0] * len(batch), pa.int8()),
+            }
+        )
+
+    def even_tagged(batch: pa.Table) -> pa.Table:
+        g = pc.unique(
+            batch.filter(pc.equal(batch.column("par"), 0)).column("gram")
+        )
+        return pa.table(
+            {
+                "gram": g,
+                "doc_id": pa.array([-1] * len(g), pa.int64()),
+                "flag": pa.array([1] * len(g), pa.int8()),
+            }
+        )
+
+    tagged = odd.map_batches(odd_tagged, batch_format="pyarrow").union(
+        grams.map_batches(even_tagged, batch_format="pyarrow")
+    )
+
+    def cogroup(g: pa.Table) -> pa.Table:
+        flags = g.column("flag")
+        if pc.max(flags).as_py() != 1:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        docs = g.filter(pc.equal(flags, 0)).column("doc_id")
+        # odd side is already distinct per (doc, gram) by construction
+        return pa.table({"doc_id": pc.cast(docs, pa.int64())})
+
+    hits = (
+        tagged.groupby("gram")
+        .map_groups(cogroup, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_overlap"))
+    )
+
+    base = odd.map_batches(
+        lambda b: b.group_by("doc_id")
+        .aggregate([("doc_id", "count")])
+        .rename_columns(["doc_id", "n_part"]),
+        batch_format="pyarrow",
+    )
+
+    # join-free merge: (doc_id, n_grams, 0) partials from the base and
+    # (doc_id, 0, n_overlap) rows from the hits union into ONE slim
+    # groupby.sum — zero-overlap docs keep n_overlap = 0 with no outer
+    # join and no rename stage
+    def base_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_grams": pc.cast(batch.column("n_part"), pa.int64()),
+                "n_overlap": pa.array([0] * n, pa.int64()),
+            }
+        )
+
+    def hit_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_grams": pa.array([0] * n, pa.int64()),
+                "n_overlap": pc.cast(batch.column("n_overlap"), pa.int64()),
+            }
+        )
+
+    merged = base.map_batches(base_rows, batch_format="pyarrow").union(
+        hits.map_batches(hit_rows, batch_format="pyarrow")
+    )
+    return merged.groupby("doc_id").aggregate(
+        Sum("n_grams", alias_name="n_grams"),
+        Sum("n_overlap", alias_name="n_overlap"),
+    )
