@@ -133,6 +133,26 @@ def _q_crawl_log(sf_dir: str):
     return _crawl_result(sf_dir).log.drop_columns(["perp"])
 
 
+def _q_crawl_log_bfs(sf_dir: str):
+    """Breadth-first-policy crawl: the SAME wave engine with the
+    frontier policy switched to ``breadth`` (accepted candidates
+    flattened to (NORMAL, 64) -> FIFO within politeness — the BFS
+    baseline a focused crawl is measured against).  Re-certifies the
+    whole scheduler (ordering, politeness, robots, seen) under an
+    alternate cost map vs the independent simulator run with the same
+    policy."""
+    key = sf_dir + "::bfs"
+    if key not in _crawl_cache:
+        from topicrawler_ray.config import CrawlConfig
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+
+        eng = RayCrawlEngine(sf_dir, CrawlConfig(policy="breadth"))
+        res = eng.run()
+        eng.release_actors()
+        _crawl_cache[key] = (eng, res)
+    return _crawl_cache[key][1].log.drop_columns(["perp"])
+
+
 def _q_crawl_seen(sf_dir: str):
     """Final URL-seen key set (murmur3-64 of canonical URLs, D1)."""
     import pyarrow as pa
@@ -1753,6 +1773,18 @@ def _q_ngram_overlap_split(sf_dir: str):
     from topicrawler_ray.stages.decontam import split_overlap_stats
 
     return split_overlap_stats(_docs(sf_dir, ["doc_id", "text"]), n=3)
+
+
+def _q_lm_tune_jm(sf_dir: str):
+    """Held-out Jelinek-Mercer weight tuning (Chen & Goodman 1999
+    protocol shape): even docs train the A1 count job, odd docs stream
+    through ONE actor pool holding all 9 grid scorers built from the
+    broadcast counts; |grid| x blocks 3-int partial rows merge in one
+    tiny groupby.  Certified against an independent sequential
+    derivation (plain-dict counting; shared scalar LM kernel only)."""
+    from topicrawler_ray.lm.tune import tune_jm
+
+    return tune_jm(_docs(sf_dir, ["doc_id", "text"]), order=3)
 
 
 def _q_winnow_fingerprints(sf_dir: str):
@@ -3945,6 +3977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_boilerpipe": _q_extract_boilerpipe,
         "scored_pages": _q_scored_pages,
         "crawl_log": _q_crawl_log,
+        "crawl_log_bfs": _q_crawl_log_bfs,
         "crawl_seen": _q_crawl_seen,
         "crawl_metrics": _q_crawl_metrics,
         "fetch_join": _q_fetch_join,
@@ -4112,6 +4145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_probs": _q_ngram_probs,
         "dup_substrings": _q_dup_substrings,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "lm_tune_jm": _q_lm_tune_jm,
         "vocab_coverage": _q_vocab_coverage,
         "crawl_gain_curve": _q_crawl_gain_curve,
         "sentence_length_hist": _q_sentence_length_hist,

@@ -577,3 +577,28 @@ class TestFrontierResidue:
             assert second == first
         finally:
             shutil.rmtree(spill, ignore_errors=True)
+
+
+class TestBreadthPolicy:
+    def test_bfs_log_conforms_and_diverges(self, ray_session, sf_dir):
+        """The breadth-policy engine crawl equals the breadth-policy
+        simulator exactly AND genuinely differs from the decesive
+        ordering (the policy switch has effect)."""
+        from topicrawler_ray.config import CrawlConfig
+        from topicrawler_ray.oracles import _b_crawl_log_bfs
+        from topicrawler_ray.pipelines.crawl import RayCrawlEngine
+
+        eng = RayCrawlEngine(sf_dir, CrawlConfig(policy="breadth"))
+        res = eng.run()
+        eng.release_actors()
+        got = res.log.drop_columns(["perp"]).to_pandas()
+        exp = _b_crawl_log_bfs(sf_dir).to_pandas()
+        assert got.equals(exp)
+        assert set(got["cost"].unique()) <= {1, 4, 64}
+
+        eng2 = RayCrawlEngine(sf_dir, CrawlConfig())
+        res2 = eng2.run()
+        eng2.release_actors()
+        dec = res2.log.drop_columns(["perp"]).to_pandas()
+        assert len(dec) == len(got)
+        assert (dec["url"] != got["url"]).any()

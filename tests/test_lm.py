@@ -264,3 +264,56 @@ class TestJelinekMercer:
         b = pickle.loads(pickle.dumps(b))
         for g in (["the"], ["the", "cat"], ["cat", "sat"], ["x"], ["the", "x"]):
             assert a.ngram_log10_prob(g) == b.ngram_log10_prob(g)
+
+
+class TestJMTuning:
+    def test_grid_matches_sequential(self, ray_session):
+        """Distributed grid tuning equals the sequential per-doc loop on
+        a tiny split corpus (even docs train, odd docs score)."""
+        import ray.data
+
+        from topicrawler_ray.lm.backoff import NgramCounts
+        from topicrawler_ray.lm.jm import JelinekMercerLM
+        from topicrawler_ray.lm.tune import heldout_perplexity_e6, tune_jm
+
+        docs = [
+            {"doc_id": 0, "text": "the cat sat on the mat"},
+            {"doc_id": 1, "text": "the cat sat"},
+            {"doc_id": 2, "text": "a dog sat on a log"},
+            {"doc_id": 3, "text": "a dog ran on the mat"},
+        ]
+        got = tune_jm(
+            ray.data.from_items(docs).repartition(2), order=3
+        ).to_pylist()
+
+        counts = NgramCounts(3)
+        for d in docs:
+            if d["doc_id"] % 2 == 0:
+                counts.add_sequence(d["text"].split(" "))
+        exp = []
+        for lam_e1 in range(1, 10):
+            lm = JelinekMercerLM(counts, lam_e1 / 10.0)
+            s = sum(
+                heldout_perplexity_e6(lm, d["text"], 3)
+                for d in docs
+                if d["doc_id"] % 2 == 1
+            )
+            exp.append((lam_e1, s, 2))
+        best = min((s, l) for l, s, _ in exp)[1]
+        assert [
+            (r["lam_e1"], r["sum_perp_e6"], r["n_docs"]) for r in got
+        ] == exp
+        assert [r["is_best"] for r in got] == [l == best for l, _, _ in exp]
+
+    def test_best_is_unique_and_finite(self, ray_session):
+        import ray.data
+
+        from topicrawler_ray.lm.tune import tune_jm
+
+        docs = [
+            {"doc_id": i, "text": "w%d common word stream %d" % (i % 5, i)}
+            for i in range(12)
+        ]
+        out = tune_jm(ray.data.from_items(docs), order=2).to_pylist()
+        assert sum(r["is_best"] for r in out) == 1
+        assert all(r["sum_perp_e6"] > 0 for r in out)

@@ -1730,3 +1730,40 @@ class TestGroupCentroids:
             {"lang": "en", "dim": 0, "n_vecs": 2, "sum_q": 1500},
             {"lang": "en", "dim": 1, "n_vecs": 2, "sum_q": -249},
         ]
+
+
+class TestFrontierPolicy:
+    def test_decesive_is_identity(self):
+        from topicrawler_ray.stages import prioritize as prio
+
+        assert prio.apply_policy(prio.HIGH, 4, "decesive") == (prio.HIGH, 4)
+        assert prio.apply_policy(prio.REJECT, 0, "decesive") == (prio.REJECT, 0)
+
+    def test_breadth_flattens_accepted_only(self):
+        import numpy as np
+
+        from topicrawler_ray.stages import prioritize as prio
+
+        assert prio.apply_policy(prio.HIGH, 4, "breadth") == (prio.NORMAL, 64)
+        assert prio.apply_policy(prio.MEDIUM, 8, "breadth") == (prio.NORMAL, 64)
+        # rejects stay rejected
+        assert prio.apply_policy(prio.REJECT, 0, "breadth") == (prio.REJECT, 0)
+        d, c = prio.apply_policy_batch(
+            np.array([prio.HIGH, prio.REJECT, prio.NORMAL]),
+            np.array([4, 0, 97]),
+            "breadth",
+        )
+        assert d.tolist() == [prio.NORMAL, prio.REJECT, prio.NORMAL]
+        assert c.tolist() == [64, 0, 64]
+
+    def test_unknown_policy_raises(self):
+        import numpy as np
+
+        import pytest
+
+        from topicrawler_ray.stages import prioritize as prio
+
+        with pytest.raises(KeyError):
+            prio.apply_policy(prio.HIGH, 4, "depth")
+        with pytest.raises(KeyError):
+            prio.apply_policy_batch(np.array([1]), np.array([4]), "depth")

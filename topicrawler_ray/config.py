@@ -28,6 +28,10 @@ class PolitenessConfig:
 class CrawlConfig:
     order: int = 3
     scorer: str = "stupid_backoff"  # registry key: stupid_backoff | kneser_ney | laplace
+    # frontier policy: "decesive" = reference DecesiveValuePrioritizer
+    # semantics; "breadth" = accepted candidates flattened to
+    # (NORMAL, 64) -> FIFO-within-politeness BFS baseline
+    policy: str = "decesive"
     max_hops: int = 20  # cxml:26
     # transient-failure retry (cxml:66-67): a 50x fetch re-queues the
     # entry with retries+1 and snoozes its host queue retry_delay_waves

@@ -468,6 +468,30 @@ def _b_crawl_log(sf_dir: str) -> pa.Table:
     )
 
 
+_sim_bfs_cache: dict = {}
+
+
+def _b_crawl_log_bfs(sf_dir: str) -> pa.Table:
+    """Breadth-first-policy crawl log from the independent simulator:
+    same scheduling spec, every accepted candidate flattened to
+    (NORMAL, 64) by ``prioritize.apply_policy`` — certifies the
+    engine's frontier-policy switch end-to-end (ordering, seen set,
+    politeness all re-derived under FIFO costs)."""
+    from .config import CrawlConfig
+    from .pipelines.crawl import LOG_SCHEMA
+    from .pipelines.simulate import simulate_crawl
+
+    if sf_dir not in _sim_bfs_cache:
+        _sim_bfs_cache[sf_dir] = simulate_crawl(
+            sf_dir, config=CrawlConfig(policy="breadth")
+        )
+    rows = _sim_bfs_cache[sf_dir].rows
+    schema = pa.schema([f for f in LOG_SCHEMA if f.name != "perp"])
+    return pa.table(
+        {f.name: pa.array([r[f.name] for r in rows], f.type) for f in schema}
+    )
+
+
 def _b_crawl_seen(sf_dir: str) -> pa.Table:
     keys = sorted(k - (1 << 63) for k in _sim(sf_dir).seen_keys)
     return pa.table({"seen_key": pa.array(keys, pa.int64())})
@@ -773,6 +797,49 @@ def _b_dup_substrings(sf_dir: str) -> pa.Table:
             "n_windows": pa.array(out_n, pa.int64()),
             "n_dup_windows": pa.array(out_d, pa.int64()),
             "n_cross_dup_windows": pa.array(out_c, pa.int64()),
+        }
+    )
+
+
+def _b_lm_tune_jm(sf_dir: str) -> pa.Table:
+    """Sequential held-out JM tuning derivation: plain-dict n-gram
+    counting over the even half (independent of the distributed A1
+    job), then per-odd-doc perplexity under each grid lambda via the
+    SAME scalar LM kernel (the sent_perp precedent: scalar kernels are
+    separately golden-tested; the fixture certifies the distributed
+    count job + grid actor pool + aggregation)."""
+    from .lm.backoff import NgramCounts
+    from .lm.jm import JelinekMercerLM
+    from .lm.tune import heldout_perplexity_e6
+
+    order = 3
+    t = _docs_table(sf_dir)
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    counts = NgramCounts(order)
+    for did, text in zip(ids, texts):
+        if did % 2 != 0:
+            continue
+        counts.add_sequence((text or "").split(" "))
+    lam_col, sum_col, n_col = [], [], []
+    for lam_e1 in range(1, 10):
+        lm = JelinekMercerLM(counts, lam_e1 / 10.0)
+        s, n = 0, 0
+        for did, text in zip(ids, texts):
+            if did % 2 != 1:
+                continue
+            s += heldout_perplexity_e6(lm, text, order)
+            n += 1
+        lam_col.append(lam_e1)
+        sum_col.append(s)
+        n_col.append(n)
+    best = min(zip(sum_col, lam_col))[1]
+    return pa.table(
+        {
+            "lam_e1": pa.array(lam_col, pa.int64()),
+            "sum_perp_e6": pa.array(sum_col, pa.int64()),
+            "n_docs": pa.array(n_col, pa.int64()),
+            "is_best": pa.array([l == best for l in lam_col]),
         }
     )
 
@@ -3308,9 +3375,11 @@ BUILDERS = {
     "ngram_probs": _b_ngram_probs,
     "dup_substrings": _b_dup_substrings,
     "winnow_fingerprints": _b_winnow_fingerprints,
+    "lm_tune_jm": _b_lm_tune_jm,
     "distinct_sentences": _b_distinct_sentences,
     "perp_stats": _b_perp_stats,
     "crawl_log": _b_crawl_log,
+    "crawl_log_bfs": _b_crawl_log_bfs,
     "frontier_residue": _b_frontier_residue,
     "crawl_seen": _b_crawl_seen,
     "crawl_metrics": _b_crawl_metrics,

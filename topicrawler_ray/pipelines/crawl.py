@@ -417,6 +417,9 @@ class RayCrawlEngine:
                     alive[i] = False
         perps = np.array([m[1] for m in cand_meta], dtype=np.float64)
         directives, costs = prio.schedule_batch(perps)
+        directives, costs = prio.apply_policy_batch(
+            directives, costs, self.cfg.policy
+        )
         self.n_rejected += int((alive & (directives < 0)).sum())
         accept = alive & (directives >= 0)
         seqs = self.next_seq + np.cumsum(accept) - 1
@@ -457,6 +460,7 @@ class RayCrawlEngine:
                 first_results,
                 self.cfg.max_retries,
                 self.cfg.retry_delay_waves,
+                self.cfg.policy,
             )
         )
         rows = res["log_rows"]

@@ -214,6 +214,7 @@ def simulate_crawl(
             if a.directive < 0:
                 res.n_rejected += 1
                 continue
+            p_dir, p_cost = prio.apply_policy(a.directive, a.cost, cfg.policy)
             # SPEC: seq assigned in proposal order BEFORE the seen filter
             seq = next_seq
             next_seq += 1
@@ -221,7 +222,7 @@ def simulate_crawl(
                 res.n_dup += 1
                 continue
             frontier.setdefault(host_of_url(url), []).append(
-                (a.directive, a.cost, seq, url, via, pvs, hops, 0)
+                (p_dir, p_cost, seq, url, via, pvs, hops, 0)
             )
         wave += 1
 

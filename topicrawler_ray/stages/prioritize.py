@@ -153,3 +153,33 @@ def robots_via_perplexity() -> float:
 def seed_via_perplexity(recursion_count: int) -> float:
     """Candidate whose via is a seed without a perp value (:158-159)."""
     return 2.0 + recursion_count + 1
+
+
+def apply_policy(directive: int, cost: int, policy: str) -> tuple[int, int]:
+    """Alternate frontier policies layered OVER the reference
+    assignment: ``decesive`` (the DecesiveValuePrioritizer reference
+    semantics) keeps it; ``breadth`` flattens every ACCEPTED candidate
+    to (NORMAL, 64) so the frontier pops in pure proposal (FIFO) order
+    within politeness — the breadth-first baseline a focused crawl is
+    evaluated against (Chakrabarti et al. 1999 shape).  Reject
+    semantics are untouched in every policy."""
+    if policy == "decesive" or directive < 0:
+        return directive, cost
+    if policy == "breadth":
+        return NORMAL, 64
+    raise KeyError("unknown frontier policy %r" % policy)
+
+
+def apply_policy_batch(directives, costs, policy: str):
+    """Vectorized :func:`apply_policy` (same contract, numpy arrays)."""
+    import numpy as np
+
+    if policy == "decesive":
+        return directives, costs
+    if policy != "breadth":
+        raise KeyError("unknown frontier policy %r" % policy)
+    acc = directives >= 0
+    return (
+        np.where(acc, NORMAL, directives),
+        np.where(acc, 64, costs),
+    )

@@ -384,6 +384,7 @@ class FrontierShardState:
         first_results: list | None = None,
         max_retries: int = 3,
         retry_delay_waves: int = 900,
+        policy: str = "decesive",
     ) -> dict:
         """Run the wave loop locally while this shard is the ONLY active
         one (the politeness tail: one mega-host fetching one page per
@@ -467,8 +468,11 @@ class FrontierShardState:
                     if a.directive < 0:
                         n_rejected += 1
                         continue
+                    p_dir, p_cost = prio.apply_policy(
+                        a.directive, a.cost, policy
+                    )
                     e = FrontierEntry(
-                        a.directive, a.cost, next_seq, link, r.url, r.perp_str,
+                        p_dir, p_cost, next_seq, link, r.url, r.perp_str,
                         hops=parent_hops + 1,
                     )
                     next_seq += 1
@@ -785,11 +789,11 @@ def make_frontier_actors(num_shards: int, seen_capacity: int = 1 << 16,
 
         def drain(self, picked, worker, siblings, my_index, next_seq, wave_no,
                   fetch_seq, max_hops, budget=2000, first_results=None,
-                  max_retries=3, retry_delay_waves=900):
+                  max_retries=3, retry_delay_waves=900, policy="decesive"):
             return self.state.drain(
                 picked, worker, siblings, my_index, next_seq, wave_no,
                 fetch_seq, max_hops, budget, first_results,
-                max_retries, retry_delay_waves,
+                max_retries, retry_delay_waves, policy,
             )
 
         def exact_seen_keys(self):
