@@ -1775,6 +1775,24 @@ def _q_ngram_overlap_split(sf_dir: str):
     return split_overlap_stats(_docs(sf_dir, ["doc_id", "text"]), n=3)
 
 
+def _q_media_phash(sf_dir: str):
+    """Perceptual image hashing (dHash + aHash) over the REAL stdlib
+    PNG path: synthesize -> decode -> integer-luma lattice -> bit pack,
+    plus the exact-duplicate bucket width per dhash (one slim
+    groupby.map_groups).  The oracle re-derives every hash analytically
+    from the plaid formula — the whole PNG encode/decode/sample chain
+    must land on the same 64-bit integers."""
+    from topicrawler_ray.stages.multimodal import (
+        phash_with_group_sizes,
+        synthesize_media_batch,
+    )
+
+    media = _docs(sf_dir, ["doc_id"]).map_batches(
+        synthesize_media_batch, batch_format="pyarrow"
+    )
+    return phash_with_group_sizes(media)
+
+
 def _q_lm_tune_jm(sf_dir: str):
     """Held-out Jelinek-Mercer weight tuning (Chen & Goodman 1999
     protocol shape): even docs train the A1 count job, odd docs stream
@@ -4146,6 +4164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_substrings": _q_dup_substrings,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "lm_tune_jm": _q_lm_tune_jm,
+        "media_phash": _q_media_phash,
         "vocab_coverage": _q_vocab_coverage,
         "crawl_gain_curve": _q_crawl_gain_curve,
         "sentence_length_hist": _q_sentence_length_hist,

@@ -209,3 +209,41 @@ class TestStageIntegration:
             assert is_png(payload)
             arr = decode_png(payload)
             assert arr.shape == (h, w, 3)
+
+
+class TestPerceptualHash:
+    def test_dhash_known_gradient(self):
+        """Hand-checkable dHash: a pure left-to-right gradient has every
+        row-difference positive -> all 64 bits set; a constant image has
+        none."""
+        import numpy as np
+
+        from topicrawler_ray.stages.multimodal import ahash_i64, dhash_i64
+
+        w = h = 16
+        grad = np.repeat(
+            np.arange(0, 16 * w, 16, dtype=np.uint8)
+            .clip(0, 255)[None, :]
+            .reshape(1, w),
+            h,
+            axis=0,
+        )[:, :, None].repeat(3, axis=2)
+        assert dhash_i64(grad) == (2**64 - 1) - (1 << 63)
+        flat = np.full((h, w, 3), 7, dtype=np.uint8)
+        assert dhash_i64(flat) == 0 - (1 << 63)
+        # aHash of a constant image: no pixel exceeds the mean
+        assert ahash_i64(flat) == 0 - (1 << 63)
+
+    def test_phash_png_roundtrip_matches_direct(self):
+        """Hash of decode(encode(img)) equals hash of img (the PNG
+        path is lossless for 8-bit RGB)."""
+        import numpy as np
+
+        from topicrawler_ray.functions.png import decode_png, encode_png
+        from topicrawler_ray.stages.multimodal import ahash_i64, dhash_i64
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+        rt = decode_png(encode_png(img))
+        assert dhash_i64(rt) == dhash_i64(img)
+        assert ahash_i64(rt) == ahash_i64(img)

@@ -801,6 +801,71 @@ def _b_dup_substrings(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_media_phash(sf_dir: str) -> pa.Table:
+    """Analytic perceptual-hash derivation: pixels re-computed from the
+    synthetic plaid FORMULA (the synthesize_media_batch spec), sampled
+    at the documented ``(i * dim) // grid`` lattice, integer luma,
+    dHash/aHash bit packs — the engine's PNG encode -> decode -> hash
+    chain must land on the same integers (shares only murmur3, exactly
+    like the media_features golden)."""
+    import numpy as np
+
+    from .functions.hashing import murmur3_x64_128
+
+    t = _docs_table(sf_dir)
+    ids = [i for i in t.column("doc_id").to_pylist() if i % 3 == 0]
+
+    def plaid(i: int):
+        h1, h2 = murmur3_x64_128(b"media-%d" % i)
+        w = 64 + (i % 16) * 8
+        h = 64 + (i % 8) * 8
+        ys = np.arange(h, dtype=np.int64)[:, None]
+        xs = np.arange(w, dtype=np.int64)[None, :]
+        return np.stack(
+            [
+                (ys * 7 + xs * 3 + (h1 % 251)) % 256,
+                (ys * 11 + xs * 5 + (h2 % 241)) % 256,
+                (ys * 13 + xs * 2 + ((h1 >> 32) % 239)) % 256,
+            ],
+            axis=2,
+        )
+
+    def grays(img, gh, gw):
+        h, w = img.shape[:2]
+        iy = (np.arange(gh, dtype=np.int64) * h) // gh
+        ix = (np.arange(gw, dtype=np.int64) * w) // gw
+        px = img[iy][:, ix]
+        return (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+
+    def pack(bits):
+        v = 0
+        for b in bits.reshape(-1):
+            v = (v << 1) | int(b)
+        return v - (1 << 63)
+
+    rows = []
+    for i in ids:
+        img = plaid(i)
+        g9 = grays(img, 8, 9)
+        g8 = grays(img, 8, 8)
+        d = pack(g9[:, 1:] > g9[:, :-1])
+        a = pack(g8 > (int(g8.sum()) // 64))
+        rows.append((i, d, a))
+    sizes: dict[int, int] = {}
+    for _i, d, _a in rows:
+        sizes[d] = sizes.get(d, 0) + 1
+    return pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "dhash": pa.array([r[1] for r in rows], pa.int64()),
+            "ahash": pa.array([r[2] for r in rows], pa.int64()),
+            "dhash_group_size": pa.array(
+                [sizes[r[1]] for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
 def _b_lm_tune_jm(sf_dir: str) -> pa.Table:
     """Sequential held-out JM tuning derivation: plain-dict n-gram
     counting over the even half (independent of the distributed A1
@@ -3376,6 +3441,7 @@ BUILDERS = {
     "dup_substrings": _b_dup_substrings,
     "winnow_fingerprints": _b_winnow_fingerprints,
     "lm_tune_jm": _b_lm_tune_jm,
+    "media_phash": _b_media_phash,
     "distinct_sentences": _b_distinct_sentences,
     "perp_stats": _b_perp_stats,
     "crawl_log": _b_crawl_log,

@@ -410,3 +410,112 @@ class VideoFrameSampleStage:
                 continue
             samples.append(self._hashes(payload, dur))
         return batch.append_column("frame_hashes", pa.array(samples, pa.list_(pa.int64())))
+
+
+def _phash_grays(arr, grid_h: int, grid_w: int):
+    """Integer-luma grayscale sampled on a (grid_h x grid_w) lattice at
+    ``(i * dim) // grid`` points — the same deterministic
+    nearest-neighbour spec as :class:`ImageDecodeStage` (a spec, not an
+    interpolation kernel), so the sequential oracle can re-derive it
+    from the synthetic plaid formula without touching the PNG codec."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    iy = (np.arange(grid_h, dtype=np.int64) * h) // grid_h
+    ix = (np.arange(grid_w, dtype=np.int64) * w) // grid_w
+    px = arr[iy][:, ix].astype(np.int64)
+    if px.ndim == 2:
+        r = g = b = px
+    else:
+        if px.shape[2] == 1:
+            r = g = b = px[:, :, 0]
+        elif px.shape[2] == 2:
+            r = g = b = px[:, :, 0]
+        else:
+            r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def _pack_bits_i64(bits) -> int:
+    """Row-major MSB-first 64-bit pack, offset to signed int64."""
+    v = 0
+    for bit in bits.reshape(-1):
+        v = (v << 1) | int(bit)
+    return v - (1 << 63)
+
+
+def dhash_i64(arr) -> int:
+    """Difference hash (row-gradient sign over a 9x8 luma lattice) —
+    the classic near-duplicate image fingerprint."""
+    g = _phash_grays(arr, 8, 9)
+    return _pack_bits_i64(g[:, 1:] > g[:, :-1])
+
+
+def ahash_i64(arr) -> int:
+    """Average hash (8x8 luma vs integer floor mean)."""
+    g = _phash_grays(arr, 8, 8)
+    mean = int(g.sum()) // 64
+    return _pack_bits_i64(g > mean)
+
+
+class PerceptualHashStage:
+    """Actor-pool stage: per-image dHash + aHash over the REAL stdlib
+    PNG decode path (functions/png.py; no PIL in this container).
+    Non-image rows are dropped.  Stateless numpy per row; the hash
+    columns are the bucketing keys an image near-dup join partitions
+    on (the simhash-band discipline applied to pixels).
+    """
+
+    def __init__(self):
+        from ..functions.png import decode_png, is_png
+
+        self._decode = decode_png
+        self._is_png = is_png
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        o_id, o_d, o_a = [], [], []
+        for mid, mt, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("media_type").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if not mt.startswith("image") or not self._is_png(payload):
+                continue
+            arr = self._decode(payload)
+            o_id.append(mid)
+            o_d.append(dhash_i64(arr))
+            o_a.append(ahash_i64(arr))
+        return pa.table(
+            {
+                "media_id": pa.array(o_id, pa.int64()),
+                "dhash": pa.array(o_d, pa.int64()),
+                "ahash": pa.array(o_a, pa.int64()),
+            }
+        )
+
+
+def phash_with_group_sizes(media_ds, concurrency: int = 2):
+    """-> (media_id, dhash, ahash, dhash_group_size): hashes plus how
+    many images share each dhash (the exact-duplicate bucket width).
+
+    Scale shape: hashing is a stateless actor pool; the group size
+    rides ONE groupby(dhash).map_groups over slim 3-int rows (Arrow
+    output); no pairs are materialized — pairwise verification at scale
+    happens per bucket downstream, as in the simhash stage.
+    """
+    hashed = media_ds.map_batches(
+        PerceptualHashStage,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=concurrency,
+    )
+
+    def size_group(g: pa.Table) -> pa.Table:
+        return g.append_column(
+            "dhash_group_size",
+            pa.array([len(g)] * len(g), pa.int64()),
+        )
+
+    return hashed.groupby("dhash").map_groups(
+        size_group, batch_format="pyarrow"
+    )
