@@ -1793,6 +1793,67 @@ def _q_media_phash(sf_dir: str):
     return phash_with_group_sizes(media)
 
 
+def _q_policy_gain(sf_dir: str):
+    """Focused-crawl payoff metric: total e6-quantized perplexity of the
+    FIRST 100 content fetches (status 200, non-robots, fetch order)
+    under the decesive vs the breadth frontier policy — the number that
+    justifies a perplexity-priority frontier (lower early perp = more
+    on-topic early harvest).  Per-block partial bottom-100 by fetch_seq
+    + an O(k x blocks) driver merge per policy; both inputs are the
+    independently certified crawl logs.  Pure-SQL oracle over the two
+    fixtures."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    k = 100
+    out_pol, out_n, out_sum = [], [], []
+    for policy, log in (
+        ("decesive", _q_crawl_log(sf_dir)),
+        ("breadth", _q_crawl_log_bfs(sf_dir)),
+    ):
+        ds = ray.data.from_arrow(
+            log.select(["fetch_seq", "status", "is_robots", "perp_str"])
+        )
+
+        def bottom_k(batch: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.equal(batch.column("status"), 200),
+                pc.invert(batch.column("is_robots")),
+            )
+            b = batch.filter(keep)
+            rows = sorted(
+                zip(
+                    b.column("fetch_seq").to_pylist(),
+                    b.column("perp_str").to_pylist(),
+                )
+            )[:k]
+            return pa.table(
+                {
+                    "fetch_seq": pa.array([r[0] for r in rows], pa.int64()),
+                    "perp_str": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+
+        partials = ds.map_batches(bottom_k, batch_format="pyarrow").take_all()
+        first = sorted(partials, key=lambda r: r["fetch_seq"])[:k]
+        import math
+
+        s = sum(
+            int(math.floor(float(r["perp_str"]) * 1e6)) for r in first
+        )
+        out_pol.append(policy)
+        out_n.append(len(first))
+        out_sum.append(s)
+    return pa.table(
+        {
+            "policy": pa.array(out_pol, pa.string()),
+            "n_fetches": pa.array(out_n, pa.int64()),
+            "sum_perp_e6": pa.array(out_sum, pa.int64()),
+        }
+    )
+
+
 def _q_lm_tune_jm(sf_dir: str):
     """Held-out Jelinek-Mercer weight tuning (Chen & Goodman 1999
     protocol shape): even docs train the A1 count job, odd docs stream
@@ -4164,6 +4225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_substrings": _q_dup_substrings,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "lm_tune_jm": _q_lm_tune_jm,
+        "policy_gain": _q_policy_gain,
         "media_phash": _q_media_phash,
         "vocab_coverage": _q_vocab_coverage,
         "crawl_gain_curve": _q_crawl_gain_curve,
@@ -5366,6 +5428,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(new_hosts) OVER (ORDER BY wave) AS BIGINT) "
             "AS cum_hosts FROM per"
             % _ORACLES_SF001["crawl_log"]
+        ),
+        "policy_gain": (
+            "WITH a AS (SELECT CAST(perp_str AS DOUBLE) AS p "
+            "FROM read_parquet('%s') WHERE status = 200 AND NOT is_robots "
+            "ORDER BY fetch_seq LIMIT 100), "
+            "b AS (SELECT CAST(perp_str AS DOUBLE) AS p "
+            "FROM read_parquet('%s') WHERE status = 200 AND NOT is_robots "
+            "ORDER BY fetch_seq LIMIT 100) "
+            "SELECT 'decesive' AS policy, CAST(count(*) AS BIGINT) "
+            "AS n_fetches, CAST(sum(CAST(floor(p * 1000000.0) AS BIGINT)) "
+            "AS BIGINT) AS sum_perp_e6 FROM a "
+            "UNION ALL "
+            "SELECT 'breadth' AS policy, CAST(count(*) AS BIGINT) "
+            "AS n_fetches, CAST(sum(CAST(floor(p * 1000000.0) AS BIGINT)) "
+            "AS BIGINT) AS sum_perp_e6 FROM b"
+            % (_ORACLES_SF001["crawl_log"], _ORACLES_SF001["crawl_log_bfs"])
         ),
         "sentence_length_hist": (
             "SELECT CAST(len(string_split(sentence, ' ')) AS BIGINT) "

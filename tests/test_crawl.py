@@ -602,3 +602,18 @@ class TestBreadthPolicy:
         dec = res2.log.drop_columns(["perp"]).to_pandas()
         assert len(dec) == len(got)
         assert (dec["url"] != got["url"]).any()
+
+
+class TestPolicyGain:
+    def test_two_policies_k_bounded(self, ray_session, sf_dir):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        import __ray_entry__ as e
+
+        t = {r["policy"]: r for r in e.queries()["policy_gain"](sf_dir).to_pylist()}
+        assert set(t) == {"decesive", "breadth"}
+        for r in t.values():
+            assert 0 < r["n_fetches"] <= 100
+            assert r["sum_perp_e6"] > 0
