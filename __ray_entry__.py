@@ -1775,6 +1775,23 @@ def _q_ngram_overlap_split(sf_dir: str):
     return split_overlap_stats(_docs(sf_dir, ["doc_id", "text"]), n=3)
 
 
+def _q_knn_pq(sf_dir: str):
+    """Product-quantization ADC vector search (Jegou et al. 2011 — the
+    billion-vector scale path: 8 one-byte codes per vector, table
+    lookups instead of a dim-wide multiply): codebooks trained on the
+    deterministic modulo sample, assignment and distance tables in
+    exact int64 over the floor(x * 2^20) spec, so the distributed scan
+    is bit-identical under any batch decomposition.  Frozen-golden
+    oracle (independent sequential re-derivation)."""
+    from topicrawler_ray.stages.similarity import pq_topk
+
+    return pq_topk(
+        _read_parquet(
+            sf_dir + "/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+    )
+
+
 def _q_media_phash(sf_dir: str):
     """Perceptual image hashing (dHash + aHash) over the REAL stdlib
     PNG path: synthesize -> decode -> integer-luma lattice -> bit pack,
@@ -4079,6 +4096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "knn_lsh": _q_knn_lsh,
         "knn_int8": _q_knn_int8,
+        "knn_pq": _q_knn_pq,
         "semantic_dedup": _q_semantic_dedup,
         "token_counts": _q_token_counts,
         "text_quality": _q_quality,

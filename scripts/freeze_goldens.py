@@ -525,5 +525,94 @@ def freeze_diverse_sample(sf_dir) -> pa.Table:
 FREEZERS["sample_diverse"] = freeze_diverse_sample
 
 
+def freeze_knn_pq(sf_dir) -> pa.Table:
+    """Sequential PQ/ADC top-k re-derived with plain numpy: own
+    unnormalized k-means (Euclidean assignment, plain mean updates,
+    Generator(PCG64(23)).choice init — the kmeans_plain SPEC spelled
+    out independently), own floor(float64(x) * 2^20) quantization, own
+    integer distance tables and dict-loop ranking.  Imports nothing
+    from stages/similarity.py."""
+    m, n_codes, k, qshift = 8, 16, 10, 1 << 20
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+
+    # deterministic modulo-decimation sample, id order (train_centroids
+    # spec re-stated)
+    total = len(ids)
+    stride = max(1, (total + 4096 - 1) // 4096)
+    mask = (ids % stride) == 0
+    sorder = np.argsort(ids[mask])
+    sample = _golden_normalize(vecs[mask][sorder][:4096])
+    dim = sample.shape[1]
+    sub = dim // m
+
+    def kmeans_nonorm(x, kk, iters=5, seed=23):
+        x = np.asarray(x, dtype=np.float32)
+        rng = np.random.default_rng(seed)
+        cent = x[rng.choice(len(x), size=min(kk, len(x)), replace=False)].copy()
+        for _ in range(iters):
+            d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(cent.shape[0]):
+                members = x[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        return cent
+
+    books = np.stack(
+        [
+            kmeans_nonorm(sample[:, i * sub : (i + 1) * sub], n_codes)
+            for i in range(m)
+        ]
+    )
+    b_int = np.floor(books.astype(np.float64) * qshift).astype(np.int64)
+
+    q_order = sorted(ids[ids < 5])
+    qmat = _golden_normalize(
+        np.array(
+            [vecs[np.nonzero(ids == i)[0][0]] for i in q_order],
+            dtype=np.float32,
+        )
+    )
+    q_int = np.floor(qmat.astype(np.float64) * qshift).astype(np.int64)
+
+    all_norm = _golden_normalize(vecs)
+    v_int = np.floor(all_norm.astype(np.float64) * qshift).astype(np.int64)
+
+    o_q, o_rank, o_id, o_d = [], [], [], []
+    for qi in range(len(q_order)):
+        scored = []
+        for row in range(len(ids)):
+            dist = 0
+            for i in range(m):
+                vsub = v_int[row, i * sub : (i + 1) * sub]
+                dsub = ((vsub[None, :] - b_int[i]) ** 2).sum(axis=1)
+                code = int(np.argmin(dsub))
+                qsub = q_int[qi, i * sub : (i + 1) * sub]
+                dist += int(((qsub - b_int[i][code]) ** 2).sum())
+            scored.append((dist, int(ids[row])))
+        for rank, (d, vid) in enumerate(sorted(scored)[:k]):
+            o_q.append(qi)
+            o_rank.append(rank)
+            o_id.append(vid)
+            o_d.append(d)
+    return pa.table(
+        {
+            "query_id": pa.array(o_q, pa.int32()),
+            "rank": pa.array(o_rank, pa.int32()),
+            "vec_id": pa.array(o_id, pa.int64()),
+            "adist": pa.array(o_d, pa.int64()),
+        }
+    )
+
+
+FREEZERS["knn_pq"] = freeze_knn_pq
+
+
 if __name__ == "__main__":
     main(sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])

@@ -61,3 +61,54 @@ class TestDistributedMerge:
         out = HLLMap("g", "v", 8)(batch)
         assert sorted(out.column("g").to_pylist()) == ["x", "y"]
         assert all(len(b) == 256 for b in out.column("registers").to_pylist())
+
+
+class TestPQTopk:
+    def test_partition_invariance_and_golden(self, ray_session, sf_dir):
+        """PQ/ADC scores are exact integers: any repartitioning gives a
+        bit-identical result, and it equals the frozen golden."""
+        import ray.data
+
+        from topicrawler_ray.oracles import _b_knn_pq
+        from topicrawler_ray.stages.similarity import pq_topk
+
+        ds = ray.data.read_parquet(sf_dir + "/embeddings.parquet")
+        a = pq_topk(ds).to_pandas()
+        b = pq_topk(ds.repartition(5)).to_pandas()
+        assert a.equals(b)
+        exp = _b_knn_pq(sf_dir).to_pandas()
+        assert a.reset_index(drop=True).equals(exp[a.columns].reset_index(drop=True))
+
+    def test_pq_reasonable_vs_bruteforce(self, ray_session, sf_dir):
+        """PQ recall@10 vs the exact scan is well above chance (the
+        compression is 32x; the fixture demands > 0.3 mean recall)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from topicrawler_ray.stages.similarity import (
+            _normalize,
+            brute_force_topk,
+            pq_topk,
+        )
+
+        t = pq.read_table(
+            sf_dir + "/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        ids = np.array(t.column("vec_id").to_pylist())
+        vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+        q = _normalize(
+            np.array(
+                [vecs[np.nonzero(ids == i)[0][0]] for i in sorted(ids[ids < 5])],
+                dtype=np.float32,
+            )
+        )
+        ds = ray.data.read_parquet(sf_dir + "/embeddings.parquet")
+        exact = brute_force_topk(ds, q, k=10).to_pandas()
+        approx = pq_topk(ds).to_pandas()
+        recalls = []
+        for qi in exact["query_id"].unique():
+            e = set(exact[exact["query_id"] == qi]["vec_id"])
+            a = set(approx[approx["query_id"] == qi]["vec_id"])
+            recalls.append(len(e & a) / len(e))
+        assert float(np.mean(recalls)) > 0.3

@@ -1297,6 +1297,13 @@ def _b_sample_diverse(sf_dir: str) -> pa.Table:
     return _golden(sf_dir, "sample_diverse")
 
 
+def _b_knn_pq(sf_dir: str) -> pa.Table:
+    """Frozen golden (scripts/freeze_goldens.py) - sequential PQ/ADC
+    re-derivation with its own unnormalized k-means + integer distance
+    tables; no similarity.py import."""
+    return _golden(sf_dir, "knn_pq")
+
+
 def _b_knn_lsh(sf_dir: str) -> pa.Table:
     """Frozen golden (scripts/freeze_goldens.py) - precomputed
     hyperplane-bucket results, no lsh_planes/lsh_signatures import."""
@@ -3466,6 +3473,7 @@ BUILDERS = {
     "dedup_ppjoin": _b_dedup_ngram_jaccard,
     "knn_ivf": _b_knn_ivf,
     "knn_lsh": _b_knn_lsh,
+    "knn_pq": _b_knn_pq,
     "knn_int8": _b_knn_int8,
     "semantic_dedup": _b_semantic_dedup,
     "sample_weighted": _b_sample_weighted,

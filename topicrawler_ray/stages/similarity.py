@@ -797,3 +797,199 @@ def group_centroids(
             Sum("sum_part", alias_name="sum_q"),
         )
     )
+
+
+PQ_QSHIFT = 1 << 20  # subvector quantization step for exact int distances
+
+
+def kmeans_plain(vecs: np.ndarray, k: int, iters: int = 5, seed: int = 23) -> np.ndarray:
+    """Seeded mini k-means WITHOUT row normalization (Euclidean
+    assignment, plain mean updates) — the product-quantization
+    codebook trainer (subvectors are not unit vectors).  Shared SPEC
+    with the golden freezer's independent re-implementation."""
+    vecs = np.asarray(vecs, dtype=np.float32)
+    rng = np.random.default_rng(seed)
+    cent = vecs[rng.choice(len(vecs), size=min(k, len(vecs)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for c in range(cent.shape[0]):
+            members = vecs[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def pq_train_codebooks(ds, m: int = 8, n_codes: int = 16,
+                       vec_column: str = "embedding",
+                       id_column: str = "vec_id",
+                       max_sample: int = 4096) -> np.ndarray:
+    """Per-subspace PQ codebooks (Jegou, Douze & Schmid 2011) from the
+    SAME deterministic modulo-decimation sample as ``train_centroids``
+    (id % stride == 0, id order, no distributed RNG) — a sequential
+    oracle replicates training bit-for-bit.  -> (m, n_codes, dim/m)."""
+    import pyarrow.compute as pc
+
+    total = ds.count()
+    stride = max(1, (total + max_sample - 1) // max_sample)
+    sampled = ds
+    if stride > 1:
+        sampled = ds.map_batches(
+            lambda t: t.filter(
+                pc.equal(pc.mod(t.column(id_column), stride), 0)
+            ),
+            batch_format="pyarrow",
+        )
+    rows = sorted(
+        sampled.select_columns([id_column, vec_column]).take_all(),
+        key=lambda r: r[id_column],
+    )[:max_sample]
+    sample = _normalize(np.array([r[vec_column] for r in rows], dtype=np.float32))
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError("dim %d not divisible by m=%d" % (dim, m))
+    sub = dim // m
+    return np.stack(
+        [
+            kmeans_plain(sample[:, i * sub : (i + 1) * sub], n_codes)
+            for i in range(m)
+        ]
+    )
+
+
+def _pq_int(mat: np.ndarray) -> np.ndarray:
+    """floor(float64(x) * 2^20) — the exact-integer quantization SPEC
+    for PQ assignment and ADC lookups (headroom: normalized coords in
+    [-1, 1] => squared diffs <= 4*2^40; x dim x m < 2^48 per score)."""
+    return np.floor(mat.astype(np.float64) * PQ_QSHIFT).astype(np.int64)
+
+
+def pq_topk(
+    ds,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    query_max_id: int = 5,
+):
+    """Product-quantization ADC top-k (Jegou, Douze & Schmid 2011, the
+    billion-vector scale path): vectors collapse to ``m`` one-byte
+    codes (here 8 bytes vs 256 float bytes, 32x), queries rank the
+    whole corpus by ``m`` table lookups per vector instead of a
+    ``dim``-wide multiply.
+
+    Determinism: codebooks are trained on the deterministic
+    modulo-decimation sample; code ASSIGNMENT and the ADC distance
+    tables use exact int64 squared distances over the floor(x * 2^20)
+    quantization spec — every score is an integer, so the distributed
+    result is bit-identical to a sequential scan under ANY batch
+    decomposition (the int8_topk discipline applied to PQ).
+
+    Ray shape: codebooks (float + int form) ``ray.put`` once; per-batch
+    encode (m x n_codes x B integer distance argmins) + LUT gather +
+    partial top-k combiner; O(k x Q x blocks) slim rows to the driver
+    merge.  -> (query_id, rank, vec_id, adist) — adist ascending, ties
+    toward the smaller vec_id.
+    """
+    import heapq
+
+    import ray
+
+    books = pq_train_codebooks(
+        ds, m=m, n_codes=n_codes, vec_column=vec_column, id_column=id_column
+    )
+    books_int = _pq_int(books)  # (m, n_codes, sub)
+
+    # queries: the first ids, same convention as the sibling knn ops
+    q_rows = sorted(
+        (
+            r
+            for r in ds.select_columns([id_column, vec_column]).take_all()
+            if r[id_column] < query_max_id
+        ),
+        key=lambda r: r[id_column],
+    )
+    qmat = _normalize(np.array([r[vec_column] for r in q_rows], dtype=np.float32))
+    q_int = _pq_int(qmat)  # (Q, dim)
+    sub = books.shape[2]
+    # ADC tables: (Q, m, n_codes) exact int64 squared distances
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    (
+                        (
+                            q_int[:, i * sub : (i + 1) * sub][:, None, :]
+                            - books_int[i][None, :, :]
+                        )
+                        ** 2
+                    ).sum(axis=2)
+                    for i in range(m)
+                ],
+                axis=1,
+            )
+        ]
+    )[0]
+    ref = ray.put((books_int, luts))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        b_int, b_luts = ray.get(ref)
+        ids = np.asarray(batch.column(id_column).to_pylist(), dtype=np.int64)
+        mat = _normalize(
+            np.array(batch.column(vec_column).to_pylist(), dtype=np.float32)
+        )
+        v_int = _pq_int(mat)  # (B, dim)
+        nq = b_luts.shape[0]
+        scores = np.zeros((nq, len(ids)), dtype=np.int64)
+        for i in range(m):
+            d = (
+                (v_int[:, i * sub : (i + 1) * sub][:, None, :] - b_int[i][None, :, :])
+                ** 2
+            ).sum(axis=2)  # (B, n_codes)
+            codes = np.argmin(d, axis=1)  # first-min = smallest code id
+            scores += b_luts[:, i, :][:, codes]
+        o_q, o_id, o_d = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(nq):
+            idx = np.lexsort((ids, scores[qi]))[:kk]
+            for j in idx:
+                o_q.append(qi)
+                o_id.append(int(ids[j]))
+                o_d.append(int(scores[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(o_q, pa.int32()),
+                "vec_id": pa.array(o_id, pa.int64()),
+                "adist": pa.array(o_d, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    # keep the k smallest (adist, vec_id): min-heap on (-adist, -vec_id)
+    # puts the WORST survivor (largest distance, then largest id) at the
+    # root, so the pop evicts it and ties resolve toward smaller ids
+    heaps: dict[int, list] = {}
+    for r in partials:
+        heapq.heappush(
+            heaps.setdefault(int(r["query_id"]), []),
+            (-int(r["adist"]), -int(r["vec_id"])),
+        )
+        if len(heaps[int(r["query_id"])]) > k:
+            heapq.heappop(heaps[int(r["query_id"])])
+    o_q, o_rank, o_id, o_d = [], [], [], []
+    for qi in sorted(heaps):
+        best = sorted((-nd, -nvid) for nd, nvid in heaps[qi])
+        for rank, (d, vid) in enumerate(best):
+            o_q.append(qi)
+            o_rank.append(rank)
+            o_id.append(vid)
+            o_d.append(d)
+    return pa.table(
+        {
+            "query_id": pa.array(o_q, pa.int32()),
+            "rank": pa.array(o_rank, pa.int32()),
+            "vec_id": pa.array(o_id, pa.int64()),
+            "adist": pa.array(o_d, pa.int64()),
+        }
+    )
