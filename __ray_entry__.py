@@ -3172,6 +3172,121 @@ def _q_promo_revenue(sf_dir: str):
     )
 
 
+def _q_nation_trade(sf_dir: str):
+    """TPC-H-Q7-shaped cross-nation shipping volume: supplier nation
+    keys broadcast into the windowed lineitem scan, two hash joins
+    (line -> orders -> customer), nation-key aggregate BEFORE names
+    attach driver-side over the histogram-sized result.  Pure-SQL
+    oracle."""
+    from topicrawler_ray.stages.relational import nation_pair_trade
+
+    return nation_pair_trade(
+        _read_parquet(
+            sf_dir + "/lineitem.parquet",
+            columns=[
+                "l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount",
+            ],
+        ),
+        _read_parquet(
+            sf_dir + "/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ),
+        _read_parquet(
+            sf_dir + "/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ),
+        _read_parquet(
+            sf_dir + "/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ),
+        _read_parquet(
+            sf_dir + "/nation.parquet", columns=["n_nationkey", "n_name"]
+        ),
+        lo_us=_ts_us(1997, 1, 1),
+        hi_us=_ts_us(1999, 1, 1),
+    )
+
+
+def _q_market_share(sf_dir: str):
+    """TPC-H-Q8-shaped market share: fraction of ASIA-customer revenue
+    supplied by NATION_2 per ship year; nation/region resolve
+    driver-side, two hash joins, one-block folds to (year, total,
+    share) partials, e9-quantized share from exact int64 sums.
+    Pure-SQL oracle."""
+    from topicrawler_ray.stages.relational import market_share
+
+    return market_share(
+        _read_parquet(
+            sf_dir + "/lineitem.parquet",
+            columns=[
+                "l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount",
+            ],
+        ),
+        _read_parquet(
+            sf_dir + "/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ),
+        _read_parquet(
+            sf_dir + "/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ),
+        _read_parquet(
+            sf_dir + "/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ),
+        _read_parquet(
+            sf_dir + "/nation.parquet",
+            columns=["n_nationkey", "n_name", "n_regionkey"],
+        ),
+        _read_parquet(
+            sf_dir + "/region.parquet", columns=["r_regionkey", "r_name"]
+        ),
+        region_name="ASIA",
+        share_nation="NATION_2",
+        lo_us=_ts_us(1997, 1, 1),
+        hi_us=_ts_us(1999, 1, 1),
+    )
+
+
+def _q_small_quantity_revenue(sf_dir: str):
+    """TPC-H-Q17-shaped small-quantity-order revenue for Brand#3:
+    brand part keys broadcast into the scan, per-part stats via one
+    combiner+groupby, ONE hash join, cross-multiplied integer
+    below-average predicate, single-row fold.  Pure-SQL oracle."""
+    from topicrawler_ray.stages.relational import small_quantity_revenue
+
+    return small_quantity_revenue(
+        _read_parquet(
+            sf_dir + "/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        ),
+        _read_parquet(
+            sf_dir + "/part.parquet", columns=["p_partkey", "p_brand"]
+        ),
+        brand="Brand#3",
+    )
+
+
+def _q_large_orders(sf_dir: str):
+    """TPC-H-Q18-shaped large-volume customers: per-order quantity sums
+    (combiner + one groupby), threshold filter, partial top-100 +
+    driver merge, attributes fetched for only the winners.  Pure-SQL
+    oracle."""
+    from topicrawler_ray.stages.relational import large_volume_orders
+
+    return large_volume_orders(
+        _read_parquet(
+            sf_dir + "/lineitem.parquet",
+            columns=["l_orderkey", "l_quantity"],
+        ),
+        _read_parquet(
+            sf_dir + "/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        ),
+        _read_parquet(
+            sf_dir + "/customer.parquet", columns=["c_custkey", "c_name"]
+        ),
+        qty_threshold_e2=25000,
+        k=100,
+    )
+
+
 def _q_events_trend(sf_dir: str):
     """Per-type OLS value trend from exact integer sufficient
     statistics (x = hours since corpus-min ts, y = value cents).
@@ -4191,6 +4306,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_filter": _q_revenue_filter,
         "returned_items": _q_returned_items,
         "promo_revenue": _q_promo_revenue,
+        "nation_trade": _q_nation_trade,
+        "market_share": _q_market_share,
+        "small_quantity_revenue": _q_small_quantity_revenue,
+        "large_orders": _q_large_orders,
         "events_trend": _q_events_trend,
         "events_funnel": _q_events_funnel,
         "event_transitions": _q_event_transitions,
@@ -4416,6 +4535,81 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation n ON c.c_nationkey = n.n_nationkey "
             "WINDOW w AS (ORDER BY g.revenue_e4 DESC, g.c_custkey) "
             "QUALIFY row_number() OVER w <= 20"
+        ),
+        "nation_trade": (
+            "WITH l AS (SELECT l_orderkey, l_suppkey, "
+            "CAST(floor(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(floor(l_discount * 100) AS BIGINT)) AS rev_e4, "
+            "CAST(year(l_shipdate) AS BIGINT) AS yr "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1999-01-01') "
+            "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, "
+            "yr AS year, CAST(sum(rev_e4) AS BIGINT) AS revenue_e4 "
+            "FROM l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation ns ON s.s_nationkey = ns.n_nationkey "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation nc ON c.c_nationkey = nc.n_nationkey "
+            "WHERE ns.n_nationkey <> nc.n_nationkey GROUP BY 1, 2, 3"
+        ),
+        "market_share": (
+            "WITH l AS (SELECT l_orderkey, l_suppkey, "
+            "CAST(floor(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(floor(l_discount * 100) AS BIGINT)) AS rev_e4, "
+            "CAST(year(l_shipdate) AS BIGINT) AS yr "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1999-01-01'), "
+            "rc AS (SELECT c_custkey FROM customer c "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "WHERE r.r_name = 'ASIA'), "
+            "j AS (SELECT l.yr, l.rev_e4, "
+            "(SELECT n_nationkey FROM nation WHERE n_name = 'NATION_2') = "
+            "s.s_nationkey AS is_share "
+            "FROM l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN rc ON o.o_custkey = rc.c_custkey), "
+            "g AS (SELECT yr AS year, "
+            "CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4, "
+            "CAST(coalesce(sum(CASE WHEN is_share THEN rev_e4 END), 0) "
+            "AS BIGINT) AS share_rev_e4 FROM j GROUP BY 1) "
+            "SELECT year, total_rev_e4, share_rev_e4, "
+            "CAST(CASE WHEN total_rev_e4 = 0 THEN 0 ELSE "
+            "floor(CAST(share_rev_e4 AS DOUBLE) / "
+            "CAST(total_rev_e4 AS DOUBLE) * 1000000000.0) END AS BIGINT) "
+            "AS share_e9 FROM g"
+        ),
+        "small_quantity_revenue": (
+            "WITH l AS (SELECT l_partkey, "
+            "CAST(floor(l_quantity * 100) AS BIGINT) AS qty_e2, "
+            "CAST(floor(l_extendedprice * 100) AS BIGINT) AS base_e2 "
+            "FROM lineitem WHERE l_partkey IN "
+            "(SELECT p_partkey FROM part WHERE p_brand = 'Brand#3')), "
+            "st AS (SELECT l_partkey AS pk, "
+            "CAST(sum(qty_e2) AS BIGINT) AS sum_qty_e2, "
+            "CAST(count(*) AS BIGINT) AS n_li FROM l GROUP BY 1), "
+            "q AS (SELECT l.base_e2 FROM l JOIN st ON l.l_partkey = st.pk "
+            "WHERE l.qty_e2 * 5 * st.n_li < st.sum_qty_e2) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(coalesce(sum(base_e2), 0) AS BIGINT) AS sum_base_e2, "
+            "CAST(floor(coalesce(sum(base_e2), 0) / 7.0) AS BIGINT) "
+            "AS avg_yearly_e2 FROM q"
+        ),
+        "large_orders": (
+            "WITH s AS (SELECT l_orderkey, "
+            "CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty_e2 FROM lineitem GROUP BY 1), "
+            "w AS (SELECT * FROM s WHERE sum_qty_e2 >= 25000 "
+            "ORDER BY sum_qty_e2 DESC, l_orderkey LIMIT 100) "
+            "SELECT CAST(row_number() OVER "
+            "(ORDER BY w.sum_qty_e2 DESC, w.l_orderkey) - 1 AS BIGINT) "
+            "AS rank, w.l_orderkey AS o_orderkey, o.o_custkey AS c_custkey, "
+            "c.c_name, CAST(epoch_us(o.o_orderdate) AS BIGINT) "
+            "AS o_orderdate_us, "
+            "CAST(floor(o.o_totalprice * 100) AS BIGINT) AS totalprice_e2, "
+            "w.sum_qty_e2 "
+            "FROM w JOIN orders o ON w.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey"
         ),
         "promo_revenue": (
             "WITH q AS (SELECT p.p_type, "

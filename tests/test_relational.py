@@ -335,3 +335,61 @@ class TestQ6Q10Q14:
         assert out == [
             {"promo_rev_e4": 0, "total_rev_e4": 0, "promo_pct_e9": 0}
         ]
+
+
+class TestQ7Q8Q17Q18:
+    def _entry(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        import __ray_entry__ as e
+
+        return e
+
+    def _oracle_df(self, e, name, sf_dir):
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ("customer", "orders", "lineitem", "part", "nation",
+                  "region", "supplier"):
+            con.execute(
+                "CREATE VIEW %s AS SELECT * FROM read_parquet('%s/%s.parquet')"
+                % (t, sf_dir, t)
+            )
+        return con.execute(e.oracle_sql()[name]).df()
+
+    def _assert_match(self, got, exp):
+        cols = sorted(got.columns)
+        assert sorted(exp.columns) == cols
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = exp[cols].sort_values(cols).reset_index(drop=True)
+        assert len(a) == len(b) and len(a) > 0
+        for c in cols:
+            assert (a[c].astype(str) == b[c].astype(str)).all(), c
+
+    def test_nation_trade(self, ray_session, sf_dir):
+        e = self._entry()
+        got = e.queries()["nation_trade"](sf_dir).to_pandas()
+        self._assert_match(got, self._oracle_df(e, "nation_trade", sf_dir))
+        # cross-nation only
+        assert (got["supp_nation"] != got["cust_nation"]).all()
+
+    def test_market_share(self, ray_session, sf_dir):
+        e = self._entry()
+        got = e.queries()["market_share"](sf_dir).to_pandas()
+        self._assert_match(got, self._oracle_df(e, "market_share", sf_dir))
+        assert (got["share_rev_e4"] <= got["total_rev_e4"]).all()
+
+    def test_small_quantity_revenue(self, ray_session, sf_dir):
+        e = self._entry()
+        got = e.queries()["small_quantity_revenue"](sf_dir).to_pandas()
+        self._assert_match(
+            got, self._oracle_df(e, "small_quantity_revenue", sf_dir)
+        )
+
+    def test_large_orders(self, ray_session, sf_dir):
+        e = self._entry()
+        got = e.queries()["large_orders"](sf_dir).to_pandas()
+        self._assert_match(got, self._oracle_df(e, "large_orders", sf_dir))
+        assert (got["sum_qty_e2"] >= 25000).all()

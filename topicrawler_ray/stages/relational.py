@@ -702,3 +702,494 @@ def promo_revenue_ratio(lineitem_ds, part_ds, lo_us: int, hi_us: int,
         )
 
     return partials.map_batches(merge, batch_format="pyarrow")
+
+
+def _year_of_us(us_arr):
+    """Vectorized year extraction from int64 epoch-us (dates in the
+    TPC-H range are all post-1970, so np datetime64 arithmetic is
+    exact)."""
+    return (
+        np.asarray(us_arr, dtype="datetime64[us]")
+        .astype("datetime64[Y]")
+        .astype(np.int64)
+        + 1970
+    )
+
+
+def nation_pair_trade(lineitem_ds, orders_ds, supplier_ds, customer_ds,
+                      nation_ds, lo_us: int, hi_us: int,
+                      num_partitions: int = 8):
+    """TPC-H-Q7-shaped shipping volume between nations: revenue per
+    (supplier nation, customer nation, ship year) for cross-nation
+    pairs in a two-year window.
+
+    Scale shape: supplier's nation key rides a ``ray.put`` dict into
+    the windowed lineitem scan (supplier catalog = dimension by
+    contract; task-pool map, no reserved actor pool); the two
+    fact-to-fact hops (line -> orders -> customer) are hash-partitioned
+    ``Dataset.join``s; the aggregate collapses to int nation-key pairs
+    x years BEFORE names attach (nation is 25 rows — names join on the
+    driver over the histogram-sized result, never on the fact path).
+    """
+    import pyarrow.compute as _pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    supp_rows = supplier_ds.select_columns(["s_suppkey", "s_nationkey"]).take_all()
+    supp_ref = ray.put(
+        {r["s_suppkey"]: int(r["s_nationkey"]) for r in supp_rows}
+    )
+
+    def li_slim(batch: pa.Table, _ref=supp_ref) -> pa.Table:
+        smap = ray.get(_ref) if not isinstance(_ref, dict) else _ref
+        us = batch.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        us = us.to_numpy(zero_copy_only=False)
+        keep = (us >= lo_us) & (us < hi_us)
+        base = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+            * 100.0
+        ).astype(np.int64)
+        disc = np.floor(
+            batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+            * 100.0
+        ).astype(np.int64)
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(
+                    batch.column("l_orderkey").to_numpy(zero_copy_only=False)[
+                        keep
+                    ],
+                    pa.int64(),
+                ),
+                "supp_nk": pa.array(
+                    [smap[int(s)] for s in supp], pa.int64()
+                ),
+                "rev_e4": pa.array(base * (100 - disc), pa.int64()),
+                "year": pa.array(_year_of_us(us[keep]), pa.int64()),
+            }
+        )
+
+    line = lineitem_ds.map_batches(li_slim, batch_format="pyarrow")
+    orders = orders_ds.select_columns(["o_orderkey", "o_custkey"])
+    j1 = line.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    cust = customer_ds.select_columns(["c_custkey", "c_nationkey"])
+    j2 = j1.join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "supp_nk": batch.column("supp_nk"),
+                "cust_nk": pc.cast(batch.column("c_nationkey"), pa.int64()),
+                "year": batch.column("year"),
+                "rev_e4": batch.column("rev_e4"),
+            }
+        )
+        g = t.group_by(["supp_nk", "cust_nk", "year"]).aggregate(
+            [("rev_e4", "sum")]
+        )
+        return g.rename_columns(["supp_nk", "cust_nk", "year", "rev_part"])
+
+    agg = (
+        j2.map_batches(fold, batch_format="pyarrow")
+        .groupby(["supp_nk", "cust_nk", "year"])
+        .aggregate(Sum("rev_part", alias_name="revenue_e4"))
+    )
+    rows = [
+        r for r in agg.take_all() if r["supp_nk"] != r["cust_nk"]
+    ]  # histogram-sized: nations^2 x years
+    names = {
+        int(r["n_nationkey"]): r["n_name"]
+        for r in nation_ds.select_columns(["n_nationkey", "n_name"]).take_all()
+    }
+    rows.sort(key=lambda r: (r["supp_nk"], r["cust_nk"], r["year"]))
+    return pa.table(
+        {
+            "supp_nation": pa.array(
+                [names[r["supp_nk"]] for r in rows], pa.string()
+            ),
+            "cust_nation": pa.array(
+                [names[r["cust_nk"]] for r in rows], pa.string()
+            ),
+            "year": pa.array([r["year"] for r in rows], pa.int64()),
+            "revenue_e4": pa.array([r["revenue_e4"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def market_share(lineitem_ds, orders_ds, supplier_ds, customer_ds,
+                 nation_ds, region_ds, region_name: str, share_nation: str,
+                 lo_us: int, hi_us: int, num_partitions: int = 8):
+    """TPC-H-Q8-shaped market share: of all revenue shipped in a
+    window to customers in one region, the fraction supplied by one
+    nation, per ship year.
+
+    Scale shape: nation/region (25 + 5 rows) resolve driver-side into
+    a customer-nation key set and a supplier share-nation key; the
+    customer table filters map-side against the broadcast set; two
+    hash joins chain line -> orders -> region-customers; each block
+    folds to (year, total_part, share_part) and one tiny groupby
+    merges.  The e9-quantized share divides the two exact int64 sums
+    with one fixed float expression (oracle-identical).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    nrows = nation_ds.select_columns(
+        ["n_nationkey", "n_name", "n_regionkey"]
+    ).take_all()
+    rrows = region_ds.select_columns(["r_regionkey", "r_name"]).take_all()
+    region_key = {r["r_name"]: int(r["r_regionkey"]) for r in rrows}[region_name]
+    region_nations = frozenset(
+        int(r["n_nationkey"]) for r in nrows if int(r["n_regionkey"]) == region_key
+    )
+    share_nk = {r["n_name"]: int(r["n_nationkey"]) for r in nrows}[share_nation]
+
+    def cust_slim(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (int(x) in region_nations for x in nk), dtype=bool, count=len(nk)
+        )
+        return pa.table(
+            {
+                "c_custkey": pa.array(
+                    batch.column("c_custkey").to_numpy(zero_copy_only=False)[
+                        keep
+                    ],
+                    pa.int64(),
+                )
+            }
+        )
+
+    cust = customer_ds.map_batches(cust_slim, batch_format="pyarrow")
+
+    supp_rows = supplier_ds.select_columns(["s_suppkey", "s_nationkey"]).take_all()
+    supp_ref = ray.put(
+        {r["s_suppkey"]: int(r["s_nationkey"]) for r in supp_rows}
+    )
+
+    def li_slim(batch: pa.Table, _ref=supp_ref) -> pa.Table:
+        smap = ray.get(_ref) if not isinstance(_ref, dict) else _ref
+        us = batch.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        us = us.to_numpy(zero_copy_only=False)
+        keep = (us >= lo_us) & (us < hi_us)
+        base = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+            * 100.0
+        ).astype(np.int64)
+        disc = np.floor(
+            batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+            * 100.0
+        ).astype(np.int64)
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(
+                    batch.column("l_orderkey").to_numpy(zero_copy_only=False)[
+                        keep
+                    ],
+                    pa.int64(),
+                ),
+                "is_share": pa.array(
+                    [int(smap[int(s)]) == share_nk for s in supp],
+                    pa.bool_(),
+                ),
+                "rev_e4": pa.array(base * (100 - disc), pa.int64()),
+                "year": pa.array(_year_of_us(us[keep]), pa.int64()),
+            }
+        )
+
+    line = lineitem_ds.map_batches(li_slim, batch_format="pyarrow")
+    j1 = line.join(
+        orders_ds.select_columns(["o_orderkey", "o_custkey"]),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    j2 = j1.join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        years = batch.column("year").to_numpy(zero_copy_only=False)
+        rev = batch.column("rev_e4").to_numpy(zero_copy_only=False)
+        share = batch.column("is_share").to_numpy(zero_copy_only=False)
+        o_y, o_t, o_s = [], [], []
+        for y in np.unique(years):
+            m = years == y
+            o_y.append(int(y))
+            o_t.append(int(rev[m].sum()))
+            o_s.append(int(rev[m & share].sum()))
+        return pa.table(
+            {
+                "year": pa.array(o_y, pa.int64()),
+                "total_part": pa.array(o_t, pa.int64()),
+                "share_part": pa.array(o_s, pa.int64()),
+            }
+        )
+
+    agg = (
+        j2.map_batches(fold, batch_format="pyarrow")
+        .repartition(2)
+        .groupby("year")
+        .aggregate(
+            Sum("total_part", alias_name="total_rev_e4"),
+            Sum("share_part", alias_name="share_rev_e4"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        total = batch.column("total_rev_e4").to_numpy(zero_copy_only=False)
+        share = batch.column("share_rev_e4").to_numpy(zero_copy_only=False)
+        pct = np.zeros(len(total), dtype=np.int64)
+        nz = total != 0
+        pct[nz] = np.floor(
+            share[nz].astype(np.float64) / total[nz].astype(np.float64) * 1e9
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "year": batch.column("year"),
+                "total_rev_e4": batch.column("total_rev_e4"),
+                "share_rev_e4": batch.column("share_rev_e4"),
+                "share_e9": pa.array(pct, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def small_quantity_revenue(lineitem_ds, part_ds, brand: str,
+                           num_partitions: int = 8):
+    """TPC-H-Q17-shaped small-quantity-order revenue: total discounted-
+    eligible base price of brand lineitems whose quantity is below 20%
+    of the part's average quantity, scaled to a yearly figure.
+
+    Scale shape: the brand's part keys broadcast as a key set into the
+    lineitem scan; ONE ``groupby(l_partkey).map_groups`` computes the
+    per-part average AND applies the below-one-fifth predicate inside
+    the group (cross-multiplied integers, ``qty_e2 * 5 * n <
+    sum_qty_e2`` — no division, no second pass, and no stats join:
+    Ray's hash join materializes schema-less empty right partitions on
+    sparse key sets, and the co-group needs none); each group emits one
+    partial row into a single merge task.  ``avg_yearly_e2 =
+    floor(sum/7.0)`` is the single fixed float expression,
+    oracle-identical.
+    """
+    import ray
+
+    part_rows = part_ds.select_columns(["p_partkey", "p_brand"]).take_all()
+    brand_keys = frozenset(
+        int(r["p_partkey"]) for r in part_rows if r["p_brand"] == brand
+    )
+    keys_ref = ray.put(brand_keys)
+
+    def li_slim(batch: pa.Table, _ref=keys_ref) -> pa.Table:
+        keys = _ref if isinstance(_ref, frozenset) else ray.get(_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (int(x) in keys for x in pk), dtype=bool, count=len(pk)
+        )
+        qty = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False)[keep]
+            * 100.0
+        ).astype(np.int64)
+        base = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+            * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": pa.array(pk[keep], pa.int64()),
+                "qty_e2": pa.array(qty, pa.int64()),
+                "base_e2": pa.array(base, pa.int64()),
+            }
+        )
+
+    line = lineitem_ds.map_batches(li_slim, batch_format="pyarrow")
+
+    def group_fold(g: pa.Table) -> pa.Table:
+        qty = g.column("qty_e2").to_numpy(zero_copy_only=False)
+        base = g.column("base_e2").to_numpy(zero_copy_only=False)
+        n = len(qty)
+        sq = int(qty.sum())
+        keep = qty * 5 * n < sq
+        return pa.table(
+            {
+                "n_rows": pa.array([int(keep.sum())], pa.int64()),
+                "sum_base_e2": pa.array([int(base[keep].sum())], pa.int64()),
+            }
+        )
+
+    per_part = line.groupby("l_partkey").map_groups(
+        group_fold, batch_format="pyarrow"
+    )
+
+    import ray.data as _rd
+
+    seed = _rd.from_items([{"n_rows": 0, "sum_base_e2": 0}])
+    partials = per_part.union(seed).repartition(1)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        n = int(np.sum(batch.column("n_rows").to_numpy()))
+        s = int(np.sum(batch.column("sum_base_e2").to_numpy()))
+        return pa.table(
+            {
+                "n_rows": pa.array([n], pa.int64()),
+                "sum_base_e2": pa.array([s], pa.int64()),
+                "avg_yearly_e2": pa.array(
+                    [int(np.floor(s / 7.0))], pa.int64()
+                ),
+            }
+        )
+
+    return partials.map_batches(merge, batch_format="pyarrow")
+
+
+def large_volume_orders(lineitem_ds, orders_ds, customer_ds,
+                        qty_threshold_e2: int, k: int = 100):
+    """TPC-H-Q18-shaped large-volume customers: the top-k orders by
+    total quantity at or above a threshold, with order and customer
+    attributes attached.
+
+    Scale shape: per-order quantity sums ride one combiner +
+    groupby(l_orderkey); the threshold filters order-scale rows; a
+    per-block partial top-k + O(k x blocks) driver merge bounds the
+    result; order/customer attributes are fetched for ONLY the k
+    winners by pruned key-set scans (<= k rows each to the driver) —
+    the returned_items discipline.
+    """
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Sum
+
+    def qty_part(batch: pa.Table) -> pa.Table:
+        qty = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "qty_e2": pa.array(qty, pa.int64()),
+            }
+        )
+        g = t.group_by("l_orderkey").aggregate([("qty_e2", "sum")])
+        return g.rename_columns(["l_orderkey", "q_part"])
+
+    per_order = (
+        lineitem_ds.map_batches(qty_part, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("q_part", alias_name="sum_qty_e2"))
+    )
+
+    def partial_top(batch: pa.Table) -> pa.Table:
+        sq = batch.column("sum_qty_e2").to_numpy(zero_copy_only=False)
+        keep = sq >= qty_threshold_e2
+        rows = sorted(
+            zip(
+                sq[keep],
+                batch.column("l_orderkey").to_numpy(zero_copy_only=False)[
+                    keep
+                ],
+            ),
+            key=lambda r: (-r[0], r[1]),
+        )[:k]
+        return pa.table(
+            {
+                "sum_qty_e2": pa.array([int(r[0]) for r in rows], pa.int64()),
+                "l_orderkey": pa.array([int(r[1]) for r in rows], pa.int64()),
+            }
+        )
+
+    partials = per_order.map_batches(partial_top, batch_format="pyarrow").take_all()
+    best = sorted(partials, key=lambda r: (-r["sum_qty_e2"], r["l_orderkey"]))[:k]
+    win = frozenset(r["l_orderkey"] for r in best)
+
+    def pick_orders(batch: pa.Table, _keys=win) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (int(x) in _keys for x in ok), dtype=bool, count=len(ok)
+        )
+        return batch.filter(pa.array(keep))
+
+    orows = {
+        r["o_orderkey"]: r
+        for r in orders_ds.select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+        )
+        .map_batches(pick_orders, batch_format="pyarrow")
+        .take_all()
+    }
+    ckeys = frozenset(int(orows[r["l_orderkey"]]["o_custkey"]) for r in best)
+
+    def pick_cust(batch: pa.Table, _keys=ckeys) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (int(x) in _keys for x in ck), dtype=bool, count=len(ck)
+        )
+        return batch.filter(pa.array(keep))
+
+    crows = {
+        r["c_custkey"]: r["c_name"]
+        for r in customer_ds.select_columns(["c_custkey", "c_name"])
+        .map_batches(pick_cust, batch_format="pyarrow")
+        .take_all()
+    }
+
+    import datetime as _dt
+
+    def _us(d) -> int:
+        if isinstance(d, (int, np.integer)):
+            return int(d)
+        return int(
+            d.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000
+        )
+
+    return pa.table(
+        {
+            "rank": pa.array(range(len(best)), pa.int64()),
+            "o_orderkey": pa.array([r["l_orderkey"] for r in best], pa.int64()),
+            "c_custkey": pa.array(
+                [int(orows[r["l_orderkey"]]["o_custkey"]) for r in best],
+                pa.int64(),
+            ),
+            "c_name": pa.array(
+                [
+                    crows[int(orows[r["l_orderkey"]]["o_custkey"])]
+                    for r in best
+                ],
+                pa.string(),
+            ),
+            "o_orderdate_us": pa.array(
+                [_us(orows[r["l_orderkey"]]["o_orderdate"]) for r in best],
+                pa.int64(),
+            ),
+            "totalprice_e2": pa.array(
+                [
+                    int(
+                        np.floor(
+                            orows[r["l_orderkey"]]["o_totalprice"] * 100.0
+                        )
+                    )
+                    for r in best
+                ],
+                pa.int64(),
+            ),
+            "sum_qty_e2": pa.array([r["sum_qty_e2"] for r in best], pa.int64()),
+        }
+    )
