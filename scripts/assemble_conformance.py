@@ -65,9 +65,10 @@ artifact = {
         "sf_dir": "/root/testdata/sf0.01",
         "note": (
             "single full queries() sweep vs oracle_sql() via "
-            "scripts/check_queries.py at round-5 third-session final HEAD "
-            "(148 = 141 + host_pagerank + crawl_budgets + host_harmonic + "
-            "politeness_audit + seed_selection + knn_recall + host_degrees)"
+            "scripts/check_queries.py at round-5 final HEAD (204 certified "
+            "queries: pure-SQL oracles over the raw tables, materialized "
+            "sequential-oracle fixtures, frozen goldens, and the "
+            "independent crawl simulator incl. the breadth-policy run)"
         ),
     },
     "second_scale": {
