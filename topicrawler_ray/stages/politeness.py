@@ -786,7 +786,7 @@ def robots_blocked(pages_ds, num_partitions: int | None = None):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def host_gain_curve(log_ds, num_partitions: int | None = None):
+def host_gain_curve(log_ds):
     """Crawl gain curve: per wave, how many NEW hosts were discovered
     (first fetch) and the running total — the diminishing-returns
     signal a tiered crawl budgeter reads to decide when a crawl cycle

@@ -568,18 +568,10 @@ def returned_customer_revenue(lineitem_ds, orders_ds, customer_ds, nation_ds,
     # second actor pool — the attributes never ride the aggregate exchange)
     win_keys = frozenset(r["c_custkey"] for r in best)
 
-    def pick(batch: pa.Table, _keys=win_keys) -> pa.Table:
-        mask = np.fromiter(
-            (
-                kk in _keys
-                for kk in batch.column("c_custkey").to_numpy(
-                    zero_copy_only=False
-                )
-            ),
-            dtype=bool,
-            count=len(batch),
-        )
-        return batch.filter(pa.array(mask))
+    win_arr = np.sort(np.array(sorted(win_keys), dtype=np.int64))
+
+    def pick(batch: pa.Table, _keys=win_arr) -> pa.Table:
+        return _keyset_filter(batch, "c_custkey", _keys)
 
     attrs = {
         r["c_custkey"]: r
@@ -716,6 +708,65 @@ def _year_of_us(us_arr):
     )
 
 
+def _keyset_filter(batch: pa.Table, column: str, keys_sorted: np.ndarray) -> pa.Table:
+    """Filter a batch to rows whose ``column`` value is in the sorted
+    key array (vectorized np.isin) — the pruned winner-fetch kernel."""
+    vals = batch.column(column).to_numpy(zero_copy_only=False)
+    return batch.filter(pa.array(np.isin(vals, keys_sorted)))
+
+
+def _supplier_nation_arrays(supplier_ds):
+    """(sorted s_suppkey array, aligned s_nationkey array) for the
+    vectorized searchsorted gather in the lineitem scans."""
+    rows = supplier_ds.select_columns(["s_suppkey", "s_nationkey"]).take_all()
+    keys = np.array([r["s_suppkey"] for r in rows], dtype=np.int64)
+    vals = np.array([r["s_nationkey"] for r in rows], dtype=np.int64)
+    order = np.argsort(keys, kind="stable")
+    return keys[order], vals[order]
+
+
+def _windowed_line_scan(lineitem_ds, lo_us: int, hi_us: int, supp_ref):
+    """Shared Q7/Q8 lineitem scan: window mask, floor(x*100) revenue
+    quantization, vectorized supplier-nation gather (searchsorted on
+    the broadcast sorted arrays), ship-year extraction.
+    -> (l_orderkey, supp_nk, rev_e4, year)"""
+    import ray
+
+    def li_slim(batch: pa.Table, _ref=supp_ref) -> pa.Table:
+        skeys, svals = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        us = batch.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        us = us.to_numpy(zero_copy_only=False)
+        keep = (us >= lo_us) & (us < hi_us)
+        base = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+            * 100.0
+        ).astype(np.int64)
+        disc = np.floor(
+            batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+            * 100.0
+        ).astype(np.int64)
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False)[keep]
+        idx = np.searchsorted(skeys, supp)
+        assert (skeys[np.minimum(idx, len(skeys) - 1)] == supp).all(), (
+            "lineitem references a supplier key absent from the catalog"
+        )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(
+                    batch.column("l_orderkey").to_numpy(zero_copy_only=False)[
+                        keep
+                    ],
+                    pa.int64(),
+                ),
+                "supp_nk": pa.array(svals[idx], pa.int64()),
+                "rev_e4": pa.array(base * (100 - disc), pa.int64()),
+                "year": pa.array(_year_of_us(us[keep]), pa.int64()),
+            }
+        )
+
+    return lineitem_ds.map_batches(li_slim, batch_format="pyarrow")
+
+
 def nation_pair_trade(lineitem_ds, orders_ds, supplier_ds, customer_ds,
                       nation_ds, lo_us: int, hi_us: int,
                       num_partitions: int = 8):
@@ -731,46 +782,11 @@ def nation_pair_trade(lineitem_ds, orders_ds, supplier_ds, customer_ds,
     x years BEFORE names attach (nation is 25 rows — names join on the
     driver over the histogram-sized result, never on the fact path).
     """
-    import pyarrow.compute as _pc
     import ray
     from ray.data.aggregate import Sum
 
-    supp_rows = supplier_ds.select_columns(["s_suppkey", "s_nationkey"]).take_all()
-    supp_ref = ray.put(
-        {r["s_suppkey"]: int(r["s_nationkey"]) for r in supp_rows}
-    )
-
-    def li_slim(batch: pa.Table, _ref=supp_ref) -> pa.Table:
-        smap = ray.get(_ref) if not isinstance(_ref, dict) else _ref
-        us = batch.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
-        us = us.to_numpy(zero_copy_only=False)
-        keep = (us >= lo_us) & (us < hi_us)
-        base = np.floor(
-            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
-            * 100.0
-        ).astype(np.int64)
-        disc = np.floor(
-            batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
-            * 100.0
-        ).astype(np.int64)
-        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False)[keep]
-        return pa.table(
-            {
-                "l_orderkey": pa.array(
-                    batch.column("l_orderkey").to_numpy(zero_copy_only=False)[
-                        keep
-                    ],
-                    pa.int64(),
-                ),
-                "supp_nk": pa.array(
-                    [smap[int(s)] for s in supp], pa.int64()
-                ),
-                "rev_e4": pa.array(base * (100 - disc), pa.int64()),
-                "year": pa.array(_year_of_us(us[keep]), pa.int64()),
-            }
-        )
-
-    line = lineitem_ds.map_batches(li_slim, batch_format="pyarrow")
+    supp_ref = ray.put(_supplier_nation_arrays(supplier_ds))
+    line = _windowed_line_scan(lineitem_ds, lo_us, hi_us, supp_ref)
     orders = orders_ds.select_columns(["o_orderkey", "o_custkey"])
     j1 = line.join(
         orders,
@@ -857,11 +873,11 @@ def market_share(lineitem_ds, orders_ds, supplier_ds, customer_ds,
     )
     share_nk = {r["n_name"]: int(r["n_nationkey"]) for r in nrows}[share_nation]
 
+    region_nation_arr = np.sort(np.array(sorted(region_nations), dtype=np.int64))
+
     def cust_slim(batch: pa.Table) -> pa.Table:
         nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
-        keep = np.fromiter(
-            (int(x) in region_nations for x in nk), dtype=bool, count=len(nk)
-        )
+        keep = np.isin(nk, region_nation_arr)
         return pa.table(
             {
                 "c_custkey": pa.array(
@@ -875,43 +891,8 @@ def market_share(lineitem_ds, orders_ds, supplier_ds, customer_ds,
 
     cust = customer_ds.map_batches(cust_slim, batch_format="pyarrow")
 
-    supp_rows = supplier_ds.select_columns(["s_suppkey", "s_nationkey"]).take_all()
-    supp_ref = ray.put(
-        {r["s_suppkey"]: int(r["s_nationkey"]) for r in supp_rows}
-    )
-
-    def li_slim(batch: pa.Table, _ref=supp_ref) -> pa.Table:
-        smap = ray.get(_ref) if not isinstance(_ref, dict) else _ref
-        us = batch.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
-        us = us.to_numpy(zero_copy_only=False)
-        keep = (us >= lo_us) & (us < hi_us)
-        base = np.floor(
-            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
-            * 100.0
-        ).astype(np.int64)
-        disc = np.floor(
-            batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
-            * 100.0
-        ).astype(np.int64)
-        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False)[keep]
-        return pa.table(
-            {
-                "l_orderkey": pa.array(
-                    batch.column("l_orderkey").to_numpy(zero_copy_only=False)[
-                        keep
-                    ],
-                    pa.int64(),
-                ),
-                "is_share": pa.array(
-                    [int(smap[int(s)]) == share_nk for s in supp],
-                    pa.bool_(),
-                ),
-                "rev_e4": pa.array(base * (100 - disc), pa.int64()),
-                "year": pa.array(_year_of_us(us[keep]), pa.int64()),
-            }
-        )
-
-    line = lineitem_ds.map_batches(li_slim, batch_format="pyarrow")
+    supp_ref = ray.put(_supplier_nation_arrays(supplier_ds))
+    line = _windowed_line_scan(lineitem_ds, lo_us, hi_us, supp_ref)
     j1 = line.join(
         orders_ds.select_columns(["o_orderkey", "o_custkey"]),
         join_type="inner",
@@ -930,7 +911,9 @@ def market_share(lineitem_ds, orders_ds, supplier_ds, customer_ds,
     def fold(batch: pa.Table) -> pa.Table:
         years = batch.column("year").to_numpy(zero_copy_only=False)
         rev = batch.column("rev_e4").to_numpy(zero_copy_only=False)
-        share = batch.column("is_share").to_numpy(zero_copy_only=False)
+        share = (
+            batch.column("supp_nk").to_numpy(zero_copy_only=False) == share_nk
+        )
         o_y, o_t, o_s = [], [], []
         for y in np.unique(years):
             m = years == y
@@ -995,17 +978,18 @@ def small_quantity_revenue(lineitem_ds, part_ds, brand: str,
     import ray
 
     part_rows = part_ds.select_columns(["p_partkey", "p_brand"]).take_all()
-    brand_keys = frozenset(
-        int(r["p_partkey"]) for r in part_rows if r["p_brand"] == brand
+    brand_keys = np.sort(
+        np.array(
+            [int(r["p_partkey"]) for r in part_rows if r["p_brand"] == brand],
+            dtype=np.int64,
+        )
     )
     keys_ref = ray.put(brand_keys)
 
     def li_slim(batch: pa.Table, _ref=keys_ref) -> pa.Table:
-        keys = _ref if isinstance(_ref, frozenset) else ray.get(_ref)
+        keys = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
         pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
-        keep = np.fromiter(
-            (int(x) in keys for x in pk), dtype=bool, count=len(pk)
-        )
+        keep = np.isin(pk, keys)
         qty = np.floor(
             batch.column("l_quantity").to_numpy(zero_copy_only=False)[keep]
             * 100.0
@@ -1120,12 +1104,10 @@ def large_volume_orders(lineitem_ds, orders_ds, customer_ds,
     best = sorted(partials, key=lambda r: (-r["sum_qty_e2"], r["l_orderkey"]))[:k]
     win = frozenset(r["l_orderkey"] for r in best)
 
-    def pick_orders(batch: pa.Table, _keys=win) -> pa.Table:
-        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
-        keep = np.fromiter(
-            (int(x) in _keys for x in ok), dtype=bool, count=len(ok)
-        )
-        return batch.filter(pa.array(keep))
+    win_arr = np.sort(np.array(sorted(win), dtype=np.int64))
+
+    def pick_orders(batch: pa.Table, _keys=win_arr) -> pa.Table:
+        return _keyset_filter(batch, "o_orderkey", _keys)
 
     orows = {
         r["o_orderkey"]: r
@@ -1137,12 +1119,10 @@ def large_volume_orders(lineitem_ds, orders_ds, customer_ds,
     }
     ckeys = frozenset(int(orows[r["l_orderkey"]]["o_custkey"]) for r in best)
 
-    def pick_cust(batch: pa.Table, _keys=ckeys) -> pa.Table:
-        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
-        keep = np.fromiter(
-            (int(x) in _keys for x in ck), dtype=bool, count=len(ck)
-        )
-        return batch.filter(pa.array(keep))
+    ckeys_arr = np.sort(np.array(sorted(ckeys), dtype=np.int64))
+
+    def pick_cust(batch: pa.Table, _keys=ckeys_arr) -> pa.Table:
+        return _keyset_filter(batch, "c_custkey", _keys)
 
     crows = {
         r["c_custkey"]: r["c_name"]
@@ -1156,8 +1136,16 @@ def large_volume_orders(lineitem_ds, orders_ds, customer_ds,
     def _us(d) -> int:
         if isinstance(d, (int, np.integer)):
             return int(d)
+        if isinstance(d, _dt.datetime):
+            return int(
+                d.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000
+            )
+        # datetime.date (date32 parquet encoding): midnight UTC
         return int(
-            d.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000
+            _dt.datetime(
+                d.year, d.month, d.day, tzinfo=_dt.timezone.utc
+            ).timestamp()
+            * 1_000_000
         )
 
     return pa.table(

@@ -415,15 +415,13 @@ def label_filtered_topk(
     return pa.concat_tables(tables)
 
 
-def train_centroids(ds, n_lists: int = 16, vec_column: str = "embedding",
-                    iters: int = 5, seed: int = 23, id_column: str = "vec_id",
-                    max_sample: int = 4096) -> np.ndarray:
-    """Deterministic mini k-means on a deterministic sample (driver-side;
-    the sample is small by construction).
-
-    The sample is a modulo-decimation on the id column (``id % stride ==
-    0``) read in id order - NO distributed RNG, so a sequential oracle
-    can replicate centroid training bit-for-bit."""
+def _decimated_sample(ds, id_column: str, vec_column: str,
+                      max_sample: int) -> np.ndarray:
+    """The shared deterministic training-sample SPEC: modulo-decimation
+    on the id column (``id % stride == 0``) read in id order — NO
+    distributed RNG, so a sequential oracle replicates it bit-for-bit.
+    Used by BOTH centroid trainers (IVF + PQ); change it in one place
+    only."""
     import pyarrow.compute as pc
 
     total = ds.count()
@@ -440,7 +438,15 @@ def train_centroids(ds, n_lists: int = 16, vec_column: str = "embedding",
         sampled.select_columns([id_column, vec_column]).take_all(),
         key=lambda r: r[id_column],
     )[:max_sample]
-    vecs = np.array([r[vec_column] for r in rows], dtype=np.float32)
+    return np.array([r[vec_column] for r in rows], dtype=np.float32)
+
+
+def train_centroids(ds, n_lists: int = 16, vec_column: str = "embedding",
+                    iters: int = 5, seed: int = 23, id_column: str = "vec_id",
+                    max_sample: int = 4096) -> np.ndarray:
+    """Deterministic mini k-means on the shared decimated sample
+    (driver-side; the sample is small by construction)."""
+    vecs = _decimated_sample(ds, id_column, vec_column, max_sample)
     return kmeans_lite(vecs, n_lists, iters, seed)
 
 
@@ -828,23 +834,9 @@ def pq_train_codebooks(ds, m: int = 8, n_codes: int = 16,
     SAME deterministic modulo-decimation sample as ``train_centroids``
     (id % stride == 0, id order, no distributed RNG) — a sequential
     oracle replicates training bit-for-bit.  -> (m, n_codes, dim/m)."""
-    import pyarrow.compute as pc
-
-    total = ds.count()
-    stride = max(1, (total + max_sample - 1) // max_sample)
-    sampled = ds
-    if stride > 1:
-        sampled = ds.map_batches(
-            lambda t: t.filter(
-                pc.equal(pc.mod(t.column(id_column), stride), 0)
-            ),
-            batch_format="pyarrow",
-        )
-    rows = sorted(
-        sampled.select_columns([id_column, vec_column]).take_all(),
-        key=lambda r: r[id_column],
-    )[:max_sample]
-    sample = _normalize(np.array([r[vec_column] for r in rows], dtype=np.float32))
+    sample = _normalize(
+        _decimated_sample(ds, id_column, vec_column, max_sample)
+    )
     dim = sample.shape[1]
     if dim % m:
         raise ValueError("dim %d not divisible by m=%d" % (dim, m))
@@ -901,13 +893,12 @@ def pq_topk(
     )
     books_int = _pq_int(books)  # (m, n_codes, sub)
 
-    # queries: the first ids, same convention as the sibling knn ops
+    # queries: the first ids, same convention as the sibling knn ops —
+    # a FILTERED point read (query_max_id rows), never a full take_all
     q_rows = sorted(
-        (
-            r
-            for r in ds.select_columns([id_column, vec_column]).take_all()
-            if r[id_column] < query_max_id
-        ),
+        ds.filter(expr="%s < %d" % (id_column, query_max_id))
+        .select_columns([id_column, vec_column])
+        .take_all(),
         key=lambda r: r[id_column],
     )
     qmat = _normalize(np.array([r[vec_column] for r in q_rows], dtype=np.float32))
@@ -916,21 +907,17 @@ def pq_topk(
     # ADC tables: (Q, m, n_codes) exact int64 squared distances
     luts = np.stack(
         [
-            np.stack(
-                [
-                    (
-                        (
-                            q_int[:, i * sub : (i + 1) * sub][:, None, :]
-                            - books_int[i][None, :, :]
-                        )
-                        ** 2
-                    ).sum(axis=2)
-                    for i in range(m)
-                ],
-                axis=1,
-            )
-        ]
-    )[0]
+            (
+                (
+                    q_int[:, i * sub : (i + 1) * sub][:, None, :]
+                    - books_int[i][None, :, :]
+                )
+                ** 2
+            ).sum(axis=2)
+            for i in range(m)
+        ],
+        axis=1,
+    )
     ref = ray.put((books_int, luts))
 
     def partial_topk(batch: pa.Table) -> pa.Table:

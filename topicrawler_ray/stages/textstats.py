@@ -473,25 +473,13 @@ def rolling_fingerprints(text: str, window: int = 32, keep_mod: int = 16) -> lis
     bounded chunks - no per-byte python loop."""
     import numpy as np
 
-    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
-    n = len(data)
+    n = len(text.encode("utf-8"))
     if n < window:
+        # short-text sentinel: the whole-text hash, kept unconditionally
         return [content_hash64(text)] if n else []
-    powers = _RABIN_POWER_CACHE.get(window)
-    if powers is None:
-        powers = _RABIN_POWER_CACHE[window] = _rabin_powers(window)
-    out: list[int] = []
-    n_pos = n - window + 1
-    chunk = 1 << 16  # bound the (chunk x window) uint64 scratch to ~16MB
-    for start in range(0, n_pos, chunk):
-        stop = min(start + chunk, n_pos)
-        win = np.lib.stride_tricks.sliding_window_view(
-            data[start : stop + window - 1], window
-        ).astype(np.uint64)
-        h = (win * powers).sum(axis=1, dtype=np.uint64)
-        kept = h[h % np.uint64(keep_mod) == 0]
-        out.extend(int(x) for x in kept.astype(np.int64))
-    return out
+    h = window_hash_array(text, window)  # the shared Rabin kernel
+    kept = h[h % np.uint64(keep_mod) == 0]
+    return [int(x) for x in kept.astype(np.int64)]
 
 
 def content_md5(text: str) -> str:
