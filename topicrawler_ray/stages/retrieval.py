@@ -675,3 +675,135 @@ def phrase_search(ds, phrases, id_column: str = "doc_id",
         )
 
     return ds.map_batches(find, batch_format="pyarrow")
+
+
+def _weighted_bm25_pass(ds, weighted_queries, k, id_column, text_column):
+    """Weighted-term BM25 scan: like :func:`bm25_topk`'s pass but each
+    query term carries an integer weight (score += w_t * contrib_e9).
+    ``weighted_queries`` = [(qid, {term: weight})]."""
+    import ray
+
+    vocab = {t for _, wts in weighted_queries for t in wts}
+    vocab_list = sorted(vocab)
+    df, n_docs, avgdl = corpus_stats(ds, vocab, text_column)
+    idf = {t: bm25_idf(df.get(t, 0), n_docs) for t in vocab}
+    ref = ray.put((weighted_queries, vocab_list, idf, avgdl))
+
+    def partial_topk(batch: pa.Table, _ref=ref) -> pa.Table:
+        wq, vlist, idf_l, avg = ray.get(_ref)
+        vocab_arr = pa.array(vlist, pa.string())
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        flat, doc_idx, dl = _explode_tokens(batch.column(text_column))
+        d_idx, t_code, tf = _doc_term_tf(flat, doc_idx, vocab_arr)
+        order = np.argsort(t_code, kind="stable")
+        d_idx, t_code, tf = d_idx[order], t_code[order], tf[order]
+        bounds = np.searchsorted(t_code, np.arange(len(vlist) + 1))
+        code_of = {t: i for i, t in enumerate(vlist)}
+        n = len(ids)
+        o_q, o_id, o_s = [], [], []
+        for qid, weights in wq:
+            score = np.zeros(n, dtype=np.int64)
+            for t, w in weights.items():
+                c = code_of[t]
+                lo, hi = bounds[c], bounds[c + 1]
+                if lo == hi:
+                    continue
+                di = d_idx[lo:hi]
+                score[di] += w * contrib_e9(idf_l[t], tf[lo:hi], dl[di], avg)
+            pos = np.nonzero(score > 0)[0]
+            if len(pos) == 0:
+                continue
+            if len(pos) > k:
+                sel = np.lexsort((ids[pos], -score[pos]))[:k]
+                pos = pos[sel]
+            o_q.extend([qid] * len(pos))
+            o_id.extend(ids[pos].tolist())
+            o_s.extend(score[pos].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(o_q, pa.int64()),
+                "doc_id": pa.array(o_id, pa.int64()),
+                "score_e9": pa.array(o_s, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    import ray.data
+
+    return ray.data.from_arrow(_merge_partial_topk(partials, k))
+
+
+def rm3_expansions(ds, queries, fb_docs: int, fb_terms: int,
+                   orig_weight: int, exp_weight: int,
+                   id_column: str, text_column: str):
+    """RM3-style pseudo-relevance expansion (Lavrenko & Croft 2001
+    relevance models, the Anserini RM3 default shape, made exactly
+    deterministic): per query, the top ``fb_docs`` BM25 docs vote with
+    their raw term frequencies; the ``fb_terms`` highest-count terms of
+    length >= 3 (count desc, term asc — no floats anywhere) join the
+    original terms.  Weights are integers: original terms get
+    ``orig_weight`` (+ ``exp_weight`` if also selected), expansion
+    terms ``exp_weight``.
+
+    -> ([(qid, {term: weight})], feedback_doc_ids) — the feedback doc
+    TEXTS are fetched by a pruned key-set scan (<= queries x fb_docs
+    rows to the driver), never a corpus materialization.
+    """
+    import numpy as np
+
+    first = bm25_topk(
+        ds, queries, k=fb_docs, id_column=id_column, text_column=text_column
+    ).take_all()
+    fb_by_q: dict[int, list[int]] = {}
+    for r in first:
+        fb_by_q.setdefault(int(r["query_id"]), []).append(int(r["doc_id"]))
+    all_fb = sorted({d for ds_ in fb_by_q.values() for d in ds_})
+    fb_arr = np.array(all_fb, dtype=np.int64)
+
+    def pick(batch: pa.Table, _keys=fb_arr) -> pa.Table:
+        vals = batch.column(id_column).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(vals, _keys)))
+
+    texts = {
+        int(r[id_column]): r[text_column]
+        for r in ds.select_columns([id_column, text_column])
+        .map_batches(pick, batch_format="pyarrow")
+        .take_all()
+    }
+
+    out = []
+    for qid, qtext in queries:
+        orig = query_terms(qtext)
+        counts: dict[str, int] = {}
+        for did in fb_by_q.get(qid, []):
+            for w in (texts.get(did) or "").split(" "):
+                if len(w) >= 3:
+                    counts[w] = counts.get(w, 0) + 1
+        top = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[:fb_terms]
+        weights: dict[str, int] = {}
+        for t in orig:
+            weights[t] = weights.get(t, 0) + orig_weight
+        for t, _c in top:
+            weights[t] = weights.get(t, 0) + exp_weight
+        out.append((qid, weights))
+    return out, all_fb
+
+
+def bm25_rm3(ds, queries, k: int = 10, fb_docs: int = 5, fb_terms: int = 5,
+             orig_weight: int = 2, exp_weight: int = 1,
+             id_column: str = "doc_id", text_column: str = "text"):
+    """BM25 + RM3 pseudo-relevance feedback as a two-pass batch
+    operator: exact first-pass top-``fb_docs``, integer term-count
+    expansion, weighted exact second pass.
+
+    Scale shape: two corpus scans (the first-pass and the weighted
+    re-scan — both the bm25_topk partial-top-k combiner shape), one
+    pruned key-set fetch of <= |queries| x fb_docs feedback texts in
+    between; every score is an integer so any partitioning agrees bit
+    for bit.  -> (query_id, rank, doc_id, score_e6).
+    """
+    weighted, _fb = rm3_expansions(
+        ds, queries, fb_docs, fb_terms, orig_weight, exp_weight,
+        id_column, text_column,
+    )
+    return _weighted_bm25_pass(ds, weighted, k, id_column, text_column)
