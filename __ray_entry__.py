@@ -3784,6 +3784,18 @@ def _q_host_triangles(sf_dir: str):
     return host_triangles(_sparse_host_edges(sf_dir))
 
 
+def _q_host_communities(sf_dir: str):
+    """Community detection over the sparsified offsite host graph:
+    synchronous deterministic label propagation (Raghavan et al. 2007
+    with a fixed 4-round schedule and smallest-label tie-break) — the
+    mirror-cluster / link-farm grouping signal next to components and
+    k-core.  Per round ONE hash join + one degree-bounded co-group +
+    one union-tag merge; sequential adjacency-dict oracle."""
+    from topicrawler_ray.stages.graph import label_propagation_communities
+
+    return label_propagation_communities(_sparse_host_edges(sf_dir), rounds=4)
+
+
 def _q_host_reciprocity(sf_dir: str):
     """Per-host link reciprocity (mutual-linking community vs one-way
     link dump): one pair-key bit-OR groupby + one seed-row host
@@ -4254,6 +4266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "host_capped_sample": _q_host_capped_sample,
         "host_triangles": _q_host_triangles,
+        "host_communities": _q_host_communities,
         "host_reciprocity": _q_host_reciprocity,
         "host_kcore": _q_host_kcore,
         "host_assortativity": _q_host_assortativity,

@@ -689,3 +689,81 @@ class TestLinkLangMatrix:
                 {"src_lang": "en", "dst_lang": "de", "n_links": 1},
                 {"src_lang": "en", "dst_lang": "en", "n_links": 2},
             ]
+
+
+class TestLabelPropagation:
+    def test_two_cliques_bridge_matches_sequential_spec(self, ray_session):
+        """Two 3-cliques + a bridge: the engine lands exactly on the
+        synchronous-LPA spec (simultaneous majority, smallest-label
+        ties, 4 rounds), verified against an inline sequential
+        reference — note the min-tie-break legitimately PULLS labels
+        across the bridge, so the expectation is the spec's output,
+        not 'two neat cliques'."""
+        import ray.data
+
+        from topicrawler_ray.stages.graph import label_propagation_communities
+
+        pairs = [
+            ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+            ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+            ("a3", "b1"),
+        ]
+        adj: dict[str, list[str]] = {}
+        for s, d in pairs:
+            adj.setdefault(s, []).append(d)
+            adj.setdefault(d, []).append(s)
+        labels = {v: v for v in adj}
+        for _ in range(4):
+            labels = {
+                v: sorted(
+                    __import__("collections").Counter(
+                        labels[u] for u in neigh
+                    ).items(),
+                    key=lambda t: (-t[1], t[0]),
+                )[0][0]
+                for v, neigh in adj.items()
+            }
+
+        edges = ray.data.from_items(
+            [{"src": s, "dst": d} for s, d in pairs]
+        ).repartition(3)
+        out = {
+            r["host"]: r["community"]
+            for r in label_propagation_communities(edges, rounds=4).take_all()
+        }
+        assert out == labels
+        # the a-clique keeps its own smallest label
+        assert out["a1"] == out["a2"] == "a1"
+
+    def test_partition_invariance(self, ray_session, sf_dir):
+        """The deterministic sync schedule gives identical labels under
+        any repartitioning, and equals the sequential oracle."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        import __ray_entry__ as e
+        from topicrawler_ray.oracles import _b_host_communities
+        from topicrawler_ray.stages.graph import label_propagation_communities
+
+        edges = e._sparse_host_edges(sf_dir)
+        a = (
+            label_propagation_communities(edges, rounds=4)
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        b = (
+            label_propagation_communities(edges.repartition(5), rounds=4)
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+        exp = (
+            _b_host_communities(sf_dir)
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        assert a.equals(exp[a.columns])

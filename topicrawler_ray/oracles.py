@@ -3191,6 +3191,42 @@ def _sparse_host_edge_set(sf_dir: str) -> set:
     }
 
 
+def _b_host_communities(sf_dir: str) -> pa.Table:
+    """Sequential synchronous label propagation (Raghavan et al. 2007,
+    the exact deterministic spec of the distributed operator): plain
+    dict adjacency over the sparsified undirected host graph, EVERY
+    node simultaneously adopts its neighbours' most frequent label
+    (ties to the smallest label), isolated-in-round nodes keep theirs,
+    exactly 4 rounds.  Shares only the edge derivation."""
+    edges = _sparse_host_edge_set(sf_dir)
+    adj: dict[str, list[str]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        adj.setdefault(d, []).append(s)
+    labels = {v: v for v in adj}
+    for _ in range(4):
+        new = {}
+        for v, neigh in adj.items():
+            counts: dict[str, int] = {}
+            for u in neigh:
+                lab = labels[u]
+                counts[lab] = counts.get(lab, 0) + 1
+            if counts:
+                new[v] = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[
+                    0
+                ][0]
+            else:
+                new[v] = labels[v]
+        labels = new
+    hosts = sorted(labels)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "community": pa.array([labels[h] for h in hosts], pa.string()),
+        }
+    )
+
+
 def _b_host_reciprocity(sf_dir: str) -> pa.Table:
     """Sequential per-host link reciprocity over the sparsified
     directed host graph: plain set-membership loops (no pair-key
@@ -3463,6 +3499,7 @@ def _b_lm_generate(sf_dir: str) -> pa.Table:
 
 BUILDERS = {
     "host_triangles": _b_host_triangles,
+    "host_communities": _b_host_communities,
     "lm_generate": _b_lm_generate,
     "host_assortativity": _b_host_assortativity,
     "host_clustering": _b_host_clustering,

@@ -1797,3 +1797,156 @@ def link_lang_matrix(pages_ds, num_partitions: int | None = None):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def label_propagation_communities(edges, rounds: int = 4,
+                                  num_partitions: int | None = None):
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007), made exactly deterministic: every node
+    starts labelled with itself; each round EVERY node simultaneously
+    adopts the most frequent label among its (undirected) neighbours,
+    ties broken toward the lexicographically smallest label; nodes
+    with no neighbours keep their label; exactly ``rounds`` rounds run
+    (no data-dependent stopping — determinism over convergence).
+
+    Scale shape per round: edge rows and current-label rows union-tag
+    into ONE ``groupby(src)`` co-group that emits (dst,
+    neighbour_label) votes (no ``Dataset.join``: Ray's hash join
+    materializes schema-less empty right partitions whenever distinct
+    keys < partitions — a 10-host graph trips it); ONE
+    ``groupby(node)`` co-group computes each node's majority (group
+    size = degree — the mega-host group is bounded by its in-degree);
+    ONE union-tag groupby merges new labels over nodes that received
+    none.  No broadcast, no driver materialization.
+
+    ``edges``: string columns ``src``/``dst`` (directed; both
+    orientations are derived).  Nodes = src ∪ dst (isolated hosts are
+    not represented in an edge list).  -> (host, community).
+    """
+    import ray.data
+
+    nparts = _default_partitions(num_partitions)
+
+    def both(batch: pa.Table) -> pa.Table:
+        s = batch.column("src")
+        d = batch.column("dst")
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [s.combine_chunks(), d.combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [d.combine_chunks(), s.combine_chunks()]
+                ),
+            }
+        )
+
+    directed = edges.map_batches(both, batch_format="pyarrow").materialize()
+
+    def self_label(batch: pa.Table) -> pa.Table:
+        nodes = pc.unique(
+            pa.concat_arrays(
+                [
+                    batch.column("src").combine_chunks(),
+                    batch.column("dst").combine_chunks(),
+                ]
+            )
+        )
+        return pa.table({"node": nodes, "label": nodes})
+
+    labels = (
+        edges.map_batches(self_label, batch_format="pyarrow")
+        .groupby("node")
+        .map_groups(
+            lambda g: g.slice(0, 1),
+            batch_format="pyarrow",
+        )
+    )
+
+    def majority(g: pa.Table) -> pa.Table:
+        node = g.column("node")[0].as_py()
+        votes = g.column("label").to_pylist()
+        counts: dict[str, int] = {}
+        for v in votes:
+            counts[v] = counts.get(v, 0) + 1
+        best = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[0][0]
+        return pa.table(
+            {
+                "node": pa.array([node], pa.string()),
+                "label": pa.array([best], pa.string()),
+                "pri": pa.array([1], pa.int8()),
+            }
+        )
+
+    def keep_highest(g: pa.Table) -> pa.Table:
+        pri = g.column("pri").to_numpy(zero_copy_only=False)
+        i = int(pri.argmax())
+        return pa.table(
+            {
+                "node": pa.array([g.column("node")[i].as_py()], pa.string()),
+                "label": pa.array([g.column("label")[i].as_py()], pa.string()),
+            }
+        )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "label": pa.array([""] * n, pa.string()),
+                "is_label": pa.array([False] * n),
+            }
+        )
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "src": batch.column("node"),
+                "dst": pa.array([""] * n, pa.string()),
+                "label": batch.column("label"),
+                "is_label": pa.array([True] * n),
+            }
+        )
+
+    def emit_votes(g: pa.Table) -> pa.Table:
+        is_l = g.column("is_label").to_numpy(zero_copy_only=False)
+        li = is_l.nonzero()[0]
+        if len(li) == 0:  # a dst-only host with no outgoing rows here
+            return pa.table(
+                {"node": pa.array([], pa.string()),
+                 "label": pa.array([], pa.string())}
+            )
+        lab = g.column("label")[int(li[0])].as_py()
+        dsts = g.filter(pa.array(~is_l)).column("dst")
+        return pa.table(
+            {"node": dsts, "label": pa.array([lab] * len(dsts), pa.string())}
+        )
+
+    tagged_edges = directed.map_batches(edge_rows, batch_format="pyarrow")
+
+    for _ in range(rounds):
+        labels = labels.materialize()
+        votes = (
+            tagged_edges.union(
+                labels.map_batches(label_rows, batch_format="pyarrow")
+            )
+            .groupby("src")
+            .map_groups(emit_votes, batch_format="pyarrow")
+        )
+        new = votes.groupby("node").map_groups(majority, batch_format="pyarrow")
+        old = labels.map_batches(
+            lambda b: b.append_column("pri", pa.array([0] * len(b), pa.int8())),
+            batch_format="pyarrow",
+        )
+        labels = (
+            old.union(new)
+            .groupby("node")
+            .map_groups(keep_highest, batch_format="pyarrow")
+        )
+
+    return labels.map_batches(
+        lambda b: b.rename_columns(["host", "community"]),
+        batch_format="pyarrow",
+    )
