@@ -3784,6 +3784,117 @@ def _q_host_triangles(sf_dir: str):
     return host_triangles(_sparse_host_edges(sf_dir))
 
 
+def _q_split_manifest(sf_dir: str):
+    """Deterministic train/val/test split assignment — the first
+    operation of every training run: md5(doc_id) buckets into 0..99,
+    ranges [0,90) / [90,95) / [95,100) name the split; per-doc
+    assignment is a stateless Arrow/hashlib map, per-split counts +
+    char totals fold through one 3-group aggregate.  Re-shardable,
+    order-independent, and certifiable in pure SQL (DuckDB md5)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        buckets = [
+            int(hashlib.md5(str(i).encode("ascii")).hexdigest()[:8], 16) % 100
+            for i in ids
+        ]
+        split = [
+            "train" if b < 90 else ("val" if b < 95 else "test")
+            for b in buckets
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "split": pa.array(split, pa.string()),
+                "bucket": pa.array(buckets, pa.int64()),
+                "n_chars": pc.cast(batch.column("n_chars"), pa.int64()),
+            }
+        )
+
+    assigned = docs.map_batches(assign, batch_format="pyarrow")
+    return (
+        assigned.select_columns(["split", "n_chars"])
+        .repartition(2)
+        .groupby("split")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+        )
+    )
+
+
+def _q_fetch_rate_windows(sf_dir: str):
+    """Crawl throughput curve: fetches and distinct hosts per tumbling
+    10-wave window over the certified crawl log — the operational
+    gauge a crawl operator watches for politeness stalls.  One slim
+    combiner + one histogram-sized groupby; window-SQL oracle over the
+    crawl_log fixture."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    log = _q_crawl_log(sf_dir)
+    ds = ray.data.from_arrow(log.select(["wave", "host"]))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        win = pc.cast(
+            pc.divide(batch.column("wave").cast(pa.int64()), 10), pa.int64()
+        )
+        t = pa.table({"window": win, "host": batch.column("host")})
+        g = t.group_by(["window", "host"]).aggregate([("host", "count")])
+        return pa.table(
+            {
+                "window": g.column("window"),
+                "host": g.column("host"),
+                "n_part": pc.cast(g.column("host_count"), pa.int64()),
+            }
+        )
+
+    per_wh = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .repartition(2)
+        .groupby(["window", "host"])
+        .aggregate(Sum("n_part", alias_name="n_fetches"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "window": batch.column("window"),
+                "one": pa.array([1] * len(batch), pa.int64()),
+                "n_fetches": batch.column("n_fetches"),
+            }
+        )
+        g = t.group_by("window").aggregate(
+            [("one", "sum"), ("n_fetches", "sum")]
+        )
+        return pa.table(
+            {
+                "window": g.column("window"),
+                "hosts_part": pc.cast(g.column("one_sum"), pa.int64()),
+                "fetch_part": pc.cast(g.column("n_fetches_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        per_wh.map_batches(finish, batch_format="pyarrow")
+        .repartition(2)
+        .groupby("window")
+        .aggregate(
+            Sum("hosts_part", alias_name="n_hosts"),
+            Sum("fetch_part", alias_name="n_fetches"),
+        )
+    )
+
+
 def _q_host_communities(sf_dir: str):
     """Community detection over the sparsified offsite host graph:
     synchronous deterministic label propagation (Raghavan et al. 2007
@@ -4266,6 +4377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "host_capped_sample": _q_host_capped_sample,
         "host_triangles": _q_host_triangles,
+        "split_manifest": _q_split_manifest,
+        "fetch_rate_windows": _q_fetch_rate_windows,
         "host_communities": _q_host_communities,
         "host_reciprocity": _q_host_reciprocity,
         "host_kcore": _q_host_kcore,
@@ -5684,6 +5797,23 @@ def oracle_sql() -> dict[str, str]:
             "AS n_fetches, CAST(sum(CAST(floor(p * 1000000.0) AS BIGINT)) "
             "AS BIGINT) AS sum_perp_e6 FROM b"
             % (_ORACLES_SF001["crawl_log"], _ORACLES_SF001["crawl_log_bfs"])
+        ),
+        "split_manifest": (
+            "WITH a AS (SELECT doc_id, n_chars, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS BIGINT) % 100 AS bucket FROM documents), "
+            "s AS (SELECT CASE WHEN bucket < 90 THEN 'train' "
+            "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split, "
+            "n_chars FROM a) "
+            "SELECT split, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM s GROUP BY 1"
+        ),
+        "fetch_rate_windows": (
+            "SELECT CAST(wave // 10 AS BIGINT) AS window, "
+            "CAST(count(DISTINCT host) AS BIGINT) AS n_hosts, "
+            "CAST(count(*) AS BIGINT) AS n_fetches "
+            "FROM read_parquet('%s') GROUP BY 1"
+            % _ORACLES_SF001["crawl_log"]
         ),
         "sentence_length_hist": (
             "SELECT CAST(len(string_split(sentence, ' ')) AS BIGINT) "

@@ -727,3 +727,32 @@ class TestCrawlGainCurve:
             {"wave": 1, "new_hosts": 2, "cum_hosts": 3},
             {"wave": 4, "new_hosts": 1, "cum_hosts": 4},
         ]
+
+
+class TestSplitManifest:
+    def test_bucket_spec_and_totals(self, ray_session, sf_dir):
+        """Splits cover every doc exactly once; the 90/5/5 md5 spec is
+        re-derived inline and totals agree with the engine."""
+        import hashlib
+        import sys
+        from pathlib import Path
+
+        import pyarrow.parquet as pq
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        import __ray_entry__ as e
+
+        got = {
+            r["split"]: (r["n_docs"], r["sum_chars"])
+            for r in e.queries()["split_manifest"](sf_dir).take_all()
+        }
+        t = pq.read_table(sf_dir + "/documents.parquet", columns=["doc_id", "n_chars"])
+        exp: dict[str, list[int]] = {}
+        for i, n in zip(t.column("doc_id").to_pylist(), t.column("n_chars").to_pylist()):
+            b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+            sp = "train" if b < 90 else ("val" if b < 95 else "test")
+            c = exp.setdefault(sp, [0, 0])
+            c[0] += 1
+            c[1] += n
+        assert got == {k: tuple(v) for k, v in exp.items()}
+        assert sum(v[0] for v in got.values()) == t.num_rows
