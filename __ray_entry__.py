@@ -3784,6 +3784,20 @@ def _q_host_triangles(sf_dir: str):
     return host_triangles(_sparse_host_edges(sf_dir))
 
 
+def _q_script_mix(sf_dir: str):
+    """Per-document writing-script composition (Latin / digit / CJK /
+    space / other codepoint counts) — the mixed-script and
+    language-mislabel gauge for multilingual corpora.  Stateless
+    vectorized map over a uint32 codepoint view; pure-SQL oracle via
+    the established per-codepoint regexp_extract_all iteration +
+    unicode() CASE ranges."""
+    from topicrawler_ray.stages.textstats import script_mix_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        script_mix_batch, batch_format="pyarrow"
+    )
+
+
 def _q_split_manifest(sf_dir: str):
     """Deterministic train/val/test split assignment — the first
     operation of every training run: md5(doc_id) buckets into 0..99,
@@ -4377,6 +4391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "host_capped_sample": _q_host_capped_sample,
         "host_triangles": _q_host_triangles,
+        "script_mix": _q_script_mix,
         "split_manifest": _q_split_manifest,
         "fetch_rate_windows": _q_fetch_rate_windows,
         "host_communities": _q_host_communities,
@@ -5797,6 +5812,31 @@ def oracle_sql() -> dict[str, str]:
             "AS n_fetches, CAST(sum(CAST(floor(p * 1000000.0) AS BIGINT)) "
             "AS BIGINT) AS sum_perp_e6 FROM b"
             % (_ORACLES_SF001["crawl_log"], _ORACLES_SF001["crawl_log_bfs"])
+        ),
+        "script_mix": (
+            "WITH ch AS (SELECT doc_id, "
+            "unicode(unnest(regexp_extract_all(text, '[\\s\\S]'))) AS cp "
+            "FROM documents), "
+            "cl AS (SELECT doc_id, "
+            "CASE WHEN (cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND 122) "
+            "OR (cp BETWEEN 192 AND 591) THEN 0 "
+            "WHEN cp BETWEEN 48 AND 57 THEN 1 "
+            "WHEN cp BETWEEN 19968 AND 40959 THEN 2 "
+            "WHEN cp IN (32, 9, 10, 13) THEN 3 ELSE 4 END AS k "
+            "FROM ch), "
+            "agg AS (SELECT doc_id, "
+            "CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_latin, "
+            "CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_digit, "
+            "CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cjk, "
+            "CAST(sum(CASE WHEN k = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_space, "
+            "CAST(sum(CASE WHEN k = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_other "
+            "FROM cl GROUP BY 1) "
+            "SELECT d.doc_id, coalesce(a.n_latin, 0) AS n_latin, "
+            "coalesce(a.n_digit, 0) AS n_digit, "
+            "coalesce(a.n_cjk, 0) AS n_cjk, "
+            "coalesce(a.n_space, 0) AS n_space, "
+            "coalesce(a.n_other, 0) AS n_other "
+            "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
         ),
         "split_manifest": (
             "WITH a AS (SELECT doc_id, n_chars, "

@@ -756,3 +756,35 @@ class TestSplitManifest:
             c[1] += n
         assert got == {k: tuple(v) for k, v in exp.items()}
         assert sum(v[0] for v in got.values()) == t.num_rows
+
+
+class TestScriptMix:
+    def test_hand_counted_mixed_script(self, ray_session):
+        """Hand-countable mixed-script doc: Latin, digits, CJK, spaces
+        and 'other' (Cyrillic, punctuation) land in the right bins and
+        always sum to the codepoint count."""
+        import ray.data
+
+        from topicrawler_ray.stages.textstats import script_mix_batch
+
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 0, "text": "Ab1 中文, Ж!"},
+                {"doc_id": 1, "text": ""},
+                {"doc_id": 2, "text": "café"},
+            ]
+        )
+        out = {
+            r["doc_id"]: r
+            for r in docs.map_batches(
+                script_mix_batch, batch_format="pyarrow"
+            ).take_all()
+        }
+        r0 = out[0]  # A b 1 ' ' 中 文 , ' ' Ж !
+        assert (r0["n_latin"], r0["n_digit"], r0["n_cjk"]) == (2, 1, 2)
+        assert r0["n_space"] == 2 and r0["n_other"] == 3  # ',' 'Ж' '!'
+        assert sum(
+            r0[k] for k in ("n_latin", "n_digit", "n_cjk", "n_space", "n_other")
+        ) == len("Ab1 中文, Ж!")
+        assert all(out[1][k] == 0 for k in ("n_latin", "n_digit", "n_cjk", "n_space", "n_other"))
+        assert out[2]["n_latin"] == 4  # é is Latin-1 supplement

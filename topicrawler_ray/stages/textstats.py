@@ -753,3 +753,54 @@ def winnow_stats_batch(batch: pa.Table, column: str = "text",
             "sig_xor": pa.array(sig, pa.int64()),
         }
     )
+
+
+def script_mix_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Per-document writing-script mix as exact integer codepoint
+    counts — the multilingual-corpus composition gauge (mixed-script
+    spam, mislabelled languages, CJK leakage into a Latin corpus):
+
+    * ``n_latin``  — A-Z, a-z, U+00C0-U+024F (Latin-1/Extended-A/B),
+    * ``n_digit``  — 0-9,
+    * ``n_cjk``    — U+4E00-U+9FFF (CJK Unified),
+    * ``n_space``  — space/tab/LF/CR,
+    * ``n_other``  — everything else.
+
+    Vectorized per row over a uint32 codepoint view; stateless, no
+    shuffle; the range table mirrors the pure-SQL oracle's CASE on
+    ``unicode(c)`` exactly.
+    """
+    import numpy as np
+
+    ids = batch.column("doc_id")
+    o_lat, o_dig, o_cjk, o_sp, o_oth = [], [], [], [], []
+    for t in batch.column(column).to_pylist():
+        t = t or ""
+        if not t:
+            o_lat.append(0); o_dig.append(0); o_cjk.append(0)
+            o_sp.append(0); o_oth.append(0)
+            continue
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        lat = (
+            ((cp >= 0x41) & (cp <= 0x5A))
+            | ((cp >= 0x61) & (cp <= 0x7A))
+            | ((cp >= 0xC0) & (cp <= 0x24F))
+        )
+        dig = (cp >= 0x30) & (cp <= 0x39)
+        cjk = (cp >= 0x4E00) & (cp <= 0x9FFF)
+        sp = (cp == 0x20) | (cp == 0x09) | (cp == 0x0A) | (cp == 0x0D)
+        o_lat.append(int(lat.sum()))
+        o_dig.append(int(dig.sum()))
+        o_cjk.append(int(cjk.sum()))
+        o_sp.append(int(sp.sum()))
+        o_oth.append(int(len(cp) - lat.sum() - dig.sum() - cjk.sum() - sp.sum()))
+    return pa.table(
+        {
+            "doc_id": ids,
+            "n_latin": pa.array(o_lat, pa.int64()),
+            "n_digit": pa.array(o_dig, pa.int64()),
+            "n_cjk": pa.array(o_cjk, pa.int64()),
+            "n_space": pa.array(o_sp, pa.int64()),
+            "n_other": pa.array(o_oth, pa.int64()),
+        }
+    )
