@@ -3784,6 +3784,76 @@ def _q_host_triangles(sf_dir: str):
     return host_triangles(_sparse_host_edges(sf_dir))
 
 
+def _q_dedup_cluster_stats(sf_dir: str):
+    """Near-dup cluster-size distribution — the dedup-savings report
+    (how much of the corpus is redundant at each cluster width): rides
+    the certified component labels; two slim groupbys ((size,
+    component) dedupe, then per-size counts).  The SQL oracle embeds
+    the full near_dup_clusters CTE as a subquery so the two stay in
+    lockstep."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = _q_near_dup_clusters(sf_dir)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "cluster_size": pc.cast(
+                    batch.column("cluster_size"), pa.int64()
+                ),
+                "component": pc.cast(batch.column("component"), pa.int64()),
+            }
+        )
+        g = t.group_by(["cluster_size", "component"]).aggregate(
+            [("component", "count")]
+        )
+        return pa.table(
+            {
+                "cluster_size": g.column("cluster_size"),
+                "component": g.column("component"),
+                "n_part": pc.cast(g.column("component_count"), pa.int64()),
+            }
+        )
+
+    per_comp = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .repartition(2)
+        .groupby(["cluster_size", "component"])
+        .aggregate(Sum("n_part", alias_name="n_docs_comp"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "cluster_size": batch.column("cluster_size"),
+                "one": pa.array([1] * len(batch), pa.int64()),
+                "n_docs_comp": batch.column("n_docs_comp"),
+            }
+        )
+        g = t.group_by("cluster_size").aggregate(
+            [("one", "sum"), ("n_docs_comp", "sum")]
+        )
+        return pa.table(
+            {
+                "cluster_size": g.column("cluster_size"),
+                "cl_part": pc.cast(g.column("one_sum"), pa.int64()),
+                "doc_part": pc.cast(g.column("n_docs_comp_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        per_comp.map_batches(finish, batch_format="pyarrow")
+        .repartition(2)
+        .groupby("cluster_size")
+        .aggregate(
+            Sum("cl_part", alias_name="n_clusters"),
+            Sum("doc_part", alias_name="n_docs"),
+        )
+    )
+
+
 def _q_script_mix(sf_dir: str):
     """Per-document writing-script composition (Latin / digit / CJK /
     space / other codepoint counts) — the mixed-script and
@@ -4391,6 +4461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "host_capped_sample": _q_host_capped_sample,
         "host_triangles": _q_host_triangles,
+        "dedup_cluster_stats": _q_dedup_cluster_stats,
         "script_mix": _q_script_mix,
         "split_manifest": _q_split_manifest,
         "fetch_rate_windows": _q_fetch_rate_windows,
@@ -4548,7 +4619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         # the stored `text` column is the analytically-derived extraction
         # oracle; the Ray query recomputes it from the html bytes
         "extract_text": (
@@ -5901,3 +5972,13 @@ def oracle_sql() -> dict[str, str]:
             for name, path in _ORACLES_SF001.items()
         },
     }
+    # derived oracle: the cluster-size rollup reuses the FULL certified
+    # near-dup CTE as a subquery (DuckDB allows WITH inside FROM), so
+    # the two queries can never drift apart
+    out["dedup_cluster_stats"] = (
+        "SELECT cluster_size, "
+        "CAST(count(DISTINCT component) AS BIGINT) AS n_clusters, "
+        "CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM (" + out["near_dup_clusters"] + ") base GROUP BY 1"
+    )
+    return out

@@ -179,3 +179,22 @@ class TestConnectedComponents:
         assert out["component"].tolist() == [0, 1, 2, 1]
         assert out["cluster_size"].tolist() == [1, 2, 1, 2]
         assert out["is_canonical"].tolist() == [True, True, True, False]
+
+
+class TestClusterStats:
+    def test_counts_reconcile_with_labels(self, ray_session, sf_dir):
+        """Per-size cluster/doc counts reconcile exactly with the
+        underlying component labels: sum(n_docs) = corpus size,
+        n_docs = cluster_size * n_clusters per row."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        import __ray_entry__ as e
+
+        labels = e.queries()["near_dup_clusters"](sf_dir).to_pandas()
+        stats = e.queries()["dedup_cluster_stats"](sf_dir).to_pandas()
+        assert stats["n_docs"].sum() == len(labels)
+        assert (
+            stats["n_docs"] == stats["cluster_size"] * stats["n_clusters"]
+        ).all()
