@@ -3784,6 +3784,50 @@ def _q_host_triangles(sf_dir: str):
     return host_triangles(_sparse_host_edges(sf_dir))
 
 
+def _q_host_degree_hist(sf_dir: str):
+    """Webgraph degree distribution (the power-law report crawl ops
+    eyeball before budgeting): out- and in-degree histograms over the
+    certified per-host degrees, folded as (kind, degree) combiner rows
+    into one histogram-sized groupby.  Derived oracle over the
+    host_degrees fixture."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _q_host_degrees(sf_dir)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        t = pa.table(
+            {
+                "kind": pa.array(["out"] * n + ["in"] * n, pa.string()),
+                "degree": pa.concat_arrays(
+                    [
+                        pc.cast(batch.column("outdeg"), pa.int64())
+                        .combine_chunks(),
+                        pc.cast(batch.column("indeg"), pa.int64())
+                        .combine_chunks(),
+                    ]
+                ),
+            }
+        )
+        g = t.group_by(["kind", "degree"]).aggregate([("degree", "count")])
+        return pa.table(
+            {
+                "kind": g.column("kind"),
+                "degree": g.column("degree"),
+                "n_part": pc.cast(g.column("degree_count"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .repartition(2)
+        .groupby(["kind", "degree"])
+        .aggregate(Sum("n_part", alias_name="n_hosts"))
+    )
+
+
 def _q_dedup_cluster_stats(sf_dir: str):
     """Near-dup cluster-size distribution — the dedup-savings report
     (how much of the corpus is redundant at each cluster width): rides
@@ -4461,6 +4505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "host_capped_sample": _q_host_capped_sample,
         "host_triangles": _q_host_triangles,
+        "host_degree_hist": _q_host_degree_hist,
         "dedup_cluster_stats": _q_dedup_cluster_stats,
         "script_mix": _q_script_mix,
         "split_manifest": _q_split_manifest,
@@ -5975,6 +6020,13 @@ def oracle_sql() -> dict[str, str]:
     # derived oracle: the cluster-size rollup reuses the FULL certified
     # near-dup CTE as a subquery (DuckDB allows WITH inside FROM), so
     # the two queries can never drift apart
+    out["host_degree_hist"] = (
+        "WITH d AS (SELECT * FROM read_parquet('%s')) "
+        "SELECT kind, degree, CAST(count(*) AS BIGINT) AS n_hosts FROM ("
+        "SELECT 'out' AS kind, outdeg AS degree FROM d "
+        "UNION ALL SELECT 'in', indeg FROM d) GROUP BY 1, 2"
+        % _ORACLES_SF001["host_degrees"]
+    )
     out["dedup_cluster_stats"] = (
         "SELECT cluster_size, "
         "CAST(count(DISTINCT component) AS BIGINT) AS n_clusters, "
