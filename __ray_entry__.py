@@ -3837,7 +3837,7 @@ def _q_dedup_cluster_stats(sf_dir: str):
     lockstep."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = _q_near_dup_clusters(sf_dir)
 

@@ -1799,8 +1799,7 @@ def link_lang_matrix(pages_ds, num_partitions: int | None = None):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def label_propagation_communities(edges, rounds: int = 4,
-                                  num_partitions: int | None = None):
+def label_propagation_communities(edges, rounds: int = 4):
     """Community detection by synchronous label propagation (Raghavan,
     Albert & Kumara 2007), made exactly deterministic: every node
     starts labelled with itself; each round EVERY node simultaneously
@@ -1823,10 +1822,6 @@ def label_propagation_communities(edges, rounds: int = 4,
     orientations are derived).  Nodes = src ∪ dst (isolated hosts are
     not represented in an edge list).  -> (host, community).
     """
-    import ray.data
-
-    nparts = _default_partitions(num_partitions)
-
     def both(batch: pa.Table) -> pa.Table:
         s = batch.column("src")
         d = batch.column("dst")
@@ -1895,7 +1890,7 @@ def label_propagation_communities(edges, rounds: int = 4,
                 "src": batch.column("src"),
                 "dst": batch.column("dst"),
                 "label": pa.array([""] * n, pa.string()),
-                "is_label": pa.array([False] * n),
+                "is_label": pa.array([False] * n, pa.bool_()),
             }
         )
 
@@ -1906,7 +1901,7 @@ def label_propagation_communities(edges, rounds: int = 4,
                 "src": batch.column("node"),
                 "dst": pa.array([""] * n, pa.string()),
                 "label": batch.column("label"),
-                "is_label": pa.array([True] * n),
+                "is_label": pa.array([True] * n, pa.bool_()),
             }
         )
 

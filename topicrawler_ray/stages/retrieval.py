@@ -201,63 +201,11 @@ def bm25_topk(
 ):
     """-> (query_id, rank, doc_id, score_e6) — exact BM25 top-k per
     query; docs with score 0 (no term overlap) never rank."""
-    import ray
-
-    terms_by_q = [(qid, query_terms(qtext)) for qid, qtext in queries]
-    vocab = {t for _, ts in terms_by_q for t in ts}
-    vocab_list = sorted(vocab)
-    df, n_docs, avgdl = corpus_stats(ds, vocab, text_column)
-    idf = {t: bm25_idf(df.get(t, 0), n_docs) for t in vocab}
-    ref = ray.put((terms_by_q, vocab_list, idf, avgdl))
-
-    def partial_topk(batch: pa.Table, _ref=ref) -> pa.Table:
-        tq, vlist, idf_l, avg = ray.get(_ref)
-        vocab_arr = pa.array(vlist, pa.string())
-        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
-        flat, doc_idx, dl = _explode_tokens(batch.column(text_column))
-        d_idx, t_code, tf = _doc_term_tf(flat, doc_idx, vocab_arr)
-        # per-term posting slices within this batch
-        order = np.argsort(t_code, kind="stable")
-        d_idx, t_code, tf = d_idx[order], t_code[order], tf[order]
-        bounds = np.searchsorted(t_code, np.arange(len(vlist) + 1))
-        code_of = {t: i for i, t in enumerate(vlist)}
-        n = len(ids)
-        o_q, o_id, o_s = [], [], []
-        for qid, terms in tq:
-            score = np.zeros(n, dtype=np.int64)
-            for t in terms:
-                c = code_of[t]
-                lo, hi = bounds[c], bounds[c + 1]
-                if lo == hi:
-                    continue
-                di = d_idx[lo:hi]
-                score[di] += contrib_e9(idf_l[t], tf[lo:hi], dl[di], avg)
-            pos = np.nonzero(score > 0)[0]
-            if len(pos) == 0:
-                continue
-            if len(pos) > k:
-                # partial top-k: only k rows per query leave this pass
-                sel = np.lexsort((ids[pos], -score[pos]))[:k]
-                pos = pos[sel]
-            o_q.extend([qid] * len(pos))
-            o_id.extend(ids[pos].tolist())
-            o_s.extend(score[pos].tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(o_q, pa.int64()),
-                "doc_id": pa.array(o_id, pa.int64()),
-                "score_e9": pa.array(o_s, pa.int64()),
-            }
-        )
-
-    partials = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
-    import ray.data
-
-    return ray.data.from_arrow(_merge_partial_topk(partials, k))
-
-
-# ---------------------------------------------------------------------------
-# disk-backed inverted index (build once, serve queries without a corpus scan)
+    # delegates to the weighted pass with all weights 1 — ONE scan
+    # kernel for both certified paths (the weight-1 reduction is
+    # proven exactly by tests/test_rrf.py::TestRM3)
+    weighted = [(qid, {t: 1 for t in query_terms(qtext)}) for qid, qtext in queries]
+    return _weighted_bm25_pass(ds, weighted, k, id_column, text_column)
 
 
 def build_bm25_index(ds, out_dir: str, num_buckets: int = 32,
