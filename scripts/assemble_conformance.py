@@ -65,7 +65,7 @@ artifact = {
         "sf_dir": "/root/testdata/sf0.01",
         "note": (
             "single full queries() sweep vs oracle_sql() via "
-            "scripts/check_queries.py at round-5 final HEAD (209 certified "
+            "scripts/check_queries.py at round-5 final HEAD (211 certified "
             "queries: pure-SQL oracles over the raw tables, materialized "
             "sequential-oracle fixtures, frozen goldens, and the "
             "independent crawl simulator incl. the breadth-policy run)"
